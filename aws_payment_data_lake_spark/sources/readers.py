@@ -1,0 +1,42 @@
+"""Table readers over the driver-provided parquet testdata.
+
+Maps the reference's catalog scans (S1/S2: ``create_dynamic_frame
+.from_catalog(...).toDF()``, etl_transactions_bronze.py:123-125 and
+etl_transactions_silver.py:137-139) and its local parquet scans (S4,
+transactions_silver_dev.ipynb cell-2) onto plain ``spark.read.parquet``.
+
+Parquet scans get column pruning + predicate pushdown from Catalyst for
+free; at 100 TB the same call works because partition discovery and file
+listing are distributed. No ``inferSchema`` anywhere (determinism; also at
+scale an inference pass is a full extra read of the data —
+SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir_from_env() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (parquet carries its own schema)."""
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    """Read several tables at once: ``li, ord = load(spark, d, "lineitem", "orders")``."""
+    return tuple(read_table(spark, sf_dir, n) for n in names)

@@ -1,0 +1,82 @@
+"""Shared pytest fixtures: one local SparkSession + DuckDB oracle helpers.
+
+The oracle helpers replicate the driver's comparison (row-count + schema +
+order-insensitive value compare) so `pytest` catches a mismatch before the
+driver does.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+from aws_payment_data_lake_spark.session import get_spark  # noqa: E402
+from aws_payment_data_lake_spark.sources import TESTDATA_TABLES  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="pytest", master="local[8]", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    """Normalize a cell for cross-engine comparison."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):  # date/datetime
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    return v
+
+
+def normalized_rows(cols, rows):
+    """Sort columns by name, then rows — the driver's order-insensitive view."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def compare_with_oracle(spark, duck, spec, sf_dir=SF_DIR):
+    """Run spec.fn on Spark and spec.oracle on DuckDB; assert equivalence."""
+    sdf = spec.fn(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = list(sdf.columns)
+    res = duck.execute(spec.oracle)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), (
+        f"{spec.name}: column mismatch spark={sorted(scols)} oracle={sorted(ocols)}"
+    )
+    assert len(srows) == len(orows), (
+        f"{spec.name}: row count spark={len(srows)} oracle={len(orows)}"
+    )
+    sn = normalized_rows(scols, srows)
+    on = normalized_rows(ocols, orows)
+    for i, (a, b) in enumerate(zip(sn, on)):
+        assert a == b, f"{spec.name}: first differing row #{i}:\n spark={a}\noracle={b}"
