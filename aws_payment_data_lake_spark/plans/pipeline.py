@@ -1,0 +1,100 @@
+"""End-to-end medallion pipeline driver (D1-D3).
+
+Replaces the reference's Glue Trigger chain (README.md:35-37:
+Raw -> Bronze job -> Crawler -> Silver job -> Crawler) with in-process
+stage sequencing; "crawlers" become explicit temp-view registration. Each
+stage reads back what the previous stage wrote (zone isolation, same as
+the reference's S3 zone handoff) rather than reusing the in-memory frame —
+so every stage is independently re-runnable and restart-safe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from aws_payment_data_lake_spark.plans import bronze as B
+from aws_payment_data_lake_spark.plans import generator as G
+from aws_payment_data_lake_spark.plans import silver as S
+from aws_payment_data_lake_spark.plans.schemas import RAW_SCHEMA
+
+
+def read_raw(spark: SparkSession, path: str):
+    """S3 raw-zone stand-in: header CSV under ingest_date= dirs, explicit
+    schema (no inferSchema — determinism + one less full scan)."""
+    return (spark.read.option("header", True).schema(RAW_SCHEMA)
+            .option("basePath", path).csv(path))
+
+
+def run_pipeline(spark: SparkSession, base_dir: str, *, days: int = 3,
+                 rows_per_day: int = 1000, invalid_rate: float = 0.02,
+                 duplicate_rate: float = 0.0, seed: int = 42,
+                 mode: str = "overwrite") -> dict:
+    """Generate raw CSVs, run bronze + silver + audit, write DQ summary.
+
+    Returns zone paths and row counts (the pipeline's own smoke check).
+    """
+    raw_dir = os.path.join(base_dir, "raw", "transactions")
+    bronze_dir = os.path.join(base_dir, "bronze", "transactions_parquet")
+    silver_dir = os.path.join(base_dir, "silver", "transactions_parquet")
+    audit_dir = os.path.join(base_dir, "audit", "transactions_rejected")
+    dq_path = os.path.join(base_dir, "audit", "dq_summary.json")
+
+    raw = G.generate_transactions(
+        spark, days=days, rows_per_day=rows_per_day,
+        invalid_rate=invalid_rate, duplicate_rate=duplicate_rate, seed=seed)
+    G.write_raw_csv(raw, raw_dir, mode="overwrite")
+
+    bronze_df = B.run_bronze(read_raw(spark, raw_dir).drop("ingest_date"))
+    B.write_bronze(bronze_df, bronze_dir, mode=mode)
+
+    bronze_back = spark.read.parquet(bronze_dir)
+    silver_df = S.run_silver(bronze_back)
+    S.write_silver(silver_df, silver_dir, mode=mode)
+
+    audit_df = S.audit(bronze_back)
+    audit_df.write.mode("overwrite").parquet(audit_dir)
+
+    dq_rows = [r.asDict() for r in S.dq_summary(bronze_back).collect()]
+    os.makedirs(os.path.dirname(dq_path), exist_ok=True)
+    with open(dq_path, "w") as f:
+        json.dump({"table": "transactions", "counts_by_reason": dq_rows}, f,
+                  indent=2)
+
+    counts = {
+        "raw": raw.count(),
+        "bronze": spark.read.parquet(bronze_dir).count(),
+        "silver": spark.read.parquet(silver_dir).count(),
+        "audit": spark.read.parquet(audit_dir).count(),
+    }
+    return {"paths": {"raw": raw_dir, "bronze": bronze_dir,
+                      "silver": silver_dir, "audit": audit_dir, "dq": dq_path},
+            "counts": counts}
+
+
+def main() -> None:
+    from aws_payment_data_lake_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="Run the medallion pipeline")
+    ap.add_argument("--base-dir", required=True)
+    ap.add_argument("--days", type=int, default=3)
+    ap.add_argument("--rows-per-day", type=int, default=1000)
+    ap.add_argument("--invalid-rate", type=float, default=0.02)
+    ap.add_argument("--duplicate-rate", type=float, default=0.0)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--mode", default="overwrite", choices=["overwrite", "append"])
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="medallion-pipeline")
+    result = run_pipeline(
+        spark, args.base_dir, days=args.days, rows_per_day=args.rows_per_day,
+        invalid_rate=args.invalid_rate, duplicate_rate=args.duplicate_rate,
+        seed=args.seed, mode=args.mode)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

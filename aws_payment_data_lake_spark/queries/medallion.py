@@ -1,1 +1,203 @@
-"""Placeholder — filled in during this round."""
+"""Medallion operators as oracle-checked queries over the driver tables.
+
+The payments pipeline itself (plans/) runs on generated CSVs the DuckDB
+oracle can't see, so each reference operator from SURVEY.md §2 is ALSO
+expressed here over the driver's `events`/`orders`/`customer` tables where
+the driver's oracle can hash-check it: W1 dedup, F1-F3 validation, the
+audit/DQ split, P8 case-when curation, P4 string normalization, P1-P3
+casts/date derivation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_payment_data_lake_spark.queries import register
+from aws_payment_data_lake_spark.sources import load
+
+_VALID_EVENT_TYPES = ("click", "view", "purchase", "signup")
+
+
+# --------------------------------------------------------------------------
+# W1 — latest-record-wins dedup. The reference sorts a row_number window
+# (etl_transactions_bronze.py:61-80); at scale we aggregate with max_by
+# over a total ordering (ts, then unique event_id as tiebreak): one shuffle
+# with map-side partial aggregation, no per-key sort, deterministic.
+# --------------------------------------------------------------------------
+@register(
+    "medallion_dedup_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event_id,
+           ts AS last_ts, value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "window", "reference:W1"),
+)
+def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per (user_id, event_type), deterministic tiebreak."""
+    (ev,) = load(spark, sf_dir, "events")
+    payload = F.struct(
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+    ordering = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.max_by(payload, ordering).alias("_r"))
+        .select("user_id", "event_type", "_r.last_event_id", "_r.last_ts",
+                "_r.last_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# F1-F3 — conjunctive validation filter (etl_transactions_silver.py:24-86).
+# Three chained wheres collapse into one Filter that pushes to the scan.
+# --------------------------------------------------------------------------
+@register(
+    "medallion_validate_filter",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value, ts
+    FROM events
+    WHERE value IS NOT NULL AND value >= 1.0
+      AND event_type IN {_VALID_EVENT_TYPES!r}
+      AND user_id IS NOT NULL
+    """,
+    tags=("filter", "reference:F1,F2,F3"),
+)
+def medallion_validate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + null + IN-list validation, one conjunctive filter."""
+    (ev,) = load(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("value").isNotNull() & (F.col("value") >= 1.0))
+        .where(F.col("event_type").isin(*_VALID_EVENT_TYPES))
+        .where(F.col("user_id").isNotNull())
+        .select("event_id", "user_id", "event_type", "value", "ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# Audit split + DQ summary — the reference's *declared* surface
+# (README.md:83-87): first-failing-reason per row, counts by reason.
+# --------------------------------------------------------------------------
+@register(
+    "medallion_dq_summary",
+    oracle="""
+    SELECT coalesce(
+             CASE
+               WHEN value IS NULL OR value < 1.0 THEN 'low_value'
+               WHEN event_type NOT IN ('click','view','purchase','signup')
+                 THEN 'unknown_event_type'
+               WHEN user_id IS NULL THEN 'missing_user'
+             END, 'valid') AS reason,
+           count(*) AS row_count
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("audit", "dq", "reference:§1.5.5"),
+)
+def medallion_dq_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts by first-failing validation reason ('valid' for clean rows)."""
+    (ev,) = load(spark, sf_dir, "events")
+    reason = (
+        F.when(F.col("value").isNull() | (F.col("value") < 1.0), "low_value")
+        .when(~F.col("event_type").isin(*_VALID_EVENT_TYPES), "unknown_event_type")
+        .when(F.col("user_id").isNull(), "missing_user")
+        .otherwise("valid")
+    )
+    return (
+        ev.groupBy(reason.alias("reason"))
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .orderBy("reason")
+    )
+
+
+# --------------------------------------------------------------------------
+# P8 — CASE WHEN status curation (etl_transactions_silver.py:89-112).
+# --------------------------------------------------------------------------
+@register(
+    "medallion_curate_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CASE o_orderstatus
+             WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FULFILLED'
+             WHEN 'P' THEN 'PENDING' ELSE 'UNKNOWN'
+           END AS status_curated,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY 1, 2 ORDER BY 1
+    """,
+    tags=("projection", "case-when", "reference:P8"),
+)
+def medallion_curate_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw -> curated status mapping with per-status rollup."""
+    (orders,) = load(spark, sf_dir, "orders")
+    curated = (
+        F.when(F.col("o_orderstatus") == "O", "OPEN")
+        .when(F.col("o_orderstatus") == "F", "FULFILLED")
+        .when(F.col("o_orderstatus") == "P", "PENDING")
+        .otherwise("UNKNOWN")
+    )
+    return (
+        orders.groupBy(F.col("o_orderstatus"), curated.alias("status_curated"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# P4 — trim/upper string normalization, applied for real (the reference's
+# version is an accidental no-op, SURVEY.md §1.5.1).
+# --------------------------------------------------------------------------
+@register(
+    "medallion_normalise_strings",
+    oracle="""
+    SELECT c_custkey,
+           upper(trim(c_name)) AS c_name_norm,
+           upper(trim(c_mktsegment)) AS c_mktsegment_norm
+    FROM customer
+    """,
+    tags=("projection", "string", "reference:P4"),
+)
+def medallion_normalise_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim + uppercase every string column of customer."""
+    (cust,) = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper(F.trim(F.col("c_name"))).alias("c_name_norm"),
+        F.upper(F.trim(F.col("c_mktsegment"))).alias("c_mktsegment_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P1-P3 — typed casts + partition-column derivation
+# (etl_transactions_bronze.py:24-38,83-94).
+# --------------------------------------------------------------------------
+@register(
+    "medallion_cast_derive_date",
+    oracle="""
+    SELECT event_id,
+           CAST(ts AS DATE) AS event_date,
+           year(ts) AS event_year,
+           month(ts) AS event_month,
+           hour(ts) AS event_hour
+    FROM events
+    """,
+    tags=("projection", "cast", "reference:P1,P2,P3"),
+)
+def medallion_cast_derive_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp -> date/year/month/hour derivations (partition-col shape)."""
+    (ev,) = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_date("ts").alias("event_date"),
+        F.year("ts").alias("event_year"),
+        F.month("ts").alias("event_month"),
+        F.hour("ts").alias("event_hour"),
+    )

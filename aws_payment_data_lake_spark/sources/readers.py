@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 TESTDATA_TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -31,10 +33,21 @@ def sf_dir_from_env() -> str:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table (parquet carries its own schema)."""
+    """Read one testdata table (parquet carries its own schema).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark won't map to
+    TimestampType (PARQUET_TYPE_ILLEGAL); we read nanos as long (legacy
+    conf) and integer-divide to micros — the same truncation DuckDB
+    applies, so oracle comparisons agree to the microsecond.
+    """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -1,0 +1,120 @@
+"""End-to-end medallion pipeline invariants (SURVEY.md §5.2.3).
+
+Runs generator -> bronze -> silver/audit on a temp dir and asserts the
+invariants the reference only ever eyeballed in notebooks:
+silver + audit = bronze, no invalid row survives, dedup idempotence &
+latest-wins, partition dirs match distinct txn_date, DQ summary accounts
+for every row, pipeline re-run is idempotent (unlike the reference's
+append mode, SURVEY.md §1.5.3).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from aws_payment_data_lake_spark.plans import bronze as B
+from aws_payment_data_lake_spark.plans import generator as G
+from aws_payment_data_lake_spark.plans import silver as S
+from aws_payment_data_lake_spark.plans.pipeline import run_pipeline
+from aws_payment_data_lake_spark.plans.schemas import CURRENCIES, STATUSES
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("medallion"))
+    res = run_pipeline(spark, base, days=3, rows_per_day=500,
+                       invalid_rate=0.05, duplicate_rate=0.02, seed=42)
+    return base, res
+
+
+def test_zone_counts_reconcile(spark, pipeline_result):
+    base, res = pipeline_result
+    c = res["counts"]
+    assert c["raw"] > 0
+    # dedup can only shrink; duplicates were injected so it must shrink
+    assert c["bronze"] < c["raw"]
+    assert c["silver"] + c["audit"] == c["bronze"]
+    assert c["audit"] > 0  # invalid_rate=0.05 must reject something
+
+
+def test_no_invalid_rows_in_silver(spark, pipeline_result):
+    base, res = pipeline_result
+    silver = spark.read.parquet(res["paths"]["silver"])
+    assert silver.where(
+        F.col("amount").isNull() | (F.col("amount") <= 0)
+        | ~F.col("currency").isin(CURRENCIES)
+        | ~F.col("status").isin(STATUSES)
+        | (F.trim(F.col("user_id")) == "")
+    ).count() == 0
+    # curation is total: never null
+    assert silver.where(F.col("status_curated").isNull()).count() == 0
+
+
+def test_dedup_latest_wins_and_idempotent(spark):
+    raw = G.generate_transactions(spark, days=1, rows_per_day=300,
+                                  invalid_rate=0.0, duplicate_rate=0.1, seed=7)
+    bronze = B.run_bronze(raw.drop("ingest_date"))
+    # keys unique after dedup
+    assert bronze.groupBy("txn_id").count().where("count > 1").count() == 0
+    # idempotent: f(f(x)) = f(x)
+    again = B.deduplicate(bronze.drop("txn_date"))
+    assert again.count() == bronze.count()
+    # latest wins: for every duplicated txn_id the surviving ts is the max
+    typed = B.cast_dtypes(B.normalise_strings(raw.drop("ingest_date")))
+    expected = typed.groupBy("txn_id").agg(F.max("txn_ts").alias("max_ts"))
+    joined = bronze.join(expected, "txn_id")
+    assert joined.where(F.col("txn_ts") != F.col("max_ts")).count() == 0
+
+
+def test_partition_layout_matches_dates(spark, pipeline_result):
+    base, res = pipeline_result
+    bronze_dir = res["paths"]["bronze"]
+    dirs = {os.path.basename(p).split("=")[1]
+            for p in glob.glob(os.path.join(bronze_dir, "txn_date=*"))}
+    dates = {str(r["txn_date"]) for r in
+             spark.read.parquet(bronze_dir).select("txn_date").distinct().collect()}
+    assert dirs == dates
+
+
+def test_dq_summary_accounts_for_all_rows(spark, pipeline_result):
+    base, res = pipeline_result
+    with open(res["paths"]["dq"]) as f:
+        dq = json.load(f)
+    total = sum(r["row_count"] for r in dq["counts_by_reason"])
+    assert total == res["counts"]["bronze"]
+    reasons = {r["reason"] for r in dq["counts_by_reason"]}
+    assert "valid" in reasons and len(reasons) > 1
+
+
+def test_pipeline_rerun_idempotent(spark, pipeline_result):
+    base, res = pipeline_result
+    res2 = run_pipeline(spark, base, days=3, rows_per_day=500,
+                        invalid_rate=0.05, duplicate_rate=0.02, seed=42)
+    assert res2["counts"] == res["counts"]
+
+
+def test_generator_deterministic_across_partitionings(spark):
+    a = G.generate_transactions(spark, days=1, rows_per_day=200, seed=5)
+    b = G.generate_transactions(spark, days=1, rows_per_day=200,
+                                seed=5).repartition(13)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_normalise_strings_actually_fires(spark):
+    df = spark.createDataFrame([("  a b ", 1)], ["s", "i"])
+    out = B.normalise_strings(df).collect()[0]
+    assert out["s"] == "A B" and out["i"] == 1
+
+
+def test_curate_status_total_mapping(spark):
+    df = spark.createDataFrame(
+        [("SETTLED",), ("CHARGEBACK",), ("WHATEVER",)], ["status"])
+    got = {r["status"]: r["status_curated"]
+           for r in S.curate_status(df).collect()}
+    assert got == {"SETTLED": "SUCCESS", "CHARGEBACK": "FAILED",
+                   "WHATEVER": "UNKNOWN"}
