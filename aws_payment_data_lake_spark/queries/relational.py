@@ -1,13 +1,22 @@
 """Relational query surface: scan/filter/project/join/agg/window/sort/set-ops.
 
-This is the engine's stand-in for the reference's declared-but-absent
-Athena SQL layer (S9, README.md:33,67,88-89) and gold-layer aggregates
-(A3, README.md:130), exercised over the driver's TPC-H-ish tables.
+The engine's stand-in for the reference's declared-but-absent Athena SQL
+layer (S9, README.md:33,67,88-89) and gold-layer aggregates (A3,
+README.md:130), exercised over the driver's TPC-H-ish tables. The
+reference itself contains no joins (§2.4), so this module is where the
+engine earns the full relational surface a lake needs.
 
-Every query is written DataFrame-first and lets Catalyst pick physical
-strategy; where a join side is known-small (region/nation/supplier/part at
-any scale factor; they are dimensions) we hint ``broadcast`` so the plan
-stays shuffle-free on the fact side at 100 TB.
+Scale conventions used throughout:
+  * dimension sides of joins (region/nation/supplier/part/customer at
+    fixed cardinality) are ``broadcast()`` — fact tables never shuffle
+    for a dim join at 100 TB;
+  * per-group top-k uses a rank window AFTER aggregation or on the
+    already-reduced side, never a global sort;
+  * money sums are summed as DECIMAL(18,d): inputs are exact at <=6
+    decimal places, so decimal aggregation is exact and reproducible
+    regardless of partition/summation order (double sums differ in final
+    ulps between engines — SURVEY.md §7.5); averages stay double and are
+    rounded on both sides.
 """
 
 from __future__ import annotations
@@ -19,27 +28,31 @@ from aws_payment_data_lake_spark.queries import register
 from aws_payment_data_lake_spark.sources import load
 
 
-# --------------------------------------------------------------------------
-# Q1: pricing summary (flagship). Scan -> filter -> hash agg -> sort.
-# Mirrors the reference's only aggregation machinery (A1-A3) generalized to
-# a full groupBy().agg() (SURVEY.md §2.5). Filter pushes to the parquet
-# scan; aggregation is partial (map-side) then final — one shuffle on the
-# 2-value grouping key, which AQE coalesces to a handful of partitions.
-# --------------------------------------------------------------------------
+def _dec_sum(col: F.Column, scale: int, alias: str) -> F.Column:
+    """Exact money sum: cast each term to DECIMAL(18,scale), sum exactly."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).alias(alias)
+
+
+# ===========================================================================
+# Aggregation
+# ===========================================================================
+
 @register(
     "q1_pricing_summary",
     oracle="""
     SELECT
       l_returnflag,
       l_linestatus,
-      round(sum(l_quantity), 2)                                        AS sum_qty,
-      round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-      round(avg(l_quantity), 6)                                        AS avg_qty,
-      round(avg(l_extendedprice), 6)                                   AS avg_price,
-      round(avg(l_discount), 6)                                        AS avg_disc,
-      count(*)                                                         AS count_order
+      sum(CAST(l_quantity AS DECIMAL(18,2)))      AS sum_qty,
+      sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                                                  AS sum_disc_price,
+      sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+               AS DECIMAL(18,6)))                 AS sum_charge,
+      round(avg(l_quantity), 6)                   AS avg_qty,
+      round(avg(l_extendedprice), 6)              AS avg_price,
+      round(avg(l_discount), 6)                   AS avg_disc,
+      count(*)                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -48,7 +61,8 @@ from aws_payment_data_lake_spark.sources import load
     tags=("aggregate", "flagship"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q1-style pricing summary over lineitem."""
+    """TPC-H-Q1-style pricing summary: scan -> pushed filter -> partial+final
+    hash agg (one shuffle on a 6-group key) -> sort."""
     (li,) = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -56,10 +70,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), 2, "sum_base_price"),
+            _dec_sum(disc_price, 4, "sum_disc_price"),
+            _dec_sum(charge, 6, "sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -67,3 +81,710 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "distinct_stats_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey)            AS n_customers,
+           count(*)                             AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+           round(min(o_totalprice), 2)          AS min_price,
+           round(max(o_totalprice), 2)          AS max_price,
+           round(stddev_samp(o_totalprice), 4)  AS sd_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("aggregate", "distinct"),
+)
+def distinct_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count + order stats per priority (distinct agg = the
+    expand+two-phase plan Catalyst generates; no driver-side loop)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), 2, "total_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "having_big_customers",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    ORDER BY o_custkey
+    """,
+    tags=("aggregate", "having"),
+)
+def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             _dec_sum(F.col("o_totalprice"), 2, "spend"))
+        .where(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "rollup_orders_year_status",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year, o_orderstatus,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+    ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    tags=("aggregate", "rollup"),
+)
+def rollup_orders_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (year, status) -> (year) -> grand total."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             _dec_sum(F.col("o_totalprice"), 2, "total_price"))
+        .orderBy(F.col("order_year").asc_nulls_first(),
+                 F.col("o_orderstatus").asc_nulls_first())
+    )
+
+
+@register(
+    "cube_events_type_date",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS event_date,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    ORDER BY event_type NULLS FIRST, event_date NULLS FIRST
+    """,
+    tags=("aggregate", "cube"),
+)
+def cube_events_type_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (type, date): all 4 grouping sets in one pass (Expand)."""
+    (ev,) = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .cube("event_type", "event_date")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy(F.col("event_type").asc_nulls_first(),
+                 F.col("event_date").asc_nulls_first())
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("aggregate", "grouping-sets", "sql-surface"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the spark.sql surface (S9)."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                 AS revenue,
+               count(*) AS n_items
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """)
+
+
+# ===========================================================================
+# Joins
+# ===========================================================================
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+             AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "aggregate", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style: selective dim filter -> broadcast customer into
+    orders -> join fact -> agg -> top-10 (TakeOrderedAndProject, no global
+    sort materialization)."""
+    cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    return (
+        li.where(F.col("l_shipdate") > cutoff)
+        .join(orders.where(F.col("o_orderdate") < cutoff),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      4, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "aggregate", "broadcast"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style 6-table join; every dimension is broadcast so the
+    only shuffles are the orders<->lineitem equi-join and the final agg."""
+    cust, orders, li, sup, nat, reg = load(
+        spark, sf_dir, "customer", "orders", "lineitem",
+        "supplier", "nation", "region")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    dim = (sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+           .join(F.broadcast(reg.where(F.col("r_name") == "EUROPE")),
+                 F.col("n_regionkey") == F.col("r_regionkey")))
+    return (
+        li.join(orders.where((F.col("o_orderdate") >= lo)
+                             & (F.col("o_orderdate") < hi)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      4, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@register(
+    "join_left_outer_order_lines",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           count(l.l_orderkey) AS n_lines,
+           coalesce(sum(CAST(l.l_quantity AS DECIMAL(18,2))),
+                    CAST(0 AS DECIMAL(18,2))) AS total_qty
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 45
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    ORDER BY o.o_orderkey
+    """,
+    tags=("join", "outer"),
+)
+def join_left_outer_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with a join-side predicate (kept in the ON clause —
+    moving it to WHERE would silently turn the join inner)."""
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    return (
+        orders.join(
+            li.where(F.col("l_quantity") > 45),
+            orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(F.count("l_orderkey").alias("n_lines"),
+             F.coalesce(F.sum(F.col("l_quantity").cast("decimal(18,2)")),
+                        F.lit(0).cast("decimal(18,2)")).alias("total_qty"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "join_semi_customers_with_urgent",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    tags=("join", "semi", "subquery"),
+)
+def join_semi_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): probe side never duplicates, build side is
+    reduced before the join."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti_customers_no_urgent",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    tags=("join", "anti", "subquery"),
+)
+def join_anti_customers_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with zero urgent orders."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "range_join_price_bands",
+    oracle="""
+    SELECT b.band_name, count(*) AS n_orders,
+           sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+    FROM orders o
+    JOIN (VALUES ('small', 0.0, 50000.0),
+                 ('medium', 50000.0, 150000.0),
+                 ('large', 150000.0, 1000000000.0))
+         AS b(band_name, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_name
+    ORDER BY b.band_name
+    """,
+    tags=("join", "range", "non-equi"),
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny banding dimension. Broadcast
+    turns it into a BroadcastNestedLoopJoin — each fact row tests 3 bands
+    locally; no shuffle at any scale."""
+    (orders,) = load(spark, sf_dir, "orders")
+    bands = orders.sparkSession.createDataFrame(
+        [("small", 0.0, 50_000.0),
+         ("medium", 50_000.0, 150_000.0),
+         ("large", 150_000.0, 1_000_000_000.0)],
+        ["band_name", "lo", "hi"])
+    return (
+        orders.join(F.broadcast(bands),
+                    (F.col("o_totalprice") >= F.col("lo"))
+                    & (F.col("o_totalprice") < F.col("hi")))
+        .groupBy("band_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             _dec_sum(F.col("o_totalprice"), 2, "total_price"))
+        .orderBy("band_name")
+    )
+
+
+# ===========================================================================
+# Subqueries
+# ===========================================================================
+
+@register(
+    "scalar_subquery_above_avg_balance",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    ORDER BY c_custkey
+    """,
+    tags=("subquery", "scalar"),
+)
+def scalar_subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (uncorrelated) subquery — the single-row aggregate is
+    broadcast as a literal into the filter."""
+    (cust,) = load(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer_ssq")
+    return spark.sql("""
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        FROM customer_ssq
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_ssq)
+        ORDER BY c_custkey
+    """)
+
+
+@register(
+    "correlated_above_customer_avg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS totalprice
+    FROM orders o
+    JOIN (SELECT o_custkey, avg(o_totalprice) AS cust_avg
+          FROM orders GROUP BY o_custkey) a
+      ON o.o_custkey = a.o_custkey
+    WHERE o.o_totalprice > 1.5 * a.cust_avg
+    ORDER BY o.o_orderkey
+    """,
+    tags=("subquery", "correlated"),
+)
+def correlated_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery semantics (orders >1.5x their customer's
+    average), decorrelated into an aggregate + self-join — the same
+    rewrite Catalyst's RewriteCorrelatedScalarSubquery performs."""
+    (orders,) = load(spark, sf_dir, "orders")
+    avgs = orders.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
+    return (
+        orders.join(avgs, "o_custkey")
+        .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey",
+                F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ===========================================================================
+# Window functions
+# ===========================================================================
+
+@register(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    ORDER BY o_custkey, rk
+    """,
+    tags=("window", "topk"),
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via rank window; deterministic tiebreak on the key.
+    (At extreme group sizes, pre-aggregate with max_by before ranking.)"""
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+@register(
+    "window_running_user_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(value, 4) AS value,
+           round(lag(value) OVER w, 4) AS prev_value,
+           round(lead(value) OVER w, 4) AS next_value,
+           round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW), 4) AS running_sum,
+           round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING
+                                  AND CURRENT ROW), 4) AS moving_avg3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts, event_id
+    """,
+    tags=("window", "analytic"),
+)
+def window_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + running sum + moving average per user (frame specs the
+    reference never used — SURVEY.md §2.6)."""
+    (ev,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id", "user_id", "ts",
+            F.round("value", 4).alias("value"),
+            F.round(F.lag("value").over(w), 4).alias("prev_value"),
+            F.round(F.lead("value").over(w), 4).alias("next_value"),
+            F.round(F.sum("value").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+             .alias("running_sum"),
+            F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4)
+             .alias("moving_avg3"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@register(
+    "global_topk_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+    tags=("sort", "limit", "topk"),
+)
+def global_topk_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps + driver merge of 20 rows, never a full sort."""
+    (li,) = load(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber",
+                F.round("l_extendedprice", 2).alias("price"))
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# Set operations
+# ===========================================================================
+
+_BUYERS_95 = """SELECT DISTINCT o_custkey FROM orders
+                WHERE year(o_orderdate) = 1995"""
+_BUYERS_96 = """SELECT DISTINCT o_custkey FROM orders
+                WHERE year(o_orderdate) = 1996"""
+
+
+def _buyers(orders: DataFrame, yr: int) -> DataFrame:
+    return (orders.where(F.year("o_orderdate") == yr)
+            .select("o_custkey").distinct())
+
+
+@register(
+    "set_union_buyers",
+    oracle=f"({_BUYERS_95}) UNION ({_BUYERS_96}) ORDER BY o_custkey",
+    tags=("setop", "union"),
+)
+def set_union_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT of 1995/1996 buyer keys."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (_buyers(orders, 1995).union(_buyers(orders, 1996))
+            .distinct().orderBy("o_custkey"))
+
+
+@register(
+    "set_intersect_buyers",
+    oracle=f"({_BUYERS_95}) INTERSECT ({_BUYERS_96}) ORDER BY o_custkey",
+    tags=("setop", "intersect"),
+)
+def set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both years."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (_buyers(orders, 1995).intersect(_buyers(orders, 1996))
+            .orderBy("o_custkey"))
+
+
+@register(
+    "set_except_churned_buyers",
+    oracle=f"({_BUYERS_95}) EXCEPT ({_BUYERS_96}) ORDER BY o_custkey",
+    tags=("setop", "except"),
+)
+def set_except_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: 1995 buyers who vanished in 1996."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return (_buyers(orders, 1995).exceptAll(_buyers(orders, 1996)).distinct()
+            .orderBy("o_custkey"))
+
+
+# ===========================================================================
+# As-of join (time-series; Spark has no native ASOF — composed from
+# union + window, the scale-correct pattern: one shuffle on user_id,
+# sequential scan per user, no per-row probe)
+# ===========================================================================
+
+@register(
+    "asof_join_purchase_view",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS tag,
+             CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+             CASE WHEN event_type = 'view' THEN ts END AS v_ts
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), w AS (
+      SELECT *,
+        last_value(v_id IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, tag, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_id,
+        last_value(v_ts IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, tag, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_ts
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           prior_view_id, prior_view_ts
+    FROM w WHERE tag = 1
+    ORDER BY purchase_id
+    """,
+    tags=("join", "asof", "timeseries"),
+)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase matched to the user's most recent
+    view at-or-before it (ties: view sorts before purchase; latest
+    event_id wins). Union + last(ignorenulls) window — linear per user."""
+    (ev,) = load(spark, sf_dir, "events")
+    both = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("tag"),
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("v_id"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("v_ts"),
+    )
+    w = (Window.partitionBy("user_id").orderBy("ts", "tag", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        both.withColumn("prior_view_id", F.last("v_id", ignorenulls=True).over(w))
+        .withColumn("prior_view_ts", F.last("v_ts", ignorenulls=True).over(w))
+        .where(F.col("tag") == 1)
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("purchase_ts"),
+                "prior_view_id", "prior_view_ts")
+        .orderBy("purchase_id")
+    )
+
+
+# ===========================================================================
+# Pivot
+# ===========================================================================
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_user_event_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("pivot", "aggregate"),
+)
+def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into count columns (explicit value list — at scale
+    an unlisted pivot would need an extra distinct pass)."""
+    (ev,) = load(spark, sf_dir, "events")
+    piv = (ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES)
+           .agg(F.count(F.lit(1))))
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    ).orderBy("user_id")
+
+
+# ===========================================================================
+# Scalar function galleries (string/math + date/time)
+# ===========================================================================
+
+@register(
+    "scalar_string_math_gallery",
+    oracle="""
+    SELECT p_partkey,
+           substr(p_name, 1, 5)                    AS name_prefix,
+           upper(p_brand)                          AS brand_upper,
+           length(p_name)                          AS name_len,
+           concat_ws('|', p_brand, p_type)         AS brand_type,
+           replace(p_type, ' ', '_')               AS type_snake,
+           regexp_extract(p_brand, '([0-9]+)', 1)  AS brand_num,
+           (p_type LIKE 'PROMO%')                  AS is_promo,
+           p_size % 7                              AS size_mod7,
+           abs(p_size - 25)                        AS size_dist25,
+           round(sqrt(p_size), 6)                  AS size_sqrt,
+           round(ln(p_retailprice), 6)             AS price_ln,
+           ceil(p_retailprice)                     AS price_ceil,
+           floor(p_retailprice)                    AS price_floor
+    FROM part ORDER BY p_partkey
+    """,
+    tags=("scalar", "string", "math"),
+)
+def scalar_string_math_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex/math scalar surface (all JVM built-ins inside one
+    whole-stage-codegen projection; zero Python in the row path)."""
+    (part,) = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.col("p_type").like("PROMO%").alias("is_promo"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+        F.abs(F.col("p_size") - 25).alias("size_dist25"),
+        F.round(F.sqrt("p_size"), 6).alias("size_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "scalar_datetime_gallery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                   AS order_date,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           year(o_orderdate)                           AS yr,
+           quarter(o_orderdate)                        AS qtr,
+           dayofmonth(o_orderdate)                     AS dom,
+           CAST(o_orderdate AS DATE) + 30              AS due_date,
+           last_day(CAST(o_orderdate AS DATE))         AS month_end,
+           datediff('day', DATE '1995-01-01',
+                    CAST(o_orderdate AS DATE))         AS days_since_95
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_datetime_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface (trunc/extract/arith/last_day/diff)."""
+    (orders,) = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+         .alias("days_since_95"),
+    ).orderBy("o_orderkey")

@@ -27,15 +27,23 @@ from aws_payment_data_lake_spark.sources import TESTDATA_TABLES  # noqa: E402
 
 
 def norm_cell(v):
+    # Wrap as (0,"") for NULL / (1, value) otherwise so rows with NULLs
+    # still sort (None has no ordering vs int/str in Python).
+    if v is None:
+        return (0, "")
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 9)
+        return (1, "NaN") if math.isnan(v) else (1, round(v, 9))
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        return (1, v.isoformat())
     if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
+        return (1, tuple(norm_cell(x) for x in v))
     if isinstance(v, dict):
-        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
-    return v
+        return (1, tuple(sorted((k, norm_cell(x)) for k, x in v.items())))
+    if isinstance(v, bool):
+        return (1, int(v))
+    if isinstance(v, bytes):
+        return (1, v.hex())
+    return (1, v)
 
 
 def norm_rows(cols, rows):

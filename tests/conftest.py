@@ -42,18 +42,23 @@ def duck():
 
 
 def _norm_cell(v):
-    """Normalize a cell for cross-engine comparison."""
+    """Normalize a cell for cross-engine comparison; wrapped as
+    (0,"") for NULL / (1, value) so rows containing NULLs still sort."""
+    if v is None:
+        return (0, "")
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+        return (1, "NaN") if math.isnan(v) else (1, round(v, 9))
     if hasattr(v, "isoformat"):  # date/datetime
-        return v.isoformat()
+        return (1, v.isoformat())
     if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
+        return (1, tuple(_norm_cell(x) for x in v))
     if isinstance(v, dict):
-        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
-    return v
+        return (1, tuple(sorted((k, _norm_cell(x)) for k, x in v.items())))
+    if isinstance(v, bool):
+        return (1, int(v))
+    if isinstance(v, bytes):
+        return (1, v.hex())
+    return (1, v)
 
 
 def normalized_rows(cols, rows):
