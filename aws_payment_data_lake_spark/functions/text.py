@@ -1,0 +1,63 @@
+"""Text primitives: tokenization, shingling, cross-engine hashing.
+
+DuckDB twins (used verbatim in oracle SQL):
+  tokens(text)   -> string_split(text, ' ')
+  hash60(x)      -> ('0x' || substr(md5(x), 1, 15))::BIGINT
+  shingles       -> list_transform(range(1, len(tk)-1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# 2^31 - 1: modulus for minhash/rolling-hash arithmetic. Keeping operands
+# under 2^31 bounds products at 2^62 — inside signed 64-bit, so exact (and
+# ANSI-safe) in BOTH engines.
+MERSENNE_P = 2_147_483_647
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens (documents.text is single-space separated)."""
+    return F.split(F.col(col) if isinstance(col, str) else col, " ")
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash shared with DuckDB: first 15 hex chars of
+    md5. 15 (not 16) keeps the value positive in a signed 64-bit int."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_mod_p(col: Column) -> Column:
+    """hash60 reduced mod 2^31-1 (safe operand for a*h+b mod p)."""
+    return hash60(col) % MERSENNE_P
+
+
+def shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles. Documents draw from a ~31-word vocabulary, so
+    unigram sets are near-identical across unrelated docs (and every token
+    is a hot join key); n-grams restore a sharp near-dup signal and an
+    even join-key distribution."""
+    assert n == 3, "oracle SQL is written for n=3"
+    idx = F.sequence(F.lit(1), F.size(tokens_col) - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(tokens_col, i),
+            F.element_at(tokens_col, i + 1),
+            F.element_at(tokens_col, i + 2),
+        ),
+    )
+    # Guard: sequence(1, k) DESCENDS when k < 1 (Spark auto-step -1);
+    # short docs must yield an empty shingle list like DuckDB's range().
+    return F.when(F.size(tokens_col) >= n, gram).otherwise(
+        F.array().cast("array<string>"))
+
+
+# DuckDB-side snippets, interpolated into oracle SQL strings.
+DUCK_TOKENS = "string_split({col}, ' ')"
+DUCK_HASH60 = "(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
+DUCK_SHINGLES = ("list_transform(range(1, len({tk}) - 1), "
+                 "i -> {tk}[i] || ' ' || {tk}[i+1] || ' ' || {tk}[i+2])")

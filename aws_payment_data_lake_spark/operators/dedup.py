@@ -1,0 +1,246 @@
+"""Deduplication family: exact, shingle-Jaccard, MinHash-LSH, SimHash.
+
+Four operators with distinct scale profiles:
+
+  exact            one hash aggregation on md5(text) — the 100 TB default.
+  shingle-Jaccard  exact pairwise similarity via a shingle co-occurrence
+                   join — the correctness baseline; O(sum of per-shingle
+                   doc-frequency^2), only viable when shingles are rare.
+  MinHash-LSH      64-permutation signatures, 32 bands x 2 rows; only
+                   banded candidates are exact-verified. THE scale path:
+                   candidate count ~ true-pair count, not n^2. P(miss) for
+                   a Jaccard-0.6 pair = (1-0.6^2)^32 ~ 6e-7, so results
+                   equal the exact baseline (which is what the oracle
+                   checks).
+  SimHash          60-bit fingerprints; Hamming<=5 pairs found by 6-chunk
+                   pigeonhole banding (>=1 of 6 10-bit chunks must match
+                   exactly — lossless, unlike probabilistic LSH).
+
+All hashing is the md5-based hash60 (functions/text.py) so every stage is
+reproducible in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from aws_payment_data_lake_spark.functions import (
+    MERSENNE_P,
+    hash60,
+    hash60_mod_p,
+    shingles,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# MinHash parameters: 64 affine permutations h_i(x) = (a_i*x + b_i) mod p,
+# constants from a fixed LCG so the oracle SQL embeds the same numbers.
+# ---------------------------------------------------------------------------
+N_HASHES = 64
+N_BANDS = 32          # r = 2 rows per band
+JACCARD_THRESHOLD = 0.6
+
+
+def minhash_coefficients(n: int = N_HASHES, seed: int = 1234567):
+    """Deterministic (a_i, b_i) pairs, 1 <= a,b < p (plain LCG — must be
+    reproducible from the literal seed, not from random module state)."""
+    coeffs, state = [], seed
+    for _ in range(n):
+        state = (state * 1103515245 + 12345) % (2**31)
+        a = state % (MERSENNE_P - 1) + 1
+        state = (state * 1103515245 + 12345) % (2**31)
+        b = state % (MERSENNE_P - 1) + 1
+        coeffs.append((a, b))
+    return coeffs
+
+
+MINHASH_COEFFS = minhash_coefficients()
+
+
+# ---------------------------------------------------------------------------
+# Shared shapes
+# ---------------------------------------------------------------------------
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) with distinct 3-gram shingles per doc."""
+    return (
+        docs.select(id_col, F.explode(
+            F.array_distinct(shingles(tokens(text_col)))).alias("shingle"))
+    )
+
+
+def exact_duplicate_groups(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Exact dedup: group on md5(text); emit only groups with >1 copy,
+    canonical = min id. One shuffle, fully scalable."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.count(F.lit(1)).alias("n_copies"),
+             F.min(id_col).alias("canonical_doc_id"),
+             F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact all-pairs shingle Jaccard >= threshold, via co-occurrence:
+    self-join the (doc, shingle) table on shingle (intersection counts),
+    then |A|+|B|-|A∩B| for the union. No n^2 scan — cost follows shingle
+    doc-frequency, and 3-gram shingles are rare by construction."""
+    sh = doc_shingles(docs, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn("union_sh", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .where(F.col("inter") >= F.lit(threshold) * F.col("union_sh"))
+        .select("doc_a", "doc_b", "inter", "union_sh",
+                F.round(F.col("inter") / F.col("union_sh"), 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """One row per doc with sig0..sig63: min over shingles of
+    (a_i * (hash60(s) mod p) + b_i) mod p. Single exploded aggregation —
+    64 mins computed in one pass with map-side partial combine."""
+    sh = doc_shingles(docs, id_col, text_col).withColumn(
+        "h", hash60_mod_p(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"sig{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band signatures into 32 (band_idx, xxhash64(sig_2j, sig_2j+1))
+    buckets and self-join. Band hashing needs no oracle twin — banding
+    only shapes the CANDIDATE set; correctness comes from verification."""
+    bands = F.array(*[
+        F.xxhash64(F.lit(j), F.col(f"sig{2 * j}"), F.col(f"sig{2 * j + 1}"))
+        for j in range(N_BANDS)
+    ])
+    banded = sigs.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified: banded candidates ->
+    exact Jaccard filter. Output contract identical to jaccard_pairs."""
+    cands = lsh_candidate_pairs(minhash_signatures(docs, id_col, text_col))
+    sh = doc_shingles(docs, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # intersection restricted to candidate pairs: expand doc_a's shingles,
+    # then equi-join on (doc_b, shingle) to count the overlap
+    inter = (
+        cands
+        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+              ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn("union_sh", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .where(F.col("inter") >= F.lit(threshold) * F.col("union_sh"))
+        .select("doc_a", "doc_b", "inter", "union_sh",
+                F.round(F.col("inter") / F.col("union_sh"), 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 60          # fits signed 64-bit, aligns with hash60
+SIMHASH_CHUNKS = 6         # 10 bits each
+HAMMING_THRESHOLD = 5      # <=5 differing bits => >=1 of 6 chunks equal
+
+
+def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over distinct shingles: bit j of the fingerprint is
+    the sign of sum over shingles of (2*bit_j(hash60)-1). Explode to
+    (doc, bit) rows — stays JVM-side, shuffles once on (doc, bit)."""
+    sh = doc_shingles(docs, id_col, text_col).withColumn(
+        "h", hash60(F.col("shingle")))
+    # SQL-expr form: the Python F.shiftright only accepts an int literal
+    # for the shift amount, while the SQL function takes any expression.
+    votes = sh.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {SIMHASH_BITS - 1}), "
+            "j -> CAST(shiftright(h, j) & 1 AS BIGINT) * 2 - 1)"
+        )).alias("bit_pos", "vote"),
+    )
+    return (
+        votes.groupBy("doc_id", "bit_pos")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn("bit", (F.col("s") > 0).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("bit")
+                   * F.expr("shiftleft(CAST(1 AS BIGINT), bit_pos)"))
+             .alias("fingerprint"))
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pairs with Hamming(fp_a, fp_b) <= 5, via pigeonhole banding: split
+    60 bits into 6 chunks; <=5 flips can't touch all 6 chunks, so every
+    qualifying pair shares >=1 exact chunk — candidates are found by 6
+    equi-joins (one exploded join), recall is EXACTLY 1."""
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    chunks = F.array(*[
+        F.shiftright(F.col("fingerprint"), 10 * k).bitwiseAND(F.lit(1023))
+        for k in range(SIMHASH_CHUNKS)
+    ])
+    ck = fps.select("doc_id", "fingerprint",
+                    F.posexplode(chunks).alias("chunk_idx", "chunk_val"))
+    a, b = ck.alias("a"), ck.alias("b")
+    cands = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.fingerprint").alias("fp_a"),
+                F.col("b.fingerprint").alias("fp_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("fp_a ^ fp_b"))
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "fp_a", "fp_b", "hamming")
+    )

@@ -1,0 +1,58 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic stub (byte stats standing in for pixel decoding) — but the
+Spark plumbing is the real thing a multimodal pipeline needs and is fully
+exercised: a binary column, an Arrow-batched ``mapInPandas`` decoder with
+an explicit output schema, and partition-friendly batch shapes. Swapping
+``_decode_batch`` for PIL/ffmpeg is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("checksum", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary column (UTF-8 bytes of text, standing in
+    for an image/audio blob) plus typed metadata columns."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime_type"),
+    )
+
+
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake decoder (REAL codec would go here; see module
+    docstring). Pure-Python byte math per Arrow batch — no row-at-a-time
+    serialization."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        checksum = payloads.map(lambda b: sum(b))
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_bytes": n_bytes.astype("int32"),
+            "checksum": checksum.astype("int64"),
+            "width": (checksum % 640 + 1).astype("int32"),
+            "height": (checksum // 640 % 480 + 1).astype("int32"),
+        })
+
+
+def decode_payloads(with_payload: DataFrame) -> DataFrame:
+    """Run the stub decoder via mapInPandas (Arrow batch transfer)."""
+    return with_payload.mapInPandas(_decode_batch, schema=DECODED_SCHEMA)

@@ -1,1 +1,120 @@
-"""Placeholder — filled in during this round."""
+"""Dedup operators as oracle-checked queries over `documents`.
+
+The MinHash-LSH query shares the exact-Jaccard oracle: its banding has
+P(miss) ~ (1-J^2)^32 <= 6e-7 at the 0.6 threshold, so LSH+verify equals
+the exact baseline; the oracle comparison is precisely the claim that the
+scale path loses nothing. SimHash banding is pigeonhole (lossless), so its
+oracle equality is unconditional.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_payment_data_lake_spark.operators import dedup as D
+from aws_payment_data_lake_spark.queries import register
+from aws_payment_data_lake_spark.sources import load
+
+# Shared DuckDB CTEs: distinct 3-gram shingles per doc + per-doc counts.
+_SH_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+       FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_ORACLE = f"""
+WITH {_SH_CTE},
+ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT doc_a, doc_b, ix.inter,
+       sa.n_sh + sb.n_sh - ix.inter AS union_sh,
+       round(ix.inter * 1.0 / (sa.n_sh + sb.n_sh - ix.inter), 6) AS jaccard
+FROM ix
+JOIN sizes sa ON ix.doc_a = sa.doc_id
+JOIN sizes sb ON ix.doc_b = sb.doc_id
+WHERE ix.inter >= 0.6 * (sa.n_sh + sb.n_sh - ix.inter)
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS text_md5,
+           count(*) AS n_copies,
+           min(doc_id) AS canonical_doc_id,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    ORDER BY text_md5
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5(text) (empty below sf0.1 — the
+    testdata only injects byte-identical copies at larger scale)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.exact_duplicate_groups(docs).orderBy("text_md5")
+
+
+@register(
+    "dedup_shingle_jaccard",
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "jaccard", "ngram"),
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram-shingle Jaccard >= 0.6 (correctness
+    baseline for near-dup detection)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_ORACLE,
+    tags=("dedup", "minhash", "lsh", "scale-path"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(32x2) candidates, exact-verified at J>=0.6.
+    Same output contract as the exact baseline — the oracle match IS the
+    recall proof."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SH_CTE},
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+          FROM sh),
+    votes AS (SELECT doc_id, j.j,
+                     CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END AS v
+              FROM h, (SELECT unnest(range(0, 60)) AS j) j),
+    bits AS (SELECT doc_id, j, CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bit
+             FROM votes GROUP BY doc_id, j),
+    fp AS (SELECT doc_id,
+                  CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT)
+                    AS fingerprint
+           FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.fingerprint AS fp_a, b.fingerprint AS fp_b,
+           CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT)
+             AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 5
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash pairs at Hamming <= 5, via lossless 6-chunk
+    pigeonhole banding (the oracle does the O(n^2) scan; Spark doesn't)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs).orderBy("doc_a", "doc_b")

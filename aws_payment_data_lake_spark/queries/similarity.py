@@ -1,1 +1,71 @@
-"""Placeholder — filled in during this round."""
+"""Similarity-search operators as queries over `embeddings`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_payment_data_lake_spark.operators import similarity as S
+from aws_payment_data_lake_spark.queries import register
+from aws_payment_data_lake_spark.sources import load
+
+
+@register(
+    "knn_brute_force",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT query_id, vec_id AS neighbor_id,
+                 round(list_cosine_similarity(CAST(qe AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])), 6)
+                   AS cos_sim
+          FROM q JOIN embeddings ON vec_id <> query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM c)
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM r WHERE rk <= 5
+    ORDER BY query_id, rk
+    """,
+    tags=("similarity", "knn", "baseline"),
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the 10 lowest-id query vectors; ranking on
+    rounded cosine + id tiebreak (total order, engine-independent)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, k=5, n_queries=10).orderBy("query_id", "rk")
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+    SELECT vec_a, vec_b, round(cos_raw, 6) AS cos_sim
+    FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos_raw
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    WHERE cos_raw >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("similarity", "dedup", "embedding"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine >= 0.4 (exact baseline; the
+    random testdata embeddings top out near 0.55, so 0.4 yields a real
+    but small pair set at every sf)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return S.neardup_pairs(emb, threshold=0.4).orderBy("vec_a", "vec_b")
+
+
+@register(
+    "knn_ivf_probe",
+    oracle=None,  # approximate by construction: rows-only check
+    tags=("similarity", "knn", "ivf", "scale-path"),
+)
+def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (16 deterministic centroids, 4 probes).
+    Approximate results can differ from exact — no SQL oracle; recall vs
+    the brute-force baseline is asserted in tests instead."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, k=5, n_queries=10).orderBy("query_id", "rk")

@@ -1,1 +1,182 @@
-"""Placeholder — filled in during this round."""
+"""Text-analysis operators over `documents`: language-ID, quality scoring,
+token counting, rolling-hash fingerprinting.
+
+All four stay UDF-free: tokenization, regex extraction and the rolling
+hash run as Catalyst expressions (higher-order array functions), so the
+hot path is JVM codegen even though the logic is "text processing".
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from aws_payment_data_lake_spark.functions import MERSENNE_P
+from aws_payment_data_lake_spark.queries import register
+from aws_payment_data_lake_spark.sources import load
+
+# Tiny per-language marker lexicons (fixed, public function words). The
+# testdata vocabulary is an English-ish word soup, so most docs resolve to
+# 'en' and the rest to 'und' — the point is the operator shape (explode ->
+# broadcast lexicon join -> argmax with tiebreak), not model quality.
+_LEXICON = [
+    ("the", "en"), ("a", "en"), ("of", "en"),
+    ("der", "de"), ("die", "de"), ("und", "de"),
+    ("el", "es"), ("los", "es"), ("una", "es"),
+    ("le", "fr"), ("les", "fr"), ("et", "fr"),
+]
+_LEX_SQL = ", ".join(f"('{w}', '{lang}')" for w, lang in _LEXICON)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH lex(word, cand_lang) AS (VALUES {_LEX_SQL}),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents),
+    hits AS (SELECT doc_id, cand_lang, count(*) AS n_hits
+             FROM tok JOIN lex USING (word)
+             GROUP BY doc_id, cand_lang),
+    best AS (SELECT doc_id, cand_lang, n_hits,
+                    row_number() OVER (PARTITION BY doc_id
+                        ORDER BY n_hits DESC, cand_lang) AS rk
+             FROM hits)
+    SELECT d.doc_id,
+           coalesce(b.cand_lang, 'und') AS pred_lang,
+           coalesce(b.n_hits, 0) AS n_hits
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("text", "lang-id"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: explode tokens, join a broadcast lexicon,
+    argmax hits per doc (tiebreak lang asc), 'und' when nothing matches."""
+    (docs,) = load(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(_LEXICON, ["word", "cand_lang"])
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    hits = (tok.join(F.broadcast(lex), "word")
+            .groupBy("doc_id", "cand_lang")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("cand_lang"))
+    best = hits.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("cand_lang", F.lit("und")).alias("pred_lang"),
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of'))) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_tokens, n_distinct,
+           round((length(text) - n_tokens + 1) * 1.0 / n_tokens, 6)
+             AS avg_token_len,
+           round(n_distinct * 1.0 / n_tokens, 6) AS type_token_ratio,
+           round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+           round(0.5 * (n_distinct * 1.0 / n_tokens)
+                 + 0.3 * (1 - n_stop * 1.0 / n_tokens)
+                 + 0.2 * least(n_tokens / 100.0, 1.0), 6) AS quality_score
+    FROM t ORDER BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score (single-space tokens
+    make avg token length a closed form: (chars - n + 1) / n)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    n_tokens = F.size(tk)
+    n_distinct = F.size(F.array_distinct(tk))
+    n_stop = F.size(F.filter(tk, lambda w: w.isin("the", "a", "of")))
+    ttr = n_distinct / n_tokens.cast("double")
+    stop_ratio = n_stop / n_tokens.cast("double")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round((F.length("text") - n_tokens + 1) / n_tokens.cast("double"), 6)
+         .alias("avg_token_len"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(0.5 * ttr + 0.3 * (1 - stop_ratio)
+                + 0.2 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)), 6)
+         .alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_bpe_ish_pieces
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "tokenize"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting four ways: whitespace, regex words, distinct, and a
+    BPE-ish greedy <=4-char piece count (regex chunking as a stand-in for
+    subword tokenization — both engines share the regex dialect here)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("n_word_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0))
+         .alias("n_bpe_ish_pieces"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 t -> ('0x' || substr(md5(t), 1, 15))::BIGINT
+                      % {MERSENNE_P})),
+             (acc, h) -> (acc * 257 + h) % {MERSENNE_P}) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint", "rolling-hash"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    acc = (acc*257 + hash60(tok) mod p) mod p — a content-defined document
+    fingerprint both engines compute bit-identically (operands stay under
+    2^40, far from 64-bit overflow)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.transform(F.split("text", " "),
+                    lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                    .cast("long") % MERSENNE_P),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 257 + h) % MERSENNE_P,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        fp.alias("fingerprint"),
+    ).orderBy("doc_id")
