@@ -1,0 +1,106 @@
+"""Benchmark the engine's headline queries at one scale factor.
+
+Driver contract: run every headline query at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and print
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (``df.write.format("noop")``)
+so timing includes full execution on every partition but no driver-side
+collect. One warm-up query amortizes JVM/codegen startup so per-query
+numbers reflect steady-state throughput, which is what matters for the
+100 TB posture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from aws_payment_data_lake_spark import queries as registry  # noqa: E402
+from aws_payment_data_lake_spark.session import get_spark  # noqa: E402
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+# Headline set: one per operator family (scan/agg, join, window, set-op,
+# subquery, medallion ETL, streaming-window, dedup, similarity, text,
+# multimodal). Keep stable across rounds so BENCH_r{N}.json is comparable.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_left_outer_order_lines",
+    "join_semi_customers_with_urgent",
+    "topk_orders_per_customer",
+    "window_running_user_value",
+    "rollup_orders_year_status",
+    "set_union_buyers",
+    "correlated_above_customer_avg",
+    "asof_join_purchase_view",
+    "range_join_price_bands",
+    "medallion_dedup_latest",
+    "medallion_validate_filter",
+    "tumbling_window_events",
+    "session_window_events",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_count",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "knn_brute_force",
+    "embedding_neardup_pairs",
+    "multimodal_decode_stub",
+    "json_props_extract",
+]
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
+    spark = get_spark(app_name="bench")
+    specs = registry.all_queries()
+    names = [n for n in (only or HEADLINE) if n in specs]
+
+    # Warm up JVM, parquet footer cache, codegen.
+    materialize(specs["q1_pricing_summary"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        materialize(specs[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(sf_dir),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
