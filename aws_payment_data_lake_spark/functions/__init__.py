@@ -18,4 +18,5 @@ from aws_payment_data_lake_spark.functions.vectors import (  # noqa: F401
     cosine,
     dot,
     norm,
+    unit,
 )

@@ -31,3 +31,12 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def unit(a: Column) -> Column:
+    """L2-normalized copy (double). Normalizing ONCE per vector turns
+    every downstream cosine into a plain dot product — at all-pairs scale
+    that removes 2 norm folds per candidate pair."""
+    d = _as_double(a)
+    return F.transform(d, lambda x: x / F.sqrt(
+        F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v * v)))

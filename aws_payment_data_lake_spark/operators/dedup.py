@@ -64,9 +64,17 @@ MINHASH_COEFFS = minhash_coefficients()
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) with distinct 3-gram shingles per doc."""
+    """(doc_id, shingle) with distinct 3-gram shingles per doc.
+
+    Repartitions on the doc id first: the docs table typically arrives as
+    few large files (locally: ONE parquet -> one task), and the
+    tokenize/shingle/md5 chain below is the CPU-heavy part of every
+    dedup operator — one narrow shuffle of the compact pre-explode rows
+    buys full-cluster parallelism for it."""
+    shuffle_n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        docs.select(id_col, F.explode(
+        docs.repartition(shuffle_n, F.col(id_col))
+        .select(id_col, F.explode(
             F.array_distinct(shingles(tokens(text_col)))).alias("shingle"))
     )
 
@@ -90,7 +98,7 @@ def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD,
     self-join the (doc, shingle) table on shingle (intersection counts),
     then |A|+|B|-|A∩B| for the union. No n^2 scan — cost follows shingle
     doc-frequency, and 3-gram shingles are rare by construction."""
-    sh = doc_shingles(docs, id_col, text_col)
+    sh = doc_shingles(docs, id_col, text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -153,8 +161,17 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD,
                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified: banded candidates ->
     exact Jaccard filter. Output contract identical to jaccard_pairs."""
-    cands = lsh_candidate_pairs(minhash_signatures(docs, id_col, text_col))
-    sh = doc_shingles(docs, id_col, text_col)
+    # One exploded+hashed shingle table feeds signatures, sizes, AND the
+    # verification joins — persist it instead of recomputing the
+    # tokenize/shingle/md5 chain four times (at 100 TB: a persisted or
+    # checkpointed intermediate; locally: MEMORY_AND_DISK).
+    sh = doc_shingles(docs, id_col, text_col).withColumn(
+        "h", hash60_mod_p(F.col("shingle"))).persist()
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"sig{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    cands = lsh_candidate_pairs(sh.groupBy("doc_id").agg(*aggs))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # intersection restricted to candidate pairs: expand doc_a's shingles,
     # then equi-join on (doc_b, shingle) to count the overlap
@@ -194,24 +211,21 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     (doc, bit) rows — stays JVM-side, shuffles once on (doc, bit)."""
     sh = doc_shingles(docs, id_col, text_col).withColumn(
         "h", hash60(F.col("shingle")))
-    # SQL-expr form: the Python F.shiftright only accepts an int literal
-    # for the shift amount, while the SQL function takes any expression.
-    votes = sh.select(
-        "doc_id",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {SIMHASH_BITS - 1}), "
-            "j -> CAST(shiftright(h, j) & 1 AS BIGINT) * 2 - 1)"
-        )).alias("bit_pos", "vote"),
+    # 60 conditional-sum aggregates in ONE map-side-combinable groupBy:
+    # bit j is set iff (# shingles with bit j) * 2 > (# shingles), i.e.
+    # sign of sum(+-1 votes). The alternative — exploding to (doc, bit)
+    # rows — shuffles 60x the shingle count; this shuffles 62 longs per
+    # doc regardless of document size.
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agged = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
+    fingerprint = sum(
+        (F.col(f"b{j}") * 2 > F.col("n")).cast("long") * F.lit(2**j)
+        for j in range(SIMHASH_BITS)
     )
-    return (
-        votes.groupBy("doc_id", "bit_pos")
-        .agg(F.sum("vote").alias("s"))
-        .withColumn("bit", (F.col("s") > 0).cast("long"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("bit")
-                   * F.expr("shiftleft(CAST(1 AS BIGINT), bit_pos)"))
-             .alias("fingerprint"))
-    )
+    return agged.select("doc_id", fingerprint.alias("fingerprint"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD,

@@ -29,7 +29,8 @@ DECODED_SCHEMA = T.StructType([
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Attach the opaque binary column (UTF-8 bytes of text, standing in
     for an image/audio blob) plus typed metadata columns."""
-    return docs.select(
+    shuffle_n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return docs.repartition(shuffle_n, F.col("doc_id")).select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime_type"),
@@ -40,10 +41,12 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic fake decoder (REAL codec would go here; see module
     docstring). Pure-Python byte math per Arrow batch — no row-at-a-time
     serialization."""
+    import numpy as np
     for pdf in batches:
         payloads = pdf["payload"]
         n_bytes = payloads.map(len)
-        checksum = payloads.map(lambda b: sum(b))
+        checksum = payloads.map(
+            lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()))
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
             "n_bytes": n_bytes.astype("int32"),

@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from aws_payment_data_lake_spark.functions import cosine
+from aws_payment_data_lake_spark.functions import cosine, unit
 
 
 def brute_force_topk(emb: DataFrame, k: int = 5,
@@ -46,19 +46,66 @@ def brute_force_topk(emb: DataFrame, k: int = 5,
     )
 
 
-def neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
-    """Exact embedding near-dup pairs: cosine >= threshold, vec_a < vec_b."""
-    a = emb.select(F.col("vec_id").alias("vec_a"),
-                   F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"),
-                   F.col("embedding").alias("eb"))
-    cos = cosine(F.col("ea"), F.col("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_raw", cos)
-        .where(F.col("cos_raw") >= threshold)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+def neardup_pairs(emb: DataFrame, threshold: float = 0.4,
+                  n_blocks: int = 16) -> DataFrame:
+    """Exact embedding near-dup pairs: cosine >= threshold, vec_a < vec_b.
+
+    Block-matrix design (the 100 TB shape): L2-normalize each vector ONCE
+    (JVM-side), assign it a block by pmod(vec_id, n_blocks), replicate
+    each vector to every unordered block pair it participates in, then one
+    ``applyInPandas`` per block pair computes the full dot-product matrix
+    with a single float64 numpy matmul and emits only pairs above the
+    threshold. Cost: each vector is shipped n_blocks times (metadata-small
+    vs N^2 pair rows) and the N^2 arithmetic runs inside BLAS, not per-row
+    expression eval. Block pairs are the shuffle key, so a 1000-executor
+    cluster spreads the (n_blocks^2+n_blocks)/2 tasks evenly; raise
+    n_blocks with N to keep per-task matrices in memory."""
+    import pandas as pd  # local import: keep module import light
+
+    unit_emb = emb.select(
+        "vec_id",
+        unit(F.col("embedding")).alias("ue"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"))
+
+    # Replicate: vector in block b joins every unordered pair {pa, pb}
+    # with pa <= pb that contains b.
+    pairs = F.array(*[
+        F.when(F.col("blk") <= p, F.struct(F.col("blk").alias("pa"),
+                                           F.lit(p).alias("pb")))
+        .otherwise(F.struct(F.lit(p).alias("pa"), F.col("blk").alias("pb")))
+        for p in range(n_blocks)
+    ])
+    replicated = (
+        unit_emb.select("vec_id", "ue", "blk",
+                        F.explode(F.array_distinct(pairs)).alias("bp"))
+        .select("vec_id", "ue", "blk",
+                F.col("bp.pa").alias("pa"), F.col("bp.pb").alias("pb"))
     )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        pa, pb = int(pdf["pa"].iloc[0]), int(pdf["pb"].iloc[0])
+        left = pdf[pdf["blk"] == pa]
+        ids_l = left["vec_id"].to_numpy()
+        mat_l = np.stack(left["ue"].to_numpy())
+        if pa == pb:
+            sims = mat_l @ mat_l.T
+            iu, ju = np.triu_indices(len(ids_l), k=1)
+            va, vb, cs = ids_l[iu], ids_l[ju], sims[iu, ju]
+        else:
+            right = pdf[pdf["blk"] == pb]
+            ids_r = right["vec_id"].to_numpy()
+            sims = mat_l @ np.stack(right["ue"].to_numpy()).T
+            ii, jj = np.nonzero(sims >= threshold)
+            va, vb, cs = ids_l[ii], ids_r[jj], sims[ii, jj]
+        keep = cs >= threshold
+        va, vb, cs = va[keep], vb[keep], cs[keep]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi,
+                             "cos_sim": np.round(cs, 6)})
+
+    return replicated.groupBy("pa", "pb").applyInPandas(
+        block_pairs, schema="vec_a long, vec_b long, cos_sim double")
 
 
 def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,

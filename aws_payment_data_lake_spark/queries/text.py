@@ -55,7 +55,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax hits per doc (tiebreak lang asc), 'und' when nothing matches."""
     (docs,) = load(spark, sf_dir, "documents")
     lex = spark.createDataFrame(_LEXICON, ["word", "cand_lang"])
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    # Few large input files -> spread the explode+join map work.
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tok = (docs.repartition(shuffle_n, "doc_id")
+           .select("doc_id", F.explode(F.split("text", " ")).alias("word")))
     hits = (tok.join(F.broadcast(lex), "word")
             .groupBy("doc_id", "cand_lang")
             .agg(F.count(F.lit(1)).alias("n_hits")))
