@@ -84,11 +84,18 @@ def main() -> int:
     # Warm up JVM, parquet footer cache, codegen.
     materialize(specs["q1_pricing_summary"].fn(spark, sf_dir))
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        materialize(specs[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            materialize(specs[name].fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+            # Operators may persist() intermediates; drop them so no
+            # query's timing pays for (or benefits from) cached state.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
