@@ -46,6 +46,42 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_tumbling_live",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours'
+             AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+    tags=("streaming", "structured-streaming", "window", "tumbling"),
+)
+def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming path, driver-checkable: file-source
+    stream -> watermark -> tumbling agg, drained with AvailableNow into a
+    memory sink. Complete-mode output over a finite source equals the
+    batch query, so it shares the batch oracle — the parity claim of
+    streaming/events.py, checked end-to-end."""
+    import os
+
+    from aws_payment_data_lake_spark.streaming import (
+        read_event_stream,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    stream = tumbling_counts(
+        read_event_stream(spark, os.path.join(sf_dir, "events.parquet")))
+    out = run_available_now(stream, "mem_streaming_tumbling",
+                            output_mode="complete")
+    return out.orderBy("window_start", "event_type")
+
+
+@register(
     "sliding_window_events",
     oracle="""
     WITH grid AS (

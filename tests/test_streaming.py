@@ -1,0 +1,133 @@
+"""Structured Streaming parity tests: stream == batch on the same data.
+
+Every streaming plan is checked against its batch twin over the same
+files. Batch results are themselves DuckDB-oracle-checked (see
+queries/streaming_batch.py), so transitively the streams are too.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR, normalized_rows
+
+from aws_payment_data_lake_spark.plans import bronze as B
+from aws_payment_data_lake_spark.plans import generator as G
+from aws_payment_data_lake_spark.plans.pipeline import read_raw
+from aws_payment_data_lake_spark.sources import read_table
+from aws_payment_data_lake_spark.streaming import (
+    deduped_event_stream,
+    read_event_stream,
+    read_raw_stream,
+    run_available_now,
+    run_bronze_stream,
+    start_bronze_sink,
+    tumbling_counts,
+    user_running_totals,
+)
+
+EVENTS = os.path.join(SF_DIR, "events.parquet")
+
+
+def _same_rows(df_a, df_b):
+    cols_a, cols_b = sorted(df_a.columns), sorted(df_b.columns)
+    assert cols_a == cols_b, f"columns differ: {cols_a} vs {cols_b}"
+    rows_a = normalized_rows(df_a.columns, [tuple(r) for r in df_a.collect()])
+    rows_b = normalized_rows(df_b.columns, [tuple(r) for r in df_b.collect()])
+    assert rows_a == rows_b
+
+
+def test_tumbling_stream_matches_batch(spark):
+    stream = tumbling_counts(read_event_stream(spark, EVENTS))
+    got = run_available_now(stream, "t_tumbling", output_mode="complete")
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+    _same_rows(got, batch)
+
+
+def test_stream_dedup_drops_replayed_batch(spark, tmp_path):
+    # Replay the same events file twice (an at-least-once source); the
+    # watermarked dedup must restore exactly-once row counts.
+    src = str(tmp_path / "replayed")
+    ev = read_table(spark, SF_DIR, "events")
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)
+    assert spark.read.parquet(src).count() == 2 * ev.count()
+
+    stream = deduped_event_stream(
+        read_event_stream(spark, src, max_files_per_trigger=1))
+    got = run_available_now(stream, "t_dedup", output_mode="append")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stateful_running_totals_match_batch(spark):
+    stream = user_running_totals(read_event_stream(spark, EVENTS))
+    got = run_available_now(stream, "t_totals", output_mode="update")
+    # Final state per user == batch aggregate; with several micro-batches
+    # the memory sink holds one row per (user, batch) — keep the last.
+    final = (got.groupBy("user_id")
+             .agg(F.max("n_events").alias("n_events"),
+                  F.max("sum_value").alias("sum_value")))
+    batch = (read_table(spark, SF_DIR, "events").groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum("value").alias("sum_value")))
+    a = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+         for r in final.collect()}
+    b = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+         for r in batch.collect()}
+    assert a == b
+
+
+@pytest.fixture()
+def raw_zone(spark, tmp_path):
+    raw_dir = str(tmp_path / "raw")
+    raw = G.generate_transactions(spark, days=2, rows_per_day=500,
+                                  invalid_rate=0.02, duplicate_rate=0.1,
+                                  seed=7)
+    G.write_raw_csv(raw, raw_dir, mode="overwrite")
+    return raw_dir
+
+
+def test_bronze_stream_matches_batch_keys(spark, tmp_path, raw_zone):
+    out = str(tmp_path / "bronze_stream")
+    ckpt = str(tmp_path / "ckpt")
+    stream = run_bronze_stream(
+        read_raw_stream(spark, raw_zone).drop("ingest_date"))
+    q = start_bronze_sink(stream, out, ckpt)
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    batch = B.run_bronze(read_raw(spark, raw_zone).drop("ingest_date"))
+
+    # Same schema (modulo column order from partitioned read-back).
+    assert sorted(got.columns) == sorted(batch.columns)
+    # Both dedup to the same key set: first-wins (stream) vs latest-wins
+    # (batch) pick different rows for a duplicated key, but drop the same
+    # duplicates.
+    assert got.count() == batch.count()
+    assert got.select("txn_id").distinct().count() == got.count()
+    _same_rows(got.select("txn_id", "txn_date"),
+               batch.select("txn_id", "txn_date"))
+
+
+def test_bronze_stream_restart_is_exactly_once(spark, tmp_path, raw_zone):
+    out = str(tmp_path / "bronze_stream")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):  # second start finds nothing new in the checkpoint
+        stream = run_bronze_stream(
+            read_raw_stream(spark, raw_zone).drop("ingest_date"))
+        q = start_bronze_sink(stream, out, ckpt)
+        q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.select("txn_id").distinct().count() == got.count()
