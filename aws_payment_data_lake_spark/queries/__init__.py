@@ -63,6 +63,7 @@ def _import_all() -> None:
         multimodal,
         relational,
         similarity,
+        stats,
         streaming_batch,
         text,
     )
