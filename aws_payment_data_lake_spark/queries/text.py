@@ -9,7 +9,7 @@ hot path is JVM codegen even though the logic is "text processing".
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from aws_payment_data_lake_spark.functions import MERSENNE_P
 from aws_payment_data_lake_spark.queries import register
@@ -51,28 +51,31 @@ _LEX_SQL = ", ".join(f"('{w}', '{lang}')" for w, lang in _LEXICON)
     tags=("text", "lang-id"),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID: explode tokens, join a broadcast lexicon,
-    argmax hits per doc (tiebreak lang asc), 'und' when nothing matches."""
+    """Marker-word language ID, fully row-local: per-language hit counts
+    via array `filter` over the token list, argmax across languages with
+    alphabetical tiebreak, 'und' when nothing matches.
+
+    The lexicon is a compile-time constant, so this needs NO explode, NO
+    join and NO shuffle — one codegen'd map pass, the shape that holds at
+    any scale (an earlier draft exploded tokens and joined the lexicon
+    back per doc: two shuffles of token-cardinality data for the same
+    answer)."""
     (docs,) = load(spark, sf_dir, "documents")
-    lex = spark.createDataFrame(_LEXICON, ["word", "cand_lang"])
-    # Few large input files -> spread the explode+join map work.
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    tok = (docs.repartition(shuffle_n, "doc_id")
-           .select("doc_id", F.explode(F.split("text", " ")).alias("word")))
-    hits = (tok.join(F.broadcast(lex), "word")
-            .groupBy("doc_id", "cand_lang")
-            .agg(F.count(F.lit(1)).alias("n_hits")))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("n_hits").desc(), F.col("cand_lang"))
-    best = hits.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
-    return (
-        docs.select("doc_id")
-        .join(best, "doc_id", "left")
-        .select("doc_id",
-                F.coalesce("cand_lang", F.lit("und")).alias("pred_lang"),
-                F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
-        .orderBy("doc_id")
-    )
+    tk = F.split("text", " ")
+    by_lang: dict[str, list[str]] = {}
+    for w, lang in _LEXICON:
+        by_lang.setdefault(lang, []).append(w)
+    counts = {lang: F.size(F.filter(tk, lambda t: t.isin(*words)))
+              for lang, words in sorted(by_lang.items())}
+    m = F.greatest(*counts.values())
+    pred = F.when(m == 0, "und")
+    for lang in sorted(counts):  # when-chain order = alphabetical tiebreak
+        pred = pred.when(counts[lang] == m, lang)
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        m.alias("n_hits"),
+    ).orderBy("doc_id")
 
 
 @register(
