@@ -63,6 +63,7 @@ def _import_all() -> None:
         multimodal,
         relational,
         similarity,
+        sql_surface,
         stats,
         streaming_batch,
         text,
