@@ -43,14 +43,21 @@ def percentile_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation — the definition Spark's `percentile` and DuckDB's
     `quantile_cont` share)."""
     (li,) = load(spark, sf_dir, "lineitem")
+    # ONE percentile aggregate evaluating every requested quantile from a
+    # single per-group value buffer — separate percentile()/median() calls
+    # would each keep their own copy of the group's values (6x the state
+    # and sort work for the same answer).
+    qs = F.percentile("l_extendedprice",
+                      F.array(*[F.lit(p) for p in (0.25, 0.50, 0.75, 0.99)]))
     return (
         li.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_rows"),
-             F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-             F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-             F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
-             F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
-             F.round(F.median("l_extendedprice"), 4).alias("med"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), qs.alias("_qs"))
+        .select("l_returnflag", "n_rows",
+                F.round(F.col("_qs")[0], 4).alias("p25"),
+                F.round(F.col("_qs")[1], 4).alias("p50"),
+                F.round(F.col("_qs")[2], 4).alias("p75"),
+                F.round(F.col("_qs")[3], 4).alias("p99"),
+                F.round(F.col("_qs")[1], 4).alias("med"))
         .orderBy("l_returnflag")
     )
 

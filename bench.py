@@ -51,14 +51,21 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_shingle_jaccard",
     "text_token_count",
     "text_lang_id",
     "text_quality_score",
     "text_fingerprint",
     "knn_brute_force",
+    "knn_ivf_probe",
     "embedding_neardup_pairs",
     "multimodal_decode_stub",
     "json_props_extract",
+    "percentile_lineitem_price",
+    "approx_distinct_quantiles",
+    "sql_daily_totals",
+    "sql_status_funnel",
+    "streaming_tumbling_live",
 ]
 
 

@@ -118,3 +118,33 @@ def test_curate_status_total_mapping(spark):
            for r in S.curate_status(df).collect()}
     assert got == {"SETTLED": "SUCCESS", "CHARGEBACK": "FAILED",
                    "WHATEVER": "UNKNOWN"}
+
+
+def test_gold_merchant_kpis_match_duckdb(spark, pipeline_result):
+    import duckdb
+
+    from aws_payment_data_lake_spark.plans import gold as GL
+
+    base, res = pipeline_result
+    silver_glob = os.path.join(res["paths"]["silver"], "**", "*.parquet")
+    silver = spark.read.parquet(res["paths"]["silver"])
+    got = {r["merchant_id"]: (r["n_txns"], r["n_users"], r["n_success"])
+           for r in GL.merchant_kpis(silver).collect()}
+    want = {m: (n, u, s) for m, n, u, s in duckdb.sql(f"""
+        SELECT merchant_id, count(*),
+               count(DISTINCT user_id),
+               sum(CASE WHEN status_curated = 'SUCCESS' THEN 1 ELSE 0 END)
+        FROM read_parquet('{silver_glob}', hive_partitioning=true)
+        GROUP BY merchant_id""").fetchall()}
+    assert got == want
+
+
+def test_gold_daily_totals_cover_all_days(spark, pipeline_result):
+    from aws_payment_data_lake_spark.plans import gold as GL
+
+    base, res = pipeline_result
+    silver = spark.read.parquet(res["paths"]["silver"])
+    daily = GL.daily_totals(silver)
+    assert daily.agg(F.sum("n_txns")).collect()[0][0] == res["counts"]["silver"]
+    n_days = silver.select("txn_date").distinct().count()
+    assert daily.select("txn_date").distinct().count() == n_days
