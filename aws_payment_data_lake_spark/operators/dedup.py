@@ -228,6 +228,63 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     return agged.select("doc_id", fingerprint.alias("fingerprint"))
 
 
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 50) -> DataFrame:
+    """Connected components over the near-dup pair graph -> canonical doc
+    per duplicate cluster (min doc_id), the step that turns pairwise
+    similarity into trainable keep/drop decisions.
+
+    Iterative min-label propagation to fixpoint on the PAIR graph. The
+    pair graph is orders of magnitude smaller than the corpus (only
+    near-dups appear), so a driver-side convergence loop over a cached
+    edge table is the honest scale shape; each iteration is one
+    broadcast-free join + min-aggregation, and near-dup clusters are
+    shallow (diameter ~ a few hops), so it converges in a handful of
+    rounds.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (edges.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .persist())
+    # Labels only ever DECREASE under min-propagation, so sum(label) is a
+    # strictly-monotone convergence measure — one cheap aggregate per
+    # round instead of a join-and-compare against the previous labels.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.a == labels.node)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nb_label"))
+        )
+        old = labels
+        labels = (
+            old.join(neighbor_min, "node", "left")
+            .select("node",
+                    F.least(F.col("label"),
+                            F.coalesce("nb_label", F.col("label")))
+                    .alias("label"))
+            .persist()
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        old.unpersist()
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(F.col("node").alias("doc_id"),
+                F.col("label").alias("canonical_doc_id"),
+                "group_size")
+    )
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Pairs with Hamming(fp_a, fp_b) <= 5, via pigeonhole banding: split

@@ -88,6 +88,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_SH_CTE},
+    ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM ix
+      JOIN sizes sa ON ix.doc_a = sa.doc_id
+      JOIN sizes sb ON ix.doc_b = sb.doc_id
+      WHERE ix.inter >= 0.6 * (sa.n_sh + sb.n_sh - ix.inter)),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, root) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+    comp AS (SELECT node, min(root) AS canonical_doc_id
+             FROM reach GROUP BY node)
+    SELECT node AS doc_id, canonical_doc_id,
+           count(*) OVER (PARTITION BY canonical_doc_id) AS group_size
+    FROM comp
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "connected-components", "iterative"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact J>=0.6) -> duplicate clusters via iterative
+    min-label propagation; canonical doc = min doc_id per cluster. The
+    oracle walks the same graph with a recursive CTE — an iterative Spark
+    algorithm still hash-checked exactly."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.connected_components(D.jaccard_pairs(docs)).orderBy("doc_id")
+
+
+@register(
     "dedup_simhash",
     oracle=f"""
     WITH {_SH_CTE},

@@ -9,7 +9,7 @@ hot path is JVM codegen even though the logic is "text processing".
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from aws_payment_data_lake_spark.functions import MERSENNE_P
 from aws_payment_data_lake_spark.queries import register
@@ -151,6 +151,73 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0))
          .alias("n_bpe_ish_pieces"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_train_test_split",
+    oracle=f"""
+    SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15))
+             ::BIGINT % 100 AS bucket,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                      1, 15))::BIGINT % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                      1, 15))::BIGINT % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "split", "sampling"),
+)
+def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by hashing the
+    doc id (salted so other hash uses of doc_id stay independent).
+    Hash-based splits are how training pipelines stay stable as the
+    corpus grows: membership depends only on the key, never on row order,
+    partitioning or corpus size."""
+    (docs,) = load(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        1, 15), 16, 10).cast("long") % 100)
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "valid")
+        .otherwise("test").alias("split"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+    tf AS (SELECT word, count(*) AS term_freq,
+                  count(DISTINCT doc_id) AS doc_freq
+           FROM tok GROUP BY word)
+    SELECT word, term_freq, doc_freq,
+           row_number() OVER (ORDER BY term_freq DESC, word) AS rk
+    FROM tf
+    ORDER BY rk LIMIT 25
+    """,
+    tags=("text", "vocabulary", "tf"),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: global term + document frequencies, top-25 by
+    frequency (the explode -> two-level aggregate every tokenizer-training
+    / vocab-pruning pipeline starts from). Partial aggregation does the
+    heavy lifting map-side; only (word, partial counts) shuffle."""
+    (docs,) = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = (tok.groupBy("word")
+          .agg(F.count(F.lit(1)).alias("term_freq"),
+               F.countDistinct("doc_id").alias("doc_freq")))
+    return (
+        tf.withColumn("rk", F.row_number().over(
+            Window.orderBy(F.col("term_freq").desc(), F.col("word"))))
+        .where(F.col("rk") <= 25)
+        .select("word", "term_freq", "doc_freq", "rk")
+        .orderBy("rk")
+    )
 
 
 @register(

@@ -52,8 +52,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_shingle_jaccard",
+    "dedup_connected_components",
     "text_token_count",
     "text_lang_id",
+    "text_vocab_topk",
+    "text_train_test_split",
     "text_quality_score",
     "text_fingerprint",
     "knn_brute_force",
