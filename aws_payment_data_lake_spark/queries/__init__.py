@@ -58,6 +58,7 @@ def _import_all() -> None:
     # Import for side-effect registration; keep this list in sync with the
     # modules under aws_payment_data_lake_spark/queries/.
     from aws_payment_data_lake_spark.queries import (  # noqa: F401
+        curation,
         dedup,
         medallion,
         multimodal,

@@ -1,0 +1,139 @@
+"""The capstone training-data op: one keep/drop decision per document.
+
+`corpus_curation_decisions` composes the engine's text + dedup operators
+into the decision a 100 TB pretraining-corpus job actually emits:
+
+  drop_reason = lang        pred_lang = 'und' (no marker-word hits)
+              | quality     composite quality score < 0.62
+              | duplicate   doc is a non-canonical member of a near-dup
+                            cluster (exact Jaccard >= 0.6 components)
+              | NULL        -> keep
+
+Rules apply in that order (first failing rule names the reason —
+the same one-pass reason-column pattern as the silver audit split,
+plans/silver.py). Everything row-local stays row-local; the only joined
+input is the duplicate-cluster table, which holds ONLY docs in clusters
+(tiny vs the corpus) and broadcasts.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_payment_data_lake_spark.operators import dedup as D
+from aws_payment_data_lake_spark.queries import register
+from aws_payment_data_lake_spark.queries.dedup import _SH_CTE
+from aws_payment_data_lake_spark.queries.text import _LEX_SQL, _LEXICON
+from aws_payment_data_lake_spark.sources import load
+
+QUALITY_THRESHOLD = 0.62
+
+_ORACLE = f"""
+WITH RECURSIVE lex(word, cand_lang) AS (VALUES {_LEX_SQL}),
+{_SH_CTE},
+ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM ix
+  JOIN sizes sa ON ix.doc_a = sa.doc_id
+  JOIN sizes sb ON ix.doc_b = sb.doc_id
+  WHERE ix.inter >= 0.6 * (sa.n_sh + sb.n_sh - ix.inter)),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, root) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+comp AS (SELECT node, min(root) AS canonical FROM reach GROUP BY node),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+hits AS (SELECT doc_id, cand_lang, count(*) AS n_hits
+         FROM tok JOIN lex USING (word) GROUP BY doc_id, cand_lang),
+best AS (SELECT doc_id, cand_lang, n_hits,
+                row_number() OVER (PARTITION BY doc_id
+                    ORDER BY n_hits DESC, cand_lang) AS rk
+         FROM hits),
+feat AS (
+  SELECT d.doc_id,
+         coalesce(b.cand_lang, 'und') AS pred_lang,
+         0.5 * (len(list_distinct(string_split(d.text, ' ')))
+                * 1.0 / len(string_split(d.text, ' ')))
+         + 0.3 * (1 - len(list_filter(string_split(d.text, ' '),
+                          w -> w IN ('the', 'a', 'of')))
+                  * 1.0 / len(string_split(d.text, ' ')))
+         + 0.2 * least(len(string_split(d.text, ' ')) / 100.0, 1.0)
+           AS q,
+         c.canonical
+  FROM documents d
+  LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+  LEFT JOIN comp c ON c.node = d.doc_id)
+SELECT doc_id, pred_lang,
+       round(q, 6) AS quality_score,
+       coalesce(canonical = doc_id, TRUE) AS is_canonical,
+       CASE WHEN pred_lang = 'und' THEN 'lang'
+            WHEN q < {QUALITY_THRESHOLD} THEN 'quality'
+            WHEN canonical IS NOT NULL AND canonical <> doc_id
+              THEN 'duplicate' END AS drop_reason,
+       CASE WHEN pred_lang = 'und' THEN 'lang'
+            WHEN q < {QUALITY_THRESHOLD} THEN 'quality'
+            WHEN canonical IS NOT NULL AND canonical <> doc_id
+              THEN 'duplicate' END IS NULL AS keep
+FROM feat
+ORDER BY doc_id
+"""
+
+
+@register(
+    "corpus_curation_decisions",
+    oracle=_ORACLE,
+    tags=("curation", "pipeline", "dedup", "text", "flagship-extension"),
+)
+def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language gate -> quality gate -> near-dup canonicalization, one
+    decision row per document with the first failing rule as the
+    drop reason."""
+    (docs,) = load(spark, sf_dir, "documents")
+
+    tk = F.split("text", " ")
+    by_lang: dict[str, list[str]] = {}
+    for w, lang in _LEXICON:
+        by_lang.setdefault(lang, []).append(w)
+    counts = {lang: F.size(F.filter(tk, lambda t: t.isin(*words)))
+              for lang, words in sorted(by_lang.items())}
+    m = F.greatest(*counts.values())
+    pred = F.when(m == 0, "und")
+    for lang in sorted(counts):
+        pred = pred.when(counts[lang] == m, lang)
+
+    n_tokens = F.size(tk)
+    n_distinct = F.size(F.array_distinct(tk))
+    n_stop = F.size(F.filter(tk, lambda w: w.isin("the", "a", "of")))
+    q = (0.5 * (n_distinct / n_tokens.cast("double"))
+         + 0.3 * (1 - n_stop / n_tokens.cast("double"))
+         + 0.2 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)))
+
+    comp = (D.connected_components(D.jaccard_pairs(docs))
+            .select("doc_id", F.col("canonical_doc_id").alias("canonical")))
+
+    feat = (
+        docs.select("doc_id", pred.alias("pred_lang"), q.alias("q"))
+        .join(F.broadcast(comp), "doc_id", "left")
+    )
+    drop_reason = (
+        F.when(F.col("pred_lang") == "und", "lang")
+        .when(F.col("q") < QUALITY_THRESHOLD, "quality")
+        .when(F.col("canonical").isNotNull()
+              & (F.col("canonical") != F.col("doc_id")), "duplicate")
+    )
+    return (
+        feat.select(
+            "doc_id", "pred_lang",
+            F.round("q", 6).alias("quality_score"),
+            F.coalesce(F.col("canonical") == F.col("doc_id"), F.lit(True))
+            .alias("is_canonical"),
+            drop_reason.alias("drop_reason"),
+            drop_reason.isNull().alias("keep"))
+        .orderBy("doc_id")
+    )
