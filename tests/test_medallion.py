@@ -148,3 +148,19 @@ def test_gold_daily_totals_cover_all_days(spark, pipeline_result):
     assert daily.agg(F.sum("n_txns")).collect()[0][0] == res["counts"]["silver"]
     n_days = silver.select("txn_date").distinct().count()
     assert daily.select("txn_date").distinct().count() == n_days
+
+
+def test_bronze_date_filter_prunes_partitions(spark, pipeline_result):
+    import io
+    from contextlib import redirect_stdout
+
+    base, res = pipeline_result
+    bronze = spark.read.parquet(res["paths"]["bronze"])
+    one_day = bronze.where(F.col("txn_date") == "2024-01-02")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        one_day.explain("formatted")
+    plan = buf.getvalue()
+    # the txn_date predicate must prune directories, not filter rows
+    assert "PartitionFilters: [isnotnull(txn_date" in plan
+    assert one_day.count() > 0
