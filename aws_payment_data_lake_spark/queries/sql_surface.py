@@ -27,7 +27,7 @@ SELECT o_orderdate AS day,
        count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers,
        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS gross_value,
-       round(avg(o_totalprice), 6) AS avg_value
+       max(o_totalprice) AS max_order_value
 FROM orders
 GROUP BY o_orderdate
 ORDER BY day
