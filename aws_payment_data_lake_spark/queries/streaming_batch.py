@@ -120,6 +120,63 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_live",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL '12 hours'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '12 hours' AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "structured-streaming", "window", "session"),
+)
+def streaming_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under REAL Structured Streaming: watermarked
+    session_window aggregation drained with AvailableNow in complete mode
+    (the only mode Spark allows for session-window streams besides
+    append; complete over a finite source equals the batch result, so the
+    batch oracle applies verbatim and the session-merge state machine is
+    exercised end-to-end)."""
+    import os
+
+    import pyspark.sql.functions as FF
+
+    from aws_payment_data_lake_spark.streaming import (
+        read_event_stream,
+        run_available_now,
+    )
+
+    ev = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    stream = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "12 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             FF.round(F.sum("value"), 4).alias("sum_value"))
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "sum_value")
+    )
+    out = run_available_now(stream, "mem_streaming_session",
+                            output_mode="complete")
+    return out.orderBy("user_id", "session_start")
+
+
+@register(
     "session_window_events",
     oracle="""
     WITH marked AS (

@@ -69,6 +69,7 @@ HEADLINE = [
     "sql_daily_totals",
     "sql_status_funnel",
     "streaming_tumbling_live",
+    "streaming_session_live",
     "corpus_curation_decisions",
 ]
 
