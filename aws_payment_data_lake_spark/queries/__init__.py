@@ -60,6 +60,7 @@ def _import_all() -> None:
     from aws_payment_data_lake_spark.queries import (  # noqa: F401
         curation,
         dedup,
+        events_analytics,
         medallion,
         multimodal,
         relational,

@@ -48,6 +48,8 @@ HEADLINE = [
     "medallion_validate_filter",
     "tumbling_window_events",
     "session_window_events",
+    "retention_cohorts",
+    "event_funnel_conversion",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
