@@ -164,3 +164,17 @@ def test_bronze_date_filter_prunes_partitions(spark, pipeline_result):
     # the txn_date predicate must prune directories, not filter rows
     assert "PartitionFilters: [isnotnull(txn_date" in plan
     assert one_day.count() > 0
+
+
+def test_append_mode_reruns_duplicate_like_reference(spark, tmp_path_factory):
+    # Reference parity (SURVEY.md §1.5.3): blind append + per-batch dedup
+    # means a rerun doubles the bronze zone. That hazard is WHY the
+    # engine's default is dynamic-partition overwrite.
+    base = str(tmp_path_factory.mktemp("append_mode"))
+    r1 = run_pipeline(spark, base, days=1, rows_per_day=200,
+                      invalid_rate=0.0, duplicate_rate=0.0, seed=3,
+                      mode="append")
+    r2 = run_pipeline(spark, base, days=1, rows_per_day=200,
+                      invalid_rate=0.0, duplicate_rate=0.0, seed=3,
+                      mode="append")
+    assert r2["counts"]["bronze"] == 2 * r1["counts"]["bronze"]
