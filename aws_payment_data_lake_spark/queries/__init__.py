@@ -64,6 +64,7 @@ def _import_all() -> None:
         medallion,
         multimodal,
         relational,
+        relational2,
         similarity,
         sql_surface,
         stats,

@@ -1,0 +1,182 @@
+"""Second relational wave: deeper multi-join analytics + lag/lead.
+
+TPC-H-flavored queries beyond the first wave (queries/relational.py) —
+national trade flows (Q7-ish), revenue-at-risk by customer (Q10-ish),
+brand/part market share (Q14-ish) — plus inter-event gap analytics
+(lag over event time), the one analytic-window family the first wave
+didn't exercise.
+
+Scale notes: every dimension side (nation/supplier/part/customer)
+broadcasts; the fact-side scans prune to the joined/aggregated columns;
+the lag window partitions on user_id (high cardinality, even) — none of
+these plans change shape at 1000 executors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from aws_payment_data_lake_spark.queries import register
+from aws_payment_data_lake_spark.sources import load
+
+
+@register(
+    "trade_flows_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           count(*) AS n_lines,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4))) AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("join", "aggregate", "tpch-q7-ish"),
+)
+def trade_flows_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation trade volume per ship year (per-line discounted
+    revenue cast to exact decimal THEN summed — associative, so partial
+    aggregation order can't perturb the hash)."""
+    li, supp, nat = load(spark, sf_dir, "lineitem", "supplier", "nation")
+    # 2dp x 2dp product has <= 4 exact decimals: DECIMAL(18,4) cast is
+    # tie-free in both engines (the q1 pattern; an explicit 2dp round
+    # here hits half-cent ties that flip on cross-engine ulp noise)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("supp_nation"),
+                 F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.sum(rev).alias("volume"))
+        .orderBy("supp_nation", "ship_year")
+    )
+
+
+@register(
+    "returned_revenue_by_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           count(*) AS n_return_lines,
+           sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4))) AS lost_revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 8
+    ORDER BY lost_revenue DESC, c_custkey
+    """,
+    tags=("join", "aggregate", "having", "tpch-q10-ish"),
+)
+def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to returns per customer (return-flag filter pushes to
+    the lineitem scan; orders/customer/nation broadcast)."""
+    li, orders, cust, nat = load(spark, sf_dir,
+                                 "lineitem", "orders", "customer", "nation")
+    # 2dp x 2dp product has <= 4 exact decimals: DECIMAL(18,4) cast is
+    # tie-free in both engines (the q1 pattern; an explicit 2dp round
+    # here hits half-cent ties that flip on cross-engine ulp noise)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_return_lines"),
+             F.sum(rev).alias("lost_revenue"))
+        .where(F.col("n_return_lines") >= 8)
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+    )
+
+
+@register(
+    "brand_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS brand_rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand)
+    SELECT p_brand, brand_rev,
+           round(CAST(brand_rev AS DOUBLE)
+                 / CAST(sum(brand_rev) OVER () AS DOUBLE), 6) AS rev_share
+    FROM rev
+    ORDER BY p_brand
+    """,
+    tags=("join", "window-over-aggregate", "tpch-q14-ish"),
+)
+def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue share: broadcast part join, decimal-exact brand
+    revenue, share via window-over-aggregate (the decimal total is exact
+    in both engines, so the double quotient is bit-identical)."""
+    li, part = load(spark, sf_dir, "lineitem", "part")
+    # 2dp x 2dp product has <= 4 exact decimals: DECIMAL(18,4) cast is
+    # tie-free in both engines (the q1 pattern; an explicit 2dp round
+    # here hits half-cent ties that flip on cross-engine ulp noise)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    brand_rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(rev).alias("brand_rev"))
+    )
+    total = Window.partitionBy()
+    return (
+        brand_rev.select(
+            "p_brand", "brand_rev",
+            F.round(F.col("brand_rev").cast("double")
+                    / F.sum("brand_rev").over(total).cast("double"), 6)
+            .alias("rev_share"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "user_inter_event_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(date_diff('second',
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  ts) AS BIGINT) AS gap_s
+      FROM events)
+    SELECT user_id,
+           count(*) AS n_gaps,
+           min(gap_s) AS min_gap_s,
+           max(gap_s) AS max_gap_s,
+           CAST(sum(gap_s) AS BIGINT) AS total_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("window", "lag", "events"),
+)
+def user_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap stats via lag (total order inside the
+    window: ts then event_id, so ties can't flip the lag). Integer-second
+    gaps keep the whole query in exact arithmetic."""
+    (ev,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s")
+    return (
+        ev.select("user_id", gap)
+        .where(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_gaps"),
+             F.min("gap_s").alias("min_gap_s"),
+             F.max("gap_s").alias("max_gap_s"),
+             F.sum("gap_s").alias("total_gap_s"))
+        .orderBy("user_id")
+    )
