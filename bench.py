@@ -50,6 +50,10 @@ HEADLINE = [
     "session_window_events",
     "retention_cohorts",
     "event_funnel_conversion",
+    "trade_flows_by_nation_year",
+    "returned_revenue_by_customer",
+    "brand_market_share",
+    "user_inter_event_gaps",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
