@@ -59,3 +59,41 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def decode_payloads(with_payload: DataFrame) -> DataFrame:
     """Run the stub decoder via mapInPandas (Arrow batch transfer)."""
     return with_payload.mapInPandas(_decode_batch, schema=DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_bytes", T.IntegerType()),
+    T.StructField("frame_checksum", T.LongType()),
+])
+
+N_FRAMES = 4
+
+
+def _frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake frame sampler (a REAL video codec would seek
+    keyframes here): split each payload into N_FRAMES even byte slices
+    (remainder to the last frame) and emit one row per frame with its
+    byte checksum — the explode-shaped output every frame-level feature
+    extractor needs."""
+    import numpy as np
+    for pdf in batches:
+        ids, idxs, sizes, sums = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            flen = len(arr) // N_FRAMES
+            for k in range(N_FRAMES):
+                lo = k * flen
+                hi = (k + 1) * flen if k < N_FRAMES - 1 else len(arr)
+                ids.append(doc_id)
+                idxs.append(k)
+                sizes.append(hi - lo)
+                sums.append(int(arr[lo:hi].sum()))
+        yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                            "frame_bytes": sizes, "frame_checksum": sums})
+
+
+def frame_sample(with_payload: DataFrame) -> DataFrame:
+    """Per-frame rows from binary payloads via mapInPandas."""
+    return with_payload.mapInPandas(_frame_sample_batch, schema=FRAME_SCHEMA)

@@ -104,7 +104,43 @@ def array_column_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> Arrow-batched mapInPandas decode stub -> typed
-    features. The only Pandas-UDF query in the engine, and still
-    oracle-checked (byte checksum reconstructed from hex pairs in SQL)."""
+    features, oracle-checked (byte checksum reconstructed from hex pairs
+    in SQL)."""
     (docs,) = load(spark, sf_dir, "documents")
     return M.decode_payloads(M.with_binary_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (SELECT doc_id, regexp_extract_all(hex(encode(text)), '..') AS bytes
+               FROM documents),
+    f AS (SELECT doc_id, bytes, len(bytes) AS n, len(bytes) // 4 AS flen,
+                 unnest(range(0, 4)) AS frame_idx
+          FROM b)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(CASE WHEN frame_idx < 3 THEN flen ELSE n - 3 * flen END
+                AS INT) AS frame_bytes,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_slice(bytes, frame_idx * flen + 1,
+                            CASE WHEN frame_idx < 3
+                                 THEN (frame_idx + 1) * flen ELSE n END),
+                 p -> ('0x' || p)::BIGINT)),
+             (a, x) -> a + x) AS frame_checksum
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "binary", "frame-sample", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: mapInPandas splits each blob
+    into 4 even byte slices ("frames") and emits one row per frame with
+    size + checksum — the real frame-extractor plumbing (schema, Arrow
+    batches, explode-shaped output) with the codec stubbed
+    deterministically; the oracle rebuilds the same slices from hex pairs
+    in pure SQL."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return (M.frame_sample(M.with_binary_payload(docs))
+            .orderBy("doc_id", "frame_idx"))

@@ -69,6 +69,7 @@ HEADLINE = [
     "knn_ivf_probe",
     "embedding_neardup_pairs",
     "multimodal_decode_stub",
+    "multimodal_frame_sample",
     "json_props_extract",
     "percentile_lineitem_price",
     "approx_distinct_quantiles",
