@@ -178,3 +178,18 @@ def test_append_mode_reruns_duplicate_like_reference(spark, tmp_path_factory):
                       invalid_rate=0.0, duplicate_rate=0.0, seed=3,
                       mode="append")
     assert r2["counts"]["bronze"] == 2 * r1["counts"]["bronze"]
+
+
+def test_register_zones_enables_sql_over_catalog_names(spark, pipeline_result):
+    from aws_payment_data_lake_spark.plans.pipeline import register_zones
+
+    base, res = pipeline_result
+    names = register_zones(spark, res["paths"])
+    assert "bronze_transactions_parquet" in names  # reference table name
+    got = spark.sql("""
+        SELECT count(*) AS n FROM silver_transactions_parquet
+        WHERE status_curated = 'UNKNOWN'
+    """).collect()[0]["n"]
+    assert got == 0  # silver never contains unvalidated statuses
+    n_b = spark.sql("SELECT count(*) AS n FROM bronze_transactions_parquet").collect()[0]["n"]
+    assert n_b == res["counts"]["bronze"]
