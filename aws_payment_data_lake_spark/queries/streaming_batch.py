@@ -120,6 +120,56 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_live",
+    oracle="""
+    WITH grid AS (
+      SELECT time_bucket(INTERVAL '2 hours', ts) AS window_start, *
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '2 hours', ts, INTERVAL '1 hour')
+               AS window_start, *
+      FROM events
+      WHERE time_bucket(INTERVAL '2 hours', ts, INTERVAL '1 hour')
+            <> time_bucket(INTERVAL '2 hours', ts)
+    )
+    SELECT window_start, window_start + INTERVAL '2 hours' AS window_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM grid
+    GROUP BY 1, 2
+    ORDER BY window_start
+    """,
+    tags=("streaming", "structured-streaming", "window", "sliding"),
+)
+def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h width, 1h slide) under REAL Structured
+    Streaming, drained with AvailableNow in complete mode — with the
+    tumbling and session live variants this covers every window family
+    the batch surface declares, each hash-matched against the batch
+    oracle."""
+    import os
+
+    from aws_payment_data_lake_spark.streaming import (
+        read_event_stream,
+        run_available_now,
+    )
+
+    ev = read_event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    stream = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "n_events", "sum_value")
+    )
+    out = run_available_now(stream, "mem_streaming_sliding",
+                            output_mode="complete")
+    return out.orderBy("window_start")
+
+
+@register(
     "streaming_session_live",
     oracle="""
     WITH marked AS (

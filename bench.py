@@ -77,6 +77,7 @@ HEADLINE = [
     "sql_status_funnel",
     "streaming_tumbling_live",
     "streaming_session_live",
+    "streaming_sliding_live",
     "corpus_curation_decisions",
 ]
 
