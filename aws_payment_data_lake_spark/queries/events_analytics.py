@@ -69,12 +69,13 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id)
     SELECT
       count(*) AS n_users,
-      sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS did_signup,
-      sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
-               THEN 1 ELSE 0 END) AS signup_then_view,
-      sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+      CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS did_signup,
+      CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+               THEN 1 ELSE 0 END) AS BIGINT) AS signup_then_view,
+      CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
                 AND t_purchase > t_view
-               THEN 1 ELSE 0 END) AS full_funnel
+               THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
     FROM steps
     """,
     tags=("events", "funnel", "conversion"),

@@ -12,11 +12,21 @@ Scale conventions used throughout:
     for a dim join at 100 TB;
   * per-group top-k uses a rank window AFTER aggregation or on the
     already-reduced side, never a global sort;
-  * money sums are summed as DECIMAL(18,d): inputs are exact at <=6
+  * money sums are summed as DECIMAL(18,d) (inputs are exact at <=6
     decimal places, so decimal aggregation is exact and reproducible
-    regardless of partition/summation order (double sums differ in final
-    ulps between engines — SURVEY.md §7.5); averages stay double and are
-    rounded on both sides.
+    regardless of partition/summation order; double sums differ in final
+    ulps between engines — SURVEY.md §7.5), then the RESULT is cast to
+    DOUBLE once, on both engine and oracle sides. Rationale: the driver's
+    hash is type-sensitive through the pandas path (DuckDB DECIMAL/HUGEINT
+    surface as float64 while Spark keeps Decimal/int64 — see
+    scripts/driver_sim.py), so final outputs carry only int64/float64/
+    bool/string/datetime. The single decimal->double cast is correctly
+    rounded in BOTH engines while unscaled < 2^53, i.e. value*10^scale
+    < 9e15 — keep output scale <= 4 and magnitudes < 1e11;
+  * averages are emitted as exact-decimal-sum cast to DOUBLE divided by
+    the BIGINT count: every arithmetic step is bit-identical across
+    engines, so no rounding is needed (rounding a near-tie double is
+    itself a cross-engine hazard).
 """
 
 from __future__ import annotations
@@ -29,8 +39,20 @@ from aws_payment_data_lake_spark.sources import load
 
 
 def _dec_sum(col: F.Column, scale: int, alias: str) -> F.Column:
-    """Exact money sum: cast each term to DECIMAL(18,scale), sum exactly."""
-    return F.sum(col.cast(f"decimal(18,{scale})")).alias(alias)
+    """Exact money sum pinned for cross-engine hashing: cast each term to
+    DECIMAL(18,scale), sum exactly (associative — partition order can't
+    perturb it), then cast the result to DOUBLE once. Oracle twin:
+    ``CAST(sum(CAST(x AS DECIMAL(18,s))) AS DOUBLE)``."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+def _dec_avg(col: F.Column, scale: int, alias: str) -> F.Column:
+    """Exact average: decimal-exact sum cast to DOUBLE, divided by the
+    row count — both operands bit-identical across engines, and IEEE
+    division is correctly rounded, so the quotient needs no rounding.
+    Oracle twin: ``CAST(sum(CAST(x AS DECIMAL(18,s))) AS DOUBLE)/count(*)``."""
+    return (F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+            / F.count(F.lit(1))).alias(alias)
 
 
 # ===========================================================================
@@ -43,15 +65,19 @@ def _dec_sum(col: F.Column, scale: int, alias: str) -> F.Column:
     SELECT
       l_returnflag,
       l_linestatus,
-      sum(CAST(l_quantity AS DECIMAL(18,2)))      AS sum_qty,
-      sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-                                                  AS sum_disc_price,
-      sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-               AS DECIMAL(18,6)))                 AS sum_charge,
-      round(avg(l_quantity), 6)                   AS avg_qty,
-      round(avg(l_extendedprice), 6)              AS avg_price,
-      round(avg(l_discount), 6)                   AS avg_disc,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                                                  AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS DOUBLE)                             AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    AS DECIMAL(18,6))) AS DOUBLE)  AS sum_charge,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                                                  AS avg_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                                                  AS avg_price,
+      CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                                                  AS avg_disc,
       count(*)                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -73,10 +99,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
             _dec_sum(F.col("l_extendedprice"), 2, "sum_base_price"),
             _dec_sum(disc_price, 4, "sum_disc_price"),
-            _dec_sum(charge, 6, "sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # charge has 6 exact decimals; cast the sum straight to double
+            # (NOT via an intermediate lower-scale decimal: Spark rounds
+            # decimal->decimal HALF_UP but DuckDB truncates at the half
+            # boundary). Exact while per-group sums < 9e9 (holds at the
+            # tested SFs; at larger SF lower the term scale instead).
+            F.sum(charge.cast("decimal(18,6)")).cast("double")
+             .alias("sum_charge"),
+            _dec_avg(F.col("l_quantity"), 2, "avg_qty"),
+            _dec_avg(F.col("l_extendedprice"), 2, "avg_price"),
+            _dec_avg(F.col("l_discount"), 2, "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -89,9 +121,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(DISTINCT o_custkey)            AS n_customers,
            count(*)                             AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
-           round(min(o_totalprice), 2)          AS min_price,
-           round(max(o_totalprice), 2)          AS max_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                                AS total_price,
+           min(o_totalprice)                    AS min_price,
+           max(o_totalprice)                    AS max_price,
            round(stddev_samp(o_totalprice), 4)  AS sd_price
     FROM orders
     GROUP BY o_orderpriority
@@ -109,8 +142,9 @@ def distinct_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
             _dec_sum(F.col("o_totalprice"), 2, "total_price"),
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            # min/max select an existing double bit-for-bit — no rounding
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
             F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
         )
         .orderBy("o_orderpriority")
@@ -121,7 +155,7 @@ def distinct_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "having_big_customers",
     oracle="""
     SELECT o_custkey, count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 12
@@ -146,7 +180,8 @@ def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT year(o_orderdate) AS order_year, o_orderstatus,
            count(*) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
     FROM orders
     GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
     ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST
@@ -195,8 +230,8 @@ def cube_events_type_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_revenue",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-             AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -210,8 +245,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li.createOrReplaceTempView("lineitem_gs")
     return spark.sql("""
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-                 AS revenue,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -227,8 +262,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
-             AS revenue,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -267,8 +302,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
-             AS revenue
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -312,8 +347,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey, o.o_orderstatus,
            count(l.l_orderkey) AS n_lines,
-           coalesce(sum(CAST(l.l_quantity AS DECIMAL(18,2))),
-                    CAST(0 AS DECIMAL(18,2))) AS total_qty
+           coalesce(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+                    CAST(0 AS DOUBLE)) AS total_qty
     FROM orders o
     LEFT JOIN lineitem l
       ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 45
@@ -332,8 +367,9 @@ def join_left_outer_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.o_orderkey == li.l_orderkey, "left")
         .groupBy("o_orderkey", "o_orderstatus")
         .agg(F.count("l_orderkey").alias("n_lines"),
-             F.coalesce(F.sum(F.col("l_quantity").cast("decimal(18,2)")),
-                        F.lit(0).cast("decimal(18,2)")).alias("total_qty"))
+             F.coalesce(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                        .cast("double"),
+                        F.lit(0.0)).alias("total_qty"))
         .orderBy("o_orderkey")
     )
 
@@ -389,7 +425,8 @@ def join_anti_customers_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame
     "range_join_price_bands",
     oracle="""
     SELECT b.band_name, count(*) AS n_orders,
-           sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS total_price
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
     FROM orders o
     JOIN (VALUES ('small', 0.0, 50000.0),
                  ('medium', 50000.0, 150000.0),
@@ -728,8 +765,8 @@ def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            abs(p_size - 25)                        AS size_dist25,
            round(sqrt(p_size), 6)                  AS size_sqrt,
            round(ln(p_retailprice), 6)             AS price_ln,
-           ceil(p_retailprice)                     AS price_ceil,
-           floor(p_retailprice)                    AS price_floor
+           CAST(ceil(p_retailprice) AS BIGINT)     AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT)    AS price_floor
     FROM part ORDER BY p_partkey
     """,
     tags=("scalar", "string", "math"),

@@ -6,8 +6,10 @@ brand/part market share (Q14-ish) — plus inter-event gap analytics
 (lag over event time), the one analytic-window family the first wave
 didn't exercise.
 
-Scale notes: every dimension side (nation/supplier/part/customer)
-broadcasts; the fact-side scans prune to the joined/aggregated columns;
+Scale notes: true dimension sides (nation/supplier/part, fixed or
+near-fixed cardinality) broadcast; O(SF) tables (orders, customer) never
+do — their joins shuffle on the equi-key and AQE picks the strategy;
+the fact-side scans prune to the joined/aggregated columns;
 the lag window partitions on user_id (high cardinality, even) — none of
 these plans change shape at 1000 executors.
 """
@@ -27,8 +29,8 @@ from aws_payment_data_lake_spark.sources import load
     SELECT n.n_name AS supp_nation,
            CAST(year(l.l_shipdate) AS INT) AS ship_year,
            count(*) AS n_lines,
-           sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                    AS DECIMAL(18,4))) AS volume
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS volume
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -53,7 +55,7 @@ def trade_flows_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("supp_nation"),
                  F.year("l_shipdate").cast("int").alias("ship_year"))
         .agg(F.count(F.lit(1)).alias("n_lines"),
-             F.sum(rev).alias("volume"))
+             F.sum(rev).cast("double").alias("volume"))
         .orderBy("supp_nation", "ship_year")
     )
 
@@ -63,8 +65,8 @@ def trade_flows_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
            count(*) AS n_return_lines,
-           sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                    AS DECIMAL(18,4))) AS lost_revenue
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS lost_revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -77,8 +79,12 @@ def trade_flows_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "aggregate", "having", "tpch-q10-ish"),
 )
 def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue lost to returns per customer (return-flag filter pushes to
-    the lineitem scan; orders/customer/nation broadcast)."""
+    """Revenue lost to returns per customer. The return-flag filter pushes
+    to the lineitem scan; lineitem<->orders and orders<->customer are
+    unfiltered fact/near-fact sides, so they SHUFFLE on their equi-keys
+    (AQE picks the strategy) — broadcasting orders or customer here would
+    ship an O(SF) table to every executor and OOM at production scale.
+    Only nation (fixed 25 rows) gets a broadcast hint."""
     li, orders, cust, nat = load(spark, sf_dir,
                                  "lineitem", "orders", "customer", "nation")
     # 2dp x 2dp product has <= 4 exact decimals: DECIMAL(18,4) cast is
@@ -88,12 +94,12 @@ def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,4)")
     return (
         li.where(F.col("l_returnflag") == "R")
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(F.count(F.lit(1)).alias("n_return_lines"),
-             F.sum(rev).alias("lost_revenue"))
+             F.sum(rev).cast("double").alias("lost_revenue"))
         .where(F.col("n_return_lines") >= 8)
         .orderBy(F.col("lost_revenue").desc(), "c_custkey")
     )
@@ -105,12 +111,13 @@ def returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rev AS (
       SELECT p.p_brand,
              sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                      AS DECIMAL(18,4))) AS brand_rev
+                      AS DECIMAL(18,4))) AS brand_rev_dec
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       GROUP BY p.p_brand)
-    SELECT p_brand, brand_rev,
-           round(CAST(brand_rev AS DOUBLE)
-                 / CAST(sum(brand_rev) OVER () AS DOUBLE), 6) AS rev_share
+    SELECT p_brand,
+           CAST(brand_rev_dec AS DOUBLE) AS brand_rev,
+           CAST(brand_rev_dec AS DOUBLE)
+             / CAST(sum(brand_rev_dec) OVER () AS DOUBLE) AS rev_share
     FROM rev
     ORDER BY p_brand
     """,
@@ -129,14 +136,17 @@ def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_rev = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
-        .agg(F.sum(rev).alias("brand_rev"))
+        .agg(F.sum(rev).alias("brand_rev_dec"))
     )
     total = Window.partitionBy()
+    # both operands of the share quotient are single decimal->double casts
+    # of exact sums — bit-identical across engines, so no rounding needed
     return (
         brand_rev.select(
-            "p_brand", "brand_rev",
-            F.round(F.col("brand_rev").cast("double")
-                    / F.sum("brand_rev").over(total).cast("double"), 6)
+            "p_brand",
+            F.col("brand_rev_dec").cast("double").alias("brand_rev"),
+            (F.col("brand_rev_dec").cast("double")
+             / F.sum("brand_rev_dec").over(total).cast("double"))
             .alias("rev_share"))
         .orderBy("p_brand")
     )

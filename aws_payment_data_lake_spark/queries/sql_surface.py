@@ -26,7 +26,8 @@ _DAILY_TOTALS = """
 SELECT o_orderdate AS day,
        count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS gross_value,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS gross_value,
        max(o_totalprice) AS max_order_value
 FROM orders
 GROUP BY o_orderdate
@@ -36,7 +37,7 @@ ORDER BY day
 _STATUS_FUNNEL = """
 SELECT o_orderstatus,
        count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS value,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value,
        round(CAST(100 AS DOUBLE) * count(*) / sum(count(*)) OVER (), 6)
          AS pct_orders
 FROM orders

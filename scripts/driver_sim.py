@@ -33,53 +33,24 @@ Usage: python scripts/driver_sim.py [--sf-dir /root/testdata/sf0.01]
 from __future__ import annotations
 
 import argparse
-import datetime as _dt
 import os
 import sys
 import time
 
 import duckdb
-import numpy as np
-import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import __spark_entry__ as entrymod  # noqa: E402
+from aws_payment_data_lake_spark.oracle import (  # noqa: E402
+    diff_results,
+    pandas_rows,
+)
 from aws_payment_data_lake_spark.session import get_spark  # noqa: E402
 from aws_payment_data_lake_spark.sources import TESTDATA_TABLES  # noqa: E402
 
 DRIVER_QUERY_CAP = 50
-
-
-def norm_cell(v) -> str:
-    """Type-sensitive canonical string for one cell (see module docstring)."""
-    if isinstance(v, (np.ndarray, list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{norm_cell(x)}"
-                              for k, x in sorted(v.items())) + "}"
-    if v is None or (isinstance(v, float) and v != v):
-        return "NULL"
-    try:
-        if pd.isna(v):  # pd.NaT, np.nan wrapped in object cells
-            return "NULL"
-    except (TypeError, ValueError):
-        pass
-    if isinstance(v, (pd.Timestamp, _dt.datetime, _dt.date, np.datetime64)):
-        return pd.Timestamp(v).isoformat()
-    if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
-    return str(v)
-
-
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
-
-
-def pandas_rows(df: pd.DataFrame):
-    return list(df.columns), [tuple(r) for r in df.itertuples(index=False)]
 
 
 def main() -> int:
@@ -130,17 +101,7 @@ def main() -> int:
                 continue
             dpdf = con.execute(oracles[name]).df()
             ocols, orows = pandas_rows(dpdf)
-            status = []
-            if sorted(scols) != sorted(ocols):
-                status.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
-            if len(srows) != len(orows):
-                status.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-            if not status:
-                sn, on = norm_rows(scols, srows), norm_rows(ocols, orows)
-                if sn != on:
-                    diff = next((i, a, b) for i, (a, b) in enumerate(zip(sn, on)) if a != b)
-                    status.append(f"values differ at row {diff[0]}:\n"
-                                  f"      spark ={diff[1]}\n      oracle={diff[2]}")
+            status = diff_results(scols, srows, ocols, orows)
             if status:
                 n_fail += 1
                 print(f"  ✗ {name}: " + "; ".join(status))

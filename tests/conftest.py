@@ -68,20 +68,10 @@ def normalized_rows(cols, rows):
 
 
 def compare_with_oracle(spark, duck, spec, sf_dir=SF_DIR):
-    """Run spec.fn on Spark and spec.oracle on DuckDB; assert equivalence."""
-    sdf = spec.fn(spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = list(sdf.columns)
-    res = duck.execute(spec.oracle)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
-    assert sorted(scols) == sorted(ocols), (
-        f"{spec.name}: column mismatch spark={sorted(scols)} oracle={sorted(ocols)}"
-    )
-    assert len(srows) == len(orows), (
-        f"{spec.name}: row count spark={len(srows)} oracle={len(orows)}"
-    )
-    sn = normalized_rows(scols, srows)
-    on = normalized_rows(ocols, orows)
-    for i, (a, b) in enumerate(zip(sn, on)):
-        assert a == b, f"{spec.name}: first differing row #{i}:\n spark={a}\noracle={b}"
+    """Run spec.fn on Spark and spec.oracle on DuckDB; assert equivalence
+    under the driver's strict type-sensitive hash (oracle.compare_spark_duck
+    — pandas path, no float rounding)."""
+    from aws_payment_data_lake_spark.oracle import compare_spark_duck
+
+    status = compare_spark_duck(spec.fn(spark, sf_dir), duck, spec.oracle)
+    assert not status, f"{spec.name}: " + "; ".join(status)
