@@ -61,6 +61,7 @@ def _import_all() -> None:
         curation,
         dedup,
         events_analytics,
+        jsonl_source,
         medallion,
         multimodal,
         relational,
@@ -70,6 +71,7 @@ def _import_all() -> None:
         stats,
         streaming_batch,
         text,
+        udtf_gallery,
     )
 
 

@@ -62,14 +62,15 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicate_groups(docs).orderBy("text_md5")
 
 
-@register(
-    "dedup_shingle_jaccard",
-    oracle=_JACCARD_ORACLE,
-    tags=("dedup", "jaccard", "ngram"),
-)
 def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs 3-gram-shingle Jaccard >= 0.6 (correctness
-    baseline for near-dup detection)."""
+    baseline for near-dup detection). Unregistered: its output contract
+    is IDENTICAL to dedup_minhash_lsh (which shares _JACCARD_ORACLE — the
+    hash match there is simultaneously the recall proof for LSH and the
+    correctness proof for this baseline), so registering both would spend
+    a second slot of the driver's 50-query window on the same rows. Still
+    exercised by tests/test_queries_extra.py equality assert and the
+    bench."""
     (docs,) = load(spark, sf_dir, "documents")
     return D.jaccard_pairs(docs).orderBy("doc_a", "doc_b")
 

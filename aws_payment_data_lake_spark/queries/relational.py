@@ -152,30 +152,6 @@ def distinct_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "having_big_customers",
-    oracle="""
-    SELECT o_custkey, count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
-    FROM orders
-    GROUP BY o_custkey
-    HAVING count(*) >= 12
-    ORDER BY o_custkey
-    """,
-    tags=("aggregate", "having"),
-)
-def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY + HAVING (post-aggregation filter)."""
-    (orders,) = load(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"),
-             _dec_sum(F.col("o_totalprice"), 2, "spend"))
-        .where(F.col("n_orders") >= 12)
-        .orderBy("o_custkey")
-    )
-
-
-@register(
     "rollup_orders_year_status",
     oracle="""
     SELECT year(o_orderdate) AS order_year, o_orderstatus,
@@ -375,50 +351,94 @@ def join_left_outer_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi_customers_with_urgent",
+    "join_outer_recon",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment
-    FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey
-                    AND o.o_orderpriority = '1-URGENT')
-    ORDER BY c_custkey
+    WITH big_orders AS (
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_totalprice > 250000.0),
+    heavy AS (
+      SELECT l_orderkey, count(*) AS n_heavy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS heavy_qty
+      FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey)
+    SELECT coalesce(o.o_orderkey, h.l_orderkey) AS orderkey,
+           (o.o_orderkey IS NOT NULL) AS is_big_order,
+           (h.l_orderkey IS NOT NULL) AS has_heavy_lines,
+           o.o_totalprice,
+           coalesce(h.n_heavy, 0) AS n_heavy,
+           coalesce(h.heavy_qty, 0.0) AS heavy_qty
+    FROM big_orders o
+    FULL OUTER JOIN heavy h ON o.o_orderkey = h.l_orderkey
+    ORDER BY orderkey
     """,
-    tags=("join", "semi", "subquery"),
+    tags=("join", "outer", "right", "full"),
 )
-def join_semi_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join (EXISTS): probe side never duplicates, build side is
-    reduced before the join."""
-    cust, orders = load(spark, sf_dir, "customer", "orders")
-    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+def join_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided reconciliation (the Athena-layer read the reference's
+    declared SQL surface implies): big orders vs orders having heavy
+    lineitems, rows preserved from BOTH sides. Implemented as the
+    right-outer + left-anti decomposition of FULL OUTER —
+    ``heavy RIGHT JOIN big`` keeps every big order, the anti branch adds
+    heavy-only orders — so both ``how="right"`` and full-outer semantics
+    are exercised and hash-checked against a single FULL OUTER oracle
+    (tests/test_plan_quality.py asserts the decomposition equals native
+    ``how="full"``)."""
+    orders, li = load(spark, sf_dir, "orders", "lineitem")
+    big = (orders.where(F.col("o_totalprice") > 250_000.0)
+           .select("o_orderkey", "o_totalprice"))
+    heavy = (li.where(F.col("l_quantity") > 45)
+             .groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).alias("n_heavy"),
+                  _dec_sum(F.col("l_quantity"), 2, "heavy_qty")))
+    matched = heavy.join(big, heavy.l_orderkey == big.o_orderkey, "right")
+    heavy_only = (heavy.join(big, heavy.l_orderkey == big.o_orderkey,
+                             "left_anti")
+                  .withColumn("o_orderkey", F.lit(None).cast("long"))
+                  .withColumn("o_totalprice", F.lit(None).cast("double")))
     return (
-        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
-        .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
+        matched.unionByName(heavy_only)
+        .select(
+            F.coalesce("o_orderkey", "l_orderkey").alias("orderkey"),
+            F.col("o_orderkey").isNotNull().alias("is_big_order"),
+            F.col("l_orderkey").isNotNull().alias("has_heavy_lines"),
+            "o_totalprice",
+            F.coalesce("n_heavy", F.lit(0)).alias("n_heavy"),
+            F.coalesce("heavy_qty", F.lit(0.0)).alias("heavy_qty"),
+        )
+        .orderBy("orderkey")
     )
 
 
 @register(
-    "join_anti_customers_no_urgent",
+    "join_semi_anti_customers",
     oracle="""
-    SELECT c_custkey, c_name
+    SELECT 'with_urgent' AS kind, c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'no_urgent' AS kind, c_custkey, c_name
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderpriority = '1-URGENT')
-    ORDER BY c_custkey
+    ORDER BY kind, c_custkey
     """,
-    tags=("join", "anti", "subquery"),
+    tags=("join", "semi", "anti", "subquery"),
 )
-def join_anti_customers_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS): customers with zero urgent orders."""
+def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS) + LEFT ANTI (NOT EXISTS) over the same build
+    side, tagged and unioned: semi probes never duplicate, the build side
+    is reduced before the join, and the two branches partition the
+    customer table exactly."""
     cust, orders = load(spark, sf_dir, "customer", "orders")
     urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
-    return (
-        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
+    semi = (cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+            .select(F.lit("with_urgent").alias("kind"), "c_custkey", "c_name"))
+    anti = (cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+            .select(F.lit("no_urgent").alias("kind"), "c_custkey", "c_name"))
+    return semi.unionByName(anti).orderBy("kind", "c_custkey")
 
 
 @register(
@@ -464,54 +484,50 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @register(
-    "scalar_subquery_above_avg_balance",
+    "subquery_gallery",
     oracle="""
-    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    SELECT 'above_avg_balance' AS kind, c_custkey AS entity_key,
+           c_acctbal AS metric
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
-    ORDER BY c_custkey
-    """,
-    tags=("subquery", "scalar"),
-)
-def scalar_subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar (uncorrelated) subquery — the single-row aggregate is
-    broadcast as a literal into the filter."""
-    (cust,) = load(spark, sf_dir, "customer")
-    cust.createOrReplaceTempView("customer_ssq")
-    return spark.sql("""
-        SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
-        FROM customer_ssq
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_ssq)
-        ORDER BY c_custkey
-    """)
-
-
-@register(
-    "correlated_above_customer_avg",
-    oracle="""
-    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS totalprice
+    UNION ALL
+    SELECT 'above_customer_avg' AS kind, o.o_orderkey AS entity_key,
+           o.o_totalprice AS metric
     FROM orders o
     JOIN (SELECT o_custkey, avg(o_totalprice) AS cust_avg
           FROM orders GROUP BY o_custkey) a
       ON o.o_custkey = a.o_custkey
     WHERE o.o_totalprice > 1.5 * a.cust_avg
-    ORDER BY o.o_orderkey
+    ORDER BY kind, entity_key
     """,
-    tags=("subquery", "correlated"),
+    tags=("subquery", "scalar", "correlated"),
 )
-def correlated_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated-subquery semantics (orders >1.5x their customer's
-    average), decorrelated into an aggregate + self-join — the same
-    rewrite Catalyst's RewriteCorrelatedScalarSubquery performs."""
-    (orders,) = load(spark, sf_dir, "orders")
+def subquery_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (uncorrelated) + correlated subqueries, tagged and unioned.
+    The scalar branch broadcasts its single-row aggregate as a literal
+    into the filter; the correlated branch (orders >1.5x their customer's
+    average) is decorrelated into an aggregate + self-join — the same
+    rewrite Catalyst's RewriteCorrelatedScalarSubquery performs. Both
+    filter comparisons run on raw doubles (bit-identical inputs, avg is
+    only a threshold — never emitted), and metrics pass source doubles
+    through untouched."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    cust.createOrReplaceTempView("customer_ssq")
+    scalar = spark.sql("""
+        SELECT 'above_avg_balance' AS kind, c_custkey AS entity_key,
+               c_acctbal AS metric
+        FROM customer_ssq
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_ssq)
+    """)
     avgs = orders.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
-    return (
+    correlated = (
         orders.join(avgs, "o_custkey")
         .where(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
-        .select("o_orderkey", "o_custkey",
-                F.round("o_totalprice", 2).alias("totalprice"))
-        .orderBy("o_orderkey")
+        .select(F.lit("above_customer_avg").alias("kind"),
+                F.col("o_orderkey").alias("entity_key"),
+                F.col("o_totalprice").alias("metric"))
     )
+    return scalar.unionByName(correlated).orderBy("kind", "entity_key")
 
 
 # ===========================================================================
@@ -548,7 +564,7 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_running_user_value",
+    "window_event_analytics",
     oracle="""
     SELECT event_id, user_id, ts,
            round(value, 4) AS value,
@@ -557,16 +573,22 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND CURRENT ROW), 4) AS running_sum,
            round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING
-                                  AND CURRENT ROW), 4) AS moving_avg3
+                                  AND CURRENT ROW), 4) AS moving_avg3,
+           CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) AS gap_s
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, ts, event_id
     """,
-    tags=("window", "analytic"),
+    tags=("window", "analytic", "lag", "events"),
 )
-def window_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead + running sum + moving average per user (frame specs the
-    reference never used — SURVEY.md §2.6)."""
+def window_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user analytic windows over the event stream: lag/lead, running
+    sum, moving average (frame specs the reference never used — SURVEY.md
+    §2.6), plus the inter-event gap in integer seconds (exact arithmetic;
+    NULL on each user's first event). Window order is total (ts then
+    event_id) so ties can't flip any of the offsets; prefix sums run in
+    the same sequential order in both engines, so rounding them is
+    tie-stable."""
     (ev,) = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
@@ -580,6 +602,8 @@ def window_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("running_sum"),
             F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4)
              .alias("moving_avg3"),
+            (F.unix_timestamp("ts")
+             - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s"),
         )
         .orderBy("user_id", "ts", "event_id")
     )
@@ -623,39 +647,36 @@ def _buyers(orders: DataFrame, yr: int) -> DataFrame:
 
 
 @register(
-    "set_union_buyers",
-    oracle=f"({_BUYERS_95}) UNION ({_BUYERS_96}) ORDER BY o_custkey",
-    tags=("setop", "union"),
+    "set_ops_buyers",
+    oracle=f"""
+    SELECT 'union' AS set_op, o_custkey
+    FROM (({_BUYERS_95}) UNION ({_BUYERS_96}))
+    UNION ALL
+    SELECT 'intersect' AS set_op, o_custkey
+    FROM (({_BUYERS_95}) INTERSECT ({_BUYERS_96}))
+    UNION ALL
+    SELECT 'except' AS set_op, o_custkey
+    FROM (({_BUYERS_95}) EXCEPT ({_BUYERS_96}))
+    ORDER BY set_op, o_custkey
+    """,
+    tags=("setop", "union", "intersect", "except"),
 )
-def set_union_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION DISTINCT of 1995/1996 buyer keys."""
+def set_ops_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three set operations over 1995/1996 buyer keys, tagged and
+    unioned: UNION DISTINCT (everyone active either year), INTERSECT
+    (active both years), EXCEPT (1995 buyers who vanished in 1996)."""
     (orders,) = load(spark, sf_dir, "orders")
-    return (_buyers(orders, 1995).union(_buyers(orders, 1996))
-            .distinct().orderBy("o_custkey"))
+    b95, b96 = _buyers(orders, 1995), _buyers(orders, 1996)
 
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("set_op"), "o_custkey")
 
-@register(
-    "set_intersect_buyers",
-    oracle=f"({_BUYERS_95}) INTERSECT ({_BUYERS_96}) ORDER BY o_custkey",
-    tags=("setop", "intersect"),
-)
-def set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT: customers active in both years."""
-    (orders,) = load(spark, sf_dir, "orders")
-    return (_buyers(orders, 1995).intersect(_buyers(orders, 1996))
-            .orderBy("o_custkey"))
-
-
-@register(
-    "set_except_churned_buyers",
-    oracle=f"({_BUYERS_95}) EXCEPT ({_BUYERS_96}) ORDER BY o_custkey",
-    tags=("setop", "except"),
-)
-def set_except_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: 1995 buyers who vanished in 1996."""
-    (orders,) = load(spark, sf_dir, "orders")
-    return (_buyers(orders, 1995).exceptAll(_buyers(orders, 1996)).distinct()
-            .orderBy("o_custkey"))
+    return (
+        tag(b95.union(b96).distinct(), "union")
+        .unionByName(tag(b95.intersect(b96), "intersect"))
+        .unionByName(tag(b95.exceptAll(b96).distinct(), "except"))
+        .orderBy("set_op", "o_custkey")
+    )
 
 
 # ===========================================================================
@@ -751,70 +772,60 @@ def pivot_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @register(
-    "scalar_string_math_gallery",
-    oracle="""
-    SELECT p_partkey,
-           substr(p_name, 1, 5)                    AS name_prefix,
-           upper(p_brand)                          AS brand_upper,
-           length(p_name)                          AS name_len,
-           concat_ws('|', p_brand, p_type)         AS brand_type,
-           replace(p_type, ' ', '_')               AS type_snake,
-           regexp_extract(p_brand, '([0-9]+)', 1)  AS brand_num,
-           (p_type LIKE 'PROMO%')                  AS is_promo,
-           p_size % 7                              AS size_mod7,
-           abs(p_size - 25)                        AS size_dist25,
-           round(sqrt(p_size), 6)                  AS size_sqrt,
-           round(ln(p_retailprice), 6)             AS price_ln,
-           CAST(ceil(p_retailprice) AS BIGINT)     AS price_ceil,
-           CAST(floor(p_retailprice) AS BIGINT)    AS price_floor
-    FROM part ORDER BY p_partkey
-    """,
-    tags=("scalar", "string", "math"),
-)
-def scalar_string_math_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String/regex/math scalar surface (all JVM built-ins inside one
-    whole-stage-codegen projection; zero Python in the row path)."""
-    (part,) = load(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.substring("p_name", 1, 5).alias("name_prefix"),
-        F.upper("p_brand").alias("brand_upper"),
-        F.length("p_name").alias("name_len"),
-        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
-        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
-        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
-        F.col("p_type").like("PROMO%").alias("is_promo"),
-        (F.col("p_size") % 7).alias("size_mod7"),
-        F.abs(F.col("p_size") - 25).alias("size_dist25"),
-        F.round(F.sqrt("p_size"), 6).alias("size_sqrt"),
-        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
-        F.ceil("p_retailprice").alias("price_ceil"),
-        F.floor("p_retailprice").alias("price_floor"),
-    ).orderBy("p_partkey")
-
-
-@register(
-    "scalar_datetime_gallery",
+    "scalar_function_gallery",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_orderdate AS DATE)                   AS order_date,
+           substr(o_orderpriority, 1, 4)                AS prio_prefix,
+           lower(o_orderpriority)                       AS prio_lower,
+           length(o_orderpriority)                      AS prio_len,
+           concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+           replace(o_orderpriority, '-', '_')           AS prio_snake,
+           regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num,
+           (o_orderpriority LIKE '1%')                  AS is_urgent,
+           o_orderkey % 7                               AS key_mod7,
+           abs(o_totalprice - 100000.0)                 AS price_dist,
+           sqrt(o_totalprice)                           AS price_sqrt,
+           round(ln(o_totalprice), 6)                   AS price_ln,
+           CAST(ceil(o_totalprice) AS BIGINT)           AS price_ceil,
+           CAST(floor(o_totalprice) AS BIGINT)          AS price_floor,
+           CAST(o_orderdate AS DATE)                    AS order_date,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-           year(o_orderdate)                           AS yr,
-           quarter(o_orderdate)                        AS qtr,
-           dayofmonth(o_orderdate)                     AS dom,
-           CAST(o_orderdate AS DATE) + 30              AS due_date,
-           last_day(CAST(o_orderdate AS DATE))         AS month_end,
+           year(o_orderdate)                            AS yr,
+           quarter(o_orderdate)                         AS qtr,
+           dayofmonth(o_orderdate)                      AS dom,
+           CAST(o_orderdate AS DATE) + 30               AS due_date,
+           last_day(CAST(o_orderdate AS DATE))          AS month_end,
            datediff('day', DATE '1995-01-01',
-                    CAST(o_orderdate AS DATE))         AS days_since_95
+                    CAST(o_orderdate AS DATE))          AS days_since_95
     FROM orders ORDER BY o_orderkey
     """,
-    tags=("scalar", "datetime"),
+    tags=("scalar", "string", "math", "datetime"),
 )
-def scalar_datetime_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time scalar surface (trunc/extract/arith/last_day/diff)."""
+def scalar_function_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-function surface in one codegen'd projection — string
+    (substr/case/length/concat_ws/replace/regexp/LIKE), math
+    (mod/abs/sqrt/ln/ceil/floor), and date/time
+    (trunc/extract/arith/last_day/diff) families; zero Python in the row
+    path. sqrt is IEEE-correctly-rounded (bit-identical cross-engine,
+    emitted raw); ln differs by ulps between libms, so it is the one
+    rounded column."""
     (orders,) = load(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
+        F.substring("o_orderpriority", 1, 4).alias("prio_prefix"),
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_"))
+         .alias("prio_snake"),
+        F.regexp_extract("o_orderpriority", r"([0-9]+)", 1).alias("prio_num"),
+        F.col("o_orderpriority").like("1%").alias("is_urgent"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("price_dist"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.ceil("o_totalprice").alias("price_ceil"),
+        F.floor("o_totalprice").alias("price_floor"),
         F.to_date("o_orderdate").alias("order_date"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         F.year("o_orderdate").alias("yr"),

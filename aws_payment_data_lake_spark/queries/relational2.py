@@ -2,9 +2,8 @@
 
 TPC-H-flavored queries beyond the first wave (queries/relational.py) —
 national trade flows (Q7-ish), revenue-at-risk by customer (Q10-ish),
-brand/part market share (Q14-ish) — plus inter-event gap analytics
-(lag over event time), the one analytic-window family the first wave
-didn't exercise.
+brand/part market share (Q14-ish). (Inter-event gap analytics moved into
+``window_event_analytics`` in queries/relational.py.)
 
 Scale notes: true dimension sides (nation/supplier/part, fixed or
 near-fixed cardinality) broadcast; O(SF) tables (orders, customer) never
@@ -149,44 +148,4 @@ def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.sum("brand_rev_dec").over(total).cast("double"))
             .alias("rev_share"))
         .orderBy("p_brand")
-    )
-
-
-@register(
-    "user_inter_event_gaps",
-    oracle="""
-    WITH gaps AS (
-      SELECT user_id,
-             CAST(date_diff('second',
-                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                  ts) AS BIGINT) AS gap_s
-      FROM events)
-    SELECT user_id,
-           count(*) AS n_gaps,
-           min(gap_s) AS min_gap_s,
-           max(gap_s) AS max_gap_s,
-           CAST(sum(gap_s) AS BIGINT) AS total_gap_s
-    FROM gaps WHERE gap_s IS NOT NULL
-    GROUP BY user_id
-    ORDER BY user_id
-    """,
-    tags=("window", "lag", "events"),
-)
-def user_inter_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user inter-event gap stats via lag (total order inside the
-    window: ts then event_id, so ties can't flip the lag). Integer-second
-    gaps keep the whole query in exact arithmetic."""
-    (ev,) = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.unix_timestamp("ts")
-           - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s")
-    return (
-        ev.select("user_id", gap)
-        .where(F.col("gap_s").isNotNull())
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_gaps"),
-             F.min("gap_s").alias("min_gap_s"),
-             F.max("gap_s").alias("max_gap_s"),
-             F.sum("gap_s").alias("total_gap_s"))
-        .orderBy("user_id")
     )

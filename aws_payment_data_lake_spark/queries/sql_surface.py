@@ -58,13 +58,12 @@ def sql_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_DAILY_TOTALS)
 
 
-@register(
-    "sql_status_funnel",
-    oracle=_STATUS_FUNNEL,
-    tags=("sql-endpoint", "gold", "funnel"),
-)
 def sql_status_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Status funnel with a window-over-aggregate share-of-total — SQL
-    text shared verbatim with the oracle."""
+    text shared verbatim with the would-be oracle. Unregistered (the
+    registry is capped at the driver's 50-query window; the S9 SQL-text
+    surface is already driver-checked via sql_daily_totals and
+    grouping_sets_revenue) — still covered by tests/test_queries_extra.py
+    and the bench."""
     _view(spark, sf_dir, "orders")
     return spark.sql(_STATUS_FUNNEL)

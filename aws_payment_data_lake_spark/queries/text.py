@@ -29,7 +29,7 @@ _LEX_SQL = ", ".join(f"('{w}', '{lang}')" for w, lang in _LEXICON)
 
 
 @register(
-    "text_lang_id",
+    "text_profile",
     oracle=f"""
     WITH lex(word, cand_lang) AS (VALUES {_LEX_SQL}),
     tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
@@ -40,26 +40,48 @@ _LEX_SQL = ", ".join(f"('{w}', '{lang}')" for w, lang in _LEXICON)
     best AS (SELECT doc_id, cand_lang, n_hits,
                     row_number() OVER (PARTITION BY doc_id
                         ORDER BY n_hits DESC, cand_lang) AS rk
-             FROM hits)
-    SELECT d.doc_id,
+             FROM hits),
+    t AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of'))) AS n_stop
+      FROM documents)
+    SELECT t.doc_id,
            coalesce(b.cand_lang, 'und') AS pred_lang,
-           coalesce(b.n_hits, 0) AS n_hits
-    FROM documents d
+           coalesce(b.n_hits, 0) AS n_hits,
+           length(t.text) AS n_chars,
+           t.n_tokens, t.n_distinct,
+           len(regexp_extract_all(t.text, '[a-z]+')) AS n_word_tokens,
+           len(regexp_extract_all(t.text, '[a-z]{{1,4}}')) AS n_bpe_ish_pieces,
+           round((length(t.text) - t.n_tokens + 1) * 1.0 / t.n_tokens, 6)
+             AS avg_token_len,
+           round(t.n_distinct * 1.0 / t.n_tokens, 6) AS type_token_ratio,
+           round(t.n_stop * 1.0 / t.n_tokens, 6) AS stopword_ratio,
+           round(0.5 * (t.n_distinct * 1.0 / t.n_tokens)
+                 + 0.3 * (1 - t.n_stop * 1.0 / t.n_tokens)
+                 + 0.2 * least(t.n_tokens / 100.0, 1.0), 6) AS quality_score
+    FROM t
     LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
     ORDER BY doc_id
     """,
-    tags=("text", "lang-id"),
+    tags=("text", "lang-id", "quality", "tokenize"),
 )
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID, fully row-local: per-language hit counts
-    via array `filter` over the token list, argmax across languages with
-    alphabetical tiebreak, 'und' when nothing matches.
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text profile in ONE codegen'd map pass: marker-word
+    language ID (per-language hit counts via array ``filter`` over the
+    token list, argmax with alphabetical tiebreak, 'und' when nothing
+    matches), token counts four ways (whitespace / regex words / distinct
+    / BPE-ish greedy <=4-char regex pieces as a subword stand-in), and
+    quality features + composite score (single-space tokens make avg
+    token length a closed form: (chars - n + 1) / n).
 
-    The lexicon is a compile-time constant, so this needs NO explode, NO
-    join and NO shuffle — one codegen'd map pass, the shape that holds at
-    any scale (an earlier draft exploded tokens and joined the lexicon
-    back per doc: two shuffles of token-cardinality data for the same
-    answer)."""
+    The lexicon is a compile-time constant, so language ID needs NO
+    explode, NO join and NO shuffle — the whole profile is row-local, the
+    shape that holds at any scale (an earlier draft exploded tokens and
+    joined the lexicon back per doc: two shuffles of token-cardinality
+    data for the same answer)."""
     (docs,) = load(spark, sf_dir, "documents")
     tk = F.split("text", " ")
     by_lang: dict[str, list[str]] = {}
@@ -71,40 +93,6 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = F.when(m == 0, "und")
     for lang in sorted(counts):  # when-chain order = alphabetical tiebreak
         pred = pred.when(counts[lang] == m, lang)
-    return docs.select(
-        "doc_id",
-        pred.alias("pred_lang"),
-        m.alias("n_hits"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "text_quality_score",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, text,
-             len(string_split(text, ' ')) AS n_tokens,
-             len(list_distinct(string_split(text, ' '))) AS n_distinct,
-             len(list_filter(string_split(text, ' '),
-                             w -> w IN ('the', 'a', 'of'))) AS n_stop
-      FROM documents)
-    SELECT doc_id, n_tokens, n_distinct,
-           round((length(text) - n_tokens + 1) * 1.0 / n_tokens, 6)
-             AS avg_token_len,
-           round(n_distinct * 1.0 / n_tokens, 6) AS type_token_ratio,
-           round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
-           round(0.5 * (n_distinct * 1.0 / n_tokens)
-                 + 0.3 * (1 - n_stop * 1.0 / n_tokens)
-                 + 0.2 * least(n_tokens / 100.0, 1.0), 6) AS quality_score
-    FROM t ORDER BY doc_id
-    """,
-    tags=("text", "quality"),
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc quality features + composite score (single-space tokens
-    make avg token length a closed form: (chars - n + 1) / n)."""
-    (docs,) = load(spark, sf_dir, "documents")
-    tk = F.split("text", " ")
     n_tokens = F.size(tk)
     n_distinct = F.size(F.array_distinct(tk))
     n_stop = F.size(F.filter(tk, lambda w: w.isin("the", "a", "of")))
@@ -112,8 +100,15 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = n_stop / n_tokens.cast("double")
     return docs.select(
         "doc_id",
+        pred.alias("pred_lang"),
+        m.alias("n_hits"),
+        F.length("text").alias("n_chars"),
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0))
+         .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0))
+         .alias("n_bpe_ish_pieces"),
         F.round((F.length("text") - n_tokens + 1) / n_tokens.cast("double"), 6)
          .alias("avg_token_len"),
         F.round(ttr, 6).alias("type_token_ratio"),
@@ -121,35 +116,6 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.5 * ttr + 0.3 * (1 - stop_ratio)
                 + 0.2 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)), 6)
          .alias("quality_score"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "text_token_count",
-    oracle="""
-    SELECT doc_id,
-           length(text) AS n_chars,
-           len(string_split(text, ' ')) AS n_ws_tokens,
-           len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
-           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
-           len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_bpe_ish_pieces
-    FROM documents ORDER BY doc_id
-    """,
-    tags=("text", "tokenize"),
-)
-def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting four ways: whitespace, regex words, distinct, and a
-    BPE-ish greedy <=4-char piece count (regex chunking as a stand-in for
-    subword tokenization — both engines share the regex dialect here)."""
-    (docs,) = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars"),
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("n_word_tokens"),
-        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0))
-         .alias("n_bpe_ish_pieces"),
     ).orderBy("doc_id")
 
 

@@ -36,50 +36,73 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "join_left_outer_order_lines",
-    "join_semi_customers_with_urgent",
+    "join_outer_recon",
+    "join_semi_anti_customers",      # round 2: semi + anti merged
     "topk_orders_per_customer",
-    "window_running_user_value",
+    "window_event_analytics",        # round 2: running-value + event gaps
     "rollup_orders_year_status",
-    "set_union_buyers",
-    "correlated_above_customer_avg",
+    "set_ops_buyers",                # round 2: union + intersect + except
+    "subquery_gallery",              # round 2: scalar + correlated
     "asof_join_purchase_view",
     "range_join_price_bands",
+    "scalar_function_gallery",       # round 2: string/math + datetime
     "medallion_dedup_latest",
     "medallion_validate_filter",
-    "tumbling_window_events",
-    "session_window_events",
+    "tumbling_window_events",        # unregistered batch twin (EXTRA_FNS)
+    "session_window_events",         # unregistered batch twin (EXTRA_FNS)
     "retention_cohorts",
     "event_funnel_conversion",
     "trade_flows_by_nation_year",
     "returned_revenue_by_customer",
     "brand_market_share",
-    "user_inter_event_gaps",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_shingle_jaccard",
+    "dedup_shingle_jaccard",         # unregistered baseline (EXTRA_FNS)
     "dedup_connected_components",
-    "text_token_count",
-    "text_lang_id",
+    "text_profile",                  # round 2: lang-id + quality + tokens
     "text_vocab_topk",
     "text_train_test_split",
-    "text_quality_score",
     "text_fingerprint",
     "knn_brute_force",
-    "knn_ivf_probe",
+    "knn_ivf_probe",                 # unregistered approx path (EXTRA_FNS)
     "embedding_neardup_pairs",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
     "json_props_extract",
     "percentile_lineitem_price",
-    "approx_distinct_quantiles",
+    "approx_distinct_quantiles",     # unregistered sketch path (EXTRA_FNS)
     "sql_daily_totals",
-    "sql_status_funnel",
-    "streaming_tumbling_live",
-    "streaming_session_live",
-    "streaming_sliding_live",
+    "sql_status_funnel",             # unregistered SQL twin (EXTRA_FNS)
+    "streaming_windows_live",        # round 2: all 3 live streams merged
+    "jsonl_events_roundtrip",
+    "udtf_order_quarters",
     "corpus_curation_decisions",
 ]
+
+
+def _extra_fns():
+    """Headline operators that deliberately sit OUTSIDE the <=50-query
+    driver registry (pytest-verified instead) but keep a bench record."""
+    from aws_payment_data_lake_spark.queries.dedup import dedup_shingle_jaccard
+    from aws_payment_data_lake_spark.queries.similarity import knn_ivf_probe
+    from aws_payment_data_lake_spark.queries.sql_surface import sql_status_funnel
+    from aws_payment_data_lake_spark.queries.stats import (
+        approx_distinct_quantiles,
+    )
+    from aws_payment_data_lake_spark.queries.streaming_batch import (
+        session_window_events,
+        tumbling_window_events,
+    )
+
+    return {
+        "dedup_shingle_jaccard": dedup_shingle_jaccard,
+        "knn_ivf_probe": knn_ivf_probe,
+        "sql_status_funnel": sql_status_funnel,
+        "approx_distinct_quantiles": approx_distinct_quantiles,
+        "session_window_events": session_window_events,
+        "tumbling_window_events": tumbling_window_events,
+    }
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -99,10 +122,14 @@ def main() -> int:
     only = sys.argv[1].split(",") if len(sys.argv) > 1 else None
     spark = get_spark(app_name="bench")
     specs = registry.all_queries()
-    names = [n for n in (only or HEADLINE) if n in specs]
+    fns = {n: s.fn for n, s in specs.items()} | _extra_fns()
+    names = [n for n in (only or HEADLINE) if n in fns]
 
-    # Warm up JVM, parquet footer cache, codegen.
-    materialize(specs["q1_pricing_summary"].fn(spark, sf_dir))
+    # Warm up JVM, parquet footer cache, codegen — and the Python worker
+    # pool (the first pandas-UDF/Arrow exchange otherwise bills several
+    # seconds of interpreter spin-up to whichever query runs it first).
+    materialize(fns["q1_pricing_summary"](spark, sf_dir))
+    materialize(fns["multimodal_frame_sample"](spark, sf_dir))
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
@@ -110,7 +137,7 @@ def main() -> int:
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
-            materialize(specs[name].fn(spark, sf_dir))
+            materialize(fns[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
             # Operators may persist() intermediates; drop them so no
             # query's timing pays for (or benefits from) cached state.

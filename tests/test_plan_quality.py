@@ -48,16 +48,30 @@ def test_q5_broadcasts_every_dimension(spark):
 
 @pytest.mark.parametrize("name", [
     "q3_shipping_priority",
-    "join_semi_customers_with_urgent",
-    "join_anti_customers_no_urgent",
-    "text_lang_id",
+    "join_semi_anti_customers",
+    "text_profile",
 ])
 def test_no_cartesian_products(spark, name):
     assert "CartesianProduct" not in plan_of(spark, name)
 
 
-def test_lang_id_is_shuffle_free_map(spark):
-    plan = plan_of(spark, "text_lang_id")
+def test_text_profile_is_shuffle_free_map(spark):
+    plan = plan_of(spark, "text_profile")
     # one Exchange only: the global orderBy's range partitioning
     assert plan.count("Exchange") <= 2
+
+
+def test_returned_revenue_never_broadcasts_facts(spark):
+    # orders and customer are O(SF) tables: the only broadcast allowed in
+    # this plan is the HINTED fixed-size nation dimension. A broadcast of
+    # an unfiltered fact OOMs executors at production scale (round-1
+    # verdict). Disable the size-based threshold to simulate "every table
+    # is big": whatever still broadcasts is a hard-coded hint.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "returned_revenue_by_customer")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert plan.count("BroadcastExchange") == 1, plan
     assert "Join" not in plan

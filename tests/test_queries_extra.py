@@ -1,0 +1,91 @@
+"""Coverage for operators that deliberately sit OUTSIDE the <=50-query
+driver registry (the driver scores only the first 50 registered queries),
+plus structural equivalences the merged round-2 queries rely on."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from aws_payment_data_lake_spark.oracle import compare_spark_duck
+from aws_payment_data_lake_spark.queries.dedup import dedup_shingle_jaccard
+from aws_payment_data_lake_spark.queries.sql_surface import (
+    _STATUS_FUNNEL,
+    sql_status_funnel,
+)
+from aws_payment_data_lake_spark.queries.udtf_gallery import udtf_order_quarters
+from aws_payment_data_lake_spark.sources import load
+from tests.conftest import SF_DIR, normalized_rows
+
+
+def _same(df_a, df_b):
+    a = normalized_rows(df_a.columns, [tuple(r) for r in df_a.collect()])
+    b = normalized_rows(df_b.columns, [tuple(r) for r in df_b.collect()])
+    assert sorted(df_a.columns) == sorted(df_b.columns)
+    assert a == b
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark):
+    """The unregistered exact all-pairs baseline returns EXACTLY the rows
+    of the registered MinHash-LSH query (recall 1 at J>=0.6) — which is
+    why registering both would spend two driver slots on one result."""
+    from aws_payment_data_lake_spark.queries.dedup import dedup_minhash_lsh
+
+    _same(dedup_shingle_jaccard(spark, SF_DIR),
+          dedup_minhash_lsh(spark, SF_DIR))
+
+
+def test_outer_recon_decomposition_equals_native_full(spark):
+    """join_outer_recon builds FULL OUTER as right-join UNION left-anti;
+    assert it equals the native how='full' plan row-for-row."""
+    from aws_payment_data_lake_spark.queries.relational import join_outer_recon
+
+    orders, li = load(spark, SF_DIR, "orders", "lineitem")
+    big = (orders.where(F.col("o_totalprice") > 250_000.0)
+           .select("o_orderkey", "o_totalprice"))
+    heavy = (li.where(F.col("l_quantity") > 45)
+             .groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).alias("n_heavy"),
+                  F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                  .cast("double").alias("heavy_qty")))
+    native = (
+        big.join(heavy, big.o_orderkey == heavy.l_orderkey, "full")
+        .select(
+            F.coalesce("o_orderkey", "l_orderkey").alias("orderkey"),
+            F.col("o_orderkey").isNotNull().alias("is_big_order"),
+            F.col("l_orderkey").isNotNull().alias("has_heavy_lines"),
+            "o_totalprice",
+            F.coalesce("n_heavy", F.lit(0)).alias("n_heavy"),
+            F.coalesce("heavy_qty", F.lit(0.0)).alias("heavy_qty"),
+        )
+    )
+    _same(join_outer_recon(spark, SF_DIR), native)
+    # both "directions" must be non-vacuous at this SF
+    out = join_outer_recon(spark, SF_DIR)
+    assert out.where(~F.col("is_big_order")).count() > 0
+    assert out.where(~F.col("has_heavy_lines")).count() > 0
+
+
+def test_sql_status_funnel_matches_duck(spark, duck):
+    """Unregistered SQL-endpoint twin still hash-matches its oracle text
+    (shared verbatim between spark.sql and DuckDB)."""
+    status = compare_spark_duck(sql_status_funnel(spark, SF_DIR),
+                                duck, _STATUS_FUNNEL)
+    assert not status, status
+
+
+def test_udtf_equals_native_rewrite(spark):
+    """The Python UDTF expansion equals the native explode(sequence(...))
+    rewrite — documents what the UDTF computes and pins its semantics."""
+    (orders,) = load(spark, SF_DIR, "orders")
+    native = (
+        orders.where(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey",
+                F.explode(F.sequence(
+                    F.lit(0),
+                    F.lit(8) - F.quarter("o_orderdate"))).alias("pos"),
+                F.date_trunc("quarter", "o_orderdate").alias("q0"))
+        .select(F.col("o_orderkey").alias("orderkey"), "pos",
+                F.to_date(F.add_months("q0", F.col("pos") * 3))
+                .alias("quarter_start"))
+    )
+    _same(udtf_order_quarters(spark, SF_DIR), native)

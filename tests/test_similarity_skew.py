@@ -15,8 +15,10 @@ from aws_payment_data_lake_spark.sources import load
 def test_ivf_recall_vs_brute_force(spark):
     bf = {(r["query_id"], r["neighbor_id"]) for r in
           all_queries()["knn_brute_force"].fn(spark, SF_DIR).collect()}
+    from aws_payment_data_lake_spark.queries.similarity import knn_ivf_probe
+
     ivf = {(r["query_id"], r["neighbor_id"]) for r in
-           all_queries()["knn_ivf_probe"].fn(spark, SF_DIR).collect()}
+           knn_ivf_probe(spark, SF_DIR).collect()}
     recall = len(bf & ivf) / len(bf)
     # measured 0.92-0.94 at 4/16 probes on the testdata; 0.8 is the
     # regression floor, not the target

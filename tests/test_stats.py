@@ -15,8 +15,12 @@ def test_percentile_exact_matches_oracle(spark, duck):
 
 
 def test_approx_sketches_within_bounds(spark):
+    from aws_payment_data_lake_spark.queries.stats import (
+        approx_distinct_quantiles,
+    )
+
     approx = {r["o_orderpriority"]: r for r in
-              all_queries()["approx_distinct_quantiles"].fn(spark, SF_DIR).collect()}
+              approx_distinct_quantiles(spark, SF_DIR).collect()}
     (orders,) = load(spark, SF_DIR, "orders")
     exact = {r["o_orderpriority"]: r for r in (
         orders.groupBy("o_orderpriority")
