@@ -164,9 +164,14 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD,
     # One exploded+hashed shingle table feeds signatures, sizes, AND the
     # verification joins — persist it instead of recomputing the
     # tokenize/shingle/md5 chain four times (at 100 TB: a persisted or
-    # checkpointed intermediate; locally: MEMORY_AND_DISK).
+    # checkpointed intermediate; locally: MEMORY_AND_DISK). The count()
+    # is a MATERIALIZATION BARRIER: without it the final action's
+    # branching stages race to populate the cache and can each recompute
+    # the chain (the round-1 bench showed exactly that — 10.9 s driver
+    # run vs 3.2 s recorded with a warm cache).
     sh = doc_shingles(docs, id_col, text_col).withColumn(
         "h", hash60_mod_p(F.col("shingle"))).persist()
+    sh.count()
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"sig{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -252,25 +257,33 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
               .distinct()
               .withColumn("label", F.col("node"))
               .persist())
-    # Labels only ever DECREASE under min-propagation, so sum(label) is a
-    # strictly-monotone convergence measure — one cheap aggregate per
-    # round instead of a join-and-compare against the previous labels.
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
+    def one_hop(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            edges.join(labels, edges.a == labels.node)
+            edges.join(lbl, edges.a == lbl.node)
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nb_label"))
         )
-        old = labels
-        labels = (
-            old.join(neighbor_min, "node", "left")
+        return (
+            lbl.join(neighbor_min, "node", "left")
             .select("node",
                     F.least(F.col("label"),
                             F.coalesce("nb_label", F.col("label")))
                     .alias("label"))
-            .persist()
         )
+
+    # Labels only ever DECREASE under min-propagation, so sum(label) is a
+    # strictly-monotone convergence measure — one cheap aggregate per
+    # round instead of a join-and-compare against the previous labels.
+    # ONE hop per round, measured: near-dup pair graphs are so shallow
+    # (diameter <= 2 at sf0.1) that batching 2 hops/round — chained
+    # unpersisted, or with a persisted intermediate — just doubles the
+    # join work for the same round count (A/B at sf0.1: 1-hop ~8 s,
+    # 2-hop ~16 s, 2-hop+persist ~41 s). Revisit only if real graphs
+    # show diameter >> rounds.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        old = labels
+        labels = one_hop(old).persist()
         new_sum = labels.agg(F.sum("label")).first()[0]
         old.unpersist()
         if new_sum == prev_sum:

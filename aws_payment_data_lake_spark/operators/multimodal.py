@@ -28,29 +28,58 @@ DECODED_SCHEMA = T.StructType([
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Attach the opaque binary column (UTF-8 bytes of text, standing in
-    for an image/audio blob) plus typed metadata columns."""
+    for an image/audio blob) plus typed metadata columns.
+
+    The repartition is GATED on input parallelism: locally a single
+    parquet file arrives as 1-2 splits and would starve 32 cores, so we
+    spread it; at production scale the scan already yields thousands of
+    file splits and a full-table shuffle "to spread parsing" would be
+    pure waste (round-1 verdict)."""
     shuffle_n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return docs.repartition(shuffle_n, F.col("doc_id")).select(
+    out = docs
+    if docs.rdd.getNumPartitions() * 2 < shuffle_n:
+        out = docs.repartition(shuffle_n, F.col("doc_id"))
+    return out.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime_type"),
     )
 
 
+def _segment_sums(concat: "object", starts: "object", lens: "object"):
+    """Per-segment byte sums over one concatenated buffer, fully
+    vectorized: one reduceat over the nonempty segments (empty segments
+    occupy no bytes, so consecutive nonempty starts still bound exactly
+    the right slices)."""
+    import numpy as np
+
+    sums = np.zeros(len(lens), dtype=np.int64)
+    nonempty = lens > 0
+    if nonempty.any():
+        sums[nonempty] = np.add.reduceat(concat.astype(np.int64),
+                                         starts[nonempty])
+    return sums
+
+
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic fake decoder (REAL codec would go here; see module
-    docstring). Pure-Python byte math per Arrow batch — no row-at-a-time
-    serialization."""
+    docstring). Fully vectorized per Arrow batch: one buffer concat, one
+    cumsum for offsets, one np.add.reduceat for all checksums — zero
+    per-row Python (the round-1 version mapped a Python lambda per row
+    and was the slowest query on the bench)."""
     import numpy as np
     for pdf in batches:
-        payloads = pdf["payload"]
-        n_bytes = payloads.map(len)
-        checksum = payloads.map(
-            lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()))
+        payloads = pdf["payload"].tolist()
+        lens = np.fromiter((len(b) for b in payloads), dtype=np.int64,
+                           count=len(payloads))
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        concat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        checksum = _segment_sums(concat, starts, lens)
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
-            "n_bytes": n_bytes.astype("int32"),
-            "checksum": checksum.astype("int64"),
+            "n_bytes": lens.astype("int32"),
+            "checksum": checksum,
             "width": (checksum % 640 + 1).astype("int32"),
             "height": (checksum // 640 % 480 + 1).astype("int32"),
         })
@@ -76,22 +105,34 @@ def _frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     keyframes here): split each payload into N_FRAMES even byte slices
     (remainder to the last frame) and emit one row per frame with its
     byte checksum — the explode-shaped output every frame-level feature
-    extractor needs."""
+    extractor needs. Vectorized like _decode_batch: frame slices tile the
+    concatenated buffer contiguously (quarters within a doc, docs in
+    order), so one reduceat covers every frame of every doc."""
     import numpy as np
     for pdf in batches:
-        ids, idxs, sizes, sums = [], [], [], []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            flen = len(arr) // N_FRAMES
-            for k in range(N_FRAMES):
-                lo = k * flen
-                hi = (k + 1) * flen if k < N_FRAMES - 1 else len(arr)
-                ids.append(doc_id)
-                idxs.append(k)
-                sizes.append(hi - lo)
-                sums.append(int(arr[lo:hi].sum()))
-        yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
-                            "frame_bytes": sizes, "frame_checksum": sums})
+        payloads = pdf["payload"].tolist()
+        n = len(payloads)
+        lens = np.fromiter((len(b) for b in payloads), dtype=np.int64,
+                           count=n)
+        doc_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=doc_starts[1:])
+        concat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+
+        flen = lens // N_FRAMES
+        idxs = np.tile(np.arange(N_FRAMES, dtype=np.int64), n)
+        fstarts = np.repeat(doc_starts, N_FRAMES) + idxs * np.repeat(flen, N_FRAMES)
+        fends = fstarts + np.repeat(flen, N_FRAMES)
+        # last frame absorbs the remainder
+        fends[idxs == N_FRAMES - 1] = np.repeat(doc_starts + lens, N_FRAMES)[
+            idxs == N_FRAMES - 1]
+        fsizes = fends - fstarts
+        sums = _segment_sums(concat, fstarts, fsizes)
+        yield pd.DataFrame({
+            "doc_id": np.repeat(pdf["doc_id"].to_numpy(), N_FRAMES),
+            "frame_idx": idxs.astype("int32"),
+            "frame_bytes": fsizes.astype("int32"),
+            "frame_checksum": sums,
+        })
 
 
 def frame_sample(with_payload: DataFrame) -> DataFrame:

