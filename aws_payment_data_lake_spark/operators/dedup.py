@@ -80,11 +80,21 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
 
 
 def exact_duplicate_groups(docs: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           prefix_len: int | None = None) -> DataFrame:
     """Exact dedup: group on md5(text); emit only groups with >1 copy,
-    canonical = min id. One shuffle, fully scalable."""
+    canonical = min id. One shuffle, fully scalable.
+
+    `prefix_len` switches the key to md5 of the first N characters —
+    prefix-fingerprint dedup (the C4/RealNews-style boilerplate variant):
+    near-identical docs share their opening characters long before they
+    are byte-identical, so this tier fires on corpora where full-text
+    exact dedup is vacuous."""
+    key = F.col(text_col)
+    if prefix_len is not None:
+        key = F.substring(key, 1, prefix_len)
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        docs.groupBy(F.md5(key).alias("text_md5"))
         .agg(F.count(F.lit(1)).alias("n_copies"),
              F.min(id_col).alias("canonical_doc_id"),
              F.sort_array(F.collect_list(id_col)).alias("doc_ids"))

@@ -44,22 +44,28 @@ ORDER BY doc_a, doc_b
 @register(
     "dedup_exact_groups",
     oracle="""
-    SELECT md5(text) AS text_md5,
+    SELECT md5(substr(text, 1, 100)) AS text_md5,
            count(*) AS n_copies,
            min(doc_id) AS canonical_doc_id,
            list_sort(list(doc_id)) AS doc_ids
     FROM documents
-    GROUP BY md5(text)
+    GROUP BY 1
     HAVING count(*) > 1
     ORDER BY text_md5
     """,
     tags=("dedup", "exact"),
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate groups by md5(text) (empty below sf0.1 — the
-    testdata only injects byte-identical copies at larger scale)."""
+    """Exact-prefix duplicate groups: md5 of the first 100 characters
+    (C4/RealNews-style boilerplate fingerprint). Registered on the prefix
+    key rather than full-text md5 because the testdata injects
+    byte-identical copies only at sf>=0.1 — full-text exact dedup passes
+    vacuously (0 rows) at the driver's sf0.01, while the prefix tier
+    fires at every SF (22 groups at sf0.01). The full-text variant
+    (prefix_len=None) stays the operator default and is pytest-covered
+    at sf0.1."""
     (docs,) = load(spark, sf_dir, "documents")
-    return D.exact_duplicate_groups(docs).orderBy("text_md5")
+    return D.exact_duplicate_groups(docs, prefix_len=100).orderBy("text_md5")
 
 
 def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

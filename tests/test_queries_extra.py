@@ -89,3 +89,32 @@ def test_udtf_equals_native_rewrite(spark):
                 .alias("quarter_start"))
     )
     _same(udtf_order_quarters(spark, SF_DIR), native)
+
+
+def test_exact_dedup_fulltext_and_prefix_tiers(spark):
+    """The registered dedup_exact_groups runs on a prefix-100 fingerprint
+    key so its driver check is non-vacuous at every SF (full-text exact
+    dedup yields 0 groups below sf0.1). The full-text tier stays the
+    operator default — assert it fires at sf0.1, where the generator
+    injects byte-identical copies, and matches a DuckDB oracle."""
+    import duckdb
+
+    from aws_payment_data_lake_spark.operators import dedup as D
+
+    sf01 = "/root/testdata/sf0.1"
+    (docs,) = load(spark, sf01, "documents")
+    full = D.exact_duplicate_groups(docs).orderBy("text_md5")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf01}/documents.parquet')")
+    mism = compare_spark_duck(full, con, """
+        SELECT md5(text) AS text_md5, count(*) AS n_copies,
+               min(doc_id) AS canonical_doc_id,
+               list_sort(list(doc_id)) AS doc_ids
+        FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5""")
+    con.close()
+    assert not mism, mism[:5]
+    assert full.count() > 0
+    # prefix tier: non-vacuous even at the small test SF
+    (docs_sm,) = load(spark, SF_DIR, "documents")
+    assert D.exact_duplicate_groups(docs_sm, prefix_len=100).count() > 0
