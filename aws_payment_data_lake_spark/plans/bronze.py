@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from aws_payment_data_lake_spark.sources.writers import write_zone
 from aws_payment_data_lake_spark.plans.schemas import AMOUNT_DECIMAL
 
 
@@ -83,13 +84,10 @@ def run_bronze(df: DataFrame) -> DataFrame:
     return reduce(lambda acc, fn: fn(acc), BRONZE_TRANSFORMS, df)
 
 
-def write_bronze(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Partitioned parquet sink (S5). Default is idempotent dynamic
-    overwrite — the reference's blind ``append`` (:130) duplicates data on
-    re-run (SURVEY.md §1.5.3); pass mode="append" for strict parity."""
-    writer = df.write.partitionBy("txn_date")
-    if mode == "overwrite":
-        writer = writer.option("partitionOverwriteMode", "dynamic").mode("overwrite")
-    else:
-        writer = writer.mode(mode)
-    writer.parquet(path)
+def write_bronze(df: DataFrame, path: str, mode: str = "overwrite",
+                 fmt: str = "parquet") -> None:
+    """Partitioned sink (S5). Default is idempotent dynamic overwrite —
+    the reference's blind ``append`` (:130) duplicates data on re-run
+    (SURVEY.md §1.5.3); pass mode="append" for strict parity, fmt="delta"
+    for the transactional-append variant (gated; see sources.writers)."""
+    write_zone(df, path, mode=mode, fmt=fmt)

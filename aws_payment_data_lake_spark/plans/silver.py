@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from aws_payment_data_lake_spark.sources.writers import write_zone
 from aws_payment_data_lake_spark.plans.schemas import (
     CURRENCIES,
     STATUS_MAPPING,
@@ -83,11 +84,8 @@ def dq_summary(df: DataFrame) -> DataFrame:
     )
 
 
-def write_silver(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Partitioned parquet sink (S7), idempotent by default like bronze."""
-    writer = df.write.partitionBy("txn_date")
-    if mode == "overwrite":
-        writer = writer.option("partitionOverwriteMode", "dynamic").mode("overwrite")
-    else:
-        writer = writer.mode(mode)
-    writer.parquet(path)
+def write_silver(df: DataFrame, path: str, mode: str = "overwrite",
+                 fmt: str = "parquet") -> None:
+    """Partitioned sink (S7), idempotent by default like bronze; accepts
+    the same gated fmt="delta" flag (sources.writers)."""
+    write_zone(df, path, mode=mode, fmt=fmt)

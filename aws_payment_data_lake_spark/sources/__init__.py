@@ -5,3 +5,7 @@ from aws_payment_data_lake_spark.sources.readers import (  # noqa: F401
     load,
     read_table,
 )
+from aws_payment_data_lake_spark.sources.writers import (  # noqa: F401
+    delta_available,
+    write_zone,
+)

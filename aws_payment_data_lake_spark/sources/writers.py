@@ -1,0 +1,49 @@
+"""Zone sink with a pluggable table format (SURVEY.md §4.1/§7.0).
+
+Parquet everywhere by default; ``fmt="delta"`` selects Delta Lake for
+ACID appends — the reference's blind ``append`` sink
+(src/glue_jobs/etl_transactions_bronze.py:130) duplicates rows on job
+retry, which a transactional format fixes at the storage layer instead
+of via our dynamic-overwrite idempotence. The flag is gated on the
+``delta-spark`` package at call time: this container does not ship it,
+so selecting Delta raises immediately with the exact missing dependency
+rather than failing deep inside the JVM (documented in COVERAGE.md).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+from pyspark.sql import DataFrame
+
+SUPPORTED_FORMATS = ("parquet", "delta")
+
+
+def delta_available() -> bool:
+    """True when the delta-spark Python bindings are importable. The JVM
+    side additionally needs spark.sql.extensions/catalog configured
+    (see get_spark); both ship together in the delta-spark package."""
+    return importlib.util.find_spec("delta") is not None
+
+
+def write_zone(df: DataFrame, path: str, mode: str = "overwrite",
+               partition_col: str = "txn_date", fmt: str = "parquet") -> None:
+    """Partitioned zone sink (S5/S6/S7). Default is idempotent dynamic
+    partition overwrite; pass mode="append" for reference parity (and
+    prefer fmt="delta" with it, where append is transactional)."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"fmt must be one of {SUPPORTED_FORMATS}, got {fmt!r}")
+    if fmt == "delta" and not delta_available():
+        raise RuntimeError(
+            "fmt='delta' requires the delta-spark package (pip install "
+            "delta-spark) and a session built with "
+            "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension; "
+            "neither is present in this environment — use fmt='parquet' "
+            "(dynamic-overwrite idempotence) instead."
+        )
+    writer = df.write.partitionBy(partition_col).format(fmt)
+    if mode == "overwrite":
+        writer = writer.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+    else:
+        writer = writer.mode(mode)
+    writer.save(path)

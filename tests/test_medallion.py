@@ -193,3 +193,25 @@ def test_register_zones_enables_sql_over_catalog_names(spark, pipeline_result):
     assert got == 0  # silver never contains unvalidated statuses
     n_b = spark.sql("SELECT count(*) AS n FROM bronze_transactions_parquet").collect()[0]["n"]
     assert n_b == res["counts"]["bronze"]
+
+
+def test_write_zone_format_flag_gated(spark, tmp_path_factory):
+    """The declared Delta writer flag (SURVEY §4.1/§7.0) exists and is
+    honestly gated: parquet writes through write_zone, fmt='delta' raises
+    immediately naming the missing delta-spark dependency (not shipped in
+    this container), unknown formats are rejected up front."""
+    from aws_payment_data_lake_spark.sources import delta_available, write_zone
+
+    df = spark.range(3).select(
+        F.col("id"), F.lit("2024-01-01").cast("date").alias("txn_date"))
+    base = str(tmp_path_factory.mktemp("zone_fmt"))
+    write_zone(df, base + "/pq")
+    assert spark.read.parquet(base + "/pq").count() == 3
+    with pytest.raises(ValueError, match="fmt"):
+        write_zone(df, base + "/bad", fmt="orc-ish")
+    if not delta_available():
+        with pytest.raises(RuntimeError, match="delta-spark"):
+            write_zone(df, base + "/delta", fmt="delta")
+    else:  # pragma: no cover - container ships without delta-spark
+        write_zone(df, base + "/delta", fmt="delta")
+        assert spark.read.format("delta").load(base + "/delta").count() == 3
