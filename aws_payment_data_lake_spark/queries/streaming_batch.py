@@ -138,47 +138,62 @@ def streaming_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session_window rejects update mode; complete over a finite source
     equals the batch result, so the batch SQL oracle applies verbatim).
     Exercises the tumbling/sliding window generators AND the
-    session-merge state machine end-to-end in one driver slot."""
+    session-merge state machine end-to-end in one driver slot.
+
+    The three branches are INDEPENDENT streams, so all three are started
+    before any is awaited — each StreamingQuery runs on its own scheduler
+    thread and the wall time is the slowest branch, not the sum."""
     from aws_payment_data_lake_spark.streaming import (
         read_event_stream,
-        run_available_now,
+        start_available_now,
         tumbling_counts,
     )
 
     path = os.path.join(sf_dir, "events.parquet")
 
-    tumb = run_available_now(
-        tumbling_counts(read_event_stream(spark, path)),
-        "mem_swl_tumbling", output_mode="complete",
-    ).select(F.lit("tumbling").alias("family"), "window_start", "window_end",
-             F.col("event_type").alias("grain"), "n_events", "sum_value")
+    handles = [
+        start_available_now(
+            tumbling_counts(read_event_stream(spark, path)),
+            "mem_swl_tumbling", output_mode="complete"),
+        start_available_now(
+            read_event_stream(spark, path)
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "n_events", "sum_value"),
+            "mem_swl_sliding", output_mode="complete"),
+        start_available_now(
+            read_event_stream(spark, path)
+            .withWatermark("ts", "1 day")
+            .groupBy(F.session_window("ts", "12 hours").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "user_id",
+                    "n_events", "sum_value"),
+            "mem_swl_session", output_mode="complete"),
+    ]
+    for q in handles:
+        q.awaitTermination()
 
-    slide_src = read_event_stream(spark, path)
-    slide = run_available_now(
-        slide_src.withWatermark("ts", "1 day")
-        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"),
-                F.col("w.end").alias("window_end"), "n_events", "sum_value"),
-        "mem_swl_sliding", output_mode="complete",
-    ).select(F.lit("sliding").alias("family"), "window_start", "window_end",
-             F.lit(None).cast("string").alias("grain"),
-             "n_events", "sum_value")
-
-    sess_src = read_event_stream(spark, path)
-    sess = run_available_now(
-        sess_src.withWatermark("ts", "1 day")
-        .groupBy(F.session_window("ts", "12 hours").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"),
-                F.col("w.end").alias("window_end"), "user_id",
-                "n_events", "sum_value"),
-        "mem_swl_session", output_mode="complete",
-    ).select(F.lit("session").alias("family"), "window_start", "window_end",
-             F.col("user_id").cast("string").alias("grain"),
-             "n_events", "sum_value")
+    tumb = (spark.table("mem_swl_tumbling")
+            .select(F.lit("tumbling").alias("family"),
+                    "window_start", "window_end",
+                    F.col("event_type").alias("grain"),
+                    "n_events", "sum_value"))
+    slide = (spark.table("mem_swl_sliding")
+             .select(F.lit("sliding").alias("family"),
+                     "window_start", "window_end",
+                     F.lit(None).cast("string").alias("grain"),
+                     "n_events", "sum_value"))
+    sess = (spark.table("mem_swl_session")
+            .select(F.lit("session").alias("family"),
+                    "window_start", "window_end",
+                    F.col("user_id").cast("string").alias("grain"),
+                    "n_events", "sum_value"))
 
     return (tumb.unionByName(slide).unionByName(sess)
             .orderBy("family", "window_start", "grain"))

@@ -22,6 +22,7 @@ from aws_payment_data_lake_spark.streaming.events import (  # noqa: F401
     deduped_event_stream,
     read_event_stream,
     run_available_now,
+    start_available_now,
     tumbling_counts,
 )
 from aws_payment_data_lake_spark.streaming.bronze_stream import (  # noqa: F401

@@ -70,15 +70,26 @@ def deduped_event_stream(events: DataFrame,
             .dropDuplicatesWithinWatermark(["event_id"]))
 
 
+def start_available_now(stream_df: DataFrame, query_name: str,
+                        output_mode: str = "append"):
+    """Start (without draining) an AvailableNow run into a memory sink.
+    Returns the StreamingQuery handle; pair with awaitTermination() and
+    ``spark.table(query_name)``. Split out so INDEPENDENT streams can run
+    concurrently — Structured Streaming queries each get their own
+    scheduler thread, so N finite streams drain in max() not sum() of
+    their times."""
+    return (stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start())
+
+
 def run_available_now(stream_df: DataFrame, query_name: str,
                       output_mode: str = "append") -> DataFrame:
     """Drain a stream to completion into a memory sink and return the
     result as a DataFrame (test/driver harness for file-backed streams;
     Trigger.AvailableNow processes everything available, then stops)."""
-    q = (stream_df.writeStream.format("memory")
-         .queryName(query_name)
-         .outputMode(output_mode)
-         .trigger(availableNow=True)
-         .start())
+    q = start_available_now(stream_df, query_name, output_mode)
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
