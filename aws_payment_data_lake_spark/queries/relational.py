@@ -254,16 +254,18 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "aggregate", "topk"),
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q3-style: selective dim filter -> broadcast customer into
-    orders -> join fact -> agg -> top-10 (TakeOrderedAndProject, no global
-    sort materialization)."""
+    """TPC-H-Q3-style: selective dim filter -> join into orders -> join
+    fact -> agg -> top-10 (TakeOrderedAndProject, no global sort
+    materialization). customer is O(SF) so it carries NO broadcast hint:
+    size statistics / AQE broadcast it while it fits and shuffle it when
+    it doesn't."""
     cust, orders, li = load(spark, sf_dir, "customer", "orders", "lineitem")
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     return (
         li.where(F.col("l_shipdate") > cutoff)
         .join(orders.where(F.col("o_orderdate") < cutoff),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+        .join(cust.where(F.col("c_mktsegment") == "BUILDING"),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
@@ -295,8 +297,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "aggregate", "broadcast"),
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-style 6-table join; every dimension is broadcast so the
-    only shuffles are the orders<->lineitem equi-join and the final agg."""
+    """TPC-H-Q5-style 6-table join. Fixed-cardinality dimensions
+    (nation, region) carry explicit broadcast hints; the O(SF) sides
+    (customer, supplier) are left to size statistics / AQE — they
+    broadcast while small and degrade to shuffle joins at scale instead
+    of OOMing the driver."""
     cust, orders, li, sup, nat, reg = load(
         spark, sf_dir, "customer", "orders", "lineitem",
         "supplier", "nation", "region")
@@ -309,8 +314,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders.where((F.col("o_orderdate") >= lo)
                              & (F.col("o_orderdate") < hi)),
                 F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("n_name")
         .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                       4, "revenue"))

@@ -5,9 +5,10 @@ national trade flows (Q7-ish), revenue-at-risk by customer (Q10-ish),
 brand/part market share (Q14-ish). (Inter-event gap analytics moved into
 ``window_event_analytics`` in queries/relational.py.)
 
-Scale notes: true dimension sides (nation/supplier/part, fixed or
-near-fixed cardinality) broadcast; O(SF) tables (orders, customer) never
-do — their joins shuffle on the equi-key and AQE picks the strategy;
+Scale notes: only fixed-cardinality dimensions (nation: 25 rows) carry
+explicit broadcast hints; every O(SF) table (orders, customer, supplier,
+part) is left unhinted — size statistics / AQE broadcast them while they
+fit and shuffle them on the equi-key once they don't;
 the fact-side scans prune to the joined/aggregated columns;
 the lag window partitions on user_id (high cardinality, even) — none of
 these plans change shape at 1000 executors.
@@ -49,7 +50,7 @@ def trade_flows_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
         .cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("supp_nation"),
                  F.year("l_shipdate").cast("int").alias("ship_year"))
@@ -133,7 +134,7 @@ def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
         .cast("decimal(18,4)")
     brand_rev = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(F.sum(rev).alias("brand_rev_dec"))
     )
