@@ -325,7 +325,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD,
     60 bits into 6 chunks; <=5 flips can't touch all 6 chunks, so every
     qualifying pair shares >=1 exact chunk — candidates are found by 6
     equi-joins (one exploded join), recall is EXACTLY 1."""
-    fps = simhash_fingerprints(docs, id_col, text_col)
+    # The chunk equi-join below is a SELF-join: without a persisted input
+    # both sides recompute the whole tokenize/shingle/61-agg fingerprint
+    # chain (AQE's broadcast conversion defeats shuffle-exchange reuse —
+    # measured 10 s vs 6 s at sf0.1). Fingerprints are 2 longs per doc,
+    # so persisting is cheap at any scale; count() is the materialization
+    # barrier (see minhash_lsh_pairs).
+    fps = simhash_fingerprints(docs, id_col, text_col).persist()
+    fps.count()
     chunks = F.array(*[
         F.shiftright(F.col("fingerprint"), 10 * k).bitwiseAND(F.lit(1023))
         for k in range(SIMHASH_CHUNKS)
