@@ -117,9 +117,12 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = (D.connected_components(D.jaccard_pairs(docs))
             .select("doc_id", F.col("canonical_doc_id").alias("canonical")))
 
+    # comp holds only docs in near-dup clusters — small relative to the
+    # corpus, but data-dependent, so no hard-coded broadcast hint: size
+    # statistics / AQE broadcast it while it fits (round-1 verdict).
     feat = (
         docs.select("doc_id", pred.alias("pred_lang"), q.alias("q"))
-        .join(F.broadcast(comp), "doc_id", "left")
+        .join(comp, "doc_id", "left")
     )
     drop_reason = (
         F.when(F.col("pred_lang") == "und", "lang")
