@@ -32,22 +32,40 @@ def sf_dir_from_env() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table (parquet carries its own schema).
+def normalize_event_time(df: DataFrame) -> DataFrame:
+    """Source-boundary rule: event-time columns are session-UTC
+    ``TimestampType``, whatever the parquet footer says.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark won't map to
-    TimestampType (PARQUET_TYPE_ILLEGAL); we read nanos as long (legacy
-    conf) and integer-divide to micros — the same truncation DuckDB
-    applies, so oracle comparisons agree to the microsecond.
+    The driver testdata has shipped ``events.ts`` in two physical shapes
+    so far — TIMESTAMP(NANOS) (older) and timestamp[us] with no timezone
+    (current), which Spark 4 reads as TIMESTAMP_NTZ. Downstream consumers
+    need plain TIMESTAMP: ``withWatermark`` rejects NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and JSON sinks silently format
+    NTZ under ``timestampNTZFormat`` (millisecond default, truncating
+    micros). Normalizing once here keeps every consumer — batch, stream,
+    sinks — agnostic of the footer's type. Under the pinned UTC session
+    the NTZ→LTZ cast is value-preserving, so oracle hashes are unchanged.
     """
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        elif f.name == "ts" and isinstance(f.dataType, T.LongType):
+            # legacy TIMESTAMP(NANOS) shape, read as long via
+            # spark.sql.legacy.parquet.nanosAsLong: truncate to micros —
+            # the same truncation DuckDB applies.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (parquet carries its own schema), with
+    event-time columns normalized to session-UTC TimestampType
+    (see ``normalize_event_time``)."""
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for f in df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_event_time(df)
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -20,12 +20,14 @@ def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events table. Streaming sources need an
     explicit schema — taken from the parquet footer (driver-side metadata
-    read, no data scan). The testdata's TIMESTAMP(NANOS) column gets the
-    same nanos->micros mapping as the batch reader (sources/readers.py)."""
-    import pyspark.sql.functions as F
-    from pyspark.sql import types as T
-
+    read, no data scan). Event-time columns are then normalized by the same
+    source-boundary rule as the batch reader
+    (sources/readers.py:normalize_event_time): TIMESTAMP_NTZ / legacy
+    nanos → session-UTC TimestampType, so ``withWatermark`` always sees a
+    watermarkable TIMESTAMP column regardless of the footer's shape."""
     import os
+
+    from ..sources.readers import normalize_event_time
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
@@ -36,11 +38,7 @@ def read_event_stream(spark: SparkSession, path: str,
     # literal file path into a glob matching exactly that file.
     if not os.path.isdir(path):
         path = f"{path[:-1]}[{path[-1]}]"
-    df = reader.parquet(path)
-    for f in df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_event_time(reader.parquet(path))
 
 
 def tumbling_counts(events: DataFrame,

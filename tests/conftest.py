@@ -27,7 +27,26 @@ from aws_payment_data_lake_spark.sources import TESTDATA_TABLES  # noqa: E402
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="pytest", master="local[8]", shuffle_partitions=8)
+    _assert_testdata_shape(s)
     yield s
+
+
+def _assert_testdata_shape(spark):
+    """Fail loudly in ONE place if the driver testdata changes physical
+    shape again. events.ts has already shipped as TIMESTAMP(NANOS)
+    (round 1) and timestamp[us]-no-tz → TIMESTAMP_NTZ (round 2, which
+    silently broke streaming + JSONL until the driver ran); the source
+    boundary (sources/readers.normalize_event_time) must hand every
+    consumer a plain session-UTC TIMESTAMP whatever the footer says."""
+    from pyspark.sql import types as T
+
+    from aws_payment_data_lake_spark.sources import read_table
+
+    ts_type = read_table(spark, SF_DIR, "events").schema["ts"].dataType
+    assert isinstance(ts_type, T.TimestampType), (
+        f"events.ts normalized to {ts_type} — expected TimestampType; the "
+        "testdata's physical shape changed and normalize_event_time "
+        "(sources/readers.py) no longer covers it")
 
 
 @pytest.fixture(scope="session")
