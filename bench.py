@@ -128,31 +128,48 @@ def main() -> int:
     # Warm up JVM, parquet footer cache, codegen — and the Python worker
     # pool (the first pandas-UDF/Arrow exchange otherwise bills several
     # seconds of interpreter spin-up to whichever query runs it first).
-    materialize(fns["q1_pricing_summary"](spark, sf_dir))
-    materialize(fns["multimodal_frame_sample"](spark, sf_dir))
+    for warm in ("q1_pricing_summary", "multimodal_frame_sample"):
+        try:
+            materialize(fns[warm](spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"  warmup {warm}: ERR {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
+        # Per-query fault isolation: one throwing query must cost one row,
+        # not the whole artifact (BENCH_r02 was nulled by a single
+        # streaming AnalysisException reaching the top level).
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            materialize(fns[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-            # Operators may persist() intermediates; drop them so no
-            # query's timing pays for (or benefits from) cached state.
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                materialize(fns[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+                # Operators may persist() intermediates; drop them so no
+                # query's timing pays for (or benefits from) cached state.
+                spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
             spark.catalog.clearCache()
+            print(f"  {name}: ERR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_from_dir(sf_dir),
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     return 0
 
 
