@@ -89,7 +89,12 @@ def exact_duplicate_groups(docs: DataFrame, id_col: str = "doc_id",
     prefix-fingerprint dedup (the C4/RealNews-style boilerplate variant):
     near-identical docs share their opening characters long before they
     are byte-identical, so this tier fires on corpora where full-text
-    exact dedup is vacuous."""
+    exact dedup is vacuous.
+
+    `doc_ids` is a comma-joined sorted string, not an array: registered
+    outputs carry no collection-typed columns (convention,
+    queries/relational.py) because the driver's pandas canonicalizer
+    cannot sort list cells."""
     key = F.col(text_col)
     if prefix_len is not None:
         key = F.substring(key, 1, prefix_len)
@@ -97,7 +102,8 @@ def exact_duplicate_groups(docs: DataFrame, id_col: str = "doc_id",
         docs.groupBy(F.md5(key).alias("text_md5"))
         .agg(F.count(F.lit(1)).alias("n_copies"),
              F.min(id_col).alias("canonical_doc_id"),
-             F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+             F.array_join(F.sort_array(F.collect_list(id_col)), ",")
+             .alias("doc_ids"))
         .where(F.col("n_copies") > 1)
     )
 

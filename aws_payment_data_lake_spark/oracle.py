@@ -11,7 +11,8 @@ midnight TIMESTAMP, ns/us units equal).
 
 Consequence — the repo-wide output-type convention (see
 queries/relational.py module docstring): final outputs carry only
-int64 / float64 / bool / string / datetime / arrays thereof.
+int64 / float64 / bool / string / datetime. Collections are rejected
+outright (the driver's canonicalizer dies on them — see ``norm_cell``).
 """
 
 from __future__ import annotations
@@ -23,12 +24,19 @@ import pandas as pd
 
 
 def norm_cell(v) -> str:
-    """Type-sensitive canonical string for one result cell."""
-    if isinstance(v, (np.ndarray, list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{norm_cell(x)}"
-                              for k, x in sorted(v.items())) + "}"
+    """Type-sensitive canonical string for one result cell.
+
+    Collection cells are REJECTED, not stringified: the driver's
+    canonicalizer (pandas ``sort_values``) dies on list cells
+    (``TypeError: unhashable type: 'list'``), so accepting them locally
+    would let outputs pass here and fail there (the round-2
+    dedup_exact_groups regression). Registered outputs must
+    ``array_join`` collections to strings — see queries/relational.py."""
+    if isinstance(v, (np.ndarray, list, tuple, dict)):
+        raise TypeError(
+            f"collection-typed result cell {type(v).__name__}: {v!r} — the "
+            "driver's pandas canonicalizer cannot sort these; array_join "
+            "to a string (convention: queries/relational.py docstring)")
     if v is None or (isinstance(v, float) and v != v):
         return "NULL"
     try:

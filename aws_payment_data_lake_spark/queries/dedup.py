@@ -47,7 +47,7 @@ ORDER BY doc_a, doc_b
     SELECT md5(substr(text, 1, 100)) AS text_md5,
            count(*) AS n_copies,
            min(doc_id) AS canonical_doc_id,
-           list_sort(list(doc_id)) AS doc_ids
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
     FROM documents
     GROUP BY 1
     HAVING count(*) > 1

@@ -26,7 +26,15 @@ Scale conventions used throughout:
   * averages are emitted as exact-decimal-sum cast to DOUBLE divided by
     the BIGINT count: every arithmetic step is bit-identical across
     engines, so no rounding is needed (rounding a near-tie double is
-    itself a cross-engine hazard).
+    itself a cross-engine hazard);
+  * NO collection-typed columns (array/map/struct) in registered outputs:
+    the driver canonicalizes results with pandas ``sort_values``, which
+    factorizes every column and raises ``TypeError: unhashable type:
+    'list'`` on list cells (CORRECTNESS_r02: dedup_exact_groups).
+    ``array_join(sort_array(...), ',')`` on the Spark side and
+    ``array_to_string(list_sort(...), ',')`` in DuckDB. oracle.py and
+    scripts/driver_sim.py REJECT collection columns so the local gate is
+    strictly at least as strict as the driver.
 """
 
 from __future__ import annotations

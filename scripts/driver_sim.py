@@ -17,8 +17,9 @@ cell is stringified TYPE-SENSITIVELY:
     int-vs-float dtype split between engines is therefore a hash MISMATCH
     even when the values are numerically identical.
   * Consequence (the repo-wide output-type convention): final outputs carry
-    only int64 / float64 / bool / string / date / timestamp / arrays
-    thereof. Money aggregates sum exactly in DECIMAL and are cast to DOUBLE
+    only int64 / float64 / bool / string / date / timestamp — NO collection
+    types (the driver's pandas sort dies on list cells; oracle.py rejects
+    them). Money aggregates sum exactly in DECIMAL and are cast to DOUBLE
     at scale <= 4 as the last step on BOTH sides (unscaled < 2^53 keeps
     DuckDB's decimal->double cast correctly rounded, matching the JVM).
   * Integer aggregates in oracle SQL are CAST(... AS BIGINT) (else DuckDB's

@@ -110,7 +110,7 @@ def test_exact_dedup_fulltext_and_prefix_tiers(spark):
     mism = compare_spark_duck(full, con, """
         SELECT md5(text) AS text_md5, count(*) AS n_copies,
                min(doc_id) AS canonical_doc_id,
-               list_sort(list(doc_id)) AS doc_ids
+               array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
         FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_md5""")
     con.close()
     assert not mism, mism[:5]
