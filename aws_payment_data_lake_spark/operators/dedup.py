@@ -250,79 +250,98 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_iter: int = 50,
-                         broadcast_node_limit: int = 5_000_000) -> DataFrame:
+                         dst: str = "doc_b", max_iter: int = 50) -> DataFrame:
     """Connected components over the near-dup pair graph -> canonical doc
     per duplicate cluster (min doc_id), the step that turns pairwise
     similarity into trainable keep/drop decisions.
 
-    Iterative min-label propagation to fixpoint on the PAIR graph. The
-    pair graph is orders of magnitude smaller than the corpus (only
-    near-dups appear), so a driver-side convergence loop over a cached
-    edge table is the honest scale shape; each iteration is one
-    join + min-aggregation, and near-dup clusters are shallow (diameter
-    ~ a few hops), so it converges in a handful of rounds.
+    Alternating large-star / small-star rounds (the two-phase MapReduce
+    connected-components algorithm, Kiveris et al. 2014): each round
+    contracts every node's neighborhood toward its minimum, so label
+    distance shrinks multiplicatively and the loop converges in
+    O(log d) rounds on diameter-d graphs — vs the d rounds of plain
+    1-hop min-label propagation. Near-dup graphs are usually shallow
+    (diameter <= 2 locally), where both shapes cost the same handful of
+    rounds; on adversarial chain-shaped graphs (transitive near-dup
+    chains at corpus scale) this version wins asymptotically. Each round
+    is two groupBy-min + join passes over the PAIR graph, which is
+    orders of magnitude smaller than the corpus.
 
-    While the label table stays under `broadcast_node_limit` nodes, both
-    per-round joins carry broadcast hints (measured ~30% faster locally —
-    no shuffle of the cached edge table each hop); above the limit the
-    hints drop away and the loop degrades gracefully to shuffle joins.
-    The node count comes free with the first convergence aggregate.
+      large-star: for each node u with neighborhood G(u) (symmetric),
+                  m = min(G(u) ∪ {u}); emit (v, m) for v in G(u), v > u.
+      small-star: orient edges (u, v) with u > v; m = min(N(u) ∪ {u});
+                  emit (v, m) for v in N(u) ∪ {u}, v != m.
+
+    At fixpoint the edge set is a union of stars (child -> component
+    minimum). Convergence detection: the edge set is compared by
+    (count, exact decimal sum of per-edge xxhash64) — two cheap
+    aggregates, no join-and-compare; a hash-sum tie on different edge
+    sets is astronomically unlikely, and max_iter bounds the loop
+    regardless (the algorithm's round count is provably O(log n)).
+
+    Each round ends in ``localCheckpoint`` (not ``persist``): one round's
+    plan references its input ~12x (symmetrize-union + two self-joins +
+    star-union), so without lineage TRUNCATION the analyzed tree grows
+    ~12^rounds and the driver OOMs on analysis alone by round ~7 —
+    caching the data is not enough. The checkpointed table is the
+    (small) pair graph, so materializing it per round is cheap. On a
+    real cluster swap localCheckpoint for a reliable ``checkpoint`` dir:
+    local checkpoint blocks die with an executor, which kills a
+    long-running job at 1000-executor scale.
     """
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(src) != F.col(dst))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    labels = (edges.select(F.col("a").alias("node"))
-              .distinct()
-              .withColumn("label", F.col("node"))
-              .persist())
-    prev_sum, n_nodes = labels.agg(F.sum("label"), F.count(F.lit(1))).first()
-    small = n_nodes <= broadcast_node_limit
+    all_nodes = (edges.select(F.col("u").alias("node"))
+                 .union(edges.select(F.col("v").alias("node")))
+                 .distinct())
 
-    def one_hop(lbl: DataFrame) -> DataFrame:
-        probe = F.broadcast(lbl) if small else lbl
-        neighbor_min = (
-            edges.join(probe, edges.a == probe.node)
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.min("label").alias("nb_label"))
-        )
-        if small:
-            neighbor_min = F.broadcast(neighbor_min)
-        return (
-            lbl.join(neighbor_min, "node", "left")
-            .select("node",
-                    F.least(F.col("label"),
-                            F.coalesce("nb_label", F.col("label")))
-                    .alias("label"))
-        )
+    def checksum(e: DataFrame):
+        return tuple(e.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))).first())
 
-    # Labels only ever DECREASE under min-propagation, so sum(label) is a
-    # strictly-monotone convergence measure — one cheap aggregate per
-    # round instead of a join-and-compare against the previous labels.
-    # ONE hop per round, measured: near-dup pair graphs are so shallow
-    # (diameter <= 2 at sf0.1) that batching 2 hops/round — chained
-    # unpersisted, or with a persisted intermediate — just doubles the
-    # join work for the same round count (A/B at sf0.1: 1-hop ~8 s,
-    # 2-hop ~16 s, 2-hop+persist ~41 s). Revisit only if real graphs
-    # show diameter >> rounds.
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m")))
+        return (sym.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(F.greatest("u", "v").alias("u"),
+                            F.least("u", "v").alias("v"))
+        # u > every neighbor v here, so min(N(u) ∪ {u}) = min(v)
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = (oriented.join(mins, "u")
+               .where(F.col("v") != F.col("m"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        own = mins.select("u", F.col("m").alias("v"))
+        return nbr.union(own).distinct()
+
+    prev = checksum(edges)
     for _ in range(max_iter):
-        old = labels
-        labels = one_hop(old).persist()
-        new_sum = labels.agg(F.sum("label")).first()[0]
-        old.unpersist()
-        if new_sum == prev_sum:
+        edges = small_star(large_star(edges)).localCheckpoint()
+        cur = checksum(edges)
+        if cur == prev:
             break
-        prev_sum = new_sum
+        prev = cur
+
+    # Fixpoint edges are (child, root) stars; roots appear only on the
+    # right. Every node labels itself unless a star edge points it at a
+    # smaller root.
+    labels = (all_nodes.join(edges, all_nodes.node == edges.u, "left")
+              .select("node", F.coalesce("v", "node").alias("label")))
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(F.col("node").alias("doc_id"),
-                F.col("label").alias("canonical_doc_id"),
-                "group_size")
-    )
+    return (labels.join(sizes, "label")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("label").alias("canonical_doc_id"),
+                    "group_size"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD,

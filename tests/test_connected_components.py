@@ -1,0 +1,70 @@
+"""Unit tests for the large-star/small-star connected-components operator.
+
+The driver oracle (recursive CTE over the sf0.01 near-dup graph) checks
+the shallow real-data case; these tests pin the adversarial shapes that
+motivated the two-phase algorithm — deep chains, where plain 1-hop label
+propagation needs diameter rounds but large-star/small-star needs
+O(log d).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from aws_payment_data_lake_spark.operators.dedup import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    rows = connected_components(df).collect()
+    return {r.doc_id: (r.canonical_doc_id, r.group_size) for r in rows}
+
+
+def test_chain_collapses_to_min(spark):
+    """A 64-node path: diameter 63. 1-hop propagation would need ~63
+    rounds; large-star/small-star converges inside max_iter=50 easily
+    (O(log 63) ~ 6 alternations) and labels every node with the min."""
+    n = 64
+    got = _cc(spark, [(i, i + 1) for i in range(n - 1)])
+    assert got == {i: (0, n) for i in range(n)}
+
+
+def test_two_components_and_orientation(spark):
+    """Two clusters, edges given in arbitrary direction (b < a on some):
+    labels are per-component minima, sizes per-component counts."""
+    got = _cc(spark, [(5, 3), (3, 9), (20, 21), (22, 21), (9, 5)])
+    assert got == {3: (3, 3), 5: (3, 3), 9: (3, 3),
+                   20: (20, 3), 21: (20, 3), 22: (20, 3)}
+
+
+def test_star_and_duplicate_edges(spark):
+    """Pre-collapsed star + duplicate/self edges are a fixpoint: one
+    round detects convergence, output unchanged."""
+    got = _cc(spark, [(1, 7), (1, 8), (1, 9), (1, 7), (7, 7)])
+    assert got == {1: (1, 4), 7: (1, 4), 8: (1, 4), 9: (1, 4)}
+
+
+def test_matches_label_propagation_semantics(spark):
+    """Random-ish graph vs a driver-side union-find oracle."""
+    edges = [(a, b) for a, b in
+             [(2, 11), (11, 29), (29, 31), (4, 6), (6, 2),
+              (40, 41), (50, 51), (51, 52), (52, 40), (99, 98)]]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for node in parent:
+        comps.setdefault(find(node), []).append(node)
+    expect = {n: (root, len(members))
+              for root, members in comps.items() for n in members}
+    assert _cc(spark, edges) == expect
