@@ -20,9 +20,61 @@ def test_ivf_recall_vs_brute_force(spark):
     ivf = {(r["query_id"], r["neighbor_id"]) for r in
            knn_ivf_probe(spark, SF_DIR).collect()}
     recall = len(bf & ivf) / len(bf)
-    # measured 0.92-0.94 at 4/16 probes on the testdata; 0.8 is the
-    # regression floor, not the target
-    assert recall >= 0.8, f"IVF recall@5 regressed: {recall}"
+    # measured 0.94 (sf0.001) / 0.92 (sf0.01) at 4/16 probes with seed
+    # centroids (n_train_iter=0 — the right default for this isotropic
+    # testdata, see ivf_topk's docstring); 0.9 is the regression floor
+    assert recall >= 0.9, f"IVF recall@5 regressed: {recall}"
+
+
+def test_kmeans_beats_seed_centroids_on_clustered_corpus(spark):
+    """On a corpus WITH cluster structure, trained centroids must beat
+    id-order seeding. Adversarial layout: the 8 lowest vec_ids (the
+    seeds) all come from cluster 0, so seeded IVF partitions cluster 0
+    finely and lumps the other 7 clusters; queries spread over all
+    clusters then miss. Lloyd rounds (kmeans_centroids) redistribute the
+    centroids onto the true density centers and recover the recall."""
+    import numpy as np
+
+    from aws_payment_data_lake_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 16, 8, 25
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = []
+    for c in range(n_clusters):
+        noise = 0.25 * rng.normal(size=(per, dim))
+        v = centers[c] + noise
+        pts.append(v / np.linalg.norm(v, axis=1, keepdims=True))
+    pts = np.vstack(pts)  # grouped by cluster: rows 0..24 = cluster 0, …
+
+    # vec_ids 0..7 -> cluster-0 points (the adversarial seeds);
+    # vec_ids 8..39 -> 4 points from every cluster (the queries);
+    # the rest in cluster order.
+    seed_rows = list(range(8))
+    query_rows = [c * per + j for j in range(8, 12) for c in range(n_clusters)]
+    rest = [i for i in range(len(pts)) if i not in set(seed_rows + query_rows)]
+    order = seed_rows + query_rows + rest
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[r]]) for i, r in enumerate(order)],
+        "vec_id long, embedding array<double>")
+
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in brute_force_topk(emb, k=5, n_queries=40).collect()}
+
+    def recall(n_train_iter):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in ivf_topk(emb, k=5, n_queries=40, n_centroids=8,
+                                 n_probe=2, n_train_iter=n_train_iter)
+               .collect()}
+        return len(bf & got) / len(bf)
+
+    seeded, trained = recall(0), recall(5)
+    assert trained > seeded, (seeded, trained)
+    assert trained >= 0.9, (seeded, trained)
 
 
 def test_salted_agg_equals_plain_agg(spark):
