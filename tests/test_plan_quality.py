@@ -38,6 +38,27 @@ def test_q1_scan_pruned(spark):
     assert len(cols.split(",")) == 7  # only the columns q1 touches
 
 
+def test_event_time_filter_pushes_through_ntz_normalization(spark):
+    """The source-boundary NTZ->TIMESTAMP cast (normalize_event_time)
+    must not cost event-time predicate pushdown: Catalyst rewrites a
+    comparison against the cast column back onto the underlying
+    timestamp_ntz scan column (order-preserving bijection under the
+    pinned UTC session). Guard it — a silent pushdown loss here would
+    turn every time-windowed events query into a full scan at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from aws_payment_data_lake_spark.sources import read_table
+
+    ev = read_table(spark, SF_DIR, "events")
+    q = (ev.where(F.col("ts") >= F.lit("2024-06-01").cast("timestamp"))
+         .select("event_id", "ts"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "GreaterThanOrEqual(ts," in plan.split("PushedFilters:")[1], plan
+
+
 def test_q5_small_sides_broadcast_at_runtime(spark):
     # Only nation/region carry hints now (fixed cardinality); customer and
     # supplier are O(SF), so the STATIC plan may shuffle them — the runtime
