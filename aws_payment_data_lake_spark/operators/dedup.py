@@ -154,21 +154,35 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Band signatures into 32 (band_idx, xxhash64(sig_2j, sig_2j+1))
-    buckets and self-join. Band hashing needs no oracle twin — banding
-    only shapes the CANDIDATE set; correctness comes from verification."""
+    buckets; pairs are expanded WITHIN buckets. Band hashing needs no
+    oracle twin — banding only shapes the CANDIDATE set; correctness
+    comes from verification.
+
+    Bucket-and-expand, not a banded self-join: a self-join evaluates the
+    signature plan once per side (the 64-min aggregation twice) and
+    shuffles the full banded table against itself, where the groupBy
+    collects each bucket's ids in ONE shuffle of the banded rows and the
+    double explode only touches buckets with >1 member. The pair blowup
+    on a hot bucket (e.g. a boilerplate corpus where thousands of docs
+    share a band) is |bucket|^2 in BOTH shapes — banding radius, not
+    join strategy, is the knob for that. Candidate set is identical.
+
+    Measured at sf0.1 (5000 docs, 160k banded rows): candidates stage
+    3.2 s -> ~1 s; full minhash_lsh_pairs 3.3 -> ~2.3 s."""
     bands = F.array(*[
         F.xxhash64(F.lit(j), F.col(f"sig{2 * j}"), F.col(f"sig{2 * j + 1}"))
         for j in range(N_BANDS)
     ])
-    banded = sigs.select(
-        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets = (
+        sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+        .groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     return (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
@@ -177,23 +191,30 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD,
                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-verified: banded candidates ->
     exact Jaccard filter. Output contract identical to jaccard_pairs."""
-    # One exploded+hashed shingle table feeds signatures, sizes, AND the
+    # One exploded+hashed shingle table feeds signatures AND the
     # verification joins — persist it instead of recomputing the
-    # tokenize/shingle/md5 chain four times (at 100 TB: a persisted or
-    # checkpointed intermediate; locally: MEMORY_AND_DISK). The count()
-    # is a MATERIALIZATION BARRIER: without it the final action's
-    # branching stages race to populate the cache and can each recompute
-    # the chain (the round-1 bench showed exactly that — 10.9 s driver
-    # run vs 3.2 s recorded with a warm cache).
+    # tokenize/shingle/md5 chain per consumer (at 100 TB: a persisted or
+    # checkpointed intermediate; locally: MEMORY_AND_DISK). The shingle
+    # count n_sh rides the SAME groupBy as the 64 signature mins (one
+    # pass, one shuffle — not a separate sizes aggregation), and the
+    # 5000-row sigs table is itself persisted so banding and both size
+    # joins never re-run the 64-min agg. The count() on sigs is a
+    # MATERIALIZATION BARRIER populating both caches in one job: without
+    # it the final action's branching stages race to populate the cache
+    # and can each recompute the chain (the round-1 bench showed exactly
+    # that — 10.9 s driver run vs 3.2 s recorded with a warm cache).
     sh = doc_shingles(docs, id_col, text_col).withColumn(
         "h", hash60_mod_p(F.col("shingle"))).persist()
-    sh.count()
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"sig{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    cands = lsh_candidate_pairs(sh.groupBy("doc_id").agg(*aggs))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sigs = (sh.groupBy("doc_id")
+            .agg(*aggs, F.count(F.lit(1)).alias("n_sh"))
+            .persist())
+    sigs.count()
+    cands = lsh_candidate_pairs(sigs)
+    sizes = sigs.select("doc_id", "n_sh")
     # intersection restricted to candidate pairs: expand doc_a's shingles,
     # then equi-join on (doc_b, shingle) to count the overlap
     inter = (

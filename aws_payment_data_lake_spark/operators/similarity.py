@@ -138,6 +138,19 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
     ulps by construction.
     """
     spark = emb.sparkSession
+
+    def cent_df_of(rows):
+        return spark.createDataFrame(
+            [(i, list(r["ue"])) for i, r in enumerate(rows)],
+            "cent_id long, ce array<double>")
+
+    if n_iter == 0:
+        # Seed-only: no training pass, so skip the corpus count and the
+        # sample persist entirely — one limit-collect job.
+        return cent_df_of(
+            emb.select("vec_id", unit(F.col("embedding")).alias("ue"))
+            .orderBy("vec_id").limit(n_centroids).collect())
+
     n = emb.count()
     stride = max(1, n // train_cap)
     ue = (emb.where(F.pmod("vec_id", F.lit(stride)) == 0)
