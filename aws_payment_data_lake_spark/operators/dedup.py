@@ -271,7 +271,8 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_iter: int = 50) -> DataFrame:
+                         dst: str = "doc_b", max_iter: int = 50,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over the near-dup pair graph -> canonical doc
     per duplicate cluster (min doc_id), the step that turns pairwise
     similarity into trainable keep/drop decisions.
@@ -300,22 +301,30 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     sets is astronomically unlikely, and max_iter bounds the loop
     regardless (the algorithm's round count is provably O(log n)).
 
-    Each round ends in ``localCheckpoint`` (not ``persist``): one round's
+    Each round ends in a checkpoint (not ``persist``): one round's
     plan references its input ~12x (symmetrize-union + two self-joins +
     star-union), so without lineage TRUNCATION the analyzed tree grows
     ~12^rounds and the driver OOMs on analysis alone by round ~7 —
     caching the data is not enough. The checkpointed table is the
-    (small) pair graph, so materializing it per round is cheap. On a
-    real cluster swap localCheckpoint for a reliable ``checkpoint`` dir:
-    local checkpoint blocks die with an executor, which kills a
-    long-running job at 1000-executor scale.
+    (small) pair graph, so materializing it per round is cheap.
+
+    ``checkpoint_dir``: on a real cluster pass a durable location
+    (HDFS/S3) and rounds use reliable ``checkpoint`` — localCheckpoint
+    blocks live in executor memory/disk and die with their executor,
+    which kills a long-running iterative job at 1000-executor scale.
+    Default None keeps the fast local path for tests/bench.
     """
-    edges = (
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return (df.checkpoint(eager=True) if checkpoint_dir is not None
+                else df.localCheckpoint())
+
+    edges = ckpt(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col(src) != F.col(dst))
-        .distinct()
-        .localCheckpoint()
-    )
+        .distinct())
     all_nodes = (edges.select(F.col("u").alias("node"))
                  .union(edges.select(F.col("v").alias("node")))
                  .distinct())
@@ -347,7 +356,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
 
     prev = checksum(edges)
     for _ in range(max_iter):
-        edges = small_star(large_star(edges)).localCheckpoint()
+        edges = ckpt(small_star(large_star(edges)))
         cur = checksum(edges)
         if cur == prev:
             break

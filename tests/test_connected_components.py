@@ -44,6 +44,18 @@ def test_star_and_duplicate_edges(spark):
     assert got == {1: (1, 4), 7: (1, 4), 8: (1, 4), 9: (1, 4)}
 
 
+def test_reliable_checkpoint_dir_path(spark, tmp_path):
+    """checkpoint_dir switches rounds from localCheckpoint to reliable
+    checkpoint (the cluster-durability path); results are identical and
+    checkpoint data actually lands in the directory."""
+    df = spark.createDataFrame([(i, i + 1) for i in range(7)],
+                               "doc_a long, doc_b long")
+    rows = connected_components(df, checkpoint_dir=str(tmp_path)).collect()
+    got = {r.doc_id: (r.canonical_doc_id, r.group_size) for r in rows}
+    assert got == {i: (0, 8) for i in range(8)}
+    assert any(tmp_path.iterdir())  # RDD checkpoint dirs were written
+
+
 def test_matches_label_propagation_semantics(spark):
     """Random-ish graph vs a driver-side union-find oracle."""
     edges = [(a, b) for a, b in
