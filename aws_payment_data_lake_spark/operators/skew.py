@@ -40,6 +40,39 @@ def salted_agg(df: DataFrame, key: str,
         *[expr.alias(name) for name, expr in merges.items()])
 
 
+def salted_join(fact: DataFrame, dim: DataFrame, key: str,
+                n_salts: int = DEFAULT_SALTS, how: str = "inner") -> DataFrame:
+    """Skew-resistant fact⋈dim equi-join: replicate the DIM side
+    `n_salts` ways and spread each fact key's rows across the replicas,
+    so one hot key occupies `n_salts` reducers instead of one.
+
+    When to reach for this instead of AQE's skew split
+    (spark.sql.adaptive.skewJoin, on by default in session.py): AQE
+    splits oversized PARTITIONS after the shuffle is materialized, which
+    handles moderate skew transparently; a pathological single key
+    (one merchant with half of 100 TB) still writes its entire shuffle
+    block set through the map side before AQE can split it, and AQE
+    cannot split a broadcast-ineligible dim row set. Salting moves the
+    fix BEFORE the shuffle. Cost: the dim side is duplicated n_salts
+    times (dim must be small-ish — the usual case; a fact⋈fact skewed
+    join needs two-sided salting on the hot-key list instead).
+
+    The fact salt derives deterministically from the whole row, so
+    results reproduce at any parallelism. Join type is restricted to
+    inner/left: the dim-side replication would multiply unmatched right
+    rows under right/full outer.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),
+                  F.lit(n_salts))
+    fact_s = fact.withColumn("_salt", salt)
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return (fact_s.join(dim_s, [key, "_salt"], how)
+            .drop("_salt"))
+
+
 def salted_user_value_totals(events: DataFrame,
                              n_salts: int = DEFAULT_SALTS) -> DataFrame:
     """Per-user event count + value sum, salted (the concrete shape used

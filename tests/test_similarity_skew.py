@@ -89,6 +89,42 @@ def test_salted_agg_equals_plain_agg(spark):
     assert salted == plain
 
 
+def test_salted_join_equals_plain_join(spark):
+    from aws_payment_data_lake_spark.operators.skew import salted_join
+
+    (events,) = load(spark, SF_DIR, "events")
+    fact = events.select("event_id", "user_id", "value")
+    dim = (events.select("user_id").distinct()
+           .withColumn("tier", F.pmod("user_id", F.lit(3))))
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, "user_id", n_salts=8, how=how)
+        want = fact.join(dim, "user_id", how)
+        assert canon(got) == canon(want), how
+    # columns come back without the salt
+    assert set(got.columns) == {"user_id", "event_id", "value", "tier"}
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """One key with 5k rows: the salted fact side must occupy several
+    (key, salt) groups, i.e. several reducers."""
+    from aws_payment_data_lake_spark.operators.skew import salted_join
+
+    hot = spark.range(5_000).select(
+        F.lit(1).alias("k"), F.col("id").alias("payload"))
+    dim = spark.createDataFrame([(1, "only")], "k long, name string")
+    out = salted_join(hot, dim, "k", n_salts=8)
+    assert out.count() == 5_000
+    salts = (hot.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]),
+                        F.lit(8)))
+        .select("_salt").distinct().count())
+    assert salts > 1
+
+
 def test_salted_agg_splits_hot_key(spark):
     # one pathological key with 10k distinct rows: the salt must spread
     # it over multiple partial groups, and the merge must still be exact
