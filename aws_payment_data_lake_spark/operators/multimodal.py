@@ -138,3 +138,94 @@ def _frame_sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 def frame_sample(with_payload: DataFrame) -> DataFrame:
     """Per-frame rows from binary payloads via mapInPandas."""
     return with_payload.mapInPandas(_frame_sample_batch, schema=FRAME_SCHEMA)
+
+
+EMBED_DIM = 16
+
+EMBED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+
+def _feature_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake feature extractor (a REAL vision/audio encoder
+    would go here): a 16-bucket byte-value histogram per payload,
+    L2-normalized — the (doc_id, embedding) shape the similarity tier
+    consumes. One np.bincount over (row_index * 16 + byte_bucket) covers
+    every row of the batch; zero per-row Python."""
+    import numpy as np
+    for pdf in batches:
+        payloads = pdf["payload"].tolist()
+        n = len(payloads)
+        lens = np.fromiter((len(b) for b in payloads), dtype=np.int64,
+                           count=n)
+        concat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        row_of_byte = np.repeat(np.arange(n, dtype=np.int64), lens)
+        flat = row_of_byte * EMBED_DIM + (concat.astype(np.int64) // EMBED_DIM)
+        hist = np.bincount(flat, minlength=n * EMBED_DIM).reshape(
+            n, EMBED_DIM).astype(np.float64)
+        norms = np.linalg.norm(hist, axis=1)
+        norms[norms == 0] = 1.0  # empty payload -> zero vector, not NaN
+        emb = (hist / norms[:, None]).astype(np.float32)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "embedding": list(emb),
+        })
+
+
+def feature_extract(with_payload: DataFrame) -> DataFrame:
+    """Payload -> L2-normalized EMBED_DIM embedding via mapInPandas;
+    output plugs directly into operators.similarity (brute-force / IVF
+    top-k over an ``embedding`` column)."""
+    return with_payload.mapInPandas(_feature_batch, schema=EMBED_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("out_bytes", T.IntegerType()),
+    T.StructField("resized_checksum", T.LongType()),
+])
+
+RESIZE_TARGET = 64
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake resizer (a REAL nearest-neighbor image resample
+    would go here): pick RESIZE_TARGET evenly spaced bytes per payload
+    (position j -> byte at j*len//TARGET) and checksum them — the
+    payload-in, smaller-payload-out contract of a thumbnailing stage.
+    Vectorized: one (n x TARGET) gather into the concatenated buffer.
+    Payloads shorter than TARGET keep their natural size (every byte
+    sampled once at most)."""
+    import numpy as np
+    for pdf in batches:
+        payloads = pdf["payload"].tolist()
+        n = len(payloads)
+        lens = np.fromiter((len(b) for b in payloads), dtype=np.int64,
+                           count=n)
+        doc_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=doc_starts[1:])
+        concat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+
+        out_n = np.minimum(lens, RESIZE_TARGET)
+        j = np.tile(np.arange(RESIZE_TARGET, dtype=np.int64), n)
+        valid = j < np.repeat(out_n, RESIZE_TARGET)
+        # nearest-neighbor positions j*len//out_n (stride relative to the
+        # OUTPUT length, so a short payload samples each byte once, not
+        # byte 0 repeatedly); clamp the divisor for empty payloads.
+        pos = (np.repeat(doc_starts, RESIZE_TARGET)
+               + j * np.repeat(lens, RESIZE_TARGET)
+               // np.maximum(np.repeat(out_n, RESIZE_TARGET), 1))
+        sums = np.zeros(n * RESIZE_TARGET, dtype=np.int64)
+        sums[valid] = concat[pos[valid]].astype(np.int64)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "out_bytes": out_n.astype("int32"),
+            "resized_checksum": sums.reshape(n, RESIZE_TARGET).sum(axis=1),
+        })
+
+
+def resize_payloads(with_payload: DataFrame) -> DataFrame:
+    """Strided-resample "resize" via mapInPandas."""
+    return with_payload.mapInPandas(_resize_batch, schema=RESIZE_SCHEMA)
