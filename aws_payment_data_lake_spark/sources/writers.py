@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import importlib.util
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 SUPPORTED_FORMATS = ("parquet", "delta")
@@ -27,12 +28,30 @@ def delta_available() -> bool:
 
 
 def write_zone(df: DataFrame, path: str, mode: str = "overwrite",
-               partition_col: str = "txn_date", fmt: str = "parquet") -> None:
+               partition_col: str = "txn_date", fmt: str = "parquet",
+               files_per_partition: int | None = None) -> None:
     """Partitioned zone sink (S5/S6/S7). Default is idempotent dynamic
     partition overwrite; pass mode="append" for reference parity (and
-    prefer fmt="delta" with it, where append is transactional)."""
+    prefer fmt="delta" with it, where append is transactional).
+
+    ``files_per_partition`` bounds output file count — the small-files
+    control that matters at 100 TB: without it every shuffle task holding
+    a partition value writes its own file, so a 1000-task stage emits up
+    to 1000 tiny files PER date and the downstream scan drowns in footer
+    reads and task-per-file overhead. A deterministic whole-row salt
+    bounded to N values, repartitioned together with the partition
+    column, lands each date's rows in at most N tasks -> at most N files
+    per date directory. (The opposite problem — one oversized file — is
+    spark.sql.files.maxRecordsPerFile's job; both compose.)
+    """
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"fmt must be one of {SUPPORTED_FORMATS}, got {fmt!r}")
+    if files_per_partition is not None:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                      F.lit(files_per_partition))
+        df = (df.withColumn("_file_salt", salt)
+              .repartition(F.col(partition_col), F.col("_file_salt"))
+              .drop("_file_salt"))
     if fmt == "delta" and not delta_available():
         raise RuntimeError(
             "fmt='delta' requires the delta-spark package (pip install "

@@ -215,3 +215,37 @@ def test_write_zone_format_flag_gated(spark, tmp_path_factory):
     else:  # pragma: no cover - container ships without delta-spark
         write_zone(df, base + "/delta", fmt="delta")
         assert spark.read.format("delta").load(base + "/delta").count() == 3
+
+
+def test_write_zone_bounds_files_per_partition(spark, tmp_path_factory):
+    """files_per_partition is the small-files control: without it every
+    task holding a date writes a file (here: up to shuffle-partitions
+    files per date); with it each date directory holds at most N files
+    and the data still round-trips identically."""
+    import glob
+
+    from aws_payment_data_lake_spark.sources import write_zone
+
+    df = (spark.range(4_000)
+          .select(F.col("id"),
+                  F.date_add(F.lit("2024-01-01").cast("date"),
+                             F.pmod(F.col("id"), F.lit(3)).cast("int"))
+                  .alias("txn_date"))
+          .repartition(8))  # simulate a wide upstream stage
+    base = str(tmp_path_factory.mktemp("zone_files"))
+
+    write_zone(df, base + "/free")
+    write_zone(df, base + "/bounded", files_per_partition=2)
+
+    def files_per_dir(root):
+        return {d.split("=")[-1]: len(glob.glob(f"{root}/{d}/*.parquet"))
+                for d in
+                [p.split("/")[-1] for p in glob.glob(f"{root}/txn_date=*")]}
+
+    free = files_per_dir(base + "/free")
+    bounded = files_per_dir(base + "/bounded")
+    assert set(free) == set(bounded) and len(free) == 3
+    assert all(n <= 2 for n in bounded.values()), bounded
+    assert sum(free.values()) > sum(bounded.values())  # it actually compacted
+    assert (spark.read.parquet(base + "/bounded").count()
+            == spark.read.parquet(base + "/free").count() == 4_000)
