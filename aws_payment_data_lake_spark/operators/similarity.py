@@ -108,6 +108,41 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.4,
         block_pairs, schema="vec_a long, vec_b long, cos_sim double")
 
 
+def quantize_embeddings(emb: DataFrame,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round(x_i / s),
+    s = max|x| / 127 — a 4x smaller embedding table (tinyint vs float),
+    which at 100 TB is the difference between an embedding corpus that
+    fits the page cache and one that doesn't. Pure built-in higher-order
+    functions (transform/array_max), no Python in the path.
+
+    Per-VECTOR scale (not per-corpus): each vector uses the full int8
+    range regardless of its magnitude, and cosine similarity — the
+    search metric here — is scale-invariant, so ranking quality depends
+    only on the per-component rounding error (~0.4% of max|x|).
+    tests/test_similarity_skew.py measures top-k agreement against the
+    float baseline."""
+    amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = (F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+             .cast("double"))
+    return emb.select(
+        "vec_id",
+        scale.alias("q_scale"),
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x / scale).cast("tinyint"))
+        .alias("q_embedding"),
+    )
+
+
+def dequantize_embeddings(qemb: DataFrame) -> DataFrame:
+    """Back to array<double> for the search tiers: x_i ≈ q_i * s."""
+    return qemb.select(
+        "vec_id",
+        F.transform("q_embedding",
+                    lambda x: x.cast("double") * F.col("q_scale"))
+        .alias("embedding"))
+
+
 def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
                      n_iter: int = 5, train_cap: int = 4096) -> DataFrame:
     """Spherical k-means (Lloyd) centroids for IVF coarse quantization,
