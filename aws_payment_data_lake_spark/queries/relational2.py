@@ -150,3 +150,32 @@ def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_share"))
         .orderBy("p_brand")
     )
+
+
+def rolling_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour totals via a RANGE frame on EVENT TIME —
+    the window class the ROWS-frame analytics (window_event_analytics)
+    and the tumbling/session generators don't cover: the frame is "every
+    event within the last hour", however many rows that is.
+
+    Unregistered (the 50-slot driver registry is pinned); DuckDB parity
+    is asserted in tests/test_queries_extra.py with the equivalent
+    RANGE BETWEEN INTERVAL window.
+
+    Scale shape: one shuffle on user_id (high-cardinality, even), then a
+    per-partition ordered sweep — the same cost class as any analytic
+    window; the long MICROSECOND axis keeps the frame arithmetic in
+    codegen AND at full timestamp precision (unix_timestamp truncates to
+    seconds, silently widening the frame by up to 0.999 s — caught by
+    the sf0.1 DuckDB parity test)."""
+    (ev,) = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3_600_000_000, 0))
+    return (
+        ev.select(
+            "event_id", "user_id", "ts",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.round(F.sum("value").over(w), 4).alias("sum_1h"))
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -118,3 +118,29 @@ def test_exact_dedup_fulltext_and_prefix_tiers(spark):
     # prefix tier: non-vacuous even at the small test SF
     (docs_sm,) = load(spark, SF_DIR, "documents")
     assert D.exact_duplicate_groups(docs_sm, prefix_len=100).count() > 0
+
+
+def test_rolling_range_window_matches_duckdb(spark):
+    """RANGE-on-event-time frame parity: Spark rangeBetween(-3600, 0) on
+    unix seconds == DuckDB RANGE BETWEEN INTERVAL 1 HOUR PRECEDING."""
+    import duckdb
+
+    from aws_payment_data_lake_spark.queries.relational2 import (
+        rolling_event_totals,
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/events.parquet')")
+    mism = compare_spark_duck(
+        rolling_event_totals(spark, SF_DIR), con, """
+        SELECT event_id, user_id, ts,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               round(sum(value) OVER w, 4) AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+        ORDER BY user_id, ts, event_id""")
+    con.close()
+    assert not mism, mism[:5]
