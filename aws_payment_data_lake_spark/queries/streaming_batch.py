@@ -143,15 +143,56 @@ def streaming_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     The three branches are INDEPENDENT streams, so all three are started
     before any is awaited — each StreamingQuery runs on its own scheduler
     thread and the wall time is the slowest branch, not the sum."""
+    path = os.path.join(sf_dir, "events.parquet")
+
+    # State-store sizing: each stateful stream materializes one state
+    # store instance PER shuffle partition, and the number is fixed at
+    # stream start. The window/session state here is hundreds of keys —
+    # 32 instances x 3 streams is pure per-instance overhead (measured:
+    # 2.9-3.5 s -> 2.0-2.4 s warm at 8). On a real cluster this knob is
+    # sized to state VOLUME (keys x state bytes / executor memory), not
+    # to data volume; results are partitioning-invariant either way.
+    # Restored after the drain: conf is read at stream start, and the
+    # batch union below should keep the session's normal parallelism.
+    saved_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        handles = _start_streams(spark, path)
+        for q in handles:
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_shuffle)
+
+    tumb = (spark.table("mem_swl_tumbling")
+            .select(F.lit("tumbling").alias("family"),
+                    "window_start", "window_end",
+                    F.col("event_type").alias("grain"),
+                    "n_events", "sum_value"))
+    slide = (spark.table("mem_swl_sliding")
+             .select(F.lit("sliding").alias("family"),
+                     "window_start", "window_end",
+                     F.lit(None).cast("string").alias("grain"),
+                     "n_events", "sum_value"))
+    sess = (spark.table("mem_swl_session")
+            .select(F.lit("session").alias("family"),
+                    "window_start", "window_end",
+                    F.col("user_id").cast("string").alias("grain"),
+                    "n_events", "sum_value"))
+
+    return (tumb.unionByName(slide).unionByName(sess)
+            .orderBy("family", "window_start", "grain"))
+
+
+def _start_streams(spark: SparkSession, path: str) -> list:
+    """Start the three independent window-family streams (all before any
+    is awaited — each runs on its own scheduler thread)."""
     from aws_payment_data_lake_spark.streaming import (
         read_event_stream,
         start_available_now,
         tumbling_counts,
     )
 
-    path = os.path.join(sf_dir, "events.parquet")
-
-    handles = [
+    return [
         start_available_now(
             tumbling_counts(read_event_stream(spark, path)),
             "mem_swl_tumbling", output_mode="complete"),
@@ -176,24 +217,3 @@ def streaming_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events", "sum_value"),
             "mem_swl_session", output_mode="complete"),
     ]
-    for q in handles:
-        q.awaitTermination()
-
-    tumb = (spark.table("mem_swl_tumbling")
-            .select(F.lit("tumbling").alias("family"),
-                    "window_start", "window_end",
-                    F.col("event_type").alias("grain"),
-                    "n_events", "sum_value"))
-    slide = (spark.table("mem_swl_sliding")
-             .select(F.lit("sliding").alias("family"),
-                     "window_start", "window_end",
-                     F.lit(None).cast("string").alias("grain"),
-                     "n_events", "sum_value"))
-    sess = (spark.table("mem_swl_session")
-            .select(F.lit("session").alias("family"),
-                    "window_start", "window_end",
-                    F.col("user_id").cast("string").alias("grain"),
-                    "n_events", "sum_value"))
-
-    return (tumb.unionByName(slide).unionByName(sess)
-            .orderBy("family", "window_start", "grain"))
