@@ -115,6 +115,14 @@ def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD,
     then |A|+|B|-|A∩B| for the union. No n^2 scan — cost follows shingle
     doc-frequency, and 3-gram shingles are rare by construction."""
     sh = doc_shingles(docs, id_col, text_col).persist()
+    # Materialization barrier (same shape as minhash_lsh_pairs): the
+    # final action's three branches (sizes + both self-join sides) can
+    # race to populate the cache and recompute the tokenize/shingle
+    # chain. Measured cost-neutral here (2.0 vs 2.1 s solo at sf0.1 —
+    # this plan's branches schedule sequentially), kept because the same
+    # race DID cost minhash 3x in round 1 and plan scheduling is not a
+    # contract.
+    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
