@@ -144,3 +144,48 @@ def test_rolling_range_window_matches_duckdb(spark):
         ORDER BY user_id, ts, event_id""")
     con.close()
     assert not mism, mism[:5]
+
+
+def test_scrub_pii_masks_and_matches_duckdb(spark):
+    """PII scrub: hand-checked masking on synthetic strings, then
+    cross-engine parity (identical Java∩RE2 regexes) over the documents
+    table with injected PII."""
+    import duckdb
+
+    from aws_payment_data_lake_spark.functions.text import (
+        DUCK_SCRUB,
+        scrub_pii,
+    )
+
+    cases = {
+        "mail me at bob.smith+x@ex-ample.co.uk now":
+            "mail me at <EMAIL> now",
+        "card 4111 1111 1111 1111 and phone 555-123-4567 ok":
+            "card <NUM> and phone <NUM> ok",
+        "see https://spam.example/a?b=c#d here":
+            "see <URL> here",
+        "short 1234567 stays":  # 7 digits: below the 8-digit floor
+            "short 1234567 stays",
+        "no pii at all": "no pii at all",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = {r["text"]: r["scrubbed"] for r in
+           df.select("text", scrub_pii("text").alias("scrubbed")).collect()}
+    assert got == cases
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" reach a@b.io or 12345678901 via http://x.y/z"))
+    sdf = docs.select(
+        "doc_id", scrub_pii(injected).alias("scrubbed")).orderBy("doc_id")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    scrub = DUCK_SCRUB.format(
+        col="text || ' reach a@b.io or 12345678901 via http://x.y/z'")
+    mism = compare_spark_duck(sdf, con, f"""
+        SELECT doc_id, {scrub} AS scrubbed
+        FROM documents ORDER BY doc_id""")
+    con.close()
+    assert not mism, mism[:3]
