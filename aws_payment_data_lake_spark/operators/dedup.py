@@ -160,6 +160,62 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def incremental_minhash_dedup(new_docs: DataFrame, corpus_sigs: DataFrame,
+                              est_threshold: float = JACCARD_THRESHOLD,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Dedup a NEW document batch against an EXISTING corpus using ONLY
+    the corpus's stored signature table — the production shape at
+    100 TB: the corpus text is never re-read (the signature table is the
+    persisted dedup state, ~0.5 KB/doc), the delta batch is signed and
+    banded, candidates come from a band-hash equi-join, and matches are
+    scored by the MinHash Jaccard ESTIMATE (fraction of agreeing
+    signature components, std ~sqrt(J(1-J)/64) ≈ 0.06 at J=0.6) — exact
+    verification would need both documents' shingles, i.e. corpus text.
+
+    The new side of the band join is the delta batch — orders of
+    magnitude smaller than the corpus — so AQE broadcasts it and the
+    corpus signature table never shuffles. Emits one row per
+    (new_doc_id, corpus_doc_id) with est_jaccard >= est_threshold; the
+    caller drops or canonicalizes the matched new docs.
+
+    Append path: union the NEW batch's signatures (`minhash_signatures`)
+    into the stored table afterward — signatures are per-doc, so the
+    state update is a blind append, no rebuild."""
+    new_sigs = minhash_signatures(new_docs, id_col, text_col)
+
+    def banded(sigs: DataFrame, out: str) -> DataFrame:
+        bands = F.array(*[
+            F.xxhash64(F.lit(j), F.col(f"sig{2 * j}"), F.col(f"sig{2 * j + 1}"))
+            for j in range(N_BANDS)
+        ])
+        return sigs.select(
+            F.col("doc_id").alias(out),
+            F.posexplode(bands).alias("band_idx", "band_hash"))
+
+    cands = (
+        banded(new_sigs, "new_doc_id")
+        .join(banded(corpus_sigs, "corpus_doc_id"), ["band_idx", "band_hash"])
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    n = (new_sigs.select("doc_id", *[F.col(f"sig{i}").alias(f"a{i}")
+                                     for i in range(N_HASHES)])
+         .withColumnRenamed("doc_id", "new_doc_id"))
+    c = (corpus_sigs.select("doc_id", *[F.col(f"sig{i}").alias(f"b{i}")
+                                        for i in range(N_HASHES)])
+         .withColumnRenamed("doc_id", "corpus_doc_id"))
+    agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+                for i in range(N_HASHES))
+    return (
+        cands.join(n, "new_doc_id").join(c, "corpus_doc_id")
+        .select("new_doc_id", "corpus_doc_id",
+                F.round(agree / F.lit(float(N_HASHES)), 6)
+                .alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= est_threshold)
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Band signatures into 32 (band_idx, xxhash64(sig_2j, sig_2j+1))
     buckets; pairs are expanded WITHIN buckets. Band hashing needs no
