@@ -1,0 +1,87 @@
+"""Every operator must survive an EMPTY input with an empty, correctly
+shaped result — at scale this is routine (an empty delta batch, a
+filter that matched nothing, a partition with no late data), and an
+iterative operator that calls .first() on an empty aggregate or seeds
+centroids from zero rows is a production incident."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark):
+    return spark.createDataFrame([], "vec_id long, embedding array<double>")
+
+
+def test_dedup_family_on_empty(spark, empty_docs):
+    from aws_payment_data_lake_spark.operators import dedup as D
+
+    assert D.exact_duplicate_groups(empty_docs).count() == 0
+    assert D.jaccard_pairs(empty_docs).count() == 0
+    assert D.minhash_lsh_pairs(empty_docs).count() == 0
+    assert D.simhash_pairs(empty_docs).count() == 0
+
+
+def test_connected_components_on_empty(spark):
+    from aws_payment_data_lake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = connected_components(pairs)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "canonical_doc_id", "group_size"}
+
+
+def test_incremental_dedup_empty_batch_and_empty_corpus(spark, empty_docs):
+    from aws_payment_data_lake_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e")],
+                                 "doc_id long, text string")
+    empty_sigs = minhash_signatures(empty_docs)
+    assert incremental_minhash_dedup(empty_docs,
+                                     minhash_signatures(docs)).count() == 0
+    assert incremental_minhash_dedup(docs, empty_sigs).count() == 0
+
+
+def test_similarity_tiers_on_empty(spark, empty_emb):
+    from aws_payment_data_lake_spark.operators import similarity as S
+
+    assert S.brute_force_topk(empty_emb).count() == 0
+    assert S.neardup_pairs(empty_emb).count() == 0
+    q = S.quantize_embeddings(empty_emb)
+    assert q.count() == 0
+    assert S.dequantize_embeddings(q).count() == 0
+
+
+def test_multimodal_on_empty(spark):
+    from aws_payment_data_lake_spark.operators import multimodal as M
+
+    wp = spark.createDataFrame(
+        [], "doc_id long, payload binary, mime_type string")
+    assert M.decode_payloads(wp).count() == 0
+    assert M.frame_sample(wp).count() == 0
+    assert M.feature_extract(wp).count() == 0
+    assert M.resize_payloads(wp).count() == 0
+
+
+def test_skew_and_packing_on_empty(spark):
+    from aws_payment_data_lake_spark.operators.packing import (
+        pack_training_shards,
+    )
+    from aws_payment_data_lake_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([], "k long, payload long")
+    dim = spark.createDataFrame([(1, "x")], "k long, name string")
+    assert salted_join(fact, dim, "k").count() == 0
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_training_shards(docs).count() == 0
