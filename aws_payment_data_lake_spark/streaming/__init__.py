@@ -33,3 +33,7 @@ from aws_payment_data_lake_spark.streaming.bronze_stream import (  # noqa: F401
 from aws_payment_data_lake_spark.streaming.stateful import (  # noqa: F401
     user_running_totals,
 )
+from aws_payment_data_lake_spark.streaming.joins import (  # noqa: F401
+    view_purchase_attribution_batch,
+    view_purchase_attribution_stream,
+)

@@ -131,3 +131,22 @@ def test_bronze_stream_restart_is_exactly_once(spark, tmp_path, raw_zone):
         q.awaitTermination()
     got = spark.read.parquet(out)
     assert got.select("txn_id").distinct().count() == got.count()
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream join (view->purchase attribution,
+    1-hour window) == the identical batch join over the same file.
+    Append mode: stream-stream inner joins emit rows as both watermarks
+    pass them; AvailableNow over a finite file emits every match."""
+    from aws_payment_data_lake_spark.streaming import (
+        view_purchase_attribution_batch,
+        view_purchase_attribution_stream,
+    )
+
+    stream = view_purchase_attribution_stream(
+        read_event_stream(spark, EVENTS))
+    got = run_available_now(stream, "t_ss_join", output_mode="append")
+    batch = view_purchase_attribution_batch(
+        read_table(spark, SF_DIR, "events"))
+    assert got.count() > 0  # the join is non-vacuous on this data
+    _same_rows(got, batch)
