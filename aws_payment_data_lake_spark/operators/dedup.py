@@ -66,6 +66,12 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) with distinct 3-gram shingles per doc.
 
+    Output columns are ALWAYS named (doc_id, shingle) whatever the
+    caller's ``id_col`` is — every downstream dedup stage (signature
+    aggregation, size counts, co-occurrence joins) groups on the literal
+    ``doc_id``, so normalizing the name here is what makes the
+    ``id_col`` parameter actually work across the family.
+
     Repartitions on the doc id first: the docs table typically arrives as
     few large files (locally: ONE parquet -> one task), and the
     tokenize/shingle/md5 chain below is the CPU-heavy part of every
@@ -74,7 +80,7 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
     shuffle_n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
         docs.repartition(shuffle_n, F.col(id_col))
-        .select(id_col, F.explode(
+        .select(F.col(id_col).alias("doc_id"), F.explode(
             F.array_distinct(shingles(tokens(text_col)))).alias("shingle"))
     )
 
@@ -181,7 +187,12 @@ def incremental_minhash_dedup(new_docs: DataFrame, corpus_sigs: DataFrame,
 
     Append path: union the NEW batch's signatures (`minhash_signatures`)
     into the stored table afterward — signatures are per-doc, so the
-    state update is a blind append, no rebuild."""
+    state update is a blind append, no rebuild.
+
+    ``corpus_sigs`` contract: columns ``doc_id, sig0..sig{N_HASHES-1}``
+    (what ``minhash_signatures`` emits — it normalizes any ``id_col`` to
+    ``doc_id`` via ``doc_shingles``). ``id_col``/``text_col`` rename the
+    NEW batch's columns only."""
     new_sigs = minhash_signatures(new_docs, id_col, text_col)
 
     def banded(sigs: DataFrame, out: str) -> DataFrame:

@@ -14,6 +14,16 @@ the same one-pass reason-column pattern as the silver audit split,
 plans/silver.py). Everything row-local stays row-local; the only joined
 input is the duplicate-cluster table, which holds ONLY docs in clusters
 (tiny vs the corpus) and broadcasts.
+
+The duplicate graph is built by a pluggable ``pair_fn`` defaulting to
+``minhash_lsh_pairs`` — the bucketed scale path (candidates ~ true
+pairs) — with the exact all-pairs ``jaccard_pairs`` baseline as an
+opt-in. Both share one output contract, and the driver proves them
+hash-equal on this data (``dedup_minhash_lsh`` passes the exact-Jaccard
+oracle), so the capstone keeps its recursive-CTE oracle byte-identical
+while its Spark plan loses the O(sum df^2) co-occurrence join — the
+shape that goes quadratic on boilerplate-heavy corpora, exactly where
+curation runs at 100 TB.
 """
 
 from __future__ import annotations
@@ -90,10 +100,16 @@ ORDER BY doc_id
     oracle=_ORACLE,
     tags=("curation", "pipeline", "dedup", "text", "flagship-extension"),
 )
-def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_curation_decisions(spark: SparkSession, sf_dir: str,
+                              pair_fn=D.minhash_lsh_pairs) -> DataFrame:
     """Language gate -> quality gate -> near-dup canonicalization, one
     decision row per document with the first failing rule as the
-    drop reason."""
+    drop reason.
+
+    ``pair_fn`` builds the near-dup pair graph; default is the LSH scale
+    path (``D.minhash_lsh_pairs``), with ``D.jaccard_pairs`` as the exact
+    opt-in baseline. Equal output by the driver's own record: both pass
+    the same exact-Jaccard oracle."""
     (docs,) = load(spark, sf_dir, "documents")
 
     tk = F.split("text", " ")
@@ -114,7 +130,7 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
          + 0.3 * (1 - n_stop / n_tokens.cast("double"))
          + 0.2 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)))
 
-    comp = (D.connected_components(D.jaccard_pairs(docs))
+    comp = (D.connected_components(pair_fn(docs))
             .select("doc_id", F.col("canonical_doc_id").alias("canonical")))
 
     # comp holds only docs in near-dup clusters — small relative to the

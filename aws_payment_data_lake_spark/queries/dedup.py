@@ -9,6 +9,7 @@ oracle equality is unconditional.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from aws_payment_data_lake_spark.operators import dedup as D
@@ -81,17 +82,82 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(docs).orderBy("doc_a", "doc_b")
 
 
+# 64 (i, a, b) minhash coefficients as SQL literals — the oracle computes
+# the SAME signatures DuckDB-side, so the incremental variant below is
+# hash-checked against an exact cross-join reimplementation.
+_COEFF_SQL = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.MINHASH_COEFFS))
+
+_MINHASH_UNION_ORACLE = f"""
+WITH {_SH_CTE},
+co(i, a, b) AS (VALUES {_COEFF_SQL}),
+ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+batch AS (
+  SELECT doc_a, doc_b,
+         round(ix.inter * 1.0 / (sa.n_sh + sb.n_sh - ix.inter), 6) AS score
+  FROM ix
+  JOIN sizes sa ON ix.doc_a = sa.doc_id
+  JOIN sizes sb ON ix.doc_b = sb.doc_id
+  WHERE ix.inter >= 0.6 * (sa.n_sh + sb.n_sh - ix.inter)),
+hh AS (SELECT doc_id,
+              ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
+       FROM sh),
+sig AS (SELECT doc_id, co.i,
+               min((co.a * hh.h + co.b) % 2147483647) AS sig
+        FROM hh CROSS JOIN co GROUP BY doc_id, co.i),
+agree AS (SELECT n.doc_id AS doc_a, c.doc_id AS doc_b,
+                 sum(CASE WHEN n.sig = c.sig THEN 1 ELSE 0 END) AS k
+          FROM sig n JOIN sig c ON n.i = c.i
+          WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+          GROUP BY 1, 2)
+SELECT 'batch' AS variant, doc_a, doc_b, score FROM batch
+UNION ALL
+SELECT 'incremental' AS variant, doc_a, doc_b,
+       round(k / 64.0, 6) AS score
+FROM agree WHERE round(k / 64.0, 6) >= 0.6
+ORDER BY variant, doc_a, doc_b
+"""
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=_JACCARD_ORACLE,
-    tags=("dedup", "minhash", "lsh", "scale-path"),
+    oracle=_MINHASH_UNION_ORACLE,
+    tags=("dedup", "minhash", "lsh", "incremental", "scale-path"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + LSH(32x2) candidates, exact-verified at J>=0.6.
-    Same output contract as the exact baseline — the oracle match IS the
-    recall proof."""
+    """MinHash family, both production shapes in one tagged union (the
+    driver scores 50 slots, so the incremental path shares this one):
+
+      variant='batch'        MinHash(64) + LSH(32x2) candidates,
+                             exact-verified at J>=0.6 — the oracle's
+                             batch branch is the exact all-pairs Jaccard,
+                             so the hash match IS the LSH recall proof.
+      variant='incremental'  a delta batch (doc_id % 5 = 0) deduped
+                             against the REMAINING corpus using only its
+                             stored signature table; score is the MinHash
+                             agreement estimate. Banding recall here is
+                             EXACTLY 1, not probabilistic: est >= 0.6
+                             means >= 39 of 64 agreeing components, and
+                             39 > 32 bands forces >= 1 fully-agreeing
+                             band by pigeonhole — which is why the oracle
+                             can be an exact cross-join recomputation of
+                             the signatures (same LCG constants inlined
+                             as SQL literals).
+    """
     (docs,) = load(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
+    full = (D.minhash_lsh_pairs(docs)
+            .select(F.lit("batch").alias("variant"), "doc_a", "doc_b",
+                    F.col("jaccard").alias("score")))
+    new_batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc = (D.incremental_minhash_dedup(new_batch, D.minhash_signatures(corpus))
+           .select(F.lit("incremental").alias("variant"),
+                   F.col("new_doc_id").alias("doc_a"),
+                   F.col("corpus_doc_id").alias("doc_b"),
+                   F.col("est_jaccard").alias("score")))
+    return full.unionByName(inc).orderBy("variant", "doc_a", "doc_b")
 
 
 @register(

@@ -44,6 +44,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from aws_payment_data_lake_spark.queries import register
 from aws_payment_data_lake_spark.sources import load
+from aws_payment_data_lake_spark.streaming.joins import (
+    view_purchase_attribution_batch,
+)
 
 
 def _dec_sum(col: F.Column, scale: int, alias: str) -> F.Column:
@@ -717,17 +720,40 @@ def set_ops_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_ts
       FROM tagged
     )
-    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
-           prior_view_id, prior_view_ts
+    SELECT 'asof' AS variant, event_id AS purchase_id, user_id,
+           ts AS purchase_ts, prior_view_id AS view_id,
+           prior_view_ts AS view_ts
     FROM w WHERE tag = 1
-    ORDER BY purchase_id
+    UNION ALL
+    SELECT 'window_attr' AS variant, p.event_id AS purchase_id, p.user_id,
+           p.ts AS purchase_ts, v.event_id AS view_id, v.ts AS view_ts
+    FROM events p JOIN events v
+      ON p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY variant, purchase_id, view_id
     """,
-    tags=("join", "asof", "timeseries"),
+    tags=("join", "asof", "timeseries", "stream-stream-twin"),
 )
 def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward as-of join: each purchase matched to the user's most recent
-    view at-or-before it (ties: view sorts before purchase; latest
-    event_id wins). Union + last(ignorenulls) window — linear per user."""
+    """Purchase-to-view correlation, both temporal-join shapes in one
+    tagged union (50-slot registry — the stream-stream join's batch twin
+    shares this slot):
+
+      variant='asof'         backward as-of join: each purchase matched
+                             to the user's most recent view at-or-before
+                             it (ties: view sorts before purchase; latest
+                             event_id wins). Union + last(ignorenulls)
+                             window — linear per user, no per-row probe.
+      variant='window_attr'  view->purchase attribution: EVERY
+                             (view, purchase) pair for the same user with
+                             the purchase within 1 hour after the view —
+                             streaming/joins.py's batch twin, the exact
+                             plan the watermarked stream-stream join runs
+                             (stream==batch parity is asserted in
+                             tests/test_streaming.py; this row makes the
+                             batch side driver-hash-checked too).
+    """
     (ev,) = load(spark, sf_dir, "events")
     both = ev.where(F.col("event_type").isin("view", "purchase")).select(
         "user_id", "ts", "event_id",
@@ -737,15 +763,26 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (Window.partitionBy("user_id").orderBy("ts", "tag", "event_id")
          .rowsBetween(Window.unboundedPreceding, -1))
-    return (
+    asof = (
         both.withColumn("prior_view_id", F.last("v_id", ignorenulls=True).over(w))
         .withColumn("prior_view_ts", F.last("v_ts", ignorenulls=True).over(w))
         .where(F.col("tag") == 1)
-        .select(F.col("event_id").alias("purchase_id"), "user_id",
+        .select(F.lit("asof").alias("variant"),
+                F.col("event_id").alias("purchase_id"), "user_id",
                 F.col("ts").alias("purchase_ts"),
-                "prior_view_id", "prior_view_ts")
-        .orderBy("purchase_id")
+                F.col("prior_view_id").alias("view_id"),
+                F.col("prior_view_ts").alias("view_ts"))
     )
+    attr = (
+        view_purchase_attribution_batch(ev, "1 hour")
+        .select(F.lit("window_attr").alias("variant"),
+                F.col("purchase_event_id").alias("purchase_id"),
+                "user_id",
+                "purchase_ts",
+                F.col("view_event_id").alias("view_id"),
+                "view_ts")
+    )
+    return asof.unionByName(attr).orderBy("variant", "purchase_id", "view_id")
 
 
 # ===========================================================================

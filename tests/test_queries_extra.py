@@ -26,12 +26,17 @@ def _same(df_a, df_b):
 
 def test_minhash_lsh_equals_exact_jaccard(spark):
     """The unregistered exact all-pairs baseline returns EXACTLY the rows
-    of the registered MinHash-LSH query (recall 1 at J>=0.6) — which is
-    why registering both would spend two driver slots on one result."""
+    of the registered MinHash-LSH query's batch variant (recall 1 at
+    J>=0.6) — which is why registering both would spend two driver slots
+    on one result. (The registered slot is a tagged union since round 4;
+    the incremental variant is oracle-checked by the driver itself.)"""
     from aws_payment_data_lake_spark.queries.dedup import dedup_minhash_lsh
 
-    _same(dedup_shingle_jaccard(spark, SF_DIR),
-          dedup_minhash_lsh(spark, SF_DIR))
+    _same(dedup_shingle_jaccard(spark, SF_DIR)
+          .select("doc_a", "doc_b", F.col("jaccard").alias("score")),
+          dedup_minhash_lsh(spark, SF_DIR)
+          .where(F.col("variant") == "batch")
+          .select("doc_a", "doc_b", "score"))
 
 
 def test_outer_recon_decomposition_equals_native_full(spark):
@@ -227,6 +232,28 @@ def test_incremental_minhash_dedup_against_stored_signatures(spark):
     for i in range(5):
         assert again[(i, i)] == 1.0
     assert set(again) == set(got) | {(i, i) for i in range(5)}
+
+
+def test_incremental_dedup_nondefault_id_col(spark):
+    """id_col/text_col rename the NEW batch's columns; the signature
+    table always carries doc_id (doc_shingles normalizes the name).
+    Regression for the round-3 UNRESOLVED_COLUMN on non-default id_col."""
+    from aws_payment_data_lake_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, " ".join(f"w{i}" for i in range(30)))],
+        "ref_id long, body string")
+    new = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(2, 30)))],
+        "item_id long, body string")
+    sigs = minhash_signatures(corpus, id_col="ref_id", text_col="body")
+    assert "doc_id" in sigs.columns
+    got = incremental_minhash_dedup(
+        new, sigs, id_col="item_id", text_col="body").collect()
+    assert [(r["new_doc_id"], r["corpus_doc_id"]) for r in got] == [(7, 100)]
 
 
 def test_incremental_dedup_agrees_with_exact_on_testdata(spark):
