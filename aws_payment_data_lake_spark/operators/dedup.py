@@ -193,7 +193,16 @@ def incremental_minhash_dedup(new_docs: DataFrame, corpus_sigs: DataFrame,
     (what ``minhash_signatures`` emits — it normalizes any ``id_col`` to
     ``doc_id`` via ``doc_shingles``). ``id_col``/``text_col`` rename the
     NEW batch's columns only."""
-    new_sigs = minhash_signatures(new_docs, id_col, text_col)
+    return incremental_from_sigs(minhash_signatures(new_docs, id_col, text_col),
+                                 corpus_sigs, est_threshold)
+
+
+def incremental_from_sigs(new_sigs: DataFrame, corpus_sigs: DataFrame,
+                          est_threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """`incremental_minhash_dedup` on PRE-COMPUTED signature tables (both
+    sides ``doc_id, sig0..sig63``; extra columns ignored) — the shape a
+    stored-state pipeline calls directly, and what lets the registered
+    query derive batch + incremental variants from ONE signature pass."""
 
     def banded(sigs: DataFrame, out: str) -> DataFrame:
         bands = F.array(*[
@@ -210,6 +219,17 @@ def incremental_minhash_dedup(new_docs: DataFrame, corpus_sigs: DataFrame,
         .select("new_doc_id", "corpus_doc_id")
         .distinct()
     )
+    return signature_agreement(cands, new_sigs, corpus_sigs, est_threshold)
+
+
+def signature_agreement(cands: DataFrame, new_sigs: DataFrame,
+                        corpus_sigs: DataFrame,
+                        est_threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Score candidate (new_doc_id, corpus_doc_id) pairs by MinHash
+    component agreement; keep est_jaccard >= est_threshold. Split out of
+    `incremental_from_sigs` so callers that already HAVE a candidate set
+    (e.g. the cross-split subset of the batch LSH candidates — same band
+    definition, so the same pairs) skip the banding join."""
     n = (new_sigs.select("doc_id", *[F.col(f"sig{i}").alias(f"a{i}")
                                      for i in range(N_HASHES)])
          .withColumnRenamed("doc_id", "new_doc_id"))
@@ -227,57 +247,120 @@ def incremental_minhash_dedup(new_docs: DataFrame, corpus_sigs: DataFrame,
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+# Buckets larger than this switch from bucket-and-expand to the salted
+# self-join tier. 1024 bounds the collect_list row at ~8 KB of ids and a
+# small-tier bucket's expansion at ~0.5M generated (not stored) pairs.
+LSH_BUCKET_CAP = 1024
+
+
+def lsh_candidate_pairs(sigs: DataFrame,
+                        bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """Band signatures into 32 (band_idx, xxhash64(sig_2j, sig_2j+1))
     buckets; pairs are expanded WITHIN buckets. Band hashing needs no
     oracle twin — banding only shapes the CANDIDATE set; correctness
     comes from verification.
 
-    Bucket-and-expand, not a banded self-join: a self-join evaluates the
-    signature plan once per side (the 64-min aggregation twice) and
-    shuffles the full banded table against itself, where the groupBy
-    collects each bucket's ids in ONE shuffle of the banded rows and the
-    double explode only touches buckets with >1 member. The pair blowup
-    on a hot bucket (e.g. a boilerplate corpus where thousands of docs
-    share a band) is |bucket|^2 in BOTH shapes — banding radius, not
-    join strategy, is the knob for that. Candidate set is identical.
+    Two tiers by bucket size, same candidate set either way:
 
-    Measured at sf0.1 (5000 docs, 160k banded rows): candidates stage
-    3.2 s -> ~1 s; full minhash_lsh_pairs 3.3 -> ~2.3 s."""
+      |bucket| <= bucket_cap   bucket-and-expand: one groupBy collects
+        the bucket's ids, a double explode emits the triangle. One
+        shuffle of the banded rows, no self-join, and the collect_list
+        row is bounded at bucket_cap ids (~8 KB) — the tier an ordinary
+        corpus stays in. (A self-join here would evaluate the signature
+        plan once per side and shuffle the banded table against itself;
+        measured at sf0.1: candidates stage 3.2 s -> ~1 s.)
+
+      |bucket| > bucket_cap    SALTED self-join — the hot-bucket guard.
+        A boilerplate-heavy corpus (dedup's actual target) can put
+        thousands-to-millions of docs in one band bucket; collecting
+        that into a single row is an executor-memory failure and its
+        |bucket|^2 expansion lands in ONE task. Instead each member gets
+        a deterministic salt g = xxhash64(doc_id) mod m with
+        m = ceil(|bucket| / bucket_cap); the left side carries its own
+        salt once, the right side is replicated to all m salts, and the
+        join key (band, salt) splits the triangle into m tasks of
+        ~bucket_cap * |bucket| work each. Every pair (a < b) appears in
+        exactly one task (the one keyed by a's salt), so no dedup is
+        needed across tiers beyond the band-level distinct. The total
+        |bucket|^2 work is inherent to the candidate set — the guard
+        bounds per-TASK work and memory, which is what fails first.
+
+    Candidate count on hot buckets is still quadratic in bucket size —
+    at that point the knob is banding radius (more bands, fewer rows per
+    band), not join strategy; the guard makes the quadratic work
+    schedulable instead of a single-executor OOM.
+
+    The guard probes EAGERLY: one count aggregation over the (persisted
+    — every caller arrives via shingle_sig_tables' barrier) signature
+    table collects the hot-bucket list to the driver. That list is
+    metadata, one row per OVERSIZED bucket, bounded by
+    n_banded_rows / bucket_cap and in practice empty — the same
+    driver-literal pattern as the k-means centroid rebroadcast
+    (operators/similarity.py). No hot buckets -> the plan IS the
+    round-3 single-shuffle fast path, and the probe is the only cost."""
     bands = F.array(*[
         F.xxhash64(F.lit(j), F.col(f"sig{2 * j}"), F.col(f"sig{2 * j + 1}"))
         for j in range(N_BANDS)
     ])
-    buckets = (
-        sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
-        .groupBy("band_idx", "band_hash")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    return (
-        buckets.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
+    banded = sigs.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+
+    def expand(buckets: DataFrame) -> DataFrame:
+        return (
+            buckets.groupBy("band_idx", "band_hash")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .where(F.size("ids") > 1)
+            .select(F.explode("ids").alias("doc_a"), "ids")
+            .select("doc_a", F.explode("ids").alias("doc_b"))
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+
+    hot_rows = (banded.groupBy("band_idx", "band_hash")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > bucket_cap)
+                .collect())
+    if not hot_rows:
+        return expand(banded).distinct()
+
+    hot = F.broadcast(sigs.sparkSession.createDataFrame(
+        hot_rows, "band_idx int, band_hash long, n long"))
+    cold = banded.join(hot.select("band_idx", "band_hash"),
+                       ["band_idx", "band_hash"], "left_anti")
+    big = banded.join(hot, ["band_idx", "band_hash"])
+    m = F.ceil(F.col("n") / F.lit(bucket_cap)).cast("int")
+    left = big.select(
+        "band_idx", "band_hash", F.col("doc_id").alias("doc_a"),
+        F.pmod(F.xxhash64("doc_id"), m).cast("int").alias("salt"))
+    right = big.select(
+        "band_idx", "band_hash", F.col("doc_id").alias("doc_b"),
+        F.explode(F.sequence(F.lit(0), m - F.lit(1))).alias("salt"))
+    big_pairs = (
+        left.join(right, ["band_idx", "band_hash", "salt"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
+        .select("doc_a", "doc_b")
     )
+    return expand(cold).union(big_pairs).distinct()
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-verified: banded candidates ->
-    exact Jaccard filter. Output contract identical to jaccard_pairs."""
-    # One exploded+hashed shingle table feeds signatures AND the
-    # verification joins — persist it instead of recomputing the
-    # tokenize/shingle/md5 chain per consumer (at 100 TB: a persisted or
-    # checkpointed intermediate; locally: MEMORY_AND_DISK). The shingle
-    # count n_sh rides the SAME groupBy as the 64 signature mins (one
-    # pass, one shuffle — not a separate sizes aggregation), and the
-    # 5000-row sigs table is itself persisted so banding and both size
-    # joins never re-run the 64-min agg. The count() on sigs is a
-    # MATERIALIZATION BARRIER populating both caches in one job: without
-    # it the final action's branching stages race to populate the cache
-    # and can each recompute the chain (the round-1 bench showed exactly
-    # that — 10.9 s driver run vs 3.2 s recorded with a warm cache).
+def shingle_sig_tables(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """Persisted (shingles, signatures) intermediates shared across the
+    MinHash family: ``sh`` is the exploded (doc_id, shingle, h) table,
+    ``sigs`` is one row per doc with sig0..sig63 + n_sh.
+
+    One exploded+hashed shingle table feeds signatures AND the
+    verification joins — persist it instead of recomputing the
+    tokenize/shingle/md5 chain per consumer (at 100 TB: a persisted or
+    checkpointed intermediate; locally: MEMORY_AND_DISK). The shingle
+    count n_sh rides the SAME groupBy as the 64 signature mins (one
+    pass, one shuffle — not a separate sizes aggregation), and the
+    compact sigs table is itself persisted so banding and both size
+    joins never re-run the 64-min agg. The count() on sigs is a
+    MATERIALIZATION BARRIER populating both caches in one job: without
+    it the final action's branching stages race to populate the cache
+    and can each recompute the chain (the round-1 bench showed exactly
+    that — 10.9 s driver run vs 3.2 s recorded with a warm cache)."""
     sh = doc_shingles(docs, id_col, text_col).withColumn(
         "h", hash60_mod_p(F.col("shingle"))).persist()
     aggs = [
@@ -288,7 +371,27 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD,
             .agg(*aggs, F.count(F.lit(1)).alias("n_sh"))
             .persist())
     sigs.count()
-    cands = lsh_candidate_pairs(sigs)
+    return sh, sigs
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified: banded candidates ->
+    exact Jaccard filter. Output contract identical to jaccard_pairs."""
+    sh, sigs = shingle_sig_tables(docs, id_col, text_col)
+    return verified_pairs_from(sh, sigs, threshold)
+
+
+def verified_pairs_from(sh: DataFrame, sigs: DataFrame,
+                        threshold: float = JACCARD_THRESHOLD,
+                        cands: DataFrame | None = None) -> DataFrame:
+    """LSH candidates -> exact-Jaccard verification, on the persisted
+    intermediates from ``shingle_sig_tables`` (callers that also need the
+    signatures — e.g. the incremental variant — reuse them instead of
+    re-running the shingle pipeline). Pass ``cands`` to reuse an
+    already-built (doc_a, doc_b) candidate table."""
+    if cands is None:
+        cands = lsh_candidate_pairs(sigs)
     sizes = sigs.select("doc_id", "n_sh")
     # intersection restricted to candidate pairs: expand doc_a's shingles,
     # then equi-join on (doc_b, shingle) to count the overlap
@@ -347,7 +450,8 @@ def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b", max_iter: int = 50,
-                         checkpoint_dir: str | None = None) -> DataFrame:
+                         checkpoint_dir: str | None = None,
+                         driver_threshold: int = 100_000) -> DataFrame:
     """Connected components over the near-dup pair graph -> canonical doc
     per duplicate cluster (min doc_id), the step that turns pairwise
     similarity into trainable keep/drop decisions.
@@ -388,6 +492,18 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     blocks live in executor memory/disk and die with their executor,
     which kills a long-running iterative job at 1000-executor scale.
     Default None keeps the fast local path for tests/bench.
+
+    ``driver_threshold``: edge sets at or below this size are solved by
+    union-find ON THE DRIVER instead of iterative rounds. The input here
+    is the VERIFIED near-dup pair graph — orders of magnitude smaller
+    than the corpus (pairs ∝ true duplicates, not documents), and the
+    edge count is already known for free because the first checkpoint
+    materializes it. 100k edges ≈ a few MB collected — the documented
+    bounded-driver-literal pattern (operators/similarity.py centroids) —
+    while each distributed round costs 2 joins + 2 aggregations + a
+    checkpoint in scheduler overhead alone, which dominates end-to-end
+    time on small graphs. Set 0 to force the distributed rounds; the
+    rounds remain the scale path for graphs that exceed the bound.
     """
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -400,6 +516,9 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col(src) != F.col(dst))
         .distinct())
+
+    if edges.count() <= driver_threshold:
+        return _driver_union_find(edges)
     all_nodes = (edges.select(F.col("u").alias("node"))
                  .union(edges.select(F.col("v").alias("node")))
                  .distinct())
@@ -447,6 +566,43 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
             .select(F.col("node").alias("doc_id"),
                     F.col("label").alias("canonical_doc_id"),
                     "group_size"))
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Union-find over a collected edge list — the small-graph fast path
+    of ``connected_components``. Same output contract as the distributed
+    rounds: (doc_id, canonical_doc_id = component min, group_size)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in edges.toLocalIterator():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    comps: dict = {}
+    for node in parent:
+        comps.setdefault(find(node), []).append(node)
+    out = []
+    for members in comps.values():
+        canonical, size = min(members), len(members)
+        out.extend((node, canonical, size) for node in members)
+
+    id_type = edges.schema.fields[0].dataType
+    schema = StructType([
+        StructField("doc_id", id_type),
+        StructField("canonical_doc_id", id_type),
+        StructField("group_size", LongType()),
+    ])
+    return edges.sparkSession.createDataFrame(out, schema)
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD,

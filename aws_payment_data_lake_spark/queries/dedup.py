@@ -147,12 +147,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                              as SQL literals).
     """
     (docs,) = load(spark, sf_dir, "documents")
-    full = (D.minhash_lsh_pairs(docs)
+    # ONE shingle+signature pass and ONE banding pass feed both
+    # variants: signatures are per-doc, so the incremental variant's
+    # "stored corpus signatures" are exactly the full sig table filtered
+    # to the corpus split; and its candidates are exactly the cross-split
+    # subset of the batch LSH candidates (same band definition) — no
+    # second tokenize/shingle/64-min pipeline, no second banding join.
+    sh, sigs = D.shingle_sig_tables(docs)
+    cands = D.lsh_candidate_pairs(sigs).persist()
+    cands.count()
+    full = (D.verified_pairs_from(sh, sigs, cands=cands)
             .select(F.lit("batch").alias("variant"), "doc_a", "doc_b",
                     F.col("jaccard").alias("score")))
-    new_batch = docs.where(F.col("doc_id") % 5 == 0)
-    corpus = docs.where(F.col("doc_id") % 5 != 0)
-    inc = (D.incremental_minhash_dedup(new_batch, D.minhash_signatures(corpus))
+    new_a = F.col("doc_a") % 5 == 0
+    new_b = F.col("doc_b") % 5 == 0
+    cross = (cands.where(new_a != new_b)
+             .select(F.when(new_a, F.col("doc_a")).otherwise(F.col("doc_b"))
+                     .alias("new_doc_id"),
+                     F.when(new_a, F.col("doc_b")).otherwise(F.col("doc_a"))
+                     .alias("corpus_doc_id")))
+    inc = (D.signature_agreement(cross,
+                                 sigs.where(F.col("doc_id") % 5 == 0),
+                                 sigs.where(F.col("doc_id") % 5 != 0))
            .select(F.lit("incremental").alias("variant"),
                    F.col("new_doc_id").alias("doc_a"),
                    F.col("corpus_doc_id").alias("doc_b"),

@@ -14,9 +14,13 @@ import pyspark.sql.functions as F
 from aws_payment_data_lake_spark.operators.dedup import connected_components
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, **kw):
+    # driver_threshold=0 pins the DISTRIBUTED star rounds — these tests
+    # exist to exercise that algorithm; the driver union-find fast path
+    # is covered separately below.
+    kw.setdefault("driver_threshold", 0)
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    rows = connected_components(df).collect()
+    rows = connected_components(df, **kw).collect()
     return {r.doc_id: (r.canonical_doc_id, r.group_size) for r in rows}
 
 
@@ -44,13 +48,40 @@ def test_star_and_duplicate_edges(spark):
     assert got == {1: (1, 4), 7: (1, 4), 8: (1, 4), 9: (1, 4)}
 
 
+def test_driver_fast_path_equals_distributed(spark):
+    """The small-graph union-find fast path (default driver_threshold)
+    returns exactly what the distributed star rounds return — same
+    labels, same group sizes — on chains, multi-component graphs, and
+    duplicate/self edges."""
+    cases = [
+        [(i, i + 1) for i in range(20)],
+        [(5, 3), (3, 9), (20, 21), (22, 21), (9, 5)],
+        [(1, 7), (1, 8), (1, 9), (1, 7), (7, 7)],
+    ]
+    for edges in cases:
+        fast = _cc(spark, edges, driver_threshold=100_000)
+        dist = _cc(spark, edges, driver_threshold=0)
+        assert fast == dist
+
+
+def test_driver_threshold_boundary(spark):
+    """An edge set exactly AT the threshold uses the fast path; one above
+    falls through to the rounds — both correct (10-edge chain, threshold
+    10 vs 9)."""
+    edges = [(i, i + 1) for i in range(10)]
+    assert (_cc(spark, edges, driver_threshold=10)
+            == _cc(spark, edges, driver_threshold=9)
+            == {i: (0, 11) for i in range(11)})
+
+
 def test_reliable_checkpoint_dir_path(spark, tmp_path):
     """checkpoint_dir switches rounds from localCheckpoint to reliable
     checkpoint (the cluster-durability path); results are identical and
     checkpoint data actually lands in the directory."""
     df = spark.createDataFrame([(i, i + 1) for i in range(7)],
                                "doc_a long, doc_b long")
-    rows = connected_components(df, checkpoint_dir=str(tmp_path)).collect()
+    rows = connected_components(df, checkpoint_dir=str(tmp_path),
+                                driver_threshold=0).collect()
     got = {r.doc_id: (r.canonical_doc_id, r.group_size) for r in rows}
     assert got == {i: (0, 8) for i in range(8)}
     assert any(tmp_path.iterdir())  # RDD checkpoint dirs were written

@@ -234,6 +234,48 @@ def test_incremental_minhash_dedup_against_stored_signatures(spark):
     assert set(again) == set(got) | {(i, i) for i in range(5)}
 
 
+def test_lsh_hot_bucket_guard(spark):
+    """Adversarial hot bucket: 1,000 docs with IDENTICAL signatures put
+    all 1,000 in every band's bucket. With bucket_cap=100 the salted
+    tier splits each bucket into ceil(1000/100)=10 tasks instead of one
+    quadratic collect_list row — and the candidate set is still the full
+    triangle."""
+    from aws_payment_data_lake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    n = 1000
+    sigs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        *[F.lit(7).cast("long").alias(f"sig{i}") for i in range(64)])
+    pairs = lsh_candidate_pairs(sigs, bucket_cap=100)
+    assert pairs.count() == n * (n - 1) // 2
+    # No collect_list of the hot bucket anywhere in the big tier's plan:
+    # the ONLY aggregate over the oversized bucket is the count.
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan.lower() or "salt" in plan.lower()
+
+
+def test_lsh_salted_tier_matches_default_on_testdata(spark):
+    """Cross-tier equality on the real corpus: bucket_cap=2 pushes every
+    bucket with >2 members through the salted self-join; the candidate
+    set must equal the default bucket-and-expand tier's exactly."""
+    from aws_payment_data_lake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    sigs = minhash_signatures(docs).persist()
+    sigs.count()
+    default = {(r["doc_a"], r["doc_b"])
+               for r in lsh_candidate_pairs(sigs).collect()}
+    salted = {(r["doc_a"], r["doc_b"])
+              for r in lsh_candidate_pairs(sigs, bucket_cap=2).collect()}
+    sigs.unpersist()
+    assert default == salted and default
+
+
 def test_incremental_dedup_nondefault_id_col(spark):
     """id_col/text_col rename the NEW batch's columns; the signature
     table always carries doc_id (doc_shingles normalizes the name).
