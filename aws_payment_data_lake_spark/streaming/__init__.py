@@ -29,6 +29,7 @@ from aws_payment_data_lake_spark.streaming.bronze_stream import (  # noqa: F401
     read_raw_stream,
     run_bronze_stream,
     start_bronze_sink,
+    start_bronze_upsert_sink,
 )
 from aws_payment_data_lake_spark.streaming.stateful import (  # noqa: F401
     user_running_totals,

@@ -29,6 +29,7 @@ from aws_payment_data_lake_spark.plans.bronze import (
     normalise_strings,
 )
 from aws_payment_data_lake_spark.plans.schemas import RAW_SCHEMA
+from aws_payment_data_lake_spark.plans.upsert import upsert_bronze_partitions
 
 DEFAULT_WATERMARK = "1 day"
 
@@ -66,6 +67,51 @@ def start_bronze_sink(bronze: DataFrame, path: str,
         .option("checkpointLocation", checkpoint_dir)
         .partitionBy("txn_date")
         .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_bronze_upsert_sink(bronze: DataFrame, bronze_dir: str,
+                             checkpoint_dir: str) -> StreamingQuery:
+    """MERGE sink: every micro-batch is upserted into the bronze zone via
+    the partition-scoped MERGE (plans/upsert.py) instead of appended as
+    new files — the reference's bookmark-style incremental semantics
+    (SURVEY.md §2.12 D1) with REPLAY idempotence on top. foreachBatch
+    delivery is at-least-once: after a failure the same micro-batch can
+    run again. The plain parquet sink absorbs that through the sink
+    commit log; this sink absorbs it through MERGE semantics — a
+    replayed batch re-merges latest-wins on txn_id and leaves the zone's
+    content unchanged, so EITHER kind of rerun (checkpoint recovery or a
+    full re-ingest with a fresh checkpoint) never duplicates rows.
+
+    The micro-batch is localCheckpoint()ed first: the MERGE reads and
+    dynamically overwrites the target partitions, and a lazy batch plan
+    still referencing the zone would dangle mid-overwrite
+    (plans/upsert.py docstring). A micro-batch is bounded (maxFiles /
+    trigger interval sized), so materializing it is cheap at any scale.
+    """
+    from pyspark.errors import AnalysisException
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint()
+        try:
+            spark.read.parquet(bronze_dir).schema
+            exists = True
+        except AnalysisException:
+            exists = False
+        if exists:
+            upsert_bronze_partitions(spark, bronze_dir, batch)
+        else:
+            (batch.write.partitionBy("txn_date")
+             .mode("overwrite").parquet(bronze_dir))
+
+    return (
+        bronze.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )

@@ -133,6 +133,36 @@ def test_bronze_stream_restart_is_exactly_once(spark, tmp_path, raw_zone):
     assert got.select("txn_id").distinct().count() == got.count()
 
 
+def test_bronze_upsert_sink_replay_is_idempotent(spark, tmp_path, raw_zone):
+    """The MERGE sink (foreachBatch + partition-scoped upsert): a FULL
+    re-ingest with a fresh checkpoint replays every micro-batch against
+    the already-populated zone — content must be byte-for-byte the same
+    rows (a blind append sink would double every row)."""
+    from aws_payment_data_lake_spark.streaming import start_bronze_upsert_sink
+
+    out = str(tmp_path / "bronze_merge")
+
+    def ingest(ckpt: str) -> None:
+        stream = run_bronze_stream(
+            read_raw_stream(spark, raw_zone).drop("ingest_date"))
+        q = start_bronze_upsert_sink(stream, out, str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    ingest("ckpt1")
+    zone = spark.read.parquet(out)
+    first = normalized_rows(zone.columns, [tuple(r) for r in zone.collect()])
+    parts1 = sorted(p for p in os.listdir(out) if p.startswith("txn_date="))
+    assert first and parts1
+
+    ingest("ckpt2")  # fresh checkpoint == replay of every batch
+    zone2 = spark.read.parquet(out)
+    second = normalized_rows(zone2.columns, [tuple(r) for r in zone2.collect()])
+    parts2 = sorted(p for p in os.listdir(out) if p.startswith("txn_date="))
+    assert second == first
+    assert parts2 == parts1
+    assert zone2.select("txn_id").distinct().count() == zone2.count()
+
+
 def test_stream_stream_join_matches_batch(spark):
     """Watermarked stream-stream join (view->purchase attribution,
     1-hour window) == the identical batch join over the same file.
