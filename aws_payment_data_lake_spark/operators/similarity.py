@@ -192,9 +192,17 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
           .select("vec_id", unit(F.col("embedding")).alias("ue"))
           .persist())
     try:
-        dim = ue.select(F.size("ue").alias("d")).first()["d"]
         cents = [list(r["ue"]) for r in
                  ue.orderBy("vec_id").limit(n_centroids).collect()]
+        if not cents:
+            # Empty corpus: an empty centroid table, not a crash — the
+            # caller's crossJoin then yields an empty assignment.
+            return cent_df_of([])
+        # Fewer sample vectors than requested centroids: that many cells
+        # (every extra cell would stay empty through every Lloyd round
+        # anyway, and cents[i] fallbacks below index the seed list).
+        n_centroids = len(cents)
+        dim = len(cents[0])
 
         def cent_df(vals):
             return spark.createDataFrame(
@@ -253,17 +261,33 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
     partitioning key for the candidate table."""
     cents = kmeans_centroids(emb, n_centroids, n_train_iter)
 
-    def best_cells(df: DataFrame, id_out: str, vec_col: str, n: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).select(
+    def scored_cells(df: DataFrame, id_out: str, vec_col: str) -> DataFrame:
+        return df.crossJoin(F.broadcast(cents)).select(
             F.col(id_out), F.col(vec_col),
             "cent_id", F.round(cosine(F.col(vec_col), F.col("ce")), 6).alias("c"))
+
+    def best_cells(df: DataFrame, id_out: str, vec_col: str, n: int) -> DataFrame:
         w = Window.partitionBy(id_out).orderBy(F.col("c").desc(), "cent_id")
-        return (scored.withColumn("rk", F.row_number().over(w))
+        return (scored_cells(df, id_out, vec_col)
+                .withColumn("rk", F.row_number().over(w))
                 .where(F.col("rk") <= n).drop("rk", "c"))
 
-    assigned = best_cells(
+    def best_cell(df: DataFrame, id_out: str, vec_col: str) -> DataFrame:
+        # n=1 as a max_by aggregation (same (c desc, cent_id asc)
+        # tiebreak encoded as max of (c, -cent_id)): map-side partial
+        # combine instead of a full window sort of N x K scored rows —
+        # the same pattern kmeans_centroids uses for its assignment.
+        return (scored_cells(df, id_out, vec_col)
+                .groupBy(id_out)
+                .agg(F.max_by(F.struct("cent_id", vec_col),
+                              F.struct(F.col("c"), -F.col("cent_id")))
+                     .alias("b"))
+                .select(id_out, F.col(f"b.{vec_col}").alias(vec_col),
+                        F.col("b.cent_id").alias("cent_id")))
+
+    assigned = best_cell(
         emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("ne")), "neighbor_id", "ne", 1)
+                   F.col("embedding").alias("ne")), "neighbor_id", "ne")
     probes = best_cells(
         emb.where(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("query_id"),

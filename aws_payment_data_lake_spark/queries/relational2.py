@@ -172,10 +172,16 @@ def rolling_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (Window.partitionBy("user_id")
          .orderBy(F.unix_micros("ts"))
          .rangeBetween(-3_600_000_000, 0))
+    # Exact DECIMAL sum over the frame, cast to double AFTER (the repo
+    # convention, queries/relational.py): a raw double sum behind
+    # round() is a rounding-boundary hazard — float summation order can
+    # flip the 4th decimal on a near-tie between engines. The input cast
+    # to (18,4) is tie-free: synthetic values carry 2 decimals.
     return (
         ev.select(
             "event_id", "user_id", "ts",
             F.count(F.lit(1)).over(w).alias("n_1h"),
-            F.round(F.sum("value").over(w), 4).alias("sum_1h"))
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w)
+            .cast("double").alias("sum_1h"))
         .orderBy("user_id", "ts", "event_id")
     )

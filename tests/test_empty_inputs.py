@@ -63,6 +63,24 @@ def test_similarity_tiers_on_empty(spark, empty_emb):
     assert S.dequantize_embeddings(q).count() == 0
 
 
+def test_kmeans_trained_on_empty_and_tiny(spark, empty_emb):
+    """kmeans_centroids with n_iter>0: empty corpus -> empty centroid
+    table (no .first() crash); a sample SMALLER than n_centroids clamps
+    the cell count instead of IndexError-ing in the Lloyd fallback."""
+    from aws_payment_data_lake_spark.operators import similarity as S
+
+    assert S.kmeans_centroids(empty_emb, n_centroids=4, n_iter=2).count() == 0
+
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    cents = S.kmeans_centroids(tiny, n_centroids=8, n_iter=2)
+    assert cents.count() == 2
+    # IVF over the tiny corpus still answers
+    assert S.ivf_topk(tiny, k=1, n_queries=2, n_centroids=8,
+                      n_train_iter=1).count() > 0
+
+
 def test_multimodal_on_empty(spark):
     from aws_payment_data_lake_spark.operators import multimodal as M
 

@@ -141,7 +141,8 @@ def test_rolling_range_window_matches_duckdb(spark):
         rolling_event_totals(spark, SF_DIR), con, """
         SELECT event_id, user_id, ts,
                CAST(count(*) OVER w AS BIGINT) AS n_1h,
-               round(sum(value) OVER w, 4) AS sum_1h
+               CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                 AS sum_1h
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
