@@ -16,21 +16,29 @@ shuffle (by stream), one windowed pass — no driver loop, no iteration.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 
 
 def pack_training_shards(docs: DataFrame, token_budget: int = 512,
                          n_streams: int = 32, id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         n_tokens_expr: Column | None = None) -> DataFrame:
     """One row per document: (doc_id, n_tokens, stream, shard_idx,
     shard_id) with shard_id = "<stream>-<shard_idx>".
 
-    Tokens are whitespace tokens (the corpus convention — swap the
-    expression for a BPE count column when one exists). Deterministic:
+    Tokens default to whitespace tokens (the corpus convention); pass
+    ``n_tokens_expr`` to pack by any other counter — e.g.
+    ``functions.bpe.bpe_token_count_column(text_col, merges)`` for the
+    vendored subword tokenizer. The packing shape is identical either
+    way (the counter only changes the cumsum input); with the BPE
+    counter, per-doc counts grow by the subword-split factor, so shard
+    boundaries land earlier — see tests/test_bpe.py for the measured
+    assignment diff on this corpus. Deterministic:
     stream = xxhash64(doc_id) mod n_streams, order within stream is
     doc_id, shard boundary is the running token count BEFORE the
     document (integer arithmetic only)."""
-    n_tok = F.size(F.split(F.col(text_col), " "))
+    n_tok = (F.size(F.split(F.col(text_col), " "))
+             if n_tokens_expr is None else n_tokens_expr)
     w = (Window.partitionBy("stream").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     return (

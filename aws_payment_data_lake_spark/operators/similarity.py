@@ -123,7 +123,12 @@ def quantize_embeddings(emb: DataFrame,
     tests/test_similarity_skew.py measures top-k agreement against the
     float baseline."""
     amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
-    scale = (F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    # Guard the QUOTIENT, not amax: for a denormal amax (e.g. 5e-324)
+    # amax/127 underflows to exactly 0.0 and the ANSI divide below would
+    # raise DIVIDE_BY_ZERO. A denormal-max vector quantizes to all-zero
+    # codes with scale 1 — reconstruction error 5e-324 << scale/2.
+    raw = amax / F.lit(127.0)
+    scale = (F.when(raw > 0, raw).otherwise(F.lit(1.0))
              .cast("double"))
     return emb.select(
         "vec_id",

@@ -101,16 +101,22 @@ ORDER BY doc_id
     tags=("curation", "pipeline", "dedup", "text", "flagship-extension"),
 )
 def corpus_curation_decisions(spark: SparkSession, sf_dir: str,
-                              pair_fn=D.minhash_lsh_pairs) -> DataFrame:
+                              pair_fn=None) -> DataFrame:
     """Language gate -> quality gate -> near-dup canonicalization, one
     decision row per document with the first failing rule as the
     drop reason.
 
-    ``pair_fn`` builds the near-dup pair graph; default is the LSH scale
-    path (``D.minhash_lsh_pairs``), with ``D.jaccard_pairs`` as the exact
-    opt-in baseline. Equal output by the driver's own record: both pass
-    the same exact-Jaccard oracle."""
+    ``pair_fn`` builds the near-dup pair graph; the default (None) reads
+    the session-scoped cluster table derived from the exact-verified LSH
+    pairs, shared with the dedup queries
+    (queries/dedup.py:shared_minhash_tables — the scale path, built once
+    per session), with ``D.jaccard_pairs`` as the exact opt-in baseline.
+    Equal output by the driver's own record: both pass the same
+    exact-Jaccard oracle."""
+    from aws_payment_data_lake_spark.queries.dedup import shared_minhash_tables
     (docs,) = load(spark, sf_dir, "documents")
+    comp_src = (shared_minhash_tables(spark, sf_dir)[4] if pair_fn is None
+                else D.connected_components(pair_fn(docs)))
 
     tk = F.split("text", " ")
     by_lang: dict[str, list[str]] = {}
@@ -130,8 +136,8 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str,
          + 0.3 * (1 - n_stop / n_tokens.cast("double"))
          + 0.2 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)))
 
-    comp = (D.connected_components(pair_fn(docs))
-            .select("doc_id", F.col("canonical_doc_id").alias("canonical")))
+    comp = comp_src.select("doc_id",
+                           F.col("canonical_doc_id").alias("canonical"))
 
     # comp holds only docs in near-dup clusters — small relative to the
     # corpus, but data-dependent, so no hard-coded broadcast hint: size

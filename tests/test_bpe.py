@@ -1,0 +1,91 @@
+"""Vendored BPE tokenizer: merge learning on a toy corpus, encode
+invariants, Spark count column vs a driver-side reference, and packing
+with the subword counter (the shard-boundary diff vs whitespace)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+
+from aws_payment_data_lake_spark.functions.bpe import (
+    EOW,
+    bpe_token_count_column,
+    encode_word,
+    train_bpe_merges,
+    word_frequencies,
+)
+from aws_payment_data_lake_spark.operators.packing import pack_training_shards
+from aws_payment_data_lake_spark.sources import load
+
+
+def test_toy_merge_learning():
+    """'low'x5 'lower'x2 'newest'x6 'widest'x3 — the Sennrich running
+    example. Most frequent first pair must be ('e','s') (freq 9, from
+    newest+widest), then ('es','t</w>') (freq 9)."""
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe_merges(freqs, n_merges=4)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t" + EOW)
+    # deterministic: same dict -> same list
+    assert merges == train_bpe_merges(freqs, n_merges=4)
+
+
+def test_encode_word_invariants():
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    ranks = {p: i for i, p in enumerate(train_bpe_merges(freqs, 50))}
+    for w in ["newest", "lowest", "low", "x", "unseen"]:
+        toks = encode_word(w, ranks)
+        # lossless: concatenation restores the word (+ EOW marker)
+        assert "".join(toks) == w + EOW
+        assert 1 <= len(toks) <= len(w) + 1
+    assert encode_word("", ranks) == []
+    # a fully-merged training word collapses to one token
+    assert encode_word("newest", ranks) == ["newest" + EOW]
+
+
+def test_spark_count_matches_driver_reference(spark):
+    """bpe_token_count_column == sum over words of len(encode_word)."""
+    (docs,) = load(spark, SF_DIR, "documents")
+    merges = train_bpe_merges(word_frequencies(docs), n_merges=100)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", bpe_token_count_column("text", merges).alias("n"))
+        .collect()}
+    for r in docs.select("doc_id", "text").collect():
+        want = sum(len(encode_word(w, ranks))
+                   for w in r["text"].split(" ") if w)
+        assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_packing_with_bpe_counter(spark):
+    """Packing with the BPE counter keeps the envelope invariants, and
+    the assignment genuinely differs from whitespace packing (subword
+    counts shift shard boundaries)."""
+    (docs,) = load(spark, SF_DIR, "documents")
+    merges = train_bpe_merges(word_frequencies(docs), n_merges=30)
+    budget, streams = 400, 8
+    packed = pack_training_shards(
+        docs, budget, streams,
+        n_tokens_expr=bpe_token_count_column("text", merges))
+    rows = packed.collect()
+    assert len(rows) == docs.count()
+
+    # same greedy-reference check as test_packing, under the new counter
+    import collections
+    by_stream = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        by_stream[r["stream"]].append(r)
+    for members in by_stream.values():
+        before = 0
+        for r in members:
+            assert r["shard_idx"] == before // budget, r
+            before += r["n_tokens"]
+
+    # 30 merges leave most words multi-token: BPE counts exceed
+    # whitespace counts, so boundaries move for at least one doc
+    ws = pack_training_shards(docs, budget, streams)
+    a = {r["doc_id"]: r["shard_idx"] for r in rows}
+    b = {r["doc_id"]: r["shard_idx"] for r in ws.collect()}
+    n_moved = sum(1 for d in a if a[d] != b[d])
+    assert n_moved > 0
