@@ -124,10 +124,12 @@ def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD,
     # Materialization barrier (same shape as minhash_lsh_pairs): the
     # final action's three branches (sizes + both self-join sides) can
     # race to populate the cache and recompute the tokenize/shingle
-    # chain. Measured cost-neutral here (2.0 vs 2.1 s solo at sf0.1 —
-    # this plan's branches schedule sequentially), kept because the same
-    # race DID cost minhash 3x in round 1 and plan scheduling is not a
-    # contract.
+    # chain. A/B-measured cost-neutral at sf0.1 (3 alternating trials
+    # each, steady state: 1.2-2.0 s with vs 1.6-1.8 s without — round-4
+    # session; the r03 bench's 1.05->2.05 s drift reproduced on
+    # UNTOUCHED queries too, i.e. box noise, not the barrier). Kept
+    # because the same race DID cost minhash 3x in round 1 and plan
+    # scheduling is not a contract.
     sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -361,8 +363,14 @@ def shingle_sig_tables(docs: DataFrame, id_col: str = "doc_id",
     it the final action's branching stages race to populate the cache
     and can each recompute the chain (the round-1 bench showed exactly
     that — 10.9 s driver run vs 3.2 s recorded with a warm cache)."""
-    sh = doc_shingles(docs, id_col, text_col).withColumn(
-        "h", hash60_mod_p(F.col("shingle"))).persist()
+    # h60 (raw 60-bit hash) rides along so SimHash consumers can reuse
+    # this table (simhash_fingerprints(sh=...)) instead of re-running the
+    # tokenize/shingle chain; h = h60 mod p feeds the MinHash LCGs. One
+    # md5 either way — the extra column is 8 bytes/row of persisted size.
+    sh = (doc_shingles(docs, id_col, text_col)
+          .withColumn("h60", hash60(F.col("shingle")))
+          .withColumn("h", F.col("h60") % MERSENNE_P)
+          .persist())
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"sig{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -424,20 +432,26 @@ SIMHASH_CHUNKS = 6         # 10 bits each
 HAMMING_THRESHOLD = 5      # <=5 differing bits => >=1 of 6 chunks equal
 
 
-def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+def simhash_fingerprints(docs: DataFrame | None, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         sh: DataFrame | None = None) -> DataFrame:
     """60-bit SimHash over distinct shingles: bit j of the fingerprint is
     the sign of sum over shingles of (2*bit_j(hash60)-1). Explode to
-    (doc, bit) rows — stays JVM-side, shuffles once on (doc, bit)."""
-    sh = doc_shingles(docs, id_col, text_col).withColumn(
-        "h", hash60(F.col("shingle")))
+    (doc, bit) rows — stays JVM-side, shuffles once on (doc, bit).
+
+    Pass ``sh`` (a (doc_id, h60) shingle table, e.g. from
+    ``shingle_sig_tables``) to reuse a persisted shingle pass instead of
+    re-tokenizing ``docs``."""
+    if sh is None:
+        sh = doc_shingles(docs, id_col, text_col).withColumn(
+            "h60", hash60(F.col("shingle")))
     # 60 conditional-sum aggregates in ONE map-side-combinable groupBy:
     # bit j is set iff (# shingles with bit j) * 2 > (# shingles), i.e.
     # sign of sum(+-1 votes). The alternative — exploding to (doc, bit)
     # rows — shuffles 60x the shingle count; this shuffles 62 longs per
     # doc regardless of document size.
     bit_sums = [
-        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+        F.sum(F.shiftright(F.col("h60"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
     agged = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
@@ -605,19 +619,24 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     return edges.sparkSession.createDataFrame(out, schema)
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = HAMMING_THRESHOLD,
-                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_pairs(docs: DataFrame | None,
+                  max_hamming: int = HAMMING_THRESHOLD,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  sh: DataFrame | None = None) -> DataFrame:
     """Pairs with Hamming(fp_a, fp_b) <= 5, via pigeonhole banding: split
     60 bits into 6 chunks; <=5 flips can't touch all 6 chunks, so every
     qualifying pair shares >=1 exact chunk — candidates are found by 6
-    equi-joins (one exploded join), recall is EXACTLY 1."""
+    equi-joins (one exploded join), recall is EXACTLY 1.
+
+    ``sh``: optional pre-built (doc_id, h60) shingle table (see
+    ``simhash_fingerprints``)."""
     # The chunk equi-join below is a SELF-join: without a persisted input
     # both sides recompute the whole tokenize/shingle/61-agg fingerprint
     # chain (AQE's broadcast conversion defeats shuffle-exchange reuse —
     # measured 10 s vs 6 s at sf0.1). Fingerprints are 2 longs per doc,
     # so persisting is cheap at any scale; count() is the materialization
     # barrier (see minhash_lsh_pairs).
-    fps = simhash_fingerprints(docs, id_col, text_col).persist()
+    fps = simhash_fingerprints(docs, id_col, text_col, sh=sh).persist()
     fps.count()
     chunks = F.array(*[
         F.shiftright(F.col("fingerprint"), 10 * k).bitwiseAND(F.lit(1023))

@@ -297,6 +297,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash pairs at Hamming <= 5, via lossless 6-chunk
-    pigeonhole banding (the oracle does the O(n^2) scan; Spark doesn't)."""
-    (docs,) = load(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs).orderBy("doc_a", "doc_b")
+    pigeonhole banding (the oracle does the O(n^2) scan; Spark doesn't).
+    Fingerprints are aggregated from the session-shared shingle table
+    (h60 column) — no second tokenize/shingle pass."""
+    sh = shared_minhash_tables(spark, sf_dir)[0]
+    return D.simhash_pairs(None, sh=sh).orderBy("doc_a", "doc_b")
