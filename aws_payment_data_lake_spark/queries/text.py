@@ -219,3 +219,81 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("n_tokens"),
         fp.alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+# Oracle twin for text_repetition_profile (unregistered — the 50-slot
+# registry is full; pytest runs this SQL through the same strict
+# comparator, tests/test_queries_extra.py).
+_REPETITION_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (SELECT doc_id, n.n AS n,
+             unnest(list_transform(range(1, len(tk) - n.n + 2),
+                    i -> array_to_string(tk[i:i+n.n-1], ' '))) AS gram
+      FROM tok, (VALUES (2), (3), (5)) n(n)
+      WHERE len(tk) >= n.n),
+c AS (SELECT doc_id, n, gram, count(*) AS cnt
+      FROM g GROUP BY doc_id, n, gram)
+SELECT doc_id, n,
+       CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+       CAST(max(cnt) AS BIGINT) AS max_count,
+       round(max(cnt) * 1.0 / sum(cnt), 6) AS top_frac,
+       round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 / sum(cnt), 6)
+         AS dup_frac
+FROM c GROUP BY doc_id, n
+ORDER BY doc_id, n
+"""
+
+
+def _word_ngrams(tk, n: int):
+    """Array of word n-grams of the token array (empty when the doc is
+    shorter than n — mirrors functions.text.shingles' guard)."""
+    idx = F.sequence(F.lit(1), F.size(tk) - (n - 1))
+    gram = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(tk, i + j) for j in range(n)]))
+    return F.when(F.size(tk) >= n, gram).otherwise(
+        F.array().cast("array<string>"))
+
+
+def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition features (Rae et al. 2021 §A1.1, token
+    variant): per document and n-gram size n ∈ {2, 3, 5}, the fraction
+    of n-gram occurrences taken by the single most frequent n-gram
+    (`top_frac` — catches "the same phrase over and over") and the
+    fraction of occurrences belonging to any n-gram seen more than once
+    (`dup_frac` — catches generally loopy text). Standard pre-training
+    quality gates thresholded downstream.
+
+    Shape: ONE scan builds a tagged (n, gram) array per doc (flatten of
+    three transforms — no triple read), one explode, then two hash
+    aggregations: (doc, n, gram) counts with map-side partial combine,
+    then (doc, n) rollups. Shuffle volume ∝ distinct grams, the same
+    scaling class as text_vocab_topk; nothing is quadratic and nothing
+    collects. Unregistered (50-slot cap) — strict-comparator parity with
+    _REPETITION_ORACLE is a pytest (tests/test_queries_extra.py) and the
+    query is benched."""
+    (docs,) = load(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    def _tag(n: int):
+        # NOTE: a two-arg lambda (e.g. `lambda g, n=n: ...`) would make
+        # F.transform pass the ELEMENT INDEX as the second argument,
+        # silently overriding the default — capture n via closure instead.
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.flatten(F.array(*[
+        F.transform(_word_ngrams(tk, n), _tag(n)) for n in (2, 3, 5)
+    ]))
+    grams = (docs.select("doc_id", F.explode(tagged).alias("t"))
+             .select("doc_id", "t.n", "t.gram"))
+    counts = (grams.groupBy("doc_id", "n", "gram")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    total = F.sum("cnt")
+    dup = F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+    return (
+        counts.groupBy("doc_id", "n")
+        .agg(total.alias("total_ngrams"),
+             F.max("cnt").alias("max_count"),
+             F.round(F.max("cnt") / total.cast("double"), 6)
+             .alias("top_frac"),
+             F.round(dup / total.cast("double"), 6).alias("dup_frac"))
+        .orderBy("doc_id", "n")
+    )

@@ -323,3 +323,40 @@ def test_incremental_dedup_agrees_with_exact_on_testdata(spark):
         tp = len(got & cross)
         assert tp / len(cross) >= 0.8, (got, cross)
         assert not got or tp / len(got) >= 0.8, (got, cross)
+
+
+def test_text_repetition_profile_matches_duck(spark, duck):
+    """Unregistered Gopher-style repetition features hash-match their
+    DuckDB oracle (top/dup n-gram occurrence fractions for n in 2,3,5)."""
+    from aws_payment_data_lake_spark.queries.text import (
+        _REPETITION_ORACLE,
+        text_repetition_profile,
+    )
+
+    status = compare_spark_duck(text_repetition_profile(spark, SF_DIR),
+                                duck, _REPETITION_ORACLE)
+    assert not status, status
+
+
+def test_text_repetition_profile_flags_loopy_doc(spark):
+    """A synthetic doc that repeats one phrase scores top_frac/dup_frac
+    near 1 for every n; a all-distinct-token doc scores dup_frac 0."""
+    from aws_payment_data_lake_spark.queries.text import (
+        text_repetition_profile,
+    )
+    import aws_payment_data_lake_spark.queries.text as TT
+
+    loopy = " ".join(["spam ham"] * 30)          # "spam ham spam ham ..."
+    clean = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, loopy), (2, clean)], "doc_id long, text string")
+
+    import unittest.mock as mock
+    with mock.patch.object(TT, "load", lambda s, d, *t: (docs,)):
+        rows = {(r["doc_id"], r["n"]): r
+                for r in text_repetition_profile(spark, SF_DIR).collect()}
+    for n in (2, 3, 5):
+        assert rows[(1, n)]["dup_frac"] > 0.9, rows[(1, n)]
+        assert rows[(2, n)]["dup_frac"] == 0.0, rows[(2, n)]
+    # the dominant bigram covers ~half of all bigram positions
+    assert rows[(1, 2)]["top_frac"] > 0.45
