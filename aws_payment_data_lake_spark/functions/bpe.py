@@ -152,3 +152,35 @@ def bpe_token_count_column(text_col: str | Column,
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return _count(c)
+
+
+def bpe_encode_column(text_col: str | Column,
+                      merges: list[tuple[str, str]]) -> Column:
+    """Column: the full BPE token sequence (array<string>, EOW markers
+    included) — the shard-materialization twin of
+    ``bpe_token_count_column``, same memoized Arrow-batched shape but
+    shipping the pieces instead of their count."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def _encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def encode_one(text: str) -> list[str]:
+            if text is None:
+                return []
+            out: list[str] = []
+            for w in text.split(" "):
+                if not w:
+                    continue
+                toks = cache.get(w)
+                if toks is None:
+                    toks = encode_word(w, ranks)
+                    cache[w] = toks
+                out.extend(toks)
+            return out
+
+        return texts.map(encode_one)
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return _encode(c)

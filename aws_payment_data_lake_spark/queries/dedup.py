@@ -9,6 +9,8 @@ oracle equality is unconditional.
 
 from __future__ import annotations
 
+import threading
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -36,6 +38,7 @@ from aws_payment_data_lake_spark.sources import load
 # source on first touch).
 # ---------------------------------------------------------------------------
 _SHARED_MINHASH: dict = {}
+_SHARED_LOCK = threading.Lock()
 
 
 def shared_minhash_tables(
@@ -49,24 +52,25 @@ def shared_minhash_tables(
     table (doc_id, canonical_doc_id, group_size) — shared because both
     the CC query and the curation capstone consume it."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if _SHARED_MINHASH.get("key") == key:
-        return _SHARED_MINHASH["val"]
-    if "val" in _SHARED_MINHASH:
-        for df in _SHARED_MINHASH["val"]:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
-    (docs,) = load(spark, sf_dir, "documents")
-    sh, sigs = D.shingle_sig_tables(docs)
-    cands = D.lsh_candidate_pairs(sigs).persist()
-    verified = D.verified_pairs_from(sh, sigs, cands=cands).persist()
-    verified.count()
-    comp = D.connected_components(verified).persist()
-    comp.count()
-    _SHARED_MINHASH["key"] = key
-    _SHARED_MINHASH["val"] = (sh, sigs, cands, verified, comp)
-    return sh, sigs, cands, verified, comp
+    with _SHARED_LOCK:  # a concurrent first call must not double-build
+        if _SHARED_MINHASH.get("key") == key:
+            return _SHARED_MINHASH["val"]
+        if "val" in _SHARED_MINHASH:
+            for df in _SHARED_MINHASH["val"]:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        (docs,) = load(spark, sf_dir, "documents")
+        sh, sigs = D.shingle_sig_tables(docs)
+        cands = D.lsh_candidate_pairs(sigs).persist()
+        verified = D.verified_pairs_from(sh, sigs, cands=cands).persist()
+        verified.count()
+        comp = D.connected_components(verified).persist()
+        comp.count()
+        _SHARED_MINHASH["key"] = key
+        _SHARED_MINHASH["val"] = (sh, sigs, cands, verified, comp)
+        return sh, sigs, cands, verified, comp
 
 # Shared DuckDB CTEs: distinct 3-gram shingles per doc + per-doc counts.
 _SH_CTE = """

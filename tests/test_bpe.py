@@ -89,3 +89,22 @@ def test_packing_with_bpe_counter(spark):
     b = {r["doc_id"]: r["shard_idx"] for r in ws.collect()}
     n_moved = sum(1 for d in a if a[d] != b[d])
     assert n_moved > 0
+
+
+def test_encode_column_consistent_with_count(spark):
+    """bpe_encode_column's length == bpe_token_count_column, and
+    stripping EOW + concatenating restores the original text."""
+    from aws_payment_data_lake_spark.functions.bpe import (
+        bpe_encode_column,
+    )
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    merges = train_bpe_merges(word_frequencies(docs), n_merges=50)
+    out = docs.limit(50).select(
+        "doc_id", "text",
+        bpe_encode_column("text", merges).alias("toks"),
+        bpe_token_count_column("text", merges).alias("n"))
+    for r in out.collect():
+        assert len(r["toks"]) == r["n"]
+        rebuilt = "".join(r["toks"]).replace(EOW, " ").rstrip(" ")
+        assert rebuilt == r["text"]
