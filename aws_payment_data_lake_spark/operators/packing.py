@@ -22,7 +22,8 @@ from pyspark.sql import Column, DataFrame, Window
 def pack_training_shards(docs: DataFrame, token_budget: int = 512,
                          n_streams: int = 32, id_col: str = "doc_id",
                          text_col: str = "text",
-                         n_tokens_expr: Column | None = None) -> DataFrame:
+                         n_tokens_expr: Column | None = None,
+                         stream_expr: Column | None = None) -> DataFrame:
     """One row per document: (doc_id, n_tokens, stream, shard_idx,
     shard_id) with shard_id = "<stream>-<shard_idx>".
 
@@ -36,15 +37,20 @@ def pack_training_shards(docs: DataFrame, token_budget: int = 512,
     assignment diff on this corpus. Deterministic:
     stream = xxhash64(doc_id) mod n_streams, order within stream is
     doc_id, shard boundary is the running token count BEFORE the
-    document (integer arithmetic only)."""
+    document (integer arithmetic only). ``stream_expr`` overrides the
+    stream hash — the registered driver query passes the repo's
+    md5-based cross-engine hash so DuckDB can oracle the assignment
+    exactly (xxhash64 has no DuckDB twin); production keeps the cheaper
+    default."""
     n_tok = (F.size(F.split(F.col(text_col), " "))
              if n_tokens_expr is None else n_tokens_expr)
+    stream = (F.pmod(F.xxhash64(id_col), F.lit(n_streams))
+              if stream_expr is None else stream_expr)
     w = (Window.partitionBy("stream").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     return (
         docs.select(id_col, n_tok.alias("n_tokens"),
-                    F.pmod(F.xxhash64(id_col), F.lit(n_streams))
-                    .alias("stream"))
+                    stream.alias("stream"))
         .withColumn("tokens_before",
                     F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
         .withColumn("shard_idx",

@@ -6,9 +6,14 @@ why a naive copy would fake a quadratic pair blowup).
 Near-linear slope (time ratio <= ~12x on 10x data) is the pass bar from
 the round-3 verdict; quadratic-by-design queries (brute-force
 embedding compare) are named exceptions. One Spark session for all
-measurements; each query runs twice per SF and the SECOND time is
-recorded (steady state — first run pays cache population for the
-shared-store family, JIT, and shuffle-file warmup).
+measurements; each query runs twice per SF and BOTH runs are recorded
+— "cold" (first run: shared-store build, JIT, shuffle-file warmup) and
+"warm" (second run: steady state) — and the slope table reports both
+ratios. Bench-only queries that sit outside the <=50-slot driver
+registry (knn_ivf_probe, text_repetition_profile, ...) resolve through
+bench.py's extra-query map, so their scale behavior is measured too
+(round-4 verdict: the registry-only lookup silently dropped
+knn_ivf_probe, the named scale path for embedding_neardup_pairs).
 
 Run: python scripts/slope_bench.py [--queries a,b,c]
 Prints one JSON line: {"sf0.1": {...}, "sf1.0": {...}, "slope": {...}}
@@ -38,6 +43,8 @@ DEFAULT_QUERIES = [
     "embedding_neardup_pairs",
     "knn_ivf_probe",
     "topk_orders_per_customer",
+    "text_repetition_profile",
+    "dedup_shingle_jaccard",
 ]
 
 
@@ -54,7 +61,8 @@ def main() -> None:
         "entry", REPO / "__spark_entry__.py")
     entry = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry)
-    qs = entry.queries()
+    import bench
+    qs = entry.queries() | bench._extra_fns()
 
     from pyspark.sql import SparkSession
     spark = (
