@@ -36,9 +36,57 @@ from aws_payment_data_lake_spark.sources import load
 # scale factor unpersists the stale entry and rebuilds, so correctness
 # never depends on the memo (every entry is rebuilt from the parquet
 # source on first touch).
+#
+# Two LAZY TIERS (round-5 split, ADVICE r4): the base tier (shingles +
+# signatures, one persisted pass) and the pairs tier (LSH candidates +
+# exact-verified pair graph + connected components). SimHash needs only
+# the shingle table, so it builds the base tier alone — previously it
+# forced the full candidate/verify/CC build it never read. Locking is
+# double-checked: the global lock guards only dict bookkeeping
+# (microseconds); each tier has its own build lock, so a long Spark
+# materialization serializes only same-tier builders, never unrelated
+# query threads. Eviction while a concurrent holder still reads the old
+# entry's tables is safe (unpersist triggers recompute from source, a
+# perf hiccup not a correctness event) — single-entry by design.
 # ---------------------------------------------------------------------------
 _SHARED_MINHASH: dict = {}
 _SHARED_LOCK = threading.Lock()
+
+
+def _shared_entry(spark: SparkSession, sf_dir: str) -> dict:
+    """Dict-bookkeeping only (cheap, under the global lock): return the
+    live entry for (applicationId, sf_dir), evicting any stale one."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _SHARED_LOCK:
+        ent = _SHARED_MINHASH.get(key)
+        if ent is None:
+            for old in _SHARED_MINHASH.values():
+                for tier in ("base", "pairs"):
+                    for df in old.get(tier) or ():
+                        try:
+                            df.unpersist()
+                        except Exception:
+                            pass
+            _SHARED_MINHASH.clear()
+            ent = {"base": None, "pairs": None,
+                   "base_lock": threading.Lock(),
+                   "pairs_lock": threading.Lock()}
+            _SHARED_MINHASH[key] = ent
+        return ent
+
+
+def shared_base_tables(
+        spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(sh, sigs) for ``sf_dir``'s documents — the persisted
+    shingle+signature tier, built once per (Spark application, sf_dir).
+    SimHash-class consumers stop here; LSH-family consumers get the
+    pairs tier on top via ``shared_minhash_tables``."""
+    ent = _shared_entry(spark, sf_dir)
+    with ent["base_lock"]:
+        if ent["base"] is None:
+            (docs,) = load(spark, sf_dir, "documents")
+            ent["base"] = D.shingle_sig_tables(docs)
+    return ent["base"]
 
 
 def shared_minhash_tables(
@@ -51,26 +99,17 @@ def shared_minhash_tables(
     ``D.jaccard_pairs``); ``comp`` is its connected-components cluster
     table (doc_id, canonical_doc_id, group_size) — shared because both
     the CC query and the curation capstone consume it."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    with _SHARED_LOCK:  # a concurrent first call must not double-build
-        if _SHARED_MINHASH.get("key") == key:
-            return _SHARED_MINHASH["val"]
-        if "val" in _SHARED_MINHASH:
-            for df in _SHARED_MINHASH["val"]:
-                try:
-                    df.unpersist()
-                except Exception:
-                    pass
-        (docs,) = load(spark, sf_dir, "documents")
-        sh, sigs = D.shingle_sig_tables(docs)
-        cands = D.lsh_candidate_pairs(sigs).persist()
-        verified = D.verified_pairs_from(sh, sigs, cands=cands).persist()
-        verified.count()
-        comp = D.connected_components(verified).persist()
-        comp.count()
-        _SHARED_MINHASH["key"] = key
-        _SHARED_MINHASH["val"] = (sh, sigs, cands, verified, comp)
-        return sh, sigs, cands, verified, comp
+    ent = _shared_entry(spark, sf_dir)
+    sh, sigs = shared_base_tables(spark, sf_dir)
+    with ent["pairs_lock"]:
+        if ent["pairs"] is None:
+            cands = D.lsh_candidate_pairs(sigs).persist()
+            verified = D.verified_pairs_from(sh, sigs, cands=cands).persist()
+            verified.count()
+            comp = D.connected_components(verified).persist()
+            comp.count()
+            ent["pairs"] = (cands, verified, comp)
+    return (sh, sigs) + ent["pairs"]
 
 # Shared DuckDB CTEs: distinct 3-gram shingles per doc + per-doc counts.
 _SH_CTE = """
@@ -303,6 +342,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash pairs at Hamming <= 5, via lossless 6-chunk
     pigeonhole banding (the oracle does the O(n^2) scan; Spark doesn't).
     Fingerprints are aggregated from the session-shared shingle table
-    (h60 column) — no second tokenize/shingle pass."""
-    sh = shared_minhash_tables(spark, sf_dir)[0]
+    (h60 column) — no second tokenize/shingle pass, and only the BASE
+    store tier: running SimHash solo no longer forces the LSH
+    candidate/verify/CC build it never reads (ADVICE r4)."""
+    sh = shared_base_tables(spark, sf_dir)[0]
     return D.simhash_pairs(None, sh=sh).orderBy("doc_a", "doc_b")
