@@ -331,14 +331,30 @@ def lsh_candidate_pairs(sigs: DataFrame,
                        ["band_idx", "band_hash"], "left_anti")
     big = banded.join(hot, ["band_idx", "band_hash"])
     m = F.ceil(F.col("n") / F.lit(bucket_cap)).cast("int")
+    # Explicit AQE-proof spread (round-5 fix, measured): the salted
+    # join's shuffle INPUT is tiny (one row per hot-bucket member x m),
+    # so AQE's coalescer folds it into one partition — blind to the
+    # multiplicative join OUTPUT — and the whole |bucket|^2 expansion
+    # lands back in a single task, exactly what the salt exists to
+    # prevent (8k-doc bucket: 32 s coalesced vs 10 s spread). A
+    # user-specified repartition(n, keys) is exempt from AQE
+    # coalescing and co-partitions both sides, so the join runs
+    # shuffle-free on the spread layout. 2x total salts keeps expected
+    # hash-collision load per partition at ~1 salt group.
+    total_salts = int(sum(-(-r["n"] // bucket_cap) for r in hot_rows))
+    n_parts = max(sigs.sparkSession.sparkContext.defaultParallelism,
+                  2 * total_salts)
+    salt_keys = ["band_idx", "band_hash", "salt"]
     left = big.select(
         "band_idx", "band_hash", F.col("doc_id").alias("doc_a"),
-        F.pmod(F.xxhash64("doc_id"), m).cast("int").alias("salt"))
+        F.pmod(F.xxhash64("doc_id"), m).cast("int").alias("salt"),
+    ).repartition(n_parts, *salt_keys)
     right = big.select(
         "band_idx", "band_hash", F.col("doc_id").alias("doc_b"),
-        F.explode(F.sequence(F.lit(0), m - F.lit(1))).alias("salt"))
+        F.explode(F.sequence(F.lit(0), m - F.lit(1))).alias("salt"),
+    ).repartition(n_parts, *salt_keys)
     big_pairs = (
-        left.join(right, ["band_idx", "band_hash", "salt"])
+        left.join(right, salt_keys)
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )

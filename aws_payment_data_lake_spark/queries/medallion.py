@@ -152,52 +152,61 @@ def medallion_curate_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# P4 — trim/upper string normalization, applied for real (the reference's
-# version is an accidental no-op, SURVEY.md §1.5.1).
-# --------------------------------------------------------------------------
-@register(
-    "medallion_normalise_strings",
-    oracle="""
-    SELECT c_custkey,
-           upper(trim(c_name)) AS c_name_norm,
-           upper(trim(c_mktsegment)) AS c_mktsegment_norm
-    FROM customer
-    """,
-    tags=("projection", "string", "reference:P4"),
-)
-def medallion_normalise_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trim + uppercase every string column of customer."""
-    (cust,) = load(spark, sf_dir, "customer")
-    return cust.select(
-        "c_custkey",
-        F.upper(F.trim(F.col("c_name"))).alias("c_name_norm"),
-        F.upper(F.trim(F.col("c_mktsegment"))).alias("c_mktsegment_norm"),
-    )
-
-
-# --------------------------------------------------------------------------
-# P1-P3 — typed casts + partition-column derivation
-# (etl_transactions_bronze.py:24-38,83-94).
+# P1-P4 — the reference's projection transforms, one tagged-union slot
+# (round-5 fold per VERDICT r4 #8: two near-duplicate single-projection
+# rows merged so the freed slot registers the Gopher repetition gate;
+# every P-operator keeps a driver-hash-checked variant):
+#   P4    trim/upper string normalization, applied for real (the
+#         reference's version is an accidental no-op, SURVEY.md §1.5.1)
+#   P1-P3 typed casts + partition-column derivation
+#         (etl_transactions_bronze.py:24-38,83-94)
 # --------------------------------------------------------------------------
 @register(
     "medallion_cast_derive_date",
     oracle="""
-    SELECT event_id,
-           CAST(ts AS DATE) AS event_date,
-           year(ts) AS event_year,
-           month(ts) AS event_month,
-           hour(ts) AS event_hour
+    SELECT 'cast' AS variant, event_id AS rec_id,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS col_a,
+           CAST(year(ts) AS VARCHAR) AS col_b,
+           CAST(month(ts) AS VARCHAR) || ':' || CAST(hour(ts) AS VARCHAR)
+             AS col_c
     FROM events
+    UNION ALL
+    SELECT 'normalise' AS variant, c_custkey AS rec_id,
+           upper(trim(c_name)) AS col_a,
+           upper(trim(c_mktsegment)) AS col_b,
+           CAST(NULL AS VARCHAR) AS col_c
+    FROM customer
+    ORDER BY variant, rec_id
     """,
-    tags=("projection", "cast", "reference:P1,P2,P3"),
+    tags=("projection", "cast", "string", "reference:P1,P2,P3,P4"),
 )
 def medallion_cast_derive_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timestamp -> date/year/month/hour derivations (partition-col shape)."""
-    (ev,) = load(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.to_date("ts").alias("event_date"),
-        F.year("ts").alias("event_year"),
-        F.month("ts").alias("event_month"),
-        F.hour("ts").alias("event_hour"),
+    """Reference projection transforms, both shapes in one tagged union:
+
+      variant='cast'       timestamp -> date/year/month/hour derivations
+                           (the bronze partition-column shape), rendered
+                           to strings so the union schema is uniform —
+                           the rendering is deterministic and identical
+                           cross-engine, so the hash check still pins
+                           the cast semantics.
+      variant='normalise'  trim + uppercase over customer's string
+                           columns (the transform the reference shipped
+                           as an accidental no-op).
+    """
+    ev, cust = load(spark, sf_dir, "events", "customer")
+    cast_rows = ev.select(
+        F.lit("cast").alias("variant"),
+        F.col("event_id").alias("rec_id"),
+        F.to_date("ts").cast("string").alias("col_a"),
+        F.year("ts").cast("string").alias("col_b"),
+        F.concat(F.month("ts").cast("string"), F.lit(":"),
+                 F.hour("ts").cast("string")).alias("col_c"),
     )
+    norm_rows = cust.select(
+        F.lit("normalise").alias("variant"),
+        F.col("c_custkey").alias("rec_id"),
+        F.upper(F.trim(F.col("c_name"))).alias("col_a"),
+        F.upper(F.trim(F.col("c_mktsegment"))).alias("col_b"),
+        F.lit(None).cast("string").alias("col_c"),
+    )
+    return cast_rows.unionByName(norm_rows).orderBy("variant", "rec_id")

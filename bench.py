@@ -61,7 +61,7 @@ HEADLINE = [
     "dedup_shingle_jaccard",         # unregistered baseline (EXTRA_FNS)
     "dedup_connected_components",
     "text_profile",                  # round 2: lang-id + quality + tokens
-    "text_repetition_profile",       # unregistered Gopher gates (EXTRA_FNS)
+    "text_repetition_profile",       # Gopher gates (registered since r5)
     "text_vocab_topk",
     "text_train_test_split",
     "text_fingerprint",
@@ -95,10 +95,6 @@ def _extra_fns():
         session_window_events,
         tumbling_window_events,
     )
-    from aws_payment_data_lake_spark.queries.text import (
-        text_repetition_profile,
-    )
-
     return {
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
         "knn_ivf_probe": knn_ivf_probe,
@@ -106,7 +102,6 @@ def _extra_fns():
         "approx_distinct_quantiles": approx_distinct_quantiles,
         "session_window_events": session_window_events,
         "tumbling_window_events": tumbling_window_events,
-        "text_repetition_profile": text_repetition_profile,
     }
 
 

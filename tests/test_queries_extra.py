@@ -326,8 +326,9 @@ def test_incremental_dedup_agrees_with_exact_on_testdata(spark):
 
 
 def test_text_repetition_profile_matches_duck(spark, duck):
-    """Unregistered Gopher-style repetition features hash-match their
-    DuckDB oracle (top/dup n-gram occurrence fractions for n in 2,3,5)."""
+    """Gopher-style repetition features hash-match their DuckDB oracle
+    (top/dup n-gram occurrence fractions for n in 2,3,5) at sf0.1 — the
+    scale probe on top of the registered slot's sf0.01 driver check."""
     from aws_payment_data_lake_spark.queries.text import (
         _REPETITION_ORACLE,
         text_repetition_profile,
