@@ -185,11 +185,22 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
             "cent_id long, ce array<double>")
 
     if n_iter == 0:
-        # Seed-only: no training pass, so skip the corpus count and the
-        # sample persist entirely — one limit-collect job.
-        return cent_df_of(
-            emb.select("vec_id", unit(F.col("embedding")).alias("ue"))
-            .orderBy("vec_id").limit(n_centroids).collect())
+        # Seed-only: no training pass — one limit-collect job, raw
+        # vectors, L2-normalized DRIVER-side (K tiny vectors). An
+        # earlier draft projected the interpreted `unit` transform
+        # BELOW the sort, which evaluated the 64x64-op fold for every
+        # corpus row before TakeOrdered kept 16 (measured 3.6 s vs
+        # 0.14 s at sf1.0 for the same 16-row answer).
+        import numpy as np
+
+        rows = (emb.select("vec_id", "embedding")
+                .orderBy("vec_id").limit(n_centroids).collect())
+        cents = []
+        for r in rows:
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            cents.append((v / np.sqrt(v @ v)).tolist())
+        return spark.createDataFrame(
+            list(enumerate(cents)), "cent_id long, ce array<double>")
 
     n = emb.count()
     stride = max(1, n // train_cap)
@@ -277,20 +288,8 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
                 .withColumn("rk", F.row_number().over(w))
                 .where(F.col("rk") <= n).drop("rk", "c"))
 
-    def best_cell(df: DataFrame, id_out: str, vec_col: str) -> DataFrame:
-        # n=1 as a max_by aggregation (same (c desc, cent_id asc)
-        # tiebreak encoded as max of (c, -cent_id)): map-side partial
-        # combine instead of a full window sort of N x K scored rows —
-        # the same pattern kmeans_centroids uses for its assignment.
-        return (scored_cells(df, id_out, vec_col)
-                .groupBy(id_out)
-                .agg(F.max_by(F.struct("cent_id", vec_col),
-                              F.struct(F.col("c"), -F.col("cent_id")))
-                     .alias("b"))
-                .select(id_out, F.col(f"b.{vec_col}").alias(vec_col),
-                        F.col("b.cent_id").alias("cent_id")))
-
-    assigned = best_cell(
+    assigned = assign_cells_blas(
+        cents,
         emb.select(F.col("vec_id").alias("neighbor_id"),
                    F.col("embedding").alias("ne")), "neighbor_id", "ne")
     probes = best_cells(
@@ -298,11 +297,32 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
         .select(F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("qe")), "query_id", "qe", n_probe)
 
+    # Candidate scoring batches through Arrow as well (same rationale as
+    # assign_cells_blas: a row-wise einsum replaces ~3x64 interpreted
+    # expression evals per candidate; at sf1.0 the probe join emits ~50k
+    # candidate rows). np.round matches F.round everywhere except exact
+    # half-way ties at the 6th decimal — irrelevant for an approximate,
+    # rows-only tier whose contract is the measured recall floor.
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["qe"].to_numpy()).astype(np.float64)
+            N = np.stack(pdf["ne"].to_numpy()).astype(np.float64)
+            cs = (np.einsum("ij,ij->i", Q, N)
+                  / (np.linalg.norm(Q, axis=1) * np.linalg.norm(N, axis=1)))
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "cos_sim": np.round(cs, 6)})
+
     c = (
         probes.join(assigned, "cent_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("qe"), F.col("ne")), 6).alias("cos_sim"))
+        .mapInPandas(score,
+                     "query_id long, neighbor_id long, cos_sim double")
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -312,3 +332,55 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
         .where(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def assign_cells_blas(cents: DataFrame, df: DataFrame,
+                      id_col: str, vec_col: str) -> DataFrame:
+    """argmax-cosine cell per vector, as ONE Arrow-batched matmul
+    (round-5 replacement for the JVM max_by assignment): the K x dim
+    centroid matrix is a bounded driver literal (16 x 64 doubles here —
+    the same driver-literal contract as the k-means rebroadcast), rows
+    arrive in Arrow batches, scores are a single `M_unit @ C_unit.T`
+    BLAS call, and the argmax over 6-dp-rounded scores reproduces the
+    JVM tiebreak (ties -> smallest cent_id, np.argmax's first-hit rule).
+
+    Why: the interpreted higher-order `cosine` fold costs ~3x64
+    expression evals per scored row, and full-corpus assignment scores
+    N x K rows — at sf1.0 (20k vectors x 16 cells) that was most of the
+    IVF probe's 11.7 s, the whole constant-factor gap to brute force.
+    The matmul does the identical arithmetic in BLAS at ~20 MFLOP. Cost
+    model at 100 TB is unchanged: one pass over the data, no shuffle,
+    centroids broadcast (closure capture instead of a broadcast join)."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = cents.orderBy("cent_id").collect()  # K x dim, bounded
+    out_schema = f"{id_col} long, {vec_col} array<double>, cent_id long"
+    if not cent_rows:
+        return df.sparkSession.createDataFrame([], out_schema)
+    C = np.stack([np.asarray(r["ce"], dtype=np.float64)
+                  for r in cent_rows])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    # Local artifact guard (same pattern as text_repetition_profile): a
+    # single small parquet file arrives as ONE input partition, pinning
+    # the whole Arrow matmul to one task. Spread only when the scan is
+    # narrower than the cluster — never triggers on a real wide scan.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            scores = np.round(Mn @ C.T, 6)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                vec_col: pdf[vec_col],
+                "cent_id": np.argmax(scores, axis=1).astype(np.int64),
+            })
+
+    return df.mapInPandas(assign, out_schema)
