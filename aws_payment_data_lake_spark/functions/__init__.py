@@ -13,6 +13,7 @@ from aws_payment_data_lake_spark.functions.text import (  # noqa: F401
     hash60_mod_p,
     shingles,
     tokens,
+    word_ngrams,
 )
 from aws_payment_data_lake_spark.functions.vectors import (  # noqa: F401
     cosine,

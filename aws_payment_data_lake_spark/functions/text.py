@@ -34,26 +34,33 @@ def hash60_mod_p(col: Column) -> Column:
     return hash60(col) % MERSENNE_P
 
 
+def word_ngrams(tokens_col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams, built INCREMENTALLY:
+    gram_k = zip_with(gram_{k-1}[:-1], tokens[k:], concat) — one
+    interpreted concat per produced gram instead of the naive
+    sequence/element_at build's ~n array probes + concat_ws per gram
+    (profiled 4-10x faster on the repetition-profile workload,
+    scripts/profile_repetition.py; round 5 moved the same build under
+    the whole dedup family). Docs shorter than n yield [] — the
+    `greatest(sz-k, 0)` slice length collapses to zero, matching
+    DuckDB's `range()` behavior for the oracle twins."""
+    sz = F.size(tokens_col)
+    grams = tokens_col
+    for k in range(2, n + 1):
+        keep = F.greatest(sz - (k - 1), F.lit(0))
+        grams = F.zip_with(F.slice(grams, 1, keep),
+                           F.slice(tokens_col, k, keep),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return grams
+
+
 def shingles(tokens_col: Column, n: int = 3) -> Column:
     """Word n-gram shingles. Documents draw from a ~31-word vocabulary, so
     unigram sets are near-identical across unrelated docs (and every token
     is a hot join key); n-grams restore a sharp near-dup signal and an
     even join-key distribution."""
     assert n == 3, "oracle SQL is written for n=3"
-    idx = F.sequence(F.lit(1), F.size(tokens_col) - (n - 1))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(tokens_col, i),
-            F.element_at(tokens_col, i + 1),
-            F.element_at(tokens_col, i + 2),
-        ),
-    )
-    # Guard: sequence(1, k) DESCENDS when k < 1 (Spark auto-step -1);
-    # short docs must yield an empty shingle list like DuckDB's range().
-    return F.when(F.size(tokens_col) >= n, gram).otherwise(
-        F.array().cast("array<string>"))
+    return word_ngrams(tokens_col, n)
 
 
 _PII_URL = r"https?://\S+"

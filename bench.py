@@ -65,6 +65,7 @@ HEADLINE = [
     "text_vocab_topk",
     "text_train_test_split",
     "text_fingerprint",
+    "text_decontamination",          # unregistered 8-gram gate (EXTRA_FNS)
     "knn_brute_force",
     "knn_ivf_probe",                 # unregistered approx path (EXTRA_FNS)
     "embedding_neardup_pairs",
@@ -85,6 +86,9 @@ HEADLINE = [
 def _extra_fns():
     """Headline operators that deliberately sit OUTSIDE the <=50-query
     driver registry (pytest-verified instead) but keep a bench record."""
+    from aws_payment_data_lake_spark.queries.decontam import (
+        text_decontamination,
+    )
     from aws_payment_data_lake_spark.queries.dedup import dedup_shingle_jaccard
     from aws_payment_data_lake_spark.queries.similarity import knn_ivf_probe
     from aws_payment_data_lake_spark.queries.sql_surface import sql_status_funnel
@@ -98,6 +102,7 @@ def _extra_fns():
     return {
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
         "knn_ivf_probe": knn_ivf_probe,
+        "text_decontamination": text_decontamination,
         "sql_status_funnel": sql_status_funnel,
         "approx_distinct_quantiles": approx_distinct_quantiles,
         "session_window_events": session_window_events,
