@@ -66,6 +66,7 @@ HEADLINE = [
     "text_train_test_split",
     "text_fingerprint",
     "text_decontamination",          # unregistered 8-gram gate (EXTRA_FNS)
+    "corpus_mixture_resample",       # unregistered epoch mixing (EXTRA_FNS)
     "knn_brute_force",
     "knn_ivf_probe",                 # unregistered approx path (EXTRA_FNS)
     "embedding_neardup_pairs",
@@ -90,6 +91,9 @@ def _extra_fns():
         text_decontamination,
     )
     from aws_payment_data_lake_spark.queries.dedup import dedup_shingle_jaccard
+    from aws_payment_data_lake_spark.queries.mixture import (
+        corpus_mixture_resample,
+    )
     from aws_payment_data_lake_spark.queries.similarity import knn_ivf_probe
     from aws_payment_data_lake_spark.queries.sql_surface import sql_status_funnel
     from aws_payment_data_lake_spark.queries.stats import (
@@ -103,6 +107,7 @@ def _extra_fns():
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
         "knn_ivf_probe": knn_ivf_probe,
         "text_decontamination": text_decontamination,
+        "corpus_mixture_resample": corpus_mixture_resample,
         "sql_status_funnel": sql_status_funnel,
         "approx_distinct_quantiles": approx_distinct_quantiles,
         "session_window_events": session_window_events,
