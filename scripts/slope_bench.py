@@ -45,6 +45,8 @@ DEFAULT_QUERIES = [
     "topk_orders_per_customer",
     "text_repetition_profile",
     "dedup_shingle_jaccard",
+    "text_decontamination",
+    "corpus_mixture_resample",
 ]
 
 
