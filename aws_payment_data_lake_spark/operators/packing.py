@@ -59,3 +59,40 @@ def pack_training_shards(docs: DataFrame, token_budget: int = 512,
         .select(id_col, "n_tokens", "stream", "shard_idx",
                 F.concat_ws("-", "stream", "shard_idx").alias("shard_id"))
     )
+
+
+def write_training_shards(docs: DataFrame, path: str,
+                          token_budget: int = 512, n_streams: int = 32,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n_tokens_expr: Column | None = None,
+                          stream_expr: Column | None = None,
+                          mode: str = "overwrite") -> DataFrame:
+    """Materialize the packed corpus as ONE FILE PER SHARD — the layout
+    a training dataloader consumes (shard = the unit of shuffling and
+    of resumable progress).
+
+    Pipeline: `pack_training_shards` assigns (stream, shard_idx,
+    shard_id); the assignment joins back to the full documents;
+    `repartition(shard_id)` routes every row of a shard to exactly one
+    task, so the Hive `shard_id=` directory written by `partitionBy`
+    holds exactly one parquet file; rows sort by doc id within the
+    file so shard content is byte-deterministic. File size is governed
+    by the token budget (~budget tokens, overshoot bounded by one
+    document — the packing contract), which at 100 TB is the
+    shard-sizing knob; the shuffle is one pass of the corpus keyed by
+    shard, the minimum any physical re-layout costs.
+
+    Returns the assignment DataFrame (doc_id, n_tokens, stream,
+    shard_idx, shard_id) so callers can audit what was written."""
+    packed = pack_training_shards(
+        docs, token_budget=token_budget, n_streams=n_streams,
+        id_col=id_col, text_col=text_col, n_tokens_expr=n_tokens_expr,
+        stream_expr=stream_expr)
+    out = docs.join(
+        packed.select(id_col, "n_tokens", "stream", "shard_idx", "shard_id"),
+        id_col)
+    (out.repartition(F.col("shard_id"))
+        .sortWithinPartitions(id_col)
+        .write.partitionBy("shard_id")
+        .mode(mode).parquet(path))
+    return packed
