@@ -38,3 +38,9 @@ from aws_payment_data_lake_spark.streaming.joins import (  # noqa: F401
     view_purchase_attribution_batch,
     view_purchase_attribution_stream,
 )
+from aws_payment_data_lake_spark.streaming.rate_source import (  # noqa: F401
+    rate_window_totals,
+    rate_window_totals_batch,
+    read_rate_events,
+    synthetic_events,
+)

@@ -180,3 +180,25 @@ def test_stream_stream_join_matches_batch(spark):
         read_table(spark, SF_DIR, "events"))
     assert got.count() > 0  # the join is non-vacuous on this data
     _same_rows(got, batch)
+
+
+def test_rate_source_stream_matches_batch(spark):
+    """The broker stand-in (rate-micro-batch source): one drained
+    micro-batch through the windowed aggregation == the spark.range
+    batch twin computing the identical synthetic events. Proves the
+    transform/window/sink surface is source-agnostic (swap in a Kafka
+    reader and nothing downstream changes)."""
+    from aws_payment_data_lake_spark.streaming.rate_source import (
+        rate_window_totals,
+        rate_window_totals_batch,
+        read_rate_events,
+        synthetic_events,
+    )
+
+    stream = rate_window_totals(
+        synthetic_events(read_rate_events(spark, rows_per_batch=10_000)))
+    got = run_available_now(stream, "t_rate_totals", output_mode="complete")
+    want = rate_window_totals_batch(spark, n_rows=10_000)
+    _same_rows(got, want)
+    # sanity: the synthetic hour spans 12 five-minute windows x 3 types
+    assert got.count() == 36
