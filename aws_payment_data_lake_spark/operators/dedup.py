@@ -416,23 +416,33 @@ def verified_pairs_from(sh: DataFrame, sigs: DataFrame,
     already-built (doc_a, doc_b) candidate table."""
     if cands is None:
         cands = lsh_candidate_pairs(sigs)
-    sizes = sigs.select("doc_id", "n_sh")
-    # intersection restricted to candidate pairs: expand doc_a's shingles,
-    # then equi-join on (doc_b, shingle) to count the overlap
+    # Round-5 shape: per-doc shingle-HASH sets once (one small groupBy
+    # over sh), then each candidate pair intersects two ~40-element
+    # arrays JVM-side (`array_intersect` builds a hash set per call).
+    # The previous shape exploded candidates x shingles through two
+    # equi-joins + a pair-grouped count — 3 shuffles of |cands| x n_sh
+    # rows, which on a candidate-heavy corpus (boilerplate hot buckets:
+    # 8M candidates at 54k docs) took 161 s vs 6.3 s for this one,
+    # identical output (A/B in the round-5 log; sf0.1 also faster).
+    # Shuffle volume here is |cands| x one array payload (~320 B), i.e.
+    # bounded by the candidate set — the quantity LSH already bounds.
+    # Intersections count 60-bit hashes, not strings: a cross-doc
+    # collision could perturb one pair's Jaccard with P ~ n_sh^2/2^61
+    # per pair (~1e-15) — the same negligible-collision contract the
+    # signature stage already accepts.
+    doc_sets = sh.groupBy("doc_id").agg(F.collect_set("h60").alias("hs"))
     inter = (
         cands
-        .join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-              ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(doc_sets.select(F.col("doc_id").alias("doc_a"),
+                              F.col("hs").alias("hs_a")), "doc_a")
+        .join(doc_sets.select(F.col("doc_id").alias("doc_b"),
+                              F.col("hs").alias("hs_b")), "doc_b")
+        .select("doc_a", "doc_b",
+                F.size(F.array_intersect("hs_a", "hs_b")).alias("inter"),
+                F.size("hs_a").alias("n_a"), F.size("hs_b").alias("n_b"))
     )
     return (
         inter
-        .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                           F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("n_sh").alias("n_b")), "doc_b")
         .withColumn("union_sh", F.col("n_a") + F.col("n_b") - F.col("inter"))
         .where(F.col("inter") >= F.lit(threshold) * F.col("union_sh"))
         .select("doc_a", "doc_b", "inter", "union_sh",
