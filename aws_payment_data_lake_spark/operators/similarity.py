@@ -275,7 +275,38 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
     At 100 TB the assignment is one broadcast pass over the data and the
     probe join touches n_probe/n_centroids of it; cells are the natural
     partitioning key for the candidate table."""
+    cents, assigned = build_ivf_index(emb, n_centroids, n_train_iter)
+    queries = (emb.where(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qe")))
+    return ivf_probe_topk(cents, assigned, queries, k=k, n_probe=n_probe)
+
+
+def build_ivf_index(emb: DataFrame, n_centroids: int = 16,
+                    n_train_iter: int = 0) -> tuple[DataFrame, DataFrame]:
+    """The IVF INDEX: (cents, assigned) — coarse centroids plus every
+    corpus vector tagged with its argmax-cosine cell. This is the
+    build-once-query-many half of ANN serving (in production: a stored
+    table partitioned by cent_id, rebuilt when the corpus rolls); the
+    probe half (`ivf_probe_topk`) touches only n_probe cells of it per
+    query batch. Callers that probe repeatedly persist `assigned` —
+    see queries/similarity.py:shared_ivf_index for the session-scoped
+    store."""
     cents = kmeans_centroids(emb, n_centroids, n_train_iter)
+    assigned = assign_cells_blas(
+        cents,
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ne")), "neighbor_id", "ne")
+    return cents, assigned
+
+
+def ivf_probe_topk(cents: DataFrame, assigned: DataFrame,
+                   queries: DataFrame, k: int = 5,
+                   n_probe: int = 4) -> DataFrame:
+    """Probe an IVF index: each query row (query_id, qe) ranks its
+    n_probe closest cells (tiny NxK window over the broadcast centroid
+    table), joins only those cells' members, and ranks candidates
+    exactly within them."""
 
     def scored_cells(df: DataFrame, id_out: str, vec_col: str) -> DataFrame:
         return df.crossJoin(F.broadcast(cents)).select(
@@ -288,14 +319,7 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
                 .withColumn("rk", F.row_number().over(w))
                 .where(F.col("rk") <= n).drop("rk", "c"))
 
-    assigned = assign_cells_blas(
-        cents,
-        emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("ne")), "neighbor_id", "ne")
-    probes = best_cells(
-        emb.where(F.col("vec_id") < n_queries)
-        .select(F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("qe")), "query_id", "qe", n_probe)
+    probes = best_cells(queries, "query_id", "qe", n_probe)
 
     # Candidate scoring batches through Arrow as well (same rationale as
     # assign_cells_blas: a row-wise einsum replaces ~3x64 interpreted

@@ -163,3 +163,19 @@ def test_salted_agg_splits_hot_key(spark):
     got = salted_user_value_totals(hot).collect()[0]
     assert got["n_events"] == 10_000
     assert got["sum_value"] == sum(range(10_000))
+
+
+def test_shared_ivf_index_reused(spark):
+    """Second call in the same session returns the SAME persisted index
+    (build-once-query-many), and the probe answer is unchanged."""
+    from aws_payment_data_lake_spark.queries.similarity import (
+        knn_ivf_probe,
+        shared_ivf_index,
+    )
+
+    c1, a1 = shared_ivf_index(spark, SF_DIR)
+    c2, a2 = shared_ivf_index(spark, SF_DIR)
+    assert a1 is a2 and c1 is c2
+    r1 = sorted(map(tuple, knn_ivf_probe(spark, SF_DIR).collect()))
+    r2 = sorted(map(tuple, knn_ivf_probe(spark, SF_DIR).collect()))
+    assert r1 == r2 and r1
