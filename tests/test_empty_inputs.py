@@ -103,3 +103,37 @@ def test_skew_and_packing_on_empty(spark):
     assert salted_join(fact, dim, "k").count() == 0
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert pack_training_shards(docs).count() == 0
+
+
+def test_decontam_empty_benchmark_and_corpus(spark):
+    from aws_payment_data_lake_spark.operators.decontam import (
+        benchmark_contamination,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "x y")], "doc_id long, text string")
+    # empty benchmark: nothing can be contaminated, every doc survives
+    rows = {r["doc_id"]: r
+            for r in benchmark_contamination(corpus, empty).collect()}
+    assert set(rows) == {1, 2}
+    assert not any(r["contaminated"] for r in rows.values())
+    # empty corpus: empty result, no crash
+    assert benchmark_contamination(empty, corpus).count() == 0
+
+
+def test_mixture_empty_and_unknown_sources(spark):
+    from aws_payment_data_lake_spark.operators.mixture import (
+        mixture_resample,
+        mixture_summary,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    assert mixture_resample(empty, {"a": 2.0}).count() == 0
+    docs = spark.createDataFrame(
+        [(1, "unknown_src")], "doc_id long, source string")
+    # unknown source takes default_weight=1.0 -> exactly one copy
+    rows = mixture_resample(docs, {"a": 2.0}).collect()
+    assert len(rows) == 1 and rows[0]["n_copies"] == 1
+    s = mixture_summary(docs, {"a": 2.0}).collect()
+    assert s[0]["realized_epochs"] == 1.0
