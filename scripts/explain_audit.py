@@ -62,14 +62,16 @@ def main() -> int:
 
     spark = get_spark(app_name="explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    import bench
     specs = registry.all_queries()
-    names = args.only.split(",") if args.only else sorted(specs)
+    fns = {n: s.fn for n, s in specs.items()} | bench._extra_fns()
+    names = args.only.split(",") if args.only else sorted(fns)
 
     with open(args.out, "w") as f:
         for name in names:
             if name == "streaming_tumbling_live":
                 continue  # streaming plans can't explain pre-start
-            df = specs[name].fn(spark, SF_DIR)
+            df = fns[name](spark, SF_DIR)
             plan = formatted_plan(df)
             f.write(f"{'=' * 70}\n{name}\n{'=' * 70}\n{plan}\n")
             flags = audit(name, plan)
