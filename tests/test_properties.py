@@ -201,3 +201,30 @@ def test_connected_components_matches_union_find(spark, edges):
     want = {n: (root, len(members))
             for root, members in comps.items() for n in members}
     assert got == want
+
+
+token = st.text(alphabet="abcxyz0", min_size=1, max_size=4)
+
+
+@SETTINGS
+@given(st.lists(st.lists(token, min_size=0, max_size=12),
+                min_size=1, max_size=6),
+       st.integers(min_value=2, max_value=8))
+def test_word_ngrams_matches_python_reference(spark, docs, n):
+    """functions.text.word_ngrams (the incremental zip_with build that
+    now backs shingles, the repetition profile, and decontamination)
+    == the obvious Python sliding window, for arbitrary token lists
+    and n in 2..8 — including docs shorter than n (empty result) and
+    single-token/empty docs."""
+    from aws_payment_data_lake_spark.functions import word_ngrams
+
+    df = spark.createDataFrame(
+        [(i, " ".join(tks)) for i, tks in enumerate(docs)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["g"] for r in df.select(
+        "doc_id", word_ngrams(F.split("text", " "), n).alias("g")).collect()}
+    for i, tks in enumerate(docs):
+        # split(" ") of "" yields [""], of "a" yields ["a"] — mirror it
+        toks = " ".join(tks).split(" ")
+        want = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+        assert got[i] == want, (i, toks, n)
