@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from aws_payment_data_lake_spark.functions import MERSENNE_P
+from aws_payment_data_lake_spark.operators.chunking import chunk_documents
 from aws_payment_data_lake_spark.operators.packing import (
     pack_training_shards,
 )
@@ -156,14 +157,25 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'pack' AS variant, doc_id, n_tokens, stream AS group_idx,
            stream || '-' || CAST(tokens_before // 512 AS BIGINT) AS label
     FROM p
+    UNION ALL
+    SELECT 'chunk' AS variant, doc_id,
+           CAST(least(64, n - start) AS BIGINT) AS n_tokens,
+           CAST(start // 48 AS BIGINT) AS group_idx,
+           substr(md5(array_to_string(
+             list_slice(toks, start + 1, start + 64), ' ')), 1, 16) AS label
+    FROM (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                       len(string_split(text, ' ')) AS n
+                FROM documents))
+    WHERE start = 0 OR start + 16 < n
     ORDER BY variant, doc_id
     """,
     tags=("text", "split", "sampling", "packing"),
 )
 def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus -> training-layout assignment, both production shapes in
-    one tagged union (the driver scores 50 slots; round-5 fold per
-    VERDICT r4 #3 gives shard packing its driver row):
+    """Corpus -> training-layout assignment, all three production shapes
+    in one tagged union (the driver scores 50 slots; round-5 folds per
+    VERDICT r4 #3 give shard packing and chunking their driver rows):
 
       variant='split'  deterministic 80/10/10 train/valid/test by salted
                        doc-id hash — membership depends only on the key,
@@ -182,8 +194,17 @@ def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                        so DuckDB recomputes the exact assignment;
                        production default is xxhash64.
 
-    Both variants are one scan + (for pack) one shuffle by stream and a
-    windowed cumsum — no driver loop, the shape that holds at any
+      variant='chunk'  operators.chunking.chunk_documents: 64-token
+                       windows at stride 48 (16-token overlap), pure
+                       explode/slice flatMap — no shuffle, no window
+                       function. group_idx = the chunk index, n_tokens =
+                       tokens in the chunk, label = the 16-hex-char md5
+                       prefix of the chunk TEXT, so the driver hash
+                       verifies chunk content (not just counts) against
+                       DuckDB's independent list_slice reconstruction.
+
+    All variants are one scan + (for pack only) one shuffle by stream
+    and a windowed cumsum — no driver loop, the shape that holds at any
     corpus size."""
     (docs,) = load(spark, sf_dir, "documents")
 
@@ -212,7 +233,15 @@ def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stream").cast("long").alias("group_idx"),
         F.col("shard_id").alias("label"),
     )
-    return split_rows.unionByName(pack_rows).orderBy("variant", "doc_id")
+    chunk_rows = chunk_documents(docs, window=64, stride=48).select(
+        F.lit("chunk").alias("variant"),
+        "doc_id",
+        F.col("n_chunk_tokens").alias("n_tokens"),
+        F.col("chunk_idx").alias("group_idx"),
+        F.substring(F.md5("chunk_text"), 1, 16).alias("label"),
+    )
+    return (split_rows.unionByName(pack_rows).unionByName(chunk_rows)
+            .orderBy("variant", "doc_id", "group_idx"))
 
 
 @register(
