@@ -408,3 +408,71 @@ def assign_cells_blas(cents: DataFrame, df: DataFrame,
             })
 
     return df.mapInPandas(assign, out_schema)
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.4,
+                   n_centroids: int = 16, n_train_iter: int = 0,
+                   cents: DataFrame | None = None,
+                   assigned: DataFrame | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv 2303.09540): coarse-cluster the embeddings, then within each
+    cluster greedily keep one representative per cosine-near-duplicate
+    group and mark the rest as duplicates of it.
+
+    Output: one row per vector — (vec_id, cent_id, kept, dup_of,
+    cos_to_rep); ``dup_of`` is the kept representative's id (null for
+    kept rows), ``cos_to_rep`` the 6-dp cosine that condemned the row.
+
+    Determinism: members are processed in ascending vec_id within a
+    cell, so the kept set depends only on the data (the paper instead
+    keeps the member with the LOWEST similarity to the centroid per dup
+    group — an arbitrary-but-fixed choice; ascending-id is equally
+    arbitrary and makes the Python reference in tests a 5-liner).
+
+    Scale shape — the reason SemDeDup clusters at all: the quadratic
+    pairwise step runs per CELL, so work is sum(|cell|^2), bounded by
+    (N/K)^2 * K per balanced clustering instead of N^2; K is the knob
+    that keeps a cell's similarity matrix in one task's memory. The
+    plan is one broadcast assignment pass (`assign_cells_blas`, no
+    shuffle) + one shuffle by cent_id + an Arrow-batched per-cell
+    greedy. Pass ``cents``/``assigned`` to reuse a prebuilt/shared IVF
+    index (queries/similarity.py:shared_ivf_index) — dedup then adds
+    ZERO index-build cost on top of ANN serving."""
+    import numpy as np
+    import pandas as pd
+
+    if cents is None or assigned is None:
+        cents, assigned = build_ivf_index(emb, n_centroids, n_train_iter)
+
+    def dedupe(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        M = np.stack(pdf["ne"].to_numpy()).astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = np.round(Mn @ Mn.T, 6)
+        n = len(ids)
+        kept: list[int] = []
+        dup_of = np.full(n, -1, dtype=np.int64)
+        cos_rep = np.full(n, np.nan)
+        for i in range(n):
+            if kept:
+                s = sims[i, kept]
+                j = int(np.argmax(s))
+                if s[j] >= threshold:
+                    dup_of[i] = ids[kept[j]]
+                    cos_rep[i] = s[j]
+                    continue
+            kept.append(i)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cent_id": pdf["cent_id"],
+            "kept": dup_of < 0,
+            "dup_of": pd.array([None if d < 0 else d for d in dup_of],
+                               dtype="Int64"),
+            "cos_to_rep": cos_rep,
+        })
+
+    return (assigned.groupBy("cent_id")
+            .applyInPandas(dedupe,
+                           "vec_id long, cent_id long, kept boolean, "
+                           "dup_of long, cos_to_rep double"))

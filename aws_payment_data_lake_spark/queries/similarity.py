@@ -115,3 +115,19 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("embedding").alias("qe")))
     return (S.ivf_probe_topk(cents, assigned, queries, k=5, n_probe=4)
             .orderBy("query_id", "rk"))
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup at cosine >= 0.4 over the session-shared
+    IVF index (operators.similarity.semantic_dedup) — the embedding-space
+    twin of the MinHash text dedup family. Unregistered (the driver
+    scores only 50 queries; the clustering makes the kept-set
+    cluster-dependent, so a SQL oracle can't reproduce it) — exactness
+    of the greedy per-cell rule is pytest-proven against a NumPy
+    reference (tests/test_semantic_dedup.py) and the query stays on the
+    bench for a timing record. Reusing the shared index means dedup
+    costs only the per-cell greedy on top of ANN serving."""
+    cents, assigned = shared_ivf_index(spark, sf_dir)
+    return (S.semantic_dedup(None, threshold=0.4,
+                             cents=cents, assigned=assigned)
+            .orderBy("vec_id"))

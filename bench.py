@@ -69,6 +69,7 @@ HEADLINE = [
     "corpus_mixture_resample",       # unregistered epoch mixing (EXTRA_FNS)
     "knn_brute_force",
     "knn_ivf_probe",                 # unregistered approx path (EXTRA_FNS)
+    "semantic_dedup_embeddings",     # unregistered SemDeDup (EXTRA_FNS)
     "embedding_neardup_pairs",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
@@ -94,7 +95,10 @@ def _extra_fns():
     from aws_payment_data_lake_spark.queries.mixture import (
         corpus_mixture_resample,
     )
-    from aws_payment_data_lake_spark.queries.similarity import knn_ivf_probe
+    from aws_payment_data_lake_spark.queries.similarity import (
+        knn_ivf_probe,
+        semantic_dedup_embeddings,
+    )
     from aws_payment_data_lake_spark.queries.sql_surface import sql_status_funnel
     from aws_payment_data_lake_spark.queries.stats import (
         approx_distinct_quantiles,
@@ -106,6 +110,7 @@ def _extra_fns():
     return {
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
         "knn_ivf_probe": knn_ivf_probe,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "text_decontamination": text_decontamination,
         "corpus_mixture_resample": corpus_mixture_resample,
         "sql_status_funnel": sql_status_funnel,
