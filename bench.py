@@ -66,6 +66,7 @@ HEADLINE = [
     "text_train_test_split",
     "text_fingerprint",
     "text_decontamination",          # unregistered 8-gram gate (EXTRA_FNS)
+    "lm_perplexity_quality",         # unregistered CCNet-style LM gate (EXTRA_FNS)
     "corpus_mixture_resample",       # unregistered epoch mixing (EXTRA_FNS)
     "knn_brute_force",
     "knn_ivf_probe",                 # unregistered approx path (EXTRA_FNS)
@@ -92,6 +93,7 @@ def _extra_fns():
         text_decontamination,
     )
     from aws_payment_data_lake_spark.queries.dedup import dedup_shingle_jaccard
+    from aws_payment_data_lake_spark.queries.lm import lm_perplexity_quality
     from aws_payment_data_lake_spark.queries.mixture import (
         corpus_mixture_resample,
     )
@@ -112,6 +114,7 @@ def _extra_fns():
         "knn_ivf_probe": knn_ivf_probe,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "text_decontamination": text_decontamination,
+        "lm_perplexity_quality": lm_perplexity_quality,
         "corpus_mixture_resample": corpus_mixture_resample,
         "sql_status_funnel": sql_status_funnel,
         "approx_distinct_quantiles": approx_distinct_quantiles,
