@@ -27,6 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from aws_payment_data_lake_spark.functions import hash60, tokens, word_ngrams
+from aws_payment_data_lake_spark.operators.spread import spread_narrow_scan
 
 DEFAULT_NGRAM = 8
 
@@ -60,14 +61,10 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
     ``broadcast_bench=False`` falls back to a plain shuffled join for
     the rare benchmark set too large to broadcast; the output contract
     is identical."""
-    # Narrow-scan spread guard (same pattern as text_repetition_profile
-    # / assign_cells_blas): the n-gram build is the CPU-heavy part, and
-    # a small local parquet arrives as 1-2 partitions — spread it only
-    # when the scan is narrower than the cluster (never fires on a real
-    # wide scan). Measured at sf1.0: warm 11.5 s -> ~2 s.
-    sc = corpus.sparkSession.sparkContext
-    if corpus.rdd.getNumPartitions() < sc.defaultParallelism:
-        corpus = corpus.repartition(sc.defaultParallelism, id_col)
+    # Narrow-scan spread guard: the n-gram build is the CPU-heavy part
+    # (operators/spread.py has the full rationale). Measured at sf1.0:
+    # warm 11.5 s -> ~2 s.
+    corpus = spread_narrow_scan(corpus, id_col)
     grams = (
         corpus.select(
             F.col(id_col).alias("doc_id"),

@@ -29,20 +29,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-
-def _spread(docs: DataFrame, id_col: str) -> DataFrame:
-    # Narrow-scan spread guard (same intent as operators/decontam.py):
-    # a small local parquet arrives as 1-2 input partitions, pinning the
-    # explode-heavy token build to one task. Probe with inputFiles() —
-    # pure scan metadata; the df.rdd probe other operators use compiles
-    # the plan to an RDD, ~2 s of driver work per call, which would
-    # dominate this operator's cold time. Derived frames (no input
-    # files) skip the spread. Never triggers on a real wide scan.
-    sc = docs.sparkSession.sparkContext
-    n_files = len(docs.inputFiles())
-    if 0 < n_files < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism, id_col)
-    return docs
+from aws_payment_data_lake_spark.operators.spread import spread_narrow_scan
 
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -54,7 +41,7 @@ def train_bigram_lm(docs: DataFrame, id_col: str = "doc_id",
                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(unigrams, bigrams, totals): c(w); c(prev, w) with count >=
     prune_min_count; and a one-row (vocab_size V, total_tokens T)."""
-    tok = _tokens(_spread(docs, id_col), id_col, text_col)
+    tok = _tokens(spread_narrow_scan(docs, id_col), id_col, text_col)
     uni = (tok.select(F.explode("tk").alias("w"))
            .groupBy("w").agg(F.count("*").alias("c_w")))
     big = (
@@ -85,7 +72,7 @@ def lm_perplexity(docs: DataFrame, id_col: str = "doc_id",
     uni, big, totals = (lm if lm is not None
                         else train_bigram_lm(docs, id_col, text_col,
                                              prune_min_count))
-    tok = _tokens(_spread(docs, id_col), id_col, text_col)
+    tok = _tokens(spread_narrow_scan(docs, id_col), id_col, text_col)
 
     first = (tok.select(id_col, F.element_at("tk", 1).alias("w"))
              .join(uni, "w", "left")

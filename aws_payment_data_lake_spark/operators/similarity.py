@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from aws_payment_data_lake_spark.functions import cosine, unit
+from aws_payment_data_lake_spark.operators.spread import spread_narrow_scan
 
 
 def brute_force_topk(emb: DataFrame, k: int = 5,
@@ -386,13 +387,10 @@ def assign_cells_blas(cents: DataFrame, df: DataFrame,
                   for r in cent_rows])
     C = C / np.linalg.norm(C, axis=1, keepdims=True)
 
-    # Local artifact guard (same pattern as text_repetition_profile): a
-    # single small parquet file arrives as ONE input partition, pinning
-    # the whole Arrow matmul to one task. Spread only when the scan is
-    # narrower than the cluster — never triggers on a real wide scan.
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    # Local artifact guard: a single small parquet file arrives as ONE
+    # input partition, pinning the whole Arrow matmul to one task
+    # (operators/spread.py has the full rationale).
+    df = spread_narrow_scan(df)
 
     def assign(batches):
         for pdf in batches:

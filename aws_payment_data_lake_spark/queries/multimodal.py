@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_payment_data_lake_spark.operators import multimodal as M
 from aws_payment_data_lake_spark.queries import register
 from aws_payment_data_lake_spark.sources import load
+from aws_payment_data_lake_spark.operators.spread import spread_narrow_scan
 
 
 @register(
@@ -40,8 +41,8 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already yields thousands of splits and a full-table shuffle "to
     # spread parsing" is pure waste (round-1 verdict).
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if ev.rdd.getNumPartitions() * 2 < shuffle_n:
-        ev = ev.repartition(shuffle_n)
+    ev = spread_narrow_scan(ev, target=shuffle_n,
+                            threshold=(shuffle_n + 1) // 2)
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         ev.groupBy((k % 10).alias("k_bucket"))

@@ -18,6 +18,7 @@ from aws_payment_data_lake_spark.operators.packing import (
 )
 from aws_payment_data_lake_spark.queries import register
 from aws_payment_data_lake_spark.sources import load
+from aws_payment_data_lake_spark.operators.spread import spread_narrow_scan
 
 # Tiny per-language marker lexicons (fixed, public function words). The
 # testdata vocabulary is an English-ish word soup, so most docs resolve to
@@ -389,10 +390,7 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     medallion projection fold freed the slot); the sf0.1 pytest parity
     run (tests/test_queries_extra.py) stays as the scale probe."""
     (docs,) = load(spark, sf_dir, "documents")
-    docs = docs.select("doc_id", "text")
-    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        docs = docs.repartition(
-            spark.sparkContext.defaultParallelism, "doc_id")
+    docs = spread_narrow_scan(docs.select("doc_id", "text"), "doc_id")
     tk = F.split("text", " ")
     docs = docs.select("doc_id", tk.alias("tk"), F.size(tk).alias("sz"))
     ngrams = _incremental_ngrams("tk", "sz", 5)
