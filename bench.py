@@ -71,6 +71,7 @@ HEADLINE = [
     "knn_brute_force",
     "knn_ivf_probe",                 # unregistered approx path (EXTRA_FNS)
     "semantic_dedup_embeddings",     # unregistered SemDeDup (EXTRA_FNS)
+    "rag_chunk_retrieval",           # unregistered chunk->embed->IVF (EXTRA_FNS)
     "embedding_neardup_pairs",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
@@ -94,6 +95,7 @@ def _extra_fns():
     )
     from aws_payment_data_lake_spark.queries.dedup import dedup_shingle_jaccard
     from aws_payment_data_lake_spark.queries.lm import lm_perplexity_quality
+    from aws_payment_data_lake_spark.queries.rag import rag_chunk_retrieval
     from aws_payment_data_lake_spark.queries.mixture import (
         corpus_mixture_resample,
     )
@@ -113,6 +115,7 @@ def _extra_fns():
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
         "knn_ivf_probe": knn_ivf_probe,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "rag_chunk_retrieval": rag_chunk_retrieval,
         "text_decontamination": text_decontamination,
         "lm_perplexity_quality": lm_perplexity_quality,
         "corpus_mixture_resample": corpus_mixture_resample,
