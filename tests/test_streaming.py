@@ -202,3 +202,40 @@ def test_rate_source_stream_matches_batch(spark):
     _same_rows(got, want)
     # sanity: the synthetic hour spans 12 five-minute windows x 3 types
     assert got.count() == 36
+
+
+def test_tws_twin_gate_or_parity(spark, tmp_path):
+    """transformWithStateInPandas twin: when protobuf is missing (this
+    container) the gate raises immediately, naming the dep and the
+    working alternative; when present, the twin must agree with the
+    applyInPandasWithState path."""
+    import importlib.util
+
+    from aws_payment_data_lake_spark.streaming.stateful import (
+        user_running_totals_tws,
+    )
+
+    have_pb = (importlib.util.find_spec("google") is not None
+               and importlib.util.find_spec("google.protobuf") is not None)
+    if not have_pb:
+        with pytest.raises(ImportError, match="protobuf"):
+            user_running_totals_tws(read_event_stream(spark, EVENTS))
+    else:  # pragma: no cover - container ships without protobuf
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                              None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+        try:
+            tws = run_available_now(
+                user_running_totals_tws(read_event_stream(spark, EVENTS)),
+                "t_tws", output_mode="update")
+            base = run_available_now(
+                user_running_totals(read_event_stream(spark, EVENTS)),
+                "t_tws_base", output_mode="update")
+            _same_rows(tws, base)
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev)
