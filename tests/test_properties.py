@@ -228,3 +228,38 @@ def test_word_ngrams_matches_python_reference(spark, docs, n):
         toks = " ".join(tks).split(" ")
         want = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
         assert got[i] == want, (i, toks, n)
+
+
+@SETTINGS
+@given(st.lists(st.lists(token, min_size=0, max_size=30),
+                min_size=1, max_size=5),
+       st.integers(min_value=1, max_value=10),
+       st.integers(min_value=1, max_value=10))
+def test_chunking_matches_python_reference(spark, docs, stride, extra):
+    """operators.chunking.chunk_documents == the obvious Python sliding
+    window for arbitrary token lists and any 1 <= stride <= window —
+    including docs shorter than the window, exact-multiple lengths, and
+    the trailing-chunk drop rule."""
+    from aws_payment_data_lake_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    window = stride + extra - 1  # any window >= stride
+    df = spark.createDataFrame(
+        [(i, " ".join(tks)) for i, tks in enumerate(docs)],
+        "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, window, stride).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_token"], r["n_chunk_tokens"],
+             r["chunk_text"]))
+    for i, tks in enumerate(docs):
+        toks = " ".join(tks).split(" ")  # mirror split(" ") semantics
+        want = []
+        for start in range(0, len(toks), stride):
+            if start > 0 and start + window - stride >= len(toks):
+                continue
+            piece = toks[start:start + window]
+            want.append((start // stride, start, len(piece),
+                         " ".join(piece)))
+        assert sorted(got.get(i, [])) == want, (i, toks, window, stride)
