@@ -1,0 +1,78 @@
+"""Zone maintenance: small-file compaction — the read-side complement
+to write_zone's ``files_per_partition`` write-side bound.
+
+Streaming sinks and frequent appends accrete files far below the
+target size; at 100 TB the scan cost becomes footer reads and
+task-per-file overhead instead of data. Delta/Iceberg solve it with
+OPTIMIZE/rewrite_data_files (this repo's declared-but-unshippable
+upgrade path); on plain parquet the maintenance job is: size the
+directory, pick ceil(total/target) output files, rewrite, swap.
+
+Safety protocol (the self-referential-overwrite hazard documented on
+plans/upsert.py: a lazy scan dangles once its files are replaced):
+the input is MATERIALIZED with localCheckpoint before anything is
+deleted, the compacted output lands in a sibling temp dir, and the
+swap is two renames with the old data intact until the final step.
+Local-filesystem renames are atomic per rename; an object-store
+deployment would swap via its commit protocol instead (or use a real
+table format — that's exactly what ACID formats are for).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from urllib.parse import urlparse
+
+from pyspark.sql import SparkSession
+
+
+def _local_path(uri: str) -> str:
+    p = urlparse(uri)
+    if p.scheme in ("", "file"):
+        return p.path or uri
+    raise ValueError(
+        f"compact_parquet_dir handles local paths only (got {uri!r}); "
+        "object stores need a commit-protocol swap or a table format")
+
+
+def compact_parquet_dir(spark: SparkSession, path: str,
+                        target_file_bytes: int = 128 << 20,
+                        min_files_to_compact: int = 2) -> dict:
+    """Rewrite a flat parquet directory into ~ceil(total/target) files.
+
+    Trigger rule (Delta OPTIMIZE's convention, plus a progress bound):
+    compaction runs only when at least ``min_files_to_compact`` files
+    are SMALLER than half the target AND the rewrite would strictly
+    reduce the file count. Re-encoding can shrink byte totals (parquet
+    per-file overhead dominates at small sizes), so a single pass may
+    leave room for another; the strict-decrease bound guarantees
+    repeated runs CONVERGE to a no-op (file count is a decreasing
+    positive integer) — at production file sizes one pass is the norm.
+    Returns a report dict (files_before, files_after, bytes_total,
+    compacted). Partitioned zones call this per partition directory
+    (the partition value is in the path, not the rows)."""
+    df = spark.read.parquet(path)
+    files = [_local_path(f) for f in df.inputFiles()]
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, -(-total // target_file_bytes))
+    small = [f for f in files
+             if os.path.getsize(f) < target_file_bytes // 2]
+    if len(small) < min_files_to_compact or n_target >= len(files):
+        return {"files_before": len(files), "files_after": len(files),
+                "bytes_total": total, "compacted": False}
+
+    # materialize BEFORE touching the source files (dangling-scan guard)
+    snap = df.repartition(n_target).localCheckpoint(eager=True)
+    base = _local_path(path).rstrip("/")
+    tmp, bak = base + ".compact-tmp", base + ".compact-bak"
+    for d in (tmp, bak):
+        shutil.rmtree(d, ignore_errors=True)
+    snap.write.mode("overwrite").parquet(tmp)
+    os.replace(base, bak)   # old data stays whole until the swap lands
+    os.replace(tmp, base)
+    shutil.rmtree(bak, ignore_errors=True)
+
+    n_after = len(spark.read.parquet(path).inputFiles())
+    return {"files_before": len(files), "files_after": n_after,
+            "bytes_total": total, "compacted": True}
