@@ -52,7 +52,9 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
                      for c in cols for f, name in ((F.min, "lo"),
                                                    (F.max, "hi"))]
                    ).collect()[0]
-    ranks = [_bucket_expr(c, stats[f"lo_{c}"], stats[f"hi_{c}"], bits)
+    # empty input (or all-null column) -> null stats: constant-rank path
+    ranks = [_bucket_expr(c, stats[f"lo_{c}"] or 0.0,
+                          stats[f"hi_{c}"] or 0.0, bits)
              for c in cols]
     ncols = len(cols)
     # z = sum over (bit b of column i) shifted to position b*ncols + i
