@@ -1,11 +1,13 @@
-"""End-to-end training-data pipeline: curation -> decontamination ->
-mixture resampling -> shard packing -> one-file-per-shard write.
+"""End-to-end training-data pipeline: curation -> LM-perplexity gate ->
+semantic dedup -> decontamination -> mixture resampling -> shard
+packing -> one-file-per-shard write.
 
 The operators are each oracle-/parity-checked on their own; this test
-proves they COMPOSE — the handoffs (keep sets, benchmark splits,
-per-copy rows, shard layout) line up without glue code — and that the
-whole chain is deterministic end-to-end (two runs produce identical
-shard content)."""
+proves they COMPOSE — the handoffs (keep sets, score thresholds, the
+vec_id==doc_id embedding linkage of the synthetic corpus, benchmark
+splits, per-copy rows, shard layout) line up without glue code — and
+that the whole chain is deterministic end-to-end (two runs produce
+identical shard content)."""
 
 from __future__ import annotations
 
@@ -19,7 +21,9 @@ from tests.conftest import SF_DIR
 from aws_payment_data_lake_spark.operators.decontam import (
     benchmark_contamination,
 )
+from aws_payment_data_lake_spark.operators.lm_quality import lm_perplexity
 from aws_payment_data_lake_spark.operators.mixture import mixture_resample
+from aws_payment_data_lake_spark.operators.similarity import semantic_dedup
 from aws_payment_data_lake_spark.operators.packing import (
     write_training_shards,
 )
@@ -36,6 +40,20 @@ def _run_chain(spark, out_dir: str):
     keep_ids = (corpus_curation_decisions(spark, SF_DIR)
                 .where("keep").select("doc_id"))
     kept = docs.join(keep_ids, "doc_id")
+
+    # 1b. LM-perplexity gate: drop the worst 10% of the kept set under
+    # the corpus-trained bigram LM (exact quantile -> deterministic)
+    scores = lm_perplexity(kept).persist()  # quantile + join reuse it
+    (cut,) = scores.approxQuantile("ppl_proxy", [0.9], 0.0)
+    fluent_ids = scores.where(F.col("ppl_proxy") <= cut).select("doc_id")
+    kept = kept.join(fluent_ids, "doc_id")
+
+    # 1c. semantic dedup over the embedding table (the synthetic
+    # corpus links embeddings to documents as vec_id == doc_id)
+    (emb,) = load(spark, SF_DIR, "embeddings")
+    sem_kept = (semantic_dedup(emb, threshold=0.4)
+                .where("kept").select(F.col("vec_id").alias("doc_id")))
+    kept = kept.join(sem_kept, "doc_id")
 
     # 2. decontamination of the KEPT set against the benchmark split
     bench = docs.where(F.col("doc_id") % 101 == 0)
