@@ -474,3 +474,101 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.4,
             .applyInPandas(dedupe,
                            "vec_id long, cent_id long, kept boolean, "
                            "dup_of long, cos_to_rep double"))
+
+
+def rp_lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
+                n_planes: int = 16, n_bands: int = 4,
+                seed: int = 7) -> DataFrame:
+    """Random-hyperplane LSH top-k: the LSH-bucketed ANN alternative to
+    the IVF tier (classic SRP-LSH, Charikar 2002 "Similarity estimation
+    techniques from rounding algorithms" — the embedding-space twin of
+    the text tier's SimHash).
+
+    Index: each vector's sign pattern under ``n_planes`` seeded random
+    hyperplanes (one Arrow matmul, same driver-literal contract as the
+    IVF centroid matrix), split into ``n_bands`` band integers; a
+    candidate is any vector sharing ANY band with the query — the
+    banding amplification that trades candidates for recall exactly
+    like MinHash-LSH's bands. Exact cosine rerank within candidates.
+
+    Recall honesty: sign-LSH separates by ANGLE (P[same bit] =
+    1 - theta/pi), so recall is high when true neighbors are actually
+    close (clustered corpora — asserted >= 0.8 in
+    tests/test_similarity_skew.py) and mediocre on isotropic random
+    vectors whose 'neighbors' sit near 60 degrees; IVF is the better
+    tier there, which is why BOTH exist. Cost: candidates per query ~
+    n_bands * N / 2^(n_planes/n_bands) versus IVF's
+    n_probe * N / n_centroids; the band tables are the shuffle key, so
+    hot buckets spread across bands by construction."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double, rk long"
+    first = emb.select("embedding").limit(1).collect()
+    if not first:
+        return emb.sparkSession.createDataFrame([], out_schema)
+    if n_planes % n_bands:
+        raise ValueError(f"{n_planes=} must divide into {n_bands=} bands")
+    dim = len(first[0][0])
+    bits = n_planes // n_bands
+    P = np.random.default_rng(seed).normal(size=(n_planes, dim))
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    def banded(id_col: str, vec_col: str):
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                B = (M @ P.T >= 0).astype(np.int64)  # n x n_planes
+                n = len(pdf)
+                vals = np.column_stack([
+                    B[:, b * bits:(b + 1) * bits] @ weights
+                    for b in range(n_bands)
+                ])  # (n, n_bands), row-aligned
+                yield pd.DataFrame({
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_bands),
+                    vec_col: pdf[vec_col].iloc[
+                        np.repeat(np.arange(n), n_bands)].to_numpy(),
+                    "band_idx": np.tile(np.arange(n_bands), n),
+                    "band_val": vals.ravel(),
+                })
+        return gen
+
+    corpus = spread_narrow_scan(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ne")))
+    corpus_sig = corpus.mapInPandas(
+        banded("neighbor_id", "ne"),
+        "neighbor_id long, ne array<double>, band_idx int, band_val long")
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    query_sig = queries.mapInPandas(
+        banded("query_id", "qe"),
+        "query_id long, qe array<double>, band_idx int, band_val long")
+
+    cands = (
+        query_sig.join(corpus_sig, ["band_idx", "band_val"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["qe"].to_numpy()).astype(np.float64)
+            N = np.stack(pdf["ne"].to_numpy()).astype(np.float64)
+            cs = (np.einsum("ij,ij->i", Q, N)
+                  / (np.linalg.norm(Q, axis=1) * np.linalg.norm(N, axis=1)))
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "cos_sim": np.round(cs, 6)})
+
+    scored = cands.mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rk"))
