@@ -131,3 +131,14 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (S.semantic_dedup(None, threshold=0.4,
                              cents=cents, assigned=assigned)
             .orderBy("vec_id"))
+
+
+def knn_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-5 (16 seeded hyperplanes, 4 bands) —
+    the LSH-bucketed ANN tier's timing record. Unregistered
+    (approximate; recall on the isotropic testdata is documented as the
+    weak regime — the >=0.8 clustered-corpus floor is asserted in
+    tests/test_similarity_skew.py)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    return (S.rp_lsh_topk(emb, k=5, n_queries=10)
+            .orderBy("query_id", "rk"))

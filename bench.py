@@ -70,6 +70,7 @@ HEADLINE = [
     "corpus_mixture_resample",       # unregistered epoch mixing (EXTRA_FNS)
     "knn_brute_force",
     "knn_ivf_probe",                 # unregistered approx path (EXTRA_FNS)
+    "knn_rp_lsh",                    # unregistered sign-LSH ANN (EXTRA_FNS)
     "semantic_dedup_embeddings",     # unregistered SemDeDup (EXTRA_FNS)
     "rag_chunk_retrieval",           # unregistered chunk->embed->IVF (EXTRA_FNS)
     "embedding_neardup_pairs",
@@ -101,6 +102,7 @@ def _extra_fns():
     )
     from aws_payment_data_lake_spark.queries.similarity import (
         knn_ivf_probe,
+        knn_rp_lsh,
         semantic_dedup_embeddings,
     )
     from aws_payment_data_lake_spark.queries.sql_surface import sql_status_funnel
@@ -114,6 +116,7 @@ def _extra_fns():
     return {
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
         "knn_ivf_probe": knn_ivf_probe,
+        "knn_rp_lsh": knn_rp_lsh,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "rag_chunk_retrieval": rag_chunk_retrieval,
         "text_decontamination": text_decontamination,
