@@ -48,10 +48,17 @@ def chunk_embeddings(docs: DataFrame, window: int = 64,
     """(vec_id, embedding) over document chunks; vec_id encodes
     provenance as doc_id * CHUNK_STRIDE_ID + chunk_idx."""
     chunks = chunk_documents(docs, window=window, stride=stride)
-    as_docs = chunks.select(
-        (F.col("doc_id") * CHUNK_STRIDE_ID + F.col("chunk_idx"))
-        .alias("doc_id"),
-        F.col("chunk_text").alias("text"))
+    # provenance id guard: a doc long enough to yield >= CHUNK_STRIDE_ID
+    # chunks would silently collide with its neighbor's id space — fail
+    # the scan row instead (JVM-side, no extra pass)
+    uid = F.when(
+        F.col("chunk_idx") < CHUNK_STRIDE_ID,
+        F.col("doc_id") * CHUNK_STRIDE_ID + F.col("chunk_idx"),
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("chunk_idx overflows CHUNK_STRIDE_ID for doc "),
+        F.col("doc_id").cast("string"))))
+    as_docs = chunks.select(uid.alias("doc_id"),
+                            F.col("chunk_text").alias("text"))
     return (feature_extract(with_binary_payload(as_docs))
             .select(F.col("doc_id").alias("vec_id"), "embedding"))
 
