@@ -48,6 +48,14 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
         raise ValueError("zorder_key needs at least one column")
     if len(cols) * bits > 63:
         raise ValueError(f"{len(cols)} cols x {bits} bits overflows a long")
+    from pyspark.sql.types import NumericType
+    types = {f.name: f.dataType for f in df.schema.fields}
+    bad = [c for c in cols if not isinstance(types.get(c), NumericType)]
+    if bad:
+        raise ValueError(
+            f"zorder columns must be numeric (got {bad}); cast "
+            "dates/timestamps to their epoch numbers first — a silent "
+            "string->double null would collapse the column to one bucket")
     stats = df.agg(*[f(c).cast("double").alias(f"{name}_{c}")
                      for c in cols for f, name in ((F.min, "lo"),
                                                    (F.max, "hi"))]

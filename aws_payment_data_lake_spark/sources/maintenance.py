@@ -52,6 +52,14 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     Returns a report dict (files_before, files_after, bytes_total,
     compacted). Partitioned zones call this per partition directory
     (the partition value is in the path, not the rows)."""
+    base_dir = _local_path(path).rstrip("/")
+    parts = [e.name for e in os.scandir(base_dir)
+             if e.is_dir() and "=" in e.name]
+    if parts:
+        raise ValueError(
+            f"{path!r} is Hive-partitioned ({parts[0]}, ...): a flat "
+            "rewrite would silently demote the partition layout — "
+            "compact each partition directory instead")
     df = spark.read.parquet(path)
     files = [_local_path(f) for f in df.inputFiles()]
     total = sum(os.path.getsize(f) for f in files)

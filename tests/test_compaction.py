@@ -72,3 +72,12 @@ def test_rejects_remote_schemes(spark):
         compact_parquet_dir(spark, "s3://bucket/zone")
     assert "s3" in str(e.value) or "local" in str(e.value).lower() \
         or "scheme" in str(e.value).lower()
+
+
+def test_partitioned_zone_rejected(spark, tmp_path):
+    (events,) = load(spark, SF_DIR, "events")
+    zone = str(tmp_path / "pzone")
+    (events.withColumn("part", events.user_id % 2)
+     .write.partitionBy("part").parquet(zone))
+    with pytest.raises(ValueError, match="partition"):
+        compact_parquet_dir(spark, zone)

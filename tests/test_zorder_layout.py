@@ -123,3 +123,9 @@ def test_bad_params_raise(spark):
         zorder_key(events, [])
     with pytest.raises(ValueError):
         zorder_key(events, ["user_id", "value"], bits=32)
+
+
+def test_non_numeric_columns_rejected(spark):
+    df = spark.createDataFrame([(1, "a")], "x long, s string")
+    with pytest.raises(ValueError, match="numeric"):
+        zorder_key(df, ["x", "s"])
