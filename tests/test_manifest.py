@@ -1,0 +1,76 @@
+"""Manifest-based file pruning: stats parity with direct footer reads,
+exact-result guarantee, measured scan reduction over a z-ordered zone,
+and the empty-survivor edge."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_DIR
+
+from aws_payment_data_lake_spark.operators.layout import write_zordered
+from aws_payment_data_lake_spark.sources import load
+from aws_payment_data_lake_spark.sources.manifest import (
+    build_manifest,
+    read_pruned,
+)
+
+
+@pytest.fixture(scope="module")
+def zone(spark, tmp_path_factory):
+    (events,) = load(spark, SF_DIR, "events")
+    path = str(tmp_path_factory.mktemp("zorder") / "zone")
+    write_zordered(events.select("event_id", "user_id", "value"),
+                   path, ["user_id", "value"], bits=8, n_files=16)
+    return path
+
+
+def test_manifest_matches_footers(spark, zone):
+    got = {(os.path.basename(r["file"].replace("file:", "")), r["col"]):
+           (r["n_rows"], r["vmin"], r["vmax"])
+           for r in build_manifest(spark, zone,
+                                   ["user_id", "value"]).collect()}
+    for f in glob.glob(os.path.join(zone, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i
+                 for i in range(len(md.schema))}
+        for c in ("user_id", "value"):
+            st = [md.row_group(i).column(names[c]).statistics
+                  for i in range(md.num_row_groups)]
+            key = (os.path.basename(f), c)
+            assert got[key] == (md.num_rows,
+                                float(min(s.min for s in st)),
+                                float(max(s.max for s in st))), key
+    assert len(got) == 2 * len(glob.glob(os.path.join(zone, "*.parquet")))
+
+
+def test_pruned_read_is_exact_and_reads_fewer_files(spark, zone):
+    man = build_manifest(spark, zone, ["user_id", "value"])
+    full = spark.read.parquet(zone)
+    (v80,) = full.approxQuantile("value", [0.8], 0.001)
+    preds = {"value": (v80, float("inf"))}
+
+    pruned = read_pruned(spark, zone, man, preds)
+    want = sorted(map(tuple, full.where(
+        full.value.between(v80, float("inf"))).collect()))
+    got = sorted(map(tuple, pruned.collect()))
+    assert got == want and len(got) > 0
+    # the pruned plan's scan touches strictly fewer files
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_no_survivors_yields_empty_exact(spark, zone):
+    man = build_manifest(spark, zone, ["value"])
+    pruned = read_pruned(spark, zone, man, {"value": (1e12, 2e12)})
+    assert pruned.count() == 0
+    assert set(pruned.columns) == set(spark.read.parquet(zone).columns)
+
+
+def test_no_predicates_is_full_scan(spark, zone):
+    man = build_manifest(spark, zone, ["value"])
+    assert (read_pruned(spark, zone, man, {}).count()
+            == spark.read.parquet(zone).count())
