@@ -85,6 +85,7 @@ HEADLINE = [
     "jsonl_events_roundtrip",
     "udtf_order_quarters",
     "corpus_curation_decisions",
+    "corpus_source_report",          # unregistered per-source dashboard (EXTRA_FNS)
 ]
 
 
@@ -97,6 +98,7 @@ def _extra_fns():
     from aws_payment_data_lake_spark.queries.dedup import dedup_shingle_jaccard
     from aws_payment_data_lake_spark.queries.lm import lm_perplexity_quality
     from aws_payment_data_lake_spark.queries.rag import rag_chunk_retrieval
+    from aws_payment_data_lake_spark.queries.report import corpus_source_report
     from aws_payment_data_lake_spark.queries.mixture import (
         corpus_mixture_resample,
     )
@@ -119,6 +121,7 @@ def _extra_fns():
         "knn_rp_lsh": knn_rp_lsh,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "rag_chunk_retrieval": rag_chunk_retrieval,
+        "corpus_source_report": corpus_source_report,
         "text_decontamination": text_decontamination,
         "lm_perplexity_quality": lm_perplexity_quality,
         "corpus_mixture_resample": corpus_mixture_resample,
