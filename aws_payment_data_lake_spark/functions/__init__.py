@@ -14,6 +14,7 @@ from aws_payment_data_lake_spark.functions.text import (  # noqa: F401
     shingles,
     tokens,
     word_ngrams,
+    word_ngrams_upto,
 )
 from aws_payment_data_lake_spark.functions.vectors import (  # noqa: F401
     cosine,

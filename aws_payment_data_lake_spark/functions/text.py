@@ -34,8 +34,8 @@ def hash60_mod_p(col: Column) -> Column:
     return hash60(col) % MERSENNE_P
 
 
-def word_ngrams(tokens_col: Column, n: int) -> Column:
-    """Array of space-joined word n-grams, built INCREMENTALLY:
+def word_ngrams_upto(tokens_col: Column, max_n: int) -> dict[int, Column]:
+    """n-gram array columns for every n in 1..max_n, built INCREMENTALLY:
     gram_k = zip_with(gram_{k-1}[:-1], tokens[k:], concat) — one
     interpreted concat per produced gram instead of the naive
     sequence/element_at build's ~n array probes + concat_ws per gram
@@ -43,15 +43,24 @@ def word_ngrams(tokens_col: Column, n: int) -> Column:
     scripts/profile_repetition.py; round 5 moved the same build under
     the whole dedup family). Docs shorter than n yield [] — the
     `greatest(sz-k, 0)` slice length collapses to zero, matching
-    DuckDB's `range()` behavior for the oracle twins."""
+    DuckDB's `range()` behavior for the oracle twins. This is THE one
+    n-gram implementation: shingles, decontamination and the repetition
+    profile all build through it, so a gram-semantics change cannot
+    silently diverge between them."""
     sz = F.size(tokens_col)
-    grams = tokens_col
-    for k in range(2, n + 1):
+    grams = {1: tokens_col}
+    for k in range(2, max_n + 1):
         keep = F.greatest(sz - (k - 1), F.lit(0))
-        grams = F.zip_with(F.slice(grams, 1, keep),
-                           F.slice(tokens_col, k, keep),
-                           lambda a, b: F.concat(a, F.lit(" "), b))
+        grams[k] = F.zip_with(F.slice(grams[k - 1], 1, keep),
+                              F.slice(tokens_col, k, keep),
+                              lambda a, b: F.concat(a, F.lit(" "), b))
     return grams
+
+
+def word_ngrams(tokens_col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (the last tier of
+    `word_ngrams_upto`; see there for the build and its contract)."""
+    return word_ngrams_upto(tokens_col, n)[n]
 
 
 def shingles(tokens_col: Column, n: int = 3) -> Column:

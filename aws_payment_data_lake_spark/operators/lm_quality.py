@@ -121,7 +121,12 @@ def perplexity_gate(docs: DataFrame, keep_frac: float = 0.9,
     ``lm`` trained on a reference corpus."""
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
-    scores = lm_perplexity(docs, id_col, text_col, lm=lm)
+    # persist: the quantile is an action and the join below would
+    # otherwise re-run the whole train+score DAG a second time; the
+    # score table is corpus-row-sized (id + double), cache-cheap. It
+    # stays cached for the result's lifetime (unpersisting before the
+    # lazy join is consumed would just recompute).
+    scores = lm_perplexity(docs, id_col, text_col, lm=lm).persist()
     (cut,) = scores.approxQuantile("ppl_proxy", [keep_frac], 0.0) or [None]
     if cut is None:  # empty corpus
         return docs.withColumn("ppl_proxy", F.lit(None).cast("double")) \

@@ -301,6 +301,29 @@ def build_ivf_index(emb: DataFrame, n_centroids: int = 16,
     return cents, assigned
 
 
+def _cosine_score_batches(batches):
+    """Shared Arrow candidate scorer for the ANN tiers: one einsum per
+    batch over (query_id, qe, neighbor_id, ne) rows -> 6-dp cosine.
+    np.round matches F.round everywhere except exact half-way ties at
+    the 6th decimal — irrelevant for approximate, rows-only tiers whose
+    contract is a measured recall floor. Both ivf_probe_topk and
+    rp_lsh_topk rank through this ONE implementation so their cos_sim
+    semantics cannot silently diverge."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        Q = np.stack(pdf["qe"].to_numpy()).astype(np.float64)
+        N = np.stack(pdf["ne"].to_numpy()).astype(np.float64)
+        cs = (np.einsum("ij,ij->i", Q, N)
+              / (np.linalg.norm(Q, axis=1) * np.linalg.norm(N, axis=1)))
+        yield pd.DataFrame({"query_id": pdf["query_id"],
+                            "neighbor_id": pdf["neighbor_id"],
+                            "cos_sim": np.round(cs, 6)})
+
+
 def ivf_probe_topk(cents: DataFrame, assigned: DataFrame,
                    queries: DataFrame, k: int = 5,
                    n_probe: int = 4) -> DataFrame:
@@ -325,28 +348,11 @@ def ivf_probe_topk(cents: DataFrame, assigned: DataFrame,
     # Candidate scoring batches through Arrow as well (same rationale as
     # assign_cells_blas: a row-wise einsum replaces ~3x64 interpreted
     # expression evals per candidate; at sf1.0 the probe join emits ~50k
-    # candidate rows). np.round matches F.round everywhere except exact
-    # half-way ties at the 6th decimal — irrelevant for an approximate,
-    # rows-only tier whose contract is the measured recall floor.
-    import numpy as np
-    import pandas as pd
-
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = np.stack(pdf["qe"].to_numpy()).astype(np.float64)
-            N = np.stack(pdf["ne"].to_numpy()).astype(np.float64)
-            cs = (np.einsum("ij,ij->i", Q, N)
-                  / (np.linalg.norm(Q, axis=1) * np.linalg.norm(N, axis=1)))
-            yield pd.DataFrame({"query_id": pdf["query_id"],
-                                "neighbor_id": pdf["neighbor_id"],
-                                "cos_sim": np.round(cs, 6)})
-
+    # candidate rows).
     c = (
         probes.join(assigned, "cent_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .mapInPandas(score,
+        .mapInPandas(_cosine_score_batches,
                      "query_id long, neighbor_id long, cos_sim double")
         .distinct()
     )
@@ -504,11 +510,11 @@ def rp_lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
     import pandas as pd
 
     out_schema = "query_id long, neighbor_id long, cos_sim double, rk long"
+    if n_planes % n_bands:
+        raise ValueError(f"{n_planes=} must divide into {n_bands=} bands")
     first = emb.select("embedding").limit(1).collect()
     if not first:
         return emb.sparkSession.createDataFrame([], out_schema)
-    if n_planes % n_bands:
-        raise ValueError(f"{n_planes=} must divide into {n_bands=} bands")
     dim = len(first[0][0])
     bits = n_planes // n_bands
     P = np.random.default_rng(seed).normal(size=(n_planes, dim))
@@ -553,20 +559,9 @@ def rp_lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
         .dropDuplicates(["query_id", "neighbor_id"])
     )
 
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = np.stack(pdf["qe"].to_numpy()).astype(np.float64)
-            N = np.stack(pdf["ne"].to_numpy()).astype(np.float64)
-            cs = (np.einsum("ij,ij->i", Q, N)
-                  / (np.linalg.norm(Q, axis=1) * np.linalg.norm(N, axis=1)))
-            yield pd.DataFrame({"query_id": pdf["query_id"],
-                                "neighbor_id": pdf["neighbor_id"],
-                                "cos_sim": np.round(cs, 6)})
-
     scored = cands.mapInPandas(
-        score, "query_id long, neighbor_id long, cos_sim double")
+        _cosine_score_batches,
+        "query_id long, neighbor_id long, cos_sim double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rk", F.row_number().over(w))

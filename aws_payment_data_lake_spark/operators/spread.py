@@ -15,9 +15,9 @@ count undercounts split count for multi-split files (a 1 GB file is ~8
 scan splits), so the guard fires slightly more eagerly than the RDD
 probe — harmless: it can only trigger on scans narrower than the
 threshold, i.e. never on a production-scale table. Frames with no file
-leaves (in-memory test frames, post-shuffle inputs) report 0 files and
-are left alone — they either carry their own parallelism already or are
-tiny.
+leaves (in-memory frames, post-shuffle inputs) fall back to the RDD
+probe — the round-1 guard covered those too, and the probe's driver
+cost only bites on the hot scan paths, which always have files.
 """
 
 from __future__ import annotations
@@ -35,7 +35,7 @@ def spread_narrow_scan(df: DataFrame, key: str | None = None,
     sc = df.sparkSession.sparkContext
     tgt = target if target is not None else sc.defaultParallelism
     thr = threshold if threshold is not None else tgt
-    n_files = len(df.inputFiles())
-    if 0 < n_files < thr:
+    width = len(df.inputFiles()) or df.rdd.getNumPartitions()
+    if 0 < width < thr:
         return df.repartition(tgt, F.col(key)) if key else df.repartition(tgt)
     return df

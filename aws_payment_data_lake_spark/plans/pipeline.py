@@ -59,6 +59,11 @@ def run_pipeline(spark: SparkSession, base_dir: str, *, days: int = 3,
     audit_dir = os.path.join(base_dir, "audit", "transactions_rejected")
     dq_path = os.path.join(base_dir, "audit", "dq_summary.json")
 
+    if ingest not in ("batch", "streaming_upsert"):
+        raise ValueError(
+            f"unknown ingest {ingest!r}; expected 'batch' or "
+            "'streaming_upsert' (argparse choices guard only the CLI — "
+            "programmatic typos must not silently run the batch path)")
     raw = G.generate_transactions(
         spark, days=days, rows_per_day=rows_per_day,
         invalid_rate=invalid_rate, duplicate_rate=duplicate_rate, seed=seed)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from aws_payment_data_lake_spark.functions import MERSENNE_P
+from aws_payment_data_lake_spark.functions import MERSENNE_P, word_ngrams_upto
 from aws_payment_data_lake_spark.operators.chunking import chunk_documents
 from aws_payment_data_lake_spark.operators.packing import (
     pack_training_shards,
@@ -340,26 +340,13 @@ ORDER BY doc_id, n
 
 
 def _incremental_ngrams(tk_col: str, sz_col: str, max_n: int):
-    """n-gram arrays for n = 1..max_n, each built INCREMENTALLY from the
-    (n-1)-gram column: gram_n = zip_with(gram_{n-1}[:-1], tk[n:], concat).
-
-    One interpreted concat per produced gram, versus ~n `element_at`
-    probes + a concat_ws per gram for the naive sequence/transform build
-    — profiled 4-10x faster at sf0.1 (scripts/profile_repetition.py:
-    naive 12.7 s, this 2.7 s same-partitioning, 1.2 s spread; the
-    window-lead rewrite measured 1.4 s but costs an extra full shuffle
-    of token-cardinality data, the wrong trade at 100 TB).
-
-    Short docs degrade cleanly: `greatest(sz-(n-1), 0)` makes the slice
-    length 0, so gram_n is [] when the doc has < n tokens."""
-    grams = {1: F.col(tk_col)}
-    for n in range(2, max_n + 1):
-        keep = F.greatest(F.col(sz_col) - (n - 1), F.lit(0))
-        head = F.slice(grams[n - 1], 1, keep)
-        tail = F.slice(F.col(tk_col), n, keep)
-        grams[n] = F.zip_with(head, tail,
-                              lambda a, b: F.concat(a, F.lit(" "), b))
-    return grams
+    """n-gram arrays for n = 1..max_n — a thin delegate to the shared
+    incremental build (functions.text.word_ngrams_upto; profile numbers
+    and the short-doc contract live there). ``sz_col`` is retained in
+    the signature for call-site stability but the shared build derives
+    the size itself (F.size is O(1) on arrays)."""
+    del sz_col  # derived by the shared build
+    return word_ngrams_upto(F.col(tk_col), max_n)
 
 
 @register(

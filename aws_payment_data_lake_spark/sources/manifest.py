@@ -53,16 +53,30 @@ def build_manifest(spark: SparkSession, path: str,
                 names = {md.schema.column(i).name: i
                          for i in range(len(md.schema))}
                 for c in cols:
+                    # conservative contract: a file whose footer cannot
+                    # bound the column (stats disabled, all-null row
+                    # group, or a schema-evolved file lacking it) gets
+                    # unbounded [-inf, inf] — it's always read, never
+                    # wrongly skipped
                     mins, maxs = [], []
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(names[c]).statistics
-                        mins.append(st.min)
-                        maxs.append(st.max)
+                    bounded = c in names
+                    if bounded:
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(
+                                names[c]).statistics
+                            if (st is None or st.min is None
+                                    or st.max is None):
+                                bounded = False
+                                break
+                            mins.append(st.min)
+                            maxs.append(st.max)
                     out["file"].append(uri)
                     out["n_rows"].append(md.num_rows)
                     out["col"].append(c)
-                    out["vmin"].append(float(min(mins)))
-                    out["vmax"].append(float(max(maxs)))
+                    out["vmin"].append(float(min(mins)) if bounded
+                                       else float("-inf"))
+                    out["vmax"].append(float(max(maxs)) if bounded
+                                       else float("inf"))
             yield pd.DataFrame(out)
 
     # spread the file list so footer reads parallelize across the cluster
