@@ -88,3 +88,26 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
        .sortWithinPartitions("z_value")
        .drop("z_value")
        .write.mode(mode).parquet(path))
+
+
+def write_with_bloom(df: DataFrame, path: str, bloom_cols: list[str],
+                     ndv: int = 100_000, n_files: int = 16,
+                     mode: str = "overwrite") -> None:
+    """Write parquet with BLOOM FILTERS on ``bloom_cols`` — the
+    equality-lookup complement to `write_zordered`'s range clustering:
+    min/max stats can never prune a point lookup on a high-cardinality
+    unsorted column (every file's [min,max] contains almost any key),
+    but a bloom filter answers "key definitely absent" per row group,
+    so Spark's parquet reader skips it on `col = literal` predicates.
+
+    ``ndv`` sizes the filter (expected distinct values per row group —
+    overestimating costs bytes, underestimating costs false positives);
+    at 100 TB the knob is per-column. The feature is plain parquet
+    (parquet.bloom.filter.* write options), readable by any engine."""
+    writer = df.repartition(n_files).write.mode(mode)
+    for c in bloom_cols:
+        writer = (writer
+                  .option(f"parquet.bloom.filter.enabled#{c}", "true")
+                  .option(f"parquet.bloom.filter.expected.ndv#{c}",
+                          str(ndv)))
+    writer.parquet(path)

@@ -129,3 +129,34 @@ def test_non_numeric_columns_rejected(spark):
     df = spark.createDataFrame([(1, "a")], "x long, s string")
     with pytest.raises(ValueError, match="numeric"):
         zorder_key(df, ["x", "s"])
+
+
+def test_bloom_filter_write(spark, tmp_path):
+    """Bloom filters actually land in the files and rows survive the
+    write bit-for-bit. This environment's pyarrow (16.x) does not
+    expose bloom_filter_offset in the column metadata, so presence is
+    asserted by the measured footprint: an ndv=10k bloom is ~12 KiB per
+    row group, several times this tiny table's data pages — a with-bloom
+    file is unmistakably larger than its bloom-free twin."""
+    (events,) = load(spark, SF_DIR, "events")
+    ev = events.select("event_id", "user_id", "value")
+    from aws_payment_data_lake_spark.operators.layout import (
+        write_with_bloom,
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    ev.repartition(4).write.parquet(plain)
+    write_with_bloom(ev, bloomed, ["event_id"], ndv=10_000, n_files=4)
+
+    back = spark.read.parquet(bloomed)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
+
+    def total(d):
+        return sum(os.path.getsize(f)
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+
+    n_files = len(glob.glob(os.path.join(bloomed, "*.parquet")))
+    assert n_files == 4
+    # each of the 4 files carries one ~12 KiB bloom for event_id
+    assert total(bloomed) > total(plain) + n_files * 8_000, (
+        total(plain), total(bloomed))
