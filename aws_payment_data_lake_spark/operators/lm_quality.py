@@ -121,12 +121,15 @@ def perplexity_gate(docs: DataFrame, keep_frac: float = 0.9,
     ``lm`` trained on a reference corpus."""
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
-    # persist: the quantile is an action and the join below would
-    # otherwise re-run the whole train+score DAG a second time; the
-    # score table is corpus-row-sized (id + double), cache-cheap. It
-    # stays cached for the result's lifetime (unpersisting before the
-    # lazy join is consumed would just recompute).
-    scores = lm_perplexity(docs, id_col, text_col, lm=lm).persist()
+    # materialize once: the quantile is an action and the join below
+    # would otherwise re-run the whole train+score DAG a second time.
+    # localCheckpoint (not .persist/CacheManager, whose entries leak
+    # until an explicit unpersist): its RDD blocks are
+    # reference-tracked, so the ContextCleaner releases them when the
+    # result frame is garbage-collected. Score table is
+    # corpus-row-sized (id + double), cache-cheap.
+    scores = lm_perplexity(docs, id_col, text_col, lm=lm) \
+        .localCheckpoint(eager=True)
     (cut,) = scores.approxQuantile("ppl_proxy", [keep_frac], 0.0) or [None]
     if cut is None:  # empty corpus
         return docs.withColumn("ppl_proxy", F.lit(None).cast("double")) \

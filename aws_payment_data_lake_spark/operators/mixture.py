@@ -54,12 +54,16 @@ def mixture_resample(docs: DataFrame, weights: dict[str, float],
     that is the downsampling. Sources absent from ``weights`` get
     ``default_weight``. The salt isolates this hash use from the
     train/test split and shard-stream hashes over the same ids."""
-    bad = {k: w for k, w in {**weights, "<default>": default_weight}.items()
-           if not (isinstance(w, (int, float)) and math.isfinite(w)
-                   and w >= 0)}
-    if bad:
+    def _ok(w) -> bool:
+        return isinstance(w, (int, float)) and math.isfinite(w) and w >= 0
+
+    bad = {k: w for k, w in weights.items() if not _ok(w)}
+    if bad or not _ok(default_weight):
+        label = dict(bad)
+        if not _ok(default_weight):
+            label["default_weight"] = default_weight
         raise ValueError(
-            f"mixture weights must be finite and >= 0, got {bad} — a "
+            f"mixture weights must be finite and >= 0, got {label} — a "
             "negative weight would silently drop every doc of that "
             "source (floor(w) < 0) and NaN fails deep in plan build")
     n = _copies_expr(weights, default_weight, id_col, key_col, salt)

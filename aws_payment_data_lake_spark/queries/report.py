@@ -48,13 +48,17 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     contam = (text_decontamination(spark, sf_dir)
               .select("doc_id", "contaminated"))
 
-    # persist: per_doc feeds both the majority-language branch and the
-    # final rollup; without it the profile/dedup/decontam pipeline runs
-    # once per branch. Corpus-row-sized, cache-cheap.
+    # materialize once: per_doc feeds both the majority-language branch
+    # and the final rollup; without it the profile/dedup/decontam
+    # pipeline runs once per branch. localCheckpoint, not .persist:
+    # CacheManager entries leak until explicit unpersist, while
+    # localCheckpoint blocks are reference-tracked and released when
+    # this frame is garbage-collected. Corpus-row-sized, cache-cheap.
     per_doc = (docs.select("doc_id", "source")
                .join(prof, "doc_id")
                .join(dup_ids, "doc_id", "left")
-               .join(contam, "doc_id", "left")).persist()
+               .join(contam, "doc_id", "left")
+               ).localCheckpoint(eager=True)
 
     lang_counts = (per_doc.groupBy("source", "pred_lang")
                    .agg(F.count(F.lit(1)).alias("n")))

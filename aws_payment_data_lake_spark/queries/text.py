@@ -339,16 +339,6 @@ ORDER BY doc_id, n
 """
 
 
-def _incremental_ngrams(tk_col: str, sz_col: str, max_n: int):
-    """n-gram arrays for n = 1..max_n — a thin delegate to the shared
-    incremental build (functions.text.word_ngrams_upto; profile numbers
-    and the short-doc contract live there). ``sz_col`` is retained in
-    the signature for call-site stability but the shared build derives
-    the size itself (F.size is O(1) on arrays)."""
-    del sz_col  # derived by the shared build
-    return word_ngrams_upto(F.col(tk_col), max_n)
-
-
 @register(
     "text_repetition_profile",
     oracle=_REPETITION_ORACLE,
@@ -364,7 +354,7 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gates thresholded downstream.
 
     Shape: ONE scan builds a tagged (n, gram) array per doc via the
-    incremental zip_with build (see _incremental_ngrams — round-5 fix
+    incremental zip_with build (functions.word_ngrams_upto — round-5 fix
     for the 11.7 s interpreted element_at build flagged in VERDICT r4),
     one explode, then two hash aggregations: (doc, n, gram) counts with
     map-side partial combine, then (doc, n) rollups. Shuffle volume ∝
@@ -379,8 +369,10 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     docs = spread_narrow_scan(docs.select("doc_id", "text"), "doc_id")
     tk = F.split("text", " ")
-    docs = docs.select("doc_id", tk.alias("tk"), F.size(tk).alias("sz"))
-    ngrams = _incremental_ngrams("tk", "sz", 5)
+    docs = docs.select("doc_id", tk.alias("tk"))
+    # the shared incremental build (functions.text.word_ngrams_upto —
+    # profile numbers and the short-doc contract live there)
+    ngrams = word_ngrams_upto(F.col("tk"), 5)
 
     def _tag(n: int):
         # NOTE: a two-arg lambda (e.g. `lambda g, n=n: ...`) would make

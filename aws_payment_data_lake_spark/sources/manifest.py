@@ -59,7 +59,8 @@ def build_manifest(spark: SparkSession, path: str,
                     # unbounded [-inf, inf] — it's always read, never
                     # wrongly skipped
                     mins, maxs = [], []
-                    bounded = c in names
+                    # zero row groups (an empty part file): unbounded
+                    bounded = c in names and md.num_row_groups > 0
                     if bounded:
                         for rg in range(md.num_row_groups):
                             st = md.row_group(rg).column(
