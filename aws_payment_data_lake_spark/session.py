@@ -33,8 +33,12 @@ def cpu_count() -> int:
 
 def get_spark(app_name: str = "aws-payment-data-lake-spark",
               master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
-    """Build (or fetch) the engine's SparkSession."""
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession. ``extra_conf``
+    overrides any default (e.g. {"spark.ui.enabled": "true"} for the
+    REST-metrics probes — the UI is off by default to keep test/bench
+    startup lean)."""
     cpus = cpu_count()
     builder = (
         SparkSession.builder.appName(app_name)
@@ -51,4 +55,6 @@ def get_spark(app_name: str = "aws-payment-data-lake-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
