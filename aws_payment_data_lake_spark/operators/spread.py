@@ -32,6 +32,11 @@ def spread_narrow_scan(df: DataFrame, key: str | None = None,
     """Repartition ``df`` to ``target`` partitions (hash by ``key`` when
     given) iff its scan is narrower than ``threshold`` files.
     Defaults: target = defaultParallelism, threshold = target."""
+    if df.isStreaming:
+        # streaming frames expose neither inputFiles nor an RDD; their
+        # parallelism comes from the source (maxFilesPerTrigger /
+        # partitions), so the guard passes them through untouched
+        return df
     sc = df.sparkSession.sparkContext
     tgt = target if target is not None else sc.defaultParallelism
     thr = threshold if threshold is not None else tgt
