@@ -10,8 +10,14 @@ the same logical plans the batch engine runs:
   bronze_stream.py  streaming medallion ingest: raw CSV stream ->
                     bronze transforms -> partitioned parquet sink with
                     checkpointed exactly-once file commits.
-  stateful.py       custom stateful operator (applyInPandasWithState):
-                    per-user running aggregates kept in managed state.
+  stateful.py       custom stateful operators: applyInPandasWithState
+                    per-user running aggregates, plus the (env-gated)
+                    transformWithStateInPandas twin.
+  corpus.py         LLM-corpus tier on streams: document chunking
+                    (stateless flatMap) and LM scoring under a
+                    batch-trained LM (stream-static join).
+  source.py         shared parquet stream-source plumbing (schema from
+                    footer, literal-file->glob rule).
 
 tests/test_streaming.py asserts stream==batch parity for each: the same
 expressions produce the same rows whether fed a static DataFrame or a
@@ -37,6 +43,14 @@ from aws_payment_data_lake_spark.streaming.stateful import (  # noqa: F401
 from aws_payment_data_lake_spark.streaming.joins import (  # noqa: F401
     view_purchase_attribution_batch,
     view_purchase_attribution_stream,
+)
+from aws_payment_data_lake_spark.streaming.corpus import (  # noqa: F401
+    chunk_stream,
+    lm_score_stream,
+    read_document_stream,
+)
+from aws_payment_data_lake_spark.streaming.source import (  # noqa: F401
+    read_parquet_stream,
 )
 from aws_payment_data_lake_spark.streaming.rate_source import (  # noqa: F401
     rate_window_totals,

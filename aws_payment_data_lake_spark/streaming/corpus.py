@@ -29,22 +29,12 @@ def read_document_stream(spark: SparkSession, path: str,
                          max_files_per_trigger: int | None = None,
                          ) -> DataFrame:
     """File-source stream over a documents zone (schema from the
-    parquet footer — driver metadata read, no data scan). At scale the
-    source line becomes Kafka/Kinesis; everything below is
-    source-agnostic."""
-    import os
+    parquet footer — driver metadata read, no data scan; shared
+    plumbing in streaming/source.py). At scale the source line becomes
+    Kafka/Kinesis; everything below is source-agnostic."""
+    from .source import read_parquet_stream
 
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger",
-                               str(max_files_per_trigger))
-    # The file-stream source only accepts directories or globs; turn a
-    # literal file path into a glob matching exactly that file (same
-    # rule as streaming/events.py:read_event_stream).
-    if not os.path.isdir(path):
-        path = f"{path[:-1]}[{path[-1]}]"
-    return reader.parquet(path)
+    return read_parquet_stream(spark, path, max_files_per_trigger)
 
 
 def chunk_stream(docs_stream: DataFrame, window: int = 64,

@@ -25,20 +25,12 @@ def read_event_stream(spark: SparkSession, path: str,
     (sources/readers.py:normalize_event_time): TIMESTAMP_NTZ / legacy
     nanos → session-UTC TimestampType, so ``withWatermark`` always sees a
     watermarkable TIMESTAMP column regardless of the footer's shape."""
-    import os
-
     from ..sources.readers import normalize_event_time
+    from .source import read_parquet_stream
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    # The file-stream source only accepts directories or globs; turn a
-    # literal file path into a glob matching exactly that file.
-    if not os.path.isdir(path):
-        path = f"{path[:-1]}[{path[-1]}]"
-    return normalize_event_time(reader.parquet(path))
+    return normalize_event_time(
+        read_parquet_stream(spark, path, max_files_per_trigger))
 
 
 def tumbling_counts(events: DataFrame,

@@ -11,9 +11,18 @@ NOT reported: the local-FS columnar parquet path under-counts it by
 ~1000x — measured 17 KB for a 10.8 MB scan — while record counts and
 shuffle bytes are exact.)
 
+The status store behind the REST API is fed by the ASYNC listener bus,
+so the post-query snapshot drains the bus first (waitUntilEmpty) — a
+late stage-completed event would otherwise land in the NEXT query's
+diff. Raw byte counts are emitted (plus rounded MB for reading): the
+flagship agg's whole point is a KB-scale shuffle, which MB rounding
+would erase.
+
 Run: python scripts/shuffle_probe.py [--queries a,b,c] [--sf-dir DIR]
-Prints one JSON line: {"<query>": {"shuffle_write_mb": x,
-"shuffle_read_mb": y, "input_records": z, "n_stages": k}, ...}
+Prints one JSON line: {"<query>": {"shuffle_write_bytes": x,
+"shuffle_write_mb": x2, "shuffle_read_bytes": y, "input_records": z,
+"n_stages": k}, ...}; failing queries record an "error" entry instead
+of aborting the sweep.
 
 Interpretation at 100 TB: shuffle_write ~ the data that crosses the
 network per query; a query whose shuffle is a small fraction of its
@@ -63,22 +72,40 @@ def main() -> int:
     fns = ({n: s.fn for n, s in registry.all_queries().items()}
            | _extra_fns())
 
+    def _drain_listener_bus() -> None:
+        # AppStatusStore is fed asynchronously; flush it so every stage
+        # of the query just run is visible before the snapshot (private
+        # API, best-effort — a timeout just means the diff may lag one
+        # stage, same as before the flush existed)
+        try:
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(30000)
+        except Exception:
+            pass
+
     out = {}
     for name in args.queries.split(","):
         if name not in fns:
             print(f"  skip {name}: unknown", file=sys.stderr)
             continue
+        _drain_listener_bus()
         before = _stages(ui, app)
-        materialize(fns[name](spark, args.sf_dir))
+        try:
+            materialize(fns[name](spark, args.sf_dir))
+        except Exception as e:  # noqa: BLE001 - per-query fault isolation
+            spark.catalog.clearCache()
+            out[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+            print(f"  {name}: ERR {out[name]['error']}", file=sys.stderr)
+            continue
         spark.catalog.clearCache()
+        _drain_listener_bus()
         after = _stages(ui, app)
         new = [s for sid, s in after.items() if sid not in before]
         mb = 1024.0 * 1024.0
         out[name] = {
+            "shuffle_write_bytes": sum(s["shuffleWriteBytes"] for s in new),
             "shuffle_write_mb": round(
-                sum(s["shuffleWriteBytes"] for s in new) / mb, 2),
-            "shuffle_read_mb": round(
-                sum(s["shuffleReadBytes"] for s in new) / mb, 2),
+                sum(s["shuffleWriteBytes"] for s in new) / mb, 3),
+            "shuffle_read_bytes": sum(s["shuffleReadBytes"] for s in new),
             "input_records": sum(s["inputRecords"] for s in new),
             "n_stages": len(new),
         }
