@@ -398,3 +398,19 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(dup / total.cast("double"), 6).alias("dup_frac"))
         .orderBy("doc_id", "n")
     )
+
+
+def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 tokens via the Misra-Gries sketch
+    (operators/sketches.py) — the data-volume-independent-shuffle twin
+    of `text_vocab_topk`'s exact aggregation. Unregistered
+    (approximate; the bound contract is pytest-proven in
+    tests/test_sketches.py, where sketch top-5 == exact top-5 on this
+    corpus's zipf-ish head); benched for the timing record."""
+    from aws_payment_data_lake_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    return heavy_hitters(tokens, "word", capacity=256).limit(25)

@@ -63,6 +63,7 @@ HEADLINE = [
     "text_profile",                  # round 2: lang-id + quality + tokens
     "text_repetition_profile",       # Gopher gates (registered since r5)
     "text_vocab_topk",
+    "vocab_heavy_hitters",           # unregistered MG sketch twin (EXTRA_FNS)
     "text_train_test_split",
     "text_fingerprint",
     "text_decontamination",          # unregistered 8-gram gate (EXTRA_FNS)
@@ -111,6 +112,7 @@ def _extra_fns():
     from aws_payment_data_lake_spark.queries.stats import (
         approx_distinct_quantiles,
     )
+    from aws_payment_data_lake_spark.queries.text import vocab_heavy_hitters
     from aws_payment_data_lake_spark.queries.streaming_batch import (
         session_window_events,
         tumbling_window_events,
@@ -128,6 +130,7 @@ def _extra_fns():
         "sql_status_funnel": sql_status_funnel,
         "approx_distinct_quantiles": approx_distinct_quantiles,
         "session_window_events": session_window_events,
+        "vocab_heavy_hitters": vocab_heavy_hitters,
         "tumbling_window_events": tumbling_window_events,
     }
 
