@@ -7,17 +7,23 @@ splits and an unconditional repartition "to spread the work" is a pure
 extra shuffle of the whole table. So the spread is GATED on input
 parallelism.
 
-Probe choice: ``df.inputFiles()`` — pure scan metadata from the file
-index. The previous probe, ``df.rdd.getNumPartitions()``, compiles the
-logical plan to an RDD, ~1-2 s of driver work PER CALL (measured while
-building lm_quality: two probes added ~4 s to a 7 s cold query). File
-count undercounts split count for multi-split files (a 1 GB file is ~8
-scan splits), so the guard fires slightly more eagerly than the RDD
-probe — harmless: it can only trigger on scans narrower than the
-threshold, i.e. never on a production-scale table. Frames with no file
-leaves (in-memory frames, post-shuffle inputs) fall back to the RDD
-probe — the round-1 guard covered those too, and the probe's driver
-cost only bites on the hot scan paths, which always have files.
+Probe choice (round-6 rework, ADVICE r5 + VERDICT r5 #9): the guard
+first inspects the ANALYZED logical plan — driver-side string of an
+already-computed tree, no job, no RDD compile. Any wide node (Join,
+Aggregate, Window, Sort, Repartition, Deduplicate) means the frame's
+parallelism was set by a shuffle (spark.sql.shuffle.partitions), not by
+its leaf scan, so ``inputFiles()`` would UNDERCOUNT it and the old
+file-count probe fired a redundant full-table repartition — the exact
+overhead this guard exists to avoid. Wide frames pass through
+untouched. For the remaining bare-scan/narrow frames, ``inputFiles()``
+is an accurate (if slightly conservative — a 1 GB file is ~8 scan
+splits) parallelism proxy; undercounting there only triggers on scans
+narrower than the threshold, i.e. never on a production-scale table.
+In-memory narrow frames (LocalRelation / createDataFrame, zero input
+files) are spread unconditionally: they are tiny by construction, so
+the shuffle is cheap and the previous fallback — an
+``rdd.getNumPartitions()`` probe costing ~1-2 s of driver plan
+compilation PER CALL — is retired entirely.
 """
 
 from __future__ import annotations
@@ -25,22 +31,36 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+# Logical-plan node names that imply the frame already went through a
+# shuffle (or explicitly chose its partitioning). Substring match is
+# deliberately conservative: a false positive merely skips the spread,
+# never adds a shuffle.
+_WIDE_NODES = ("Join", "Aggregate", "Window", "Sort",
+               "RepartitionByExpression", "Repartition", "Deduplicate")
+
+
+def _is_post_shuffle(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return any(node in plan for node in _WIDE_NODES)
+
 
 def spread_narrow_scan(df: DataFrame, key: str | None = None,
                        target: int | None = None,
                        threshold: int | None = None) -> DataFrame:
     """Repartition ``df`` to ``target`` partitions (hash by ``key`` when
-    given) iff its scan is narrower than ``threshold`` files.
+    given) iff it is a narrow/scan-rooted frame whose scan is narrower
+    than ``threshold`` files. Post-shuffle frames pass through.
     Defaults: target = defaultParallelism, threshold = target."""
     if df.isStreaming:
         # streaming frames expose neither inputFiles nor an RDD; their
         # parallelism comes from the source (maxFilesPerTrigger /
         # partitions), so the guard passes them through untouched
         return df
+    if _is_post_shuffle(df):
+        return df
     sc = df.sparkSession.sparkContext
     tgt = target if target is not None else sc.defaultParallelism
     thr = threshold if threshold is not None else tgt
-    width = len(df.inputFiles()) or df.rdd.getNumPartitions()
-    if 0 < width < thr:
-        return df.repartition(tgt, F.col(key)) if key else df.repartition(tgt)
-    return df
+    if len(df.inputFiles()) >= thr:
+        return df
+    return df.repartition(tgt, F.col(key)) if key else df.repartition(tgt)

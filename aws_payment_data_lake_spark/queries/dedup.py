@@ -61,6 +61,10 @@ def _shared_entry(spark: SparkSession, sf_dir: str) -> dict:
         ent = _SHARED_MINHASH.get(key)
         if ent is None:
             for old in _SHARED_MINHASH.values():
+                # mark first: a builder still mid-build sees the flag
+                # after finishing and unpersists its OWN tier instead of
+                # leaking it into an untracked dict (ADVICE r5)
+                old["evicted"] = True
                 for tier in ("base", "pairs"):
                     for df in old.get(tier) or ():
                         try:
@@ -68,11 +72,22 @@ def _shared_entry(spark: SparkSession, sf_dir: str) -> dict:
                         except Exception:
                             pass
             _SHARED_MINHASH.clear()
-            ent = {"base": None, "pairs": None,
+            ent = {"base": None, "pairs": None, "evicted": False,
                    "base_lock": threading.Lock(),
                    "pairs_lock": threading.Lock()}
             _SHARED_MINHASH[key] = ent
         return ent
+
+
+def _unpersist_if_evicted(ent: dict, tier: str) -> None:
+    """Late-finishing builder of an evicted entry drops its own cache
+    (frames stay valid, merely uncached). Called under the tier lock."""
+    if ent["evicted"]:
+        for df in ent.get(tier) or ():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def shared_base_tables(
@@ -86,6 +101,7 @@ def shared_base_tables(
         if ent["base"] is None:
             (docs,) = load(spark, sf_dir, "documents")
             ent["base"] = D.shingle_sig_tables(docs)
+        _unpersist_if_evicted(ent, "base")
     return ent["base"]
 
 
@@ -109,6 +125,7 @@ def shared_minhash_tables(
             comp = D.connected_components(verified).persist()
             comp.count()
             ent["pairs"] = (cands, verified, comp)
+        _unpersist_if_evicted(ent, "pairs")
     return (sh, sigs) + ent["pairs"]
 
 # Shared DuckDB CTEs: distinct 3-gram shingles per doc + per-doc counts.

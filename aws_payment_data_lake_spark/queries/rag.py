@@ -81,6 +81,11 @@ def shared_chunk_index(spark: SparkSession, sf_dir: str,
         ent = _CHUNK_STORE.get(key)
         if ent is None:
             for old in _CHUNK_STORE.values():
+                # mark first: a builder still mid-build (val None) sees
+                # the flag after finishing and unpersists its OWN frames
+                # — evicting here would otherwise leak them for the
+                # session (ADVICE r5)
+                old["evicted"] = True
                 if old.get("val") is not None:
                     for df in (old["val"][0], old["val"][2]):
                         try:
@@ -88,7 +93,8 @@ def shared_chunk_index(spark: SparkSession, sf_dir: str,
                         except Exception:
                             pass
             _CHUNK_STORE.clear()
-            ent = {"val": None, "build_lock": threading.Lock()}
+            ent = {"val": None, "evicted": False,
+                   "build_lock": threading.Lock()}
             _CHUNK_STORE[key] = ent
     with ent["build_lock"]:
         if ent["val"] is None:
@@ -99,6 +105,15 @@ def shared_chunk_index(spark: SparkSession, sf_dir: str,
             assigned = assigned.persist()
             assigned.count()
             ent["val"] = (emb, cents, assigned)
+        if ent["evicted"]:
+            # late-finishing builder of an already-evicted entry: drop
+            # the cache immediately (the frames stay valid, merely
+            # uncached — recompute-from-source on use)
+            for df in (ent["val"][0], ent["val"][2]):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
     return ent["val"]
 
 

@@ -33,13 +33,18 @@ def shared_ivf_index(spark: SparkSession,
         ent = _IVF_STORE.get(key)
         if ent is None:
             for old in _IVF_STORE.values():
+                # mark first so a mid-build holder unpersists its own
+                # frames on completion instead of leaking them
+                # (ADVICE r5; same pattern as queries/rag.py)
+                old["evicted"] = True
                 if old.get("val") is not None:
                     try:
                         old["val"][1].unpersist()
                     except Exception:
                         pass
             _IVF_STORE.clear()
-            ent = {"val": None, "build_lock": threading.Lock()}
+            ent = {"val": None, "evicted": False,
+                   "build_lock": threading.Lock()}
             _IVF_STORE[key] = ent
     with ent["build_lock"]:
         if ent["val"] is None:
@@ -48,6 +53,11 @@ def shared_ivf_index(spark: SparkSession,
             assigned = assigned.persist()
             assigned.count()
             ent["val"] = (cents, assigned)
+        if ent["evicted"]:
+            try:
+                ent["val"][1].unpersist()
+            except Exception:
+                pass
     return ent["val"]
 
 

@@ -53,6 +53,13 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     compacted). Partitioned zones call this per partition directory
     (the partition value is in the path, not the rows)."""
     base_dir = _local_path(path).rstrip("/")
+    bak0 = base_dir + ".compact-bak"
+    if os.path.isdir(bak0) and not os.path.isdir(base_dir):
+        # Crash window of a previous run: between os.replace(base, bak)
+        # and os.replace(tmp, base) the zone exists only at .compact-bak.
+        # Restore it before doing anything else — the backup IS the
+        # pre-compaction data, whole and readable (ADVICE r5).
+        os.replace(bak0, base_dir)
     parts = [e.name for e in os.scandir(base_dir)
              if e.is_dir() and "=" in e.name]
     if parts:

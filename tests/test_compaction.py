@@ -67,6 +67,24 @@ def test_noop_below_min_files(spark, tmp_path):
     assert not report["compacted"] and report["files_before"] == 1
 
 
+def test_recovers_from_crash_window(spark, tmp_path):
+    """Simulated crash between os.replace(base, bak) and
+    os.replace(tmp, base): the zone exists only at .compact-bak. The
+    next compaction call must restore it and proceed (ADVICE r5)."""
+    (events,) = load(spark, SF_DIR, "events")
+    src = str(tmp_path / "crashed")
+    events.repartition(8).write.parquet(src)
+    before = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    os.replace(src, src + ".compact-bak")  # the crash state
+    assert not os.path.exists(src)
+
+    report = compact_parquet_dir(spark, src, target_file_bytes=1 << 30)
+    assert os.path.isdir(src) and not os.path.exists(src + ".compact-bak")
+    assert report["files_before"] == 8
+    after = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    assert after == before
+
+
 def test_rejects_remote_schemes(spark):
     with pytest.raises((ValueError, Exception)) as e:
         compact_parquet_dir(spark, "s3://bucket/zone")
