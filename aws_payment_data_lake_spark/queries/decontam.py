@@ -1,11 +1,13 @@
 """Decontamination as an oracle-checked query over `documents`.
 
-Unregistered (the driver's 50-slot window is full — the established
-shingle-jaccard precedent): strict-comparator parity with
-``_DECONTAM_ORACLE`` runs in tests/test_decontam.py and the query is
-benched. The benchmark set is carved deterministically out of the
-corpus (doc_id % 101 == 0, ~1%), so both engines derive the exact same
-split from the same parquet with no side files.
+Driver-anchored since round 6 via the `text_fingerprint` tagged union
+(queries/text.py folds `_decontam_frame` in as variant='decontam' —
+VERDICT r5 #2; the registry stays at exactly 50 slots). This module
+keeps the standalone query for the bench and the strict-comparator
+pytest (tests/test_decontam.py). The benchmark set is carved
+deterministically out of the corpus (doc_id % 101 == 0, ~1%), so both
+engines derive the exact same split from the same parquet with no side
+files.
 """
 
 from __future__ import annotations
@@ -21,8 +23,10 @@ from aws_payment_data_lake_spark.sources import load
 # 8-gram positions i..i+7 exist for i in [1, len-7] (DuckDB range() end
 # is exclusive -> range(1, len-6)); slices are inclusive-end, tk[i:i+7]
 # is 8 tokens. Hash60 twin: ('0x' || substr(md5(g), 1, 15))::BIGINT.
-_DECONTAM_ORACLE = """
-WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+# _DECONTAM_CTES is the shared CTE body (also composed into the
+# text_fingerprint union oracle); the final SELECT differs per consumer.
+_DECONTAM_CTES = """
+tokd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 bg AS (SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
        FROM (SELECT unnest(list_transform(range(1, len(tk) - 6),
                     i -> array_to_string(tk[i:i+7], ' '))) AS g
@@ -37,16 +41,35 @@ x AS (SELECT doc_id, unnest(grams) AS g FROM cg),
 hits AS (SELECT doc_id, count(*) AS n_hits
          FROM x JOIN bg
            ON ('0x' || substr(md5(g), 1, 15))::BIGINT = bg.gh
-         GROUP BY doc_id)
+         GROUP BY doc_id)"""
+
+# per-doc decontam scores (no ORDER BY; consumers append their own)
+_DECONTAM_SELECT = """
 SELECT c.doc_id,
        CAST(len(c.grams) AS BIGINT) AS n_grams,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        round(coalesce(h.n_hits, 0) * 1.0 /
              greatest(len(c.grams), 1), 6) AS contamination_frac,
        coalesce(h.n_hits, 0) > 0 AS contaminated
-FROM cg c LEFT JOIN hits h USING (doc_id)
-ORDER BY doc_id
-"""
+FROM cg c LEFT JOIN hits h USING (doc_id)"""
+
+_DECONTAM_ORACLE = (f"WITH {_DECONTAM_CTES}\n{_DECONTAM_SELECT}"
+                    "\nORDER BY doc_id")
+
+
+def _decontam_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered per-doc decontamination scores — shared by the
+    standalone bench query below and the text_fingerprint driver fold."""
+    (docs,) = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 101 == 0)
+    corpus = docs.where(F.col("doc_id") % 101 != 0)
+    return (
+        benchmark_contamination(corpus, bench, n=8)
+        .select("doc_id",
+                F.col("n_grams").cast("long").alias("n_grams"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                "contamination_frac", "contaminated")
+    )
 
 
 def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,14 +80,4 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups straddle the split, so real hits exist at every SF. Output
     types follow the driver convention (BIGINT counts, 6-dp frac,
     bool flag)."""
-    (docs,) = load(spark, sf_dir, "documents")
-    bench = docs.where(F.col("doc_id") % 101 == 0)
-    corpus = docs.where(F.col("doc_id") % 101 != 0)
-    return (
-        benchmark_contamination(corpus, bench, n=8)
-        .select("doc_id",
-                F.col("n_grams").cast("long").alias("n_grams"),
-                F.col("n_hits").cast("long").alias("n_hits"),
-                "contamination_frac", "contaminated")
-        .orderBy("doc_id")
-    )
+    return _decontam_frame(spark, sf_dir).orderBy("doc_id")

@@ -1,12 +1,14 @@
 """Domain-mixture resampling as an oracle-checked query over
 `documents`.
 
-Unregistered (50-slot driver window full — shingle-jaccard precedent):
-strict-comparator parity with ``_MIXTURE_ORACLE`` runs in
-tests/test_mixture.py and the query is benched. The oracle embeds the
-SAME integer thresholds the operator computes (both sides call
-``_copies_expr``'s arithmetic with identical literals), so the check
-is exact, not statistical.
+Driver-anchored since round 6 via the `text_train_test_split` tagged
+union (queries/text.py folds the same resample in as variant='mixture'
+— VERDICT r5 #2; the registry stays at exactly 50 slots). This module
+keeps the standalone query for the bench and the strict-comparator
+pytest (tests/test_mixture.py). The oracle embeds the SAME integer
+thresholds the operator computes (both sides call ``_copies_expr``'s
+arithmetic with identical literals), so the check is exact, not
+statistical.
 """
 
 from __future__ import annotations
