@@ -9,6 +9,7 @@ oracle equality is unconditional.
 
 from __future__ import annotations
 
+import os
 import threading
 
 import pyspark.sql.functions as F
@@ -17,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_payment_data_lake_spark.operators import dedup as D
 from aws_payment_data_lake_spark.queries import register
 from aws_payment_data_lake_spark.sources import load
+from aws_payment_data_lake_spark.sources.store import (
+    corpus_fingerprint,
+    load_or_build,
+)
 
 # ---------------------------------------------------------------------------
 # Session-scoped shared MinHash intermediates.
@@ -27,7 +32,10 @@ from aws_payment_data_lake_spark.sources import load
 # and the exact-verified pair graph. In a production lakehouse these are
 # STORED silver tables — the incremental dedup path already treats the
 # signature table as persisted state it reads instead of recomputing
-# (operators/dedup.py:incremental_from_sigs). This memo is the
+# (operators/dedup.py:incremental_from_sigs), and since round 6 the
+# durable tier below (durable_base_tables / durable_pairs_tables +
+# sources/store.py) actually materializes them as warehouse parquet
+# when SPARK_GRAFT_WAREHOUSE is set. This memo is the
 # session-local equivalent: the first consumer materializes (persist +
 # count barrier, shingle_sig_tables), later consumers in the SAME Spark
 # application reuse the cached tables instead of re-running the
@@ -51,6 +59,74 @@ from aws_payment_data_lake_spark.sources import load
 # ---------------------------------------------------------------------------
 _SHARED_MINHASH: dict = {}
 _SHARED_LOCK = threading.Lock()
+
+# ---------------------------------------------------------------------------
+# Durable tier (round 6, VERDICT r5 #1): when a warehouse directory is
+# configured — the SPARK_GRAFT_WAREHOUSE env var, or an explicit
+# argument to the durable_* helpers — the two tiers are materialized as
+# parquet tables keyed by a corpus fingerprint (sources/store.py). A
+# FRESH SparkSession (different application, different day) whose
+# corpus is unchanged reads them back with zero recomputation; a corpus
+# roll flips the fingerprint and rebuilds. The session memo above then
+# caches the read-back parquet frames instead of the build pipeline.
+# Without a warehouse (the driver/bench default) behavior is unchanged:
+# per-application in-memory tiers.
+# ---------------------------------------------------------------------------
+WAREHOUSE_ENV = "SPARK_GRAFT_WAREHOUSE"
+_BASE_TABLES = ("sh", "sigs")
+_PAIRS_TABLES = ("cands", "verified", "comp")
+
+
+def _warehouse() -> str | None:
+    return os.environ.get(WAREHOUSE_ENV) or None
+
+
+def _corpus_fp(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprint over exactly the columns the dedup family reads."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return corpus_fingerprint(docs, "doc_id", "text")
+
+
+def durable_base_tables(spark: SparkSession, sf_dir: str, warehouse: str,
+                        fp: str | None = None,
+                        ) -> tuple[tuple[DataFrame, DataFrame], bool]:
+    """((sh, sigs), built) from the warehouse store — the stored-silver
+    twin of ``shared_base_tables``."""
+    fp = fp or _corpus_fp(spark, sf_dir)
+
+    def build() -> dict[str, DataFrame]:
+        (docs,) = load(spark, sf_dir, "documents")
+        sh, sigs = D.shingle_sig_tables(docs)
+        return {"sh": sh, "sigs": sigs}
+
+    frames, built = load_or_build(
+        spark, os.path.join(warehouse, "minhash_base"), fp,
+        _BASE_TABLES, build)
+    return (frames["sh"], frames["sigs"]), built
+
+
+def durable_pairs_tables(
+        spark: SparkSession, sf_dir: str, warehouse: str,
+        fp: str | None = None,
+) -> tuple[tuple[DataFrame, DataFrame, DataFrame], bool]:
+    """((cands, verified, comp), built) from the warehouse store. Builds
+    on top of the durable base tier (reading ITS parquet, so a fresh
+    pairs build after a warm base build recomputes no signatures)."""
+    fp = fp or _corpus_fp(spark, sf_dir)
+
+    def build() -> dict[str, DataFrame]:
+        (sh, sigs), _ = durable_base_tables(spark, sf_dir, warehouse, fp=fp)
+        # persist the two intermediate stages so writing the three
+        # tables doesn't re-run them (load_or_build unpersists on swap)
+        cands = D.lsh_candidate_pairs(sigs).persist()
+        verified = D.verified_pairs_from(sh, sigs, cands=cands).persist()
+        comp = D.connected_components(verified)
+        return {"cands": cands, "verified": verified, "comp": comp}
+
+    frames, built = load_or_build(
+        spark, os.path.join(warehouse, "minhash_pairs"), fp,
+        _PAIRS_TABLES, build)
+    return (frames["cands"], frames["verified"], frames["comp"]), built
 
 
 def _shared_entry(spark: SparkSession, sf_dir: str) -> dict:
@@ -99,8 +175,14 @@ def shared_base_tables(
     ent = _shared_entry(spark, sf_dir)
     with ent["base_lock"]:
         if ent["base"] is None:
-            (docs,) = load(spark, sf_dir, "documents")
-            ent["base"] = D.shingle_sig_tables(docs)
+            wh = _warehouse()
+            if wh:
+                (sh, sigs), _ = durable_base_tables(spark, sf_dir, wh)
+                sh, sigs = sh.persist(), sigs.persist()
+                ent["base"] = (sh, sigs)
+            else:
+                (docs,) = load(spark, sf_dir, "documents")
+                ent["base"] = D.shingle_sig_tables(docs)
         _unpersist_if_evicted(ent, "base")
     return ent["base"]
 
@@ -119,12 +201,20 @@ def shared_minhash_tables(
     sh, sigs = shared_base_tables(spark, sf_dir)
     with ent["pairs_lock"]:
         if ent["pairs"] is None:
-            cands = D.lsh_candidate_pairs(sigs).persist()
-            verified = D.verified_pairs_from(sh, sigs, cands=cands).persist()
-            verified.count()
-            comp = D.connected_components(verified).persist()
-            comp.count()
-            ent["pairs"] = (cands, verified, comp)
+            wh = _warehouse()
+            if wh:
+                (cands, verified, comp), _ = durable_pairs_tables(
+                    spark, sf_dir, wh)
+                ent["pairs"] = (cands.persist(), verified.persist(),
+                                comp.persist())
+            else:
+                cands = D.lsh_candidate_pairs(sigs).persist()
+                verified = D.verified_pairs_from(
+                    sh, sigs, cands=cands).persist()
+                verified.count()
+                comp = D.connected_components(verified).persist()
+                comp.count()
+                ent["pairs"] = (cands, verified, comp)
         _unpersist_if_evicted(ent, "pairs")
     return (sh, sigs) + ent["pairs"]
 

@@ -1,0 +1,139 @@
+"""Durable MinHash store (VERDICT r5 #1): built once, read back by a
+FRESH SparkSession (a separate OS process / Spark application) with
+zero recomputation, rebuilt when the corpus changes."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from tests.conftest import REPO, SF_DIR
+
+from aws_payment_data_lake_spark.queries.dedup import (
+    durable_base_tables,
+    durable_pairs_tables,
+)
+from aws_payment_data_lake_spark.sources import load
+from aws_payment_data_lake_spark.sources.store import (
+    BUILD_EVENTS,
+    corpus_fingerprint,
+)
+
+# Runs in a fresh interpreter: its own SparkSession (new application),
+# its own sources.store module, so BUILD_EVENTS starts empty — any
+# build it performs is real recomputation and fails the zero-rebuild
+# assertion in the parent.
+_PROBE = r"""
+import json, sys
+sys.path.insert(0, sys.argv[1])
+from aws_payment_data_lake_spark.session import get_spark
+from aws_payment_data_lake_spark.queries.dedup import durable_pairs_tables
+from aws_payment_data_lake_spark.sources.store import BUILD_EVENTS
+
+spark = get_spark(app_name="store-probe", master="local[4]",
+                  shuffle_partitions=4)
+(cands, verified, comp), built = durable_pairs_tables(
+    spark, sys.argv[2], sys.argv[3])
+rows = sorted((r["doc_a"], r["doc_b"], r["jaccard"])
+              for r in verified.collect())
+comp_rows = sorted((r["doc_id"], r["canonical_doc_id"], r["group_size"])
+                   for r in comp.collect())
+print("PROBE:" + json.dumps({
+    "built": built, "n_build_events": len(BUILD_EVENTS),
+    "verified": rows, "comp": comp_rows}))
+spark.stop()
+"""
+
+
+def _probe(warehouse: str, sf_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", _PROBE, REPO, sf_dir, warehouse],
+        capture_output=True, text=True, timeout=600, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("PROBE:")][-1]
+    return json.loads(line[len("PROBE:"):])
+
+
+def test_fresh_session_reads_without_rebuild(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+
+    (cands, verified, comp), built = durable_pairs_tables(spark, SF_DIR, wh)
+    assert built
+    mine = sorted((r["doc_a"], r["doc_b"], r["jaccard"])
+                  for r in verified.collect())
+    my_comp = sorted((r["doc_id"], r["canonical_doc_id"], r["group_size"])
+                     for r in comp.collect())
+    assert mine and my_comp  # real data at this SF
+
+    # same session, second consumer: store hit, no new build
+    n_events = len(BUILD_EVENTS)
+    _, built2 = durable_pairs_tables(spark, SF_DIR, wh)
+    assert not built2 and len(BUILD_EVENTS) == n_events
+
+    # FRESH Spark application: identical output, zero builds
+    res = _probe(wh, SF_DIR)
+    assert res["built"] is False
+    assert res["n_build_events"] == 0
+    assert [tuple(r) for r in res["verified"]] == mine
+    assert [tuple(r) for r in res["comp"]] == my_comp
+
+
+def test_rebuild_on_corpus_change(spark, tmp_path):
+    wh = str(tmp_path / "wh2")
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (docs,) = load(spark, SF_DIR, "documents")
+    docs.coalesce(1).write.parquet(str(corpus / "documents.parquet"))
+
+    _, built = durable_pairs_tables(spark, str(corpus), wh)
+    assert built
+    _, built2 = durable_pairs_tables(spark, str(corpus), wh)
+    assert not built2
+
+    # roll the corpus: append one doc -> fingerprint flips -> rebuild
+    import pyspark.sql.functions as F
+    extra = docs.limit(1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        *[c for c in docs.columns if c != "doc_id"])
+    rolled = docs.unionByName(extra.select(docs.columns))
+    rolled = rolled.localCheckpoint(eager=True)  # detach from the zone
+    import shutil
+    shutil.rmtree(corpus / "documents.parquet")
+    rolled.coalesce(1).write.parquet(str(corpus / "documents.parquet"))
+
+    _, built3 = durable_base_tables(spark, str(corpus), wh)
+    assert built3
+
+
+def test_fingerprint_is_content_defined(spark):
+    (docs,) = load(spark, SF_DIR, "documents")
+    a = corpus_fingerprint(docs, "doc_id", "text")
+    b = corpus_fingerprint(docs.orderBy("source"), "doc_id", "text")
+    assert a == b  # order-independent
+    import pyspark.sql.functions as F
+    edited = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 0,
+                       F.concat(F.col("text"), F.lit(" tampered")))
+        .otherwise(F.col("text")))
+    assert corpus_fingerprint(edited, "doc_id", "text") != a
+    assert corpus_fingerprint(docs.limit(10), "doc_id", "text") != a
+
+
+def test_shared_store_consults_warehouse(spark, tmp_path, monkeypatch):
+    """With SPARK_GRAFT_WAREHOUSE set and a cold memo, the session
+    store builds THROUGH the durable tier (parquet lands under the
+    warehouse) instead of in memory."""
+    import aws_payment_data_lake_spark.queries.dedup as QD
+
+    wh = str(tmp_path / "wh3")
+    monkeypatch.setenv(QD.WAREHOUSE_ENV, wh)
+    monkeypatch.setattr(QD, "_SHARED_MINHASH", {})
+    sh, sigs = QD.shared_base_tables(spark, SF_DIR)
+    stored = os.path.join(wh, "minhash_base", "sigs")
+    assert os.path.isdir(stored)
+    # the memoized frame IS the stored table (same rows; inputFiles is
+    # empty on persisted frames, so compare against a direct read)
+    assert sigs.count() == spark.read.parquet(stored).count() > 0
