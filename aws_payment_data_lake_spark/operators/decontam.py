@@ -1,11 +1,16 @@
 """Benchmark decontamination: flag training documents sharing word
-n-grams with an evaluation/benchmark set.
+n-grams with an evaluation/benchmark set, and scrub the leaked spans.
 
 The standard pre-training hygiene gate (e.g. GPT-3 appendix C / PaLM
 §C: 8-gram—13-gram overlap between training corpus and eval sets):
 a training document containing any n-gram that also appears in a
 benchmark document leaks eval data into training and must be dropped
-or scrubbed before the shard-packing stage.
+or scrubbed before the shard-packing stage. Both remedies live here:
+``benchmark_contamination`` is the flag gate (drop the doc);
+``scrub_contaminated`` is the surgical one (remove the overlapping
+token span, keep the clean remainder as split pieces — the GPT-3
+appendix-C procedure). ``n`` accepts a single size or the full
+``SPEC_NGRAMS`` = 8..13 union.
 
 Scale shape: the benchmark side is SMALL by nature (eval sets are
 thousands of docs, the corpus is billions), so its distinct-gram-hash
@@ -23,44 +28,74 @@ the same trade Bloom-filter decontam pipelines make.
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
 
-from aws_payment_data_lake_spark.functions import hash60, tokens, word_ngrams
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from aws_payment_data_lake_spark.functions import (
+    hash60,
+    tokens,
+    word_ngrams,
+    word_ngrams_upto,
+)
 from aws_payment_data_lake_spark.operators.spread import spread_narrow_scan
 
 DEFAULT_NGRAM = 8
+# GPT-3 appendix C / PaLM §C use 8-to-13-gram overlap; the union over
+# the whole range is the conservative spec (a 13-gram leak whose doc is
+# only 12 tokens long is invisible at n=13 but caught at n<=12).
+SPEC_NGRAMS = tuple(range(8, 14))
 
 
-def benchmark_gram_hashes(benchmark: DataFrame, n: int = DEFAULT_NGRAM,
+def _ns(n: int | Sequence[int]) -> tuple[int, ...]:
+    return (n,) if isinstance(n, int) else tuple(n)
+
+
+def _all_grams(tk: Column, ns: tuple[int, ...]) -> Column:
+    """One flat array of every n-gram for n in ``ns``, via the shared
+    incremental zip_with build (each tier extends the previous — the
+    multi-n union costs barely more than the largest single n)."""
+    tiers = word_ngrams_upto(tk, max(ns))
+    return F.flatten(F.array(*[tiers[n] for n in ns]))
+
+
+def benchmark_gram_hashes(benchmark: DataFrame,
+                          n: int | Sequence[int] = DEFAULT_NGRAM,
                           text_col: str = "text") -> DataFrame:
-    """Distinct 60-bit hashes of every word n-gram in the benchmark set
-    — the (small) probe table a decontamination pass joins against. In
-    production this is a stored table rebuilt when eval sets change."""
+    """Distinct 60-bit hashes of every word n-gram (all sizes in ``n``)
+    in the benchmark set — the (small) probe table a decontamination
+    pass joins against. In production this is a stored table rebuilt
+    when eval sets change."""
     return (
         benchmark
-        .select(F.explode(word_ngrams(tokens(text_col), n)).alias("gram"))
+        .select(F.explode(_all_grams(tokens(text_col), _ns(n)))
+                .alias("gram"))
         .select(hash60(F.col("gram")).alias("gh"))
         .distinct()
     )
 
 
 def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
-                            n: int = DEFAULT_NGRAM, id_col: str = "doc_id",
+                            n: int | Sequence[int] = DEFAULT_NGRAM,
+                            id_col: str = "doc_id",
                             text_col: str = "text",
                             broadcast_bench: bool = True) -> DataFrame:
     """One row per corpus document: (doc_id, n_grams, n_hits,
     contamination_frac, contaminated).
 
-    n_grams counts the doc's DISTINCT n-grams (set semantics — one
-    leaked gram repeated 50 times is one leak); n_hits counts how many
-    of those appear anywhere in the benchmark; `contaminated` is the
+    ``n`` may be a single size or a sequence (pass ``SPEC_NGRAMS`` for
+    the GPT-3/PaLM 8-13 union). n_grams counts the doc's DISTINCT
+    n-grams across all requested sizes (set semantics — one leaked gram
+    repeated 50 times is one leak); n_hits counts how many of those
+    appear anywhere in the benchmark; `contaminated` is the
     conservative any-hit flag downstream filters key on. Docs shorter
-    than n tokens emit (0, 0, 0.0, false) rather than vanishing.
+    than every n emit (0, 0, 0.0, false) rather than vanishing.
 
     ``broadcast_bench=False`` falls back to a plain shuffled join for
     the rare benchmark set too large to broadcast; the output contract
     is identical."""
+    ns = _ns(n)
     # Narrow-scan spread guard: the n-gram build is the CPU-heavy part
     # (operators/spread.py has the full rationale). Measured at sf1.0:
     # warm 11.5 s -> ~2 s.
@@ -69,11 +104,11 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
         corpus.select(
             F.col(id_col).alias("doc_id"),
             F.explode_outer(
-                F.array_distinct(word_ngrams(tokens(text_col), n)))
+                F.array_distinct(_all_grams(tokens(text_col), ns)))
             .alias("gram"))
         .withColumn("gh", hash60(F.col("gram")))
     )
-    bench = benchmark_gram_hashes(benchmark, n, text_col).withColumn(
+    bench = benchmark_gram_hashes(benchmark, ns, text_col).withColumn(
         "hit", F.lit(1))
     if broadcast_bench:
         bench = F.broadcast(bench)
@@ -89,4 +124,112 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
              F.round(n_hits / F.greatest(n_grams, F.lit(1)).cast("double"),
                      6).alias("contamination_frac"),
              (n_hits > 0).alias("contaminated"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scrub action (round 6, VERDICT r5 #4): the GPT-3-style remedy removes
+# the contaminated SPAN and keeps the clean remainder as separate
+# pieces, rather than dropping whole documents the flag-only gate would.
+# ---------------------------------------------------------------------------
+
+_EMPTY_SPANS = "CAST(array() AS array<struct<s: int, e: int>>)"
+
+
+def _win_tier(k: int):
+    """(gram, idx) -> struct(s, e, gh) for n-gram size ``k`` (factory —
+    a default-arg lambda would change the arity F.transform inspects)."""
+    return lambda g, i: F.struct(
+        i.alias("s"), (i + F.lit(k - 1)).alias("e"), hash60(g).alias("gh"))
+
+
+def _merge_spans(ivs: Column) -> Column:
+    """Merge a SORTED array of [s, e] token intervals; adjacent
+    intervals merge too (the segment between them would be empty)."""
+    def step(acc: Column, iv: Column) -> Column:
+        last = F.element_at(acc, -1)
+        return (
+            F.when(F.size(acc) == 0, F.array(iv))
+            .when(iv["s"] <= last["e"] + 1,
+                  F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                           F.array(F.struct(
+                               last["s"].alias("s"),
+                               F.greatest(last["e"], iv["e"]).alias("e")))))
+            .otherwise(F.concat(acc, F.array(iv))))
+
+    return F.aggregate(ivs, F.expr(_EMPTY_SPANS), step)
+
+
+def contaminated_spans(corpus: DataFrame, benchmark: DataFrame,
+                       n: int | Sequence[int] = DEFAULT_NGRAM,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       broadcast_bench: bool = True) -> DataFrame:
+    """(doc_id, spans): merged token-index intervals [s, e] covered by
+    ANY benchmark-overlapping n-gram (all sizes in ``n``). Docs with no
+    hits are absent — callers left-join. Same scale shape as the flag
+    gate: broadcast hash probe, one per-doc aggregation; the interval
+    merge is array-local arithmetic over the (tiny) per-doc hit list."""
+    ns = _ns(n)
+    corpus = spread_narrow_scan(corpus, id_col)
+    tiers = word_ngrams_upto(tokens(text_col), max(ns))
+    win = F.flatten(F.array(*[F.transform(tiers[k], _win_tier(k))
+                              for k in ns]))
+    bench = benchmark_gram_hashes(benchmark, ns, text_col)
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"),
+                      F.explode(win).alias("w"))
+        .select("doc_id", "w.s", "w.e", "w.gh")
+        .join(bench, "gh")
+        .groupBy("doc_id")
+        .agg(_merge_spans(
+            F.array_sort(F.collect_list(F.struct("s", "e")))).alias("spans"))
+    )
+
+
+def scrub_contaminated(corpus: DataFrame, benchmark: DataFrame,
+                       n: int | Sequence[int] = DEFAULT_NGRAM,
+                       min_tokens: int = 1, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       broadcast_bench: bool = True) -> DataFrame:
+    """Remove every contaminated span and emit the clean remainder as
+    one row per surviving piece: (doc_id, segment_idx, n_tokens,
+    <text_col>).
+
+    Pieces are the complement of the merged hit intervals, so NO output
+    gram (at any requested size) can overlap the benchmark: every gram
+    inside a piece is an original-document gram that was probed and
+    missed — a re-run of ``benchmark_contamination`` over the output
+    finds zero hits by construction (asserted in tests/test_decontam.py).
+    Splitting (not re-joining around the hole) is what guarantees this:
+    re-joined text would mint NEW grams across the seam that were never
+    probed. Clean docs pass through whole as segment 0; fully
+    contaminated docs vanish. ``min_tokens`` drops crumbs (GPT-3 uses a
+    ~200-char floor); ``segment_idx`` keeps its positional value even
+    when earlier pieces are dropped, preserving provenance."""
+    spans = contaminated_spans(corpus, benchmark, n, id_col, text_col,
+                               broadcast_bench)
+    tok = spread_narrow_scan(corpus, id_col).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
+    d = tok.join(spans, "doc_id", "left").select(
+        "doc_id", "tk",
+        F.coalesce(F.col("spans"), F.expr(_EMPTY_SPANS)).alias("spans"))
+    starts = F.concat(F.array(F.lit(0)),
+                      F.transform("spans", lambda iv: iv["e"] + 1))
+    ends = F.concat(F.transform("spans", lambda iv: iv["s"]),
+                    F.array(F.size("tk")))  # exclusive
+    bounds = F.zip_with(starts, ends,
+                        lambda s, e: F.struct(s.alias("s"), e.alias("e")))
+    return (
+        d.select("doc_id", "tk",
+                 F.posexplode(bounds).alias("segment_idx", "b"))
+        .select("doc_id", "segment_idx",
+                (F.col("b.e") - F.col("b.s")).alias("n_tokens"),
+                F.array_join(
+                    F.slice("tk", F.col("b.s") + 1,
+                            F.greatest(F.col("b.e") - F.col("b.s"),
+                                       F.lit(0))), " ").alias(text_col))
+        .where((F.col("n_tokens") > 0)
+               & (F.col("n_tokens") >= min_tokens))
     )

@@ -67,6 +67,7 @@ HEADLINE = [
     "text_train_test_split",
     "text_fingerprint",
     "text_decontamination",          # unregistered 8-gram gate (EXTRA_FNS)
+    "text_decontamination_scrub",    # unregistered 8-13-gram span scrub (EXTRA_FNS)
     "lm_perplexity_quality",         # unregistered CCNet-style LM gate (EXTRA_FNS)
     "corpus_mixture_resample",       # unregistered epoch mixing (EXTRA_FNS)
     "knn_brute_force",
@@ -95,6 +96,7 @@ def _extra_fns():
     driver registry (pytest-verified instead) but keep a bench record."""
     from aws_payment_data_lake_spark.queries.decontam import (
         text_decontamination,
+        text_decontamination_scrub,
     )
     from aws_payment_data_lake_spark.queries.dedup import dedup_shingle_jaccard
     from aws_payment_data_lake_spark.queries.lm import lm_perplexity_quality
@@ -125,6 +127,7 @@ def _extra_fns():
         "rag_chunk_retrieval": rag_chunk_retrieval,
         "corpus_source_report": corpus_source_report,
         "text_decontamination": text_decontamination,
+        "text_decontamination_scrub": text_decontamination_scrub,
         "lm_perplexity_quality": lm_perplexity_quality,
         "corpus_mixture_resample": corpus_mixture_resample,
         "sql_status_funnel": sql_status_funnel,
