@@ -71,8 +71,18 @@ def write_training_shards(docs: DataFrame, path: str,
     a training dataloader consumes (shard = the unit of shuffling and
     of resumable progress).
 
-    Pipeline: `pack_training_shards` assigns (stream, shard_idx,
-    shard_id); the assignment joins back to the full documents;
+    Pipeline: the assignment columns (stream, shard_idx, shard_id) are
+    computed IN-FRAME with the same window cumsum as
+    `pack_training_shards` — deliberately NOT as an assign-then-join-
+    back self-join. A self-join evaluates the input lineage twice, and
+    an input gated by a floating-point-aggregate filter (e.g. the LM
+    perplexity gate: `avg(logprob)` differs in last-ulp between
+    evaluations, flipping boundary rows through the `round`) is only
+    deterministic per evaluation — Spark then returns DUPLICATED rows
+    from the inner self-join (observed on this exact pipeline,
+    round 6: 646-row input -> 1215-row join output, dup rows inside
+    single shard files; reproduces with AQE on or off). One evaluation
+    sidesteps the hazard and saves the join outright.
     `repartition(shard_id)` routes every row of a shard to exactly one
     task, so the Hive `shard_id=` directory written by `partitionBy`
     holds exactly one parquet file; rows sort by doc id within the
@@ -82,17 +92,36 @@ def write_training_shards(docs: DataFrame, path: str,
     shard-sizing knob; the shuffle is one pass of the corpus keyed by
     shard, the minimum any physical re-layout costs.
 
-    Returns the assignment DataFrame (doc_id, n_tokens, stream,
-    shard_idx, shard_id) so callers can audit what was written."""
-    packed = pack_training_shards(
-        docs, token_budget=token_budget, n_streams=n_streams,
-        id_col=id_col, text_col=text_col, n_tokens_expr=n_tokens_expr,
-        stream_expr=stream_expr)
-    out = docs.join(
-        packed.select(id_col, "n_tokens", "stream", "shard_idx", "shard_id"),
-        id_col)
+    Returns the assignment table (id, n_tokens, stream, shard_idx,
+    shard_id) READ BACK from the written files — the audit is exactly
+    what landed on disk, immune to any re-evaluation drift."""
+    helper_cols = ("n_tokens", "stream", "tokens_before",
+                   "shard_idx", "shard_id")
+    clash = [c for c in docs.columns if c in helper_cols]
+    if clash:
+        raise ValueError(
+            f"write_training_shards needs columns {clash} for the "
+            "assignment; rename them on the input first")
+    n_tok = (F.size(F.split(F.col(text_col), " "))
+             if n_tokens_expr is None else n_tokens_expr)
+    stream = (F.pmod(F.xxhash64(id_col), F.lit(n_streams))
+              if stream_expr is None else stream_expr)
+    w = (Window.partitionBy("stream").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = (
+        docs.withColumn("n_tokens", n_tok)
+        .withColumn("stream", stream)
+        .withColumn("tokens_before",
+                    F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("shard_idx",
+                    (F.col("tokens_before") / F.lit(token_budget))
+                    .cast("long"))
+        .withColumn("shard_id", F.concat_ws("-", "stream", "shard_idx"))
+        .drop("tokens_before")
+    )
     (out.repartition(F.col("shard_id"))
         .sortWithinPartitions(id_col)
         .write.partitionBy("shard_id")
         .mode(mode).parquet(path))
-    return packed
+    return (docs.sparkSession.read.parquet(path)
+            .select(id_col, "n_tokens", "stream", "shard_idx", "shard_id"))
