@@ -11,7 +11,13 @@ Rules every registered query follows:
   * floating-point aggregates are rounded on BOTH sides (doubles summed in
     different orders differ in the last ulps — rounding makes the hash
     stable; SURVEY.md §7.5);
-  * all orderings/tiebreaks are total (no nondeterministic row choice);
+  * all orderings/tiebreaks that PICK rows (top-k, limits, window
+    ranks) are total — no nondeterministic row choice. A final
+    cosmetic sort of the whole output is NOT required (the driver
+    compare canonically sorts rows) and is omitted on large results:
+    Spark's range partitioner samples the child plan to pick bounds,
+    so a trailing orderBy re-executes the entire lineage a second
+    time (~2x on expensive queries, measured round 6);
   * oracle=None only for genuinely non-SQL-expressible ops (streaming
     state, iterative algorithms) — the driver then records a weaker
     rows-only check.

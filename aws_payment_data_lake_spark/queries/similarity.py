@@ -87,10 +87,76 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, k=5, n_queries=10).orderBy("query_id", "rk")
 
 
+# SemDeDup oracle (round 6, VERDICT r5 #8 — the first APPROXIMATE-
+# family scale path with a driver hash row): the operator's default
+# configuration is seed-only IVF (centroids = the 16 lowest-id
+# embeddings, zero Lloyd rounds) + a deterministic ascending-id greedy
+# per cell, so DuckDB can replay the ENTIRE pipeline: argmax-cosine
+# cell assignment (6-dp round, cent_id tiebreak — exactly
+# assign_cells_blas's np.argmax rule), then the greedy as a recursive
+# CTE threading each cell's kept-list through rank order. Per-row
+# outputs derive from the FINAL kept set alone because the kept set
+# only grows and every kept member predates later candidates.
+_SEMDEDUP_CTES = """
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent_id, embedding AS ce
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+cscore AS (
+  SELECT e.vec_id, c.cent_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(c.ce AS DOUBLE[])), 6) AS cs
+  FROM embeddings e CROSS JOIN cents c),
+asg AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cent_id) AS rk
+    FROM cscore) WHERE rk = 1),
+mem AS (SELECT a.vec_id, a.cent_id, e.embedding,
+               row_number() OVER (PARTITION BY a.cent_id
+                                  ORDER BY a.vec_id) AS rk
+        FROM asg a JOIN embeddings e USING (vec_id)),
+csims AS (
+  SELECT a.cent_id, a.vec_id AS va, b.vec_id AS vb,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cs
+  FROM mem a JOIN mem b ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id),
+mem2 AS (
+  SELECT m.vec_id, m.cent_id, m.rk, coalesce(sl.simlist, []) AS simlist
+  FROM mem m LEFT JOIN (
+    SELECT va, list(struct_pack(vb := vb, cs := cs)) AS simlist
+    FROM csims GROUP BY va) sl ON sl.va = m.vec_id),
+greedy(cent_id, rk, kept) AS (
+  SELECT cent_id, rk, [vec_id] FROM mem2 WHERE rk = 1
+  UNION ALL
+  SELECT g.cent_id, r.rk,
+         CASE WHEN coalesce(list_max(list_transform(
+                    list_filter(r.simlist, x -> list_contains(g.kept, x.vb)),
+                    x -> x.cs)), -1.0) >= 0.4
+              THEN g.kept ELSE list_append(g.kept, r.vec_id) END
+  FROM greedy g JOIN mem2 r ON r.cent_id = g.cent_id AND r.rk = g.rk + 1),
+gfinal AS (
+  SELECT cent_id, kept FROM (
+    SELECT cent_id, kept,
+           row_number() OVER (PARTITION BY cent_id ORDER BY rk DESC) AS rn
+    FROM greedy) WHERE rn = 1),
+gbest AS (
+  SELECT va AS vec_id, vb, cs FROM (
+    SELECT s.va, s.vb, s.cs,
+           row_number() OVER (PARTITION BY s.va
+                              ORDER BY s.cs DESC, s.vb) AS brk
+    FROM csims s JOIN gfinal f ON f.cent_id = s.cent_id
+    WHERE list_contains(f.kept, s.vb)) WHERE brk = 1)
+"""
+
+
 @register(
     "embedding_neardup_pairs",
-    oracle="""
-    SELECT vec_a, vec_b, round(cos_raw, 6) AS cos_sim
+    oracle=f"""
+    WITH RECURSIVE {_SEMDEDUP_CTES}
+    SELECT 'pairs' AS variant, vec_a AS a, vec_b AS b,
+           CAST(-1 AS BIGINT) AS grp, round(cos_raw, 6) AS cos,
+           CAST(NULL AS BOOLEAN) AS flag
     FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -98,16 +164,66 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     )
     WHERE cos_raw >= 0.4
-    ORDER BY vec_a, vec_b
+    UNION ALL
+    SELECT 'semdedup' AS variant, m.vec_id AS a,
+           CAST(CASE WHEN b.cs >= 0.4 THEN b.vb ELSE -1 END AS BIGINT) AS b,
+           m.cent_id AS grp,
+           CASE WHEN b.cs >= 0.4 THEN b.cs ELSE -1.0 END AS cos,
+           coalesce(b.cs < 0.4, TRUE) AS flag
+    FROM mem m LEFT JOIN gbest b USING (vec_id)
+    ORDER BY variant, a, b
     """,
-    tags=("similarity", "dedup", "embedding"),
+    tags=("similarity", "dedup", "embedding", "semdedup", "scale-path"),
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs at cosine >= 0.4 (exact baseline; the
-    random testdata embeddings top out near 0.55, so 0.4 yields a real
-    but small pair set at every sf)."""
+    """Embedding-space dedup, both tiers in one tagged union (the
+    driver scores 50 slots; round-6 fold per VERDICT r5 #8 gives the
+    APPROXIMATE family its first hash-anchored scale path):
+
+      variant='pairs'     exact all-pairs near-dup at cosine >= 0.4 —
+                   the correctness baseline (the block-matmul tier; by
+                   contract quadratic, with this very union's semdedup
+                   branch plus IVF/RP-LSH as the measured scale paths).
+                   a/b = the pair, cos = 6-dp cosine, grp = -1,
+                   flag = NULL.
+      variant='semdedup'  SemDeDup (Abbas et al. 2023) over the
+                   session-shared seed-centroid IVF index: per-cell
+                   ascending-id greedy keeps one representative per
+                   cosine-0.4 group. a = vec_id, b = dup_of (-1 when
+                   kept), grp = the IVF cell, cos = cosine to the
+                   condemning representative (-1 when kept), flag =
+                   kept. The oracle replays cell assignment AND the
+                   greedy exactly (recursive CTE; see _SEMDEDUP_CTES),
+                   so the hash match certifies the scale path's actual
+                   decisions, not just row counts.
+    """
     (emb,) = load(spark, sf_dir, "embeddings")
-    return S.neardup_pairs(emb, threshold=0.4).orderBy("vec_a", "vec_b")
+    pairs = S.neardup_pairs(emb, threshold=0.4).select(
+        F.lit("pairs").alias("variant"),
+        F.col("vec_a").alias("a"),
+        F.col("vec_b").alias("b"),
+        F.lit(-1).cast("long").alias("grp"),
+        F.col("cos_sim").alias("cos"),
+        F.lit(None).cast("boolean").alias("flag"),
+    )
+    cents, assigned = shared_ivf_index(spark, sf_dir)
+    sd = S.semantic_dedup(None, threshold=0.4, cents=cents,
+                          assigned=assigned)
+    sd_rows = sd.select(
+        F.lit("semdedup").alias("variant"),
+        F.col("vec_id").alias("a"),
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("b"),
+        F.col("cent_id").alias("grp"),
+        # kept rows carry NaN (not NULL) in cos_to_rep — normalize both
+        F.when(F.col("kept"), F.lit(-1.0))
+        .otherwise(F.col("cos_to_rep")).alias("cos"),
+        F.col("kept").alias("flag"),
+    )
+    # No final orderBy (same rationale as text_fingerprint): the driver
+    # compare sorts canonically, and a range sort would sample-run the
+    # block-matmul + Arrow greedy lineage twice. No row choice depends
+    # on output order here.
+    return pairs.unionByName(sd_rows)
 
 
 def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,13 +246,13 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup at cosine >= 0.4 over the session-shared
     IVF index (operators.similarity.semantic_dedup) — the embedding-space
-    twin of the MinHash text dedup family. Unregistered (the driver
-    scores only 50 queries; the clustering makes the kept-set
-    cluster-dependent, so a SQL oracle can't reproduce it) — exactness
-    of the greedy per-cell rule is pytest-proven against a NumPy
-    reference (tests/test_semantic_dedup.py) and the query stays on the
-    bench for a timing record. Reusing the shared index means dedup
-    costs only the per-cell greedy on top of ANN serving."""
+    twin of the MinHash text dedup family. Driver-anchored since round 6
+    via the `embedding_neardup_pairs` tagged union (the seed-centroid
+    default makes the whole pipeline SQL-replayable — see
+    _SEMDEDUP_CTES); this standalone shape stays for the bench timing
+    record, and the NumPy-reference pytest (tests/test_semantic_dedup.py)
+    still covers non-default configurations. Reusing the shared index
+    means dedup costs only the per-cell greedy on top of ANN serving."""
     cents, assigned = shared_ivf_index(spark, sf_dir)
     return (S.semantic_dedup(None, threshold=0.4,
                              cents=cents, assigned=assigned)

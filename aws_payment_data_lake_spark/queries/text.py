@@ -396,8 +396,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("contamination_frac").alias("frac"),
         F.col("contaminated").alias("flag"),
     )
-    return (fp_rows.unionByName(dc_rows)
-            .orderBy("variant", "doc_id"))
+    # No final orderBy: the driver compare canonically sorts rows, so a
+    # global sort here is cosmetic — and Spark's range partitioner
+    # SAMPLES the child to pick bounds, re-running the whole rolling-
+    # hash + broadcast-probe lineage a second time (measured at sf1.0:
+    # 9.7 s sorted vs 4.5 s for both branches). No row CHOICE depends
+    # on order in this query, so the registry's total-ordering rule
+    # (deterministic row selection) is untouched.
+    return fp_rows.unionByName(dc_rows)
 
 
 # Oracle for text_repetition_profile. Registered since round 5 (the
