@@ -165,6 +165,30 @@ def test_scrub_zero_overlap_at_corpus_scale(spark):
             == sorted(map(tuple, clean_out.collect())))
 
 
+def test_fast_hash_path_agrees_with_oracle_hash(spark):
+    """HASH_FAST (xxhash64, the production knob) must produce the same
+    flags and the same scrubbed pieces as HASH_ORACLE (md5-hash60, the
+    DuckDB-replayable twin) — hashing only changes set-membership
+    mechanics, never semantics."""
+    from aws_payment_data_lake_spark.operators.decontam import (
+        HASH_FAST,
+        HASH_ORACLE,
+    )
+    from aws_payment_data_lake_spark.sources import load
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    bench = docs.where(F.col("doc_id") % 101 == 0)
+    corpus = docs.where(F.col("doc_id") % 101 != 0)
+    for fn in (benchmark_contamination,
+               lambda c, b, n, hash_fn: scrub_contaminated(
+                   c, b, n=n, hash_fn=hash_fn)):
+        a = sorted(map(tuple, fn(corpus, bench, n=SPEC_NGRAMS,
+                                 hash_fn=HASH_ORACLE).collect()))
+        b = sorted(map(tuple, fn(corpus, bench, n=SPEC_NGRAMS,
+                                 hash_fn=HASH_FAST).collect()))
+        assert a == b and a
+
+
 def test_broadcast_and_shuffle_paths_agree(spark):
     from aws_payment_data_lake_spark.sources import load
 
