@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import threading
 
 import pyspark.sql.functions as F
@@ -10,6 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_payment_data_lake_spark.operators import similarity as S
 from aws_payment_data_lake_spark.queries import register
 from aws_payment_data_lake_spark.sources import load
+from aws_payment_data_lake_spark.sources.store import (
+    corpus_fingerprint,
+    load_or_build,
+)
 
 # ---------------------------------------------------------------------------
 # Session-scoped shared IVF index — the ANN twin of the MinHash store
@@ -22,12 +27,39 @@ from aws_payment_data_lake_spark.sources import load
 _IVF_STORE: dict = {}
 _IVF_LOCK = threading.Lock()
 
+# Durable tier (round 6): same warehouse contract as the MinHash store
+# (queries/dedup.py, sources/store.py) — an IVF index IS a stored
+# table in production (FAISS shards / a cent_id-partitioned silver
+# table), rebuilt when the corpus rolls.
+_IVF_TABLES = ("cents", "assigned")
+
+
+def durable_ivf_index(spark: SparkSession, sf_dir: str, warehouse: str,
+                      ) -> tuple[tuple[DataFrame, DataFrame], bool]:
+    """((cents, assigned), built) from the warehouse store: a fresh
+    Spark application whose embeddings are unchanged reads the index
+    back with zero recomputation; a corpus roll flips the fingerprint
+    and rebuilds (tests/test_durable_store.py)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    fp = corpus_fingerprint(emb, "vec_id", "embedding")
+
+    def build() -> dict[str, DataFrame]:
+        cents, assigned = S.build_ivf_index(emb)
+        return {"cents": cents, "assigned": assigned}
+
+    frames, built = load_or_build(
+        spark, os.path.join(warehouse, "ivf_index"), fp,
+        _IVF_TABLES, build)
+    return (frames["cents"], frames["assigned"]), built
+
 
 def shared_ivf_index(spark: SparkSession,
                      sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(cents, assigned) for ``sf_dir``'s embeddings — built once per
     (Spark application, sf_dir), `assigned` persisted with a count
-    barrier, reused by every probe in the session."""
+    barrier, reused by every probe in the session. With
+    SPARK_GRAFT_WAREHOUSE set, the build goes through the durable
+    parquet tier instead (the memo then caches the read-back frames)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     with _IVF_LOCK:
         ent = _IVF_STORE.get(key)
@@ -48,8 +80,12 @@ def shared_ivf_index(spark: SparkSession,
             _IVF_STORE[key] = ent
     with ent["build_lock"]:
         if ent["val"] is None:
-            (emb,) = load(spark, sf_dir, "embeddings")
-            cents, assigned = S.build_ivf_index(emb)
+            wh = os.environ.get("SPARK_GRAFT_WAREHOUSE") or None
+            if wh:
+                (cents, assigned), _ = durable_ivf_index(spark, sf_dir, wh)
+            else:
+                (emb,) = load(spark, sf_dir, "embeddings")
+                cents, assigned = S.build_ivf_index(emb)
             assigned = assigned.persist()
             assigned.count()
             ent["val"] = (cents, assigned)

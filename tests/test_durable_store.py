@@ -122,6 +122,31 @@ def test_fingerprint_is_content_defined(spark):
     assert corpus_fingerprint(docs.limit(10), "doc_id", "text") != a
 
 
+def test_durable_ivf_index(spark, tmp_path):
+    """Same warehouse contract for the ANN family (cross-process proof
+    lives in test_fresh_session_reads_without_rebuild; this one covers
+    hit/rebuild and output identity within the session)."""
+    from aws_payment_data_lake_spark.operators import similarity as S
+    from aws_payment_data_lake_spark.queries.similarity import (
+        durable_ivf_index,
+    )
+
+    wh = str(tmp_path / "whivf")
+    (cents, assigned), built = durable_ivf_index(spark, SF_DIR, wh)
+    assert built
+    (c2, a2), built2 = durable_ivf_index(spark, SF_DIR, wh)
+    assert not built2
+    # the stored index serves probes identically to a fresh build
+    (emb,) = load(spark, SF_DIR, "embeddings")
+    fresh_c, fresh_a = S.build_ivf_index(emb)
+    q = (emb.where("vec_id < 5")
+         .selectExpr("vec_id AS query_id", "embedding AS qe"))
+    got = sorted(map(tuple, S.ivf_probe_topk(c2, a2, q).collect()))
+    want = sorted(map(tuple, S.ivf_probe_topk(fresh_c, fresh_a, q)
+                      .collect()))
+    assert got == want and got
+
+
 def test_shared_store_consults_warehouse(spark, tmp_path, monkeypatch):
     """With SPARK_GRAFT_WAREHOUSE set and a cold memo, the session
     store builds THROUGH the durable tier (parquet lands under the
