@@ -38,6 +38,11 @@ from aws_payment_data_lake_spark.functions import (
     tokens,
     word_ngrams_upto,
 )
+from aws_payment_data_lake_spark.functions.spans import (
+    EMPTY_SPANS,
+    merge_spans,
+    split_tokens_by_spans,
+)
 from aws_payment_data_lake_spark.operators.spread import spread_narrow_scan
 
 DEFAULT_NGRAM = 8
@@ -147,31 +152,11 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
 # pieces, rather than dropping whole documents the flag-only gate would.
 # ---------------------------------------------------------------------------
 
-_EMPTY_SPANS = "CAST(array() AS array<struct<s: int, e: int>>)"
-
-
 def _win_tier(k: int, hash_fn):
     """(gram, idx) -> struct(s, e, gh) for n-gram size ``k`` (factory —
     a default-arg lambda would change the arity F.transform inspects)."""
     return lambda g, i: F.struct(
         i.alias("s"), (i + F.lit(k - 1)).alias("e"), hash_fn(g).alias("gh"))
-
-
-def _merge_spans(ivs: Column) -> Column:
-    """Merge a SORTED array of [s, e] token intervals; adjacent
-    intervals merge too (the segment between them would be empty)."""
-    def step(acc: Column, iv: Column) -> Column:
-        last = F.element_at(acc, -1)
-        return (
-            F.when(F.size(acc) == 0, F.array(iv))
-            .when(iv["s"] <= last["e"] + 1,
-                  F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                           F.array(F.struct(
-                               last["s"].alias("s"),
-                               F.greatest(last["e"], iv["e"]).alias("e")))))
-            .otherwise(F.concat(acc, F.array(iv))))
-
-    return F.aggregate(ivs, F.expr(_EMPTY_SPANS), step)
 
 
 def contaminated_spans(corpus: DataFrame, benchmark: DataFrame,
@@ -198,7 +183,7 @@ def contaminated_spans(corpus: DataFrame, benchmark: DataFrame,
         .select("doc_id", "w.s", "w.e", "w.gh")
         .join(bench, "gh")
         .groupBy("doc_id")
-        .agg(_merge_spans(
+        .agg(merge_spans(
             F.array_sort(F.collect_list(F.struct("s", "e")))).alias("spans"))
     )
 
@@ -230,22 +215,5 @@ def scrub_contaminated(corpus: DataFrame, benchmark: DataFrame,
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
     d = tok.join(spans, "doc_id", "left").select(
         "doc_id", "tk",
-        F.coalesce(F.col("spans"), F.expr(_EMPTY_SPANS)).alias("spans"))
-    starts = F.concat(F.array(F.lit(0)),
-                      F.transform("spans", lambda iv: iv["e"] + 1))
-    ends = F.concat(F.transform("spans", lambda iv: iv["s"]),
-                    F.array(F.size("tk")))  # exclusive
-    bounds = F.zip_with(starts, ends,
-                        lambda s, e: F.struct(s.alias("s"), e.alias("e")))
-    return (
-        d.select("doc_id", "tk",
-                 F.posexplode(bounds).alias("segment_idx", "b"))
-        .select("doc_id", "segment_idx",
-                (F.col("b.e") - F.col("b.s")).alias("n_tokens"),
-                F.array_join(
-                    F.slice("tk", F.col("b.s") + 1,
-                            F.greatest(F.col("b.e") - F.col("b.s"),
-                                       F.lit(0))), " ").alias(text_col))
-        .where((F.col("n_tokens") > 0)
-               & (F.col("n_tokens") >= min_tokens))
-    )
+        F.coalesce(F.col("spans"), F.expr(EMPTY_SPANS)).alias("spans"))
+    return split_tokens_by_spans(d, text_col, min_tokens)

@@ -31,6 +31,7 @@ from aws_payment_data_lake_spark.functions import (
     hash60_mod_p,
     shingles,
     tokens,
+    word_ngrams,
 )
 
 # ---------------------------------------------------------------------------
@@ -687,3 +688,93 @@ def simhash_pairs(docs: DataFrame | None,
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "fp_a", "fp_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-SPAN removal (round 6) — the ExactSubstr dedup of
+# Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better" (arXiv 2107.06499), re-expressed Spark-first: the paper
+# builds a corpus-wide suffix array and removes every verbatim
+# substring of >= 50 tokens that appears more than once; here the
+# fixed-length n-token window family plays the suffix-array role (a
+# repeat of length >= n contains a repeated n-window at every offset,
+# so flagging n-windows marks exactly the >= n-token repeats — the
+# window length IS the paper's threshold). Document-level dedup
+# (exact/MinHash/SimHash above) misses partial overlaps: two distinct
+# pages quoting the same boilerplate paragraph are no document pair,
+# but the paragraph still trains the model twice.
+#
+# Scale shape: one explode to (gh, doc_id, pos) occurrence rows — the
+# hash-shuffle by gh is the unavoidable GLOBAL step (any exact
+# substring dedup must compare every window against every other; the
+# paper's suffix array is likewise a global sort), but it is one
+# linear pass of 24-byte rows with map-side pre-aggregation, the
+# standard MapReduce answer to the problem. Everything after (the
+# per-doc merge + split) is the shared span machinery.
+# ---------------------------------------------------------------------------
+
+SPAN_NGRAM = 25
+
+
+def duplicate_spans(docs: DataFrame, n: int = SPAN_NGRAM,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    hash_fn=hash60) -> DataFrame:
+    """(doc_id, spans): merged token intervals covered by NON-CANONICAL
+    occurrences of any n-gram that appears >= 2 times corpus-wide. The
+    canonical occurrence (lowest (doc_id, pos)) is never flagged, so
+    exactly one copy of every repeated span survives the removal."""
+    from aws_payment_data_lake_spark.functions.spans import merge_spans
+
+    tok = (spread_narrow_scan(docs, id_col)
+           .select(F.col(id_col).alias("doc_id"),
+                   tokens(text_col).alias("tk")))
+    occ = (tok.select("doc_id",
+                      F.posexplode(word_ngrams(F.col("tk"), n))
+                      .alias("pos", "gram"))
+           .select("doc_id", "pos", hash_fn(F.col("gram")).alias("gh")))
+    canon = (occ.groupBy("gh")
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.min(F.struct("doc_id", "pos")).alias("canon"))
+             .where(F.col("cnt") >= 2))
+    hits = (occ.join(canon, "gh")
+            .where(~((F.col("doc_id") == F.col("canon.doc_id"))
+                     & (F.col("pos") == F.col("canon.pos"))))
+            .select("doc_id",
+                    F.col("pos").alias("s"),
+                    (F.col("pos") + F.lit(n - 1)).alias("e")))
+    return (hits.groupBy("doc_id")
+            .agg(merge_spans(F.array_sort(
+                F.collect_list(F.struct("s", "e")))).alias("spans")))
+
+
+def remove_duplicate_spans(docs: DataFrame, n: int = SPAN_NGRAM,
+                           min_tokens: int = 1, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           hash_fn=hash60) -> DataFrame:
+    """Remove every non-canonical repeated n-token span and emit the
+    remainder as one row per surviving piece: (doc_id, segment_idx,
+    n_tokens, <text_col>) — the same split contract as
+    ``operators/decontam.scrub_contaminated`` (pieces are never
+    re-joined across a hole: seam windows were never counted).
+
+    Convergence guarantee (pytest-asserted): every window surviving the
+    split is an ORIGINAL corpus window, and all non-canonical
+    occurrences of every repeated window were removed, so each window
+    value now occurs at most once — a re-run finds ZERO duplicated
+    windows. (A canonical occurrence can itself be destroyed when an
+    OVERLAPPING different repeat's removal window covers it — the
+    paper's aggressive-removal behavior — but nothing can remain
+    duplicated.)"""
+    from aws_payment_data_lake_spark.functions.spans import (
+        EMPTY_SPANS,
+        split_tokens_by_spans,
+    )
+
+    spans = duplicate_spans(docs, n, id_col, text_col, hash_fn)
+    tok = (spread_narrow_scan(docs, id_col)
+           .select(F.col(id_col).alias("doc_id"),
+                   tokens(text_col).alias("tk")))
+    d = tok.join(spans, "doc_id", "left").select(
+        "doc_id", "tk",
+        F.coalesce(F.col("spans"), F.expr(EMPTY_SPANS)).alias("spans"))
+    return split_tokens_by_spans(d, text_col, min_tokens)
