@@ -244,31 +244,134 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact dedup, both granularities in one tagged union (50-slot window):
+#   variant='prefix'  document-level md5-prefix duplicate groups
+#   variant='span'    ExactSubstr duplicate-SPAN detection (Lee et al.
+#                     2021) — per doc, the merged token intervals covered
+#                     by non-canonical occurrences of any repeated
+#                     25-token window. The oracle replays the whole
+#                     pipeline in SQL: same hash60 window hashes, the
+#                     min-(doc_id,pos) canonical rule via row_number, and
+#                     the interval merge via gaps-and-islands (s <=
+#                     prev_max+1 reproduces merge_spans' adjacent-merge).
+# ---------------------------------------------------------------------------
+_SPAN_N = D.SPAN_NGRAM
+
+_EXACT_UNION_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(
+             tk[i:i + {_SPAN_N - 1}], ' ')), 1, 15))::BIGINT AS gh
+  FROM tok, unnest(range(1, greatest(len(tk) - {_SPAN_N - 2}, 1))) AS t(i)),
+hits AS (
+  SELECT doc_id, pos AS s, pos + {_SPAN_N - 1} AS e
+  FROM (SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY gh) AS cnt,
+               row_number() OVER (PARTITION BY gh
+                                  ORDER BY doc_id, pos) AS rn
+        FROM occ)
+  WHERE cnt >= 2 AND rn > 1),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+  FROM (SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+        FROM hits)),
+merged AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e
+           FROM isl GROUP BY doc_id, grp),
+span_rows AS (
+  SELECT 'span' AS variant,
+         CAST(doc_id AS VARCHAR) AS dup_key,
+         CAST(sum(e - s + 1) AS BIGINT) AS n_units,
+         doc_id AS canonical_doc_id,
+         string_agg(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR),
+                    ',' ORDER BY s) AS detail
+  FROM merged GROUP BY doc_id),
+prefix_rows AS (
+  SELECT 'prefix' AS variant,
+         md5(substr(text, 1, 100)) AS dup_key,
+         count(*) AS n_units,
+         min(doc_id) AS canonical_doc_id,
+         array_to_string(list_sort(list(doc_id)), ',') AS detail
+  FROM documents
+  GROUP BY 2
+  HAVING count(*) > 1)
+SELECT * FROM prefix_rows
+UNION ALL
+SELECT * FROM span_rows
+ORDER BY variant, dup_key
+"""
+
+
 @register(
     "dedup_exact_groups",
-    oracle="""
-    SELECT md5(substr(text, 1, 100)) AS text_md5,
-           count(*) AS n_copies,
-           min(doc_id) AS canonical_doc_id,
-           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
-    FROM documents
-    GROUP BY 1
-    HAVING count(*) > 1
-    ORDER BY text_md5
-    """,
-    tags=("dedup", "exact"),
+    oracle=_EXACT_UNION_ORACLE,
+    tags=("dedup", "exact", "span", "exactsubstr"),
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-prefix duplicate groups: md5 of the first 100 characters
-    (C4/RealNews-style boilerplate fingerprint). Registered on the prefix
-    key rather than full-text md5 because the testdata injects
-    byte-identical copies only at sf>=0.1 — full-text exact dedup passes
-    vacuously (0 rows) at the driver's sf0.01, while the prefix tier
-    fires at every SF (22 groups at sf0.01). The full-text variant
-    (prefix_len=None) stays the operator default and is pytest-covered
-    at sf0.1."""
+    """Exact dedup at both granularities (tagged union):
+
+      variant='prefix'  md5 of the first 100 characters (C4/RealNews
+                        boilerplate fingerprint): dup_key=md5,
+                        n_units=copies, canonical_doc_id=min id,
+                        detail=sorted doc_id list. Registered on the
+                        prefix key because byte-identical copies only
+                        exist at sf>=0.1 — the prefix tier fires at
+                        every SF (22 groups at sf0.01); full-text
+                        (prefix_len=None) stays the operator default,
+                        pytest-covered at sf0.1.
+      variant='span'    ExactSubstr duplicate spans (operators/dedup.
+                        duplicate_spans, Lee et al. 2021): per affected
+                        doc, dup_key=doc_id, n_units=total tokens under
+                        merged non-canonical repeat windows,
+                        detail='s-e,s-e' merged interval list. The span
+                        REMOVAL (remove_duplicate_spans) shares this
+                        exact machinery and is pytest-proven convergent
+                        (re-run finds zero duplicated windows)."""
     (docs,) = load(spark, sf_dir, "documents")
-    return D.exact_duplicate_groups(docs, prefix_len=100).orderBy("text_md5")
+    prefix = (D.exact_duplicate_groups(docs, prefix_len=100)
+              .select(F.lit("prefix").alias("variant"),
+                      F.col("text_md5").alias("dup_key"),
+                      F.col("n_copies").cast("long").alias("n_units"),
+                      "canonical_doc_id",
+                      F.col("doc_ids").alias("detail")))
+    spans = (D.duplicate_spans(docs)
+             .select(F.lit("span").alias("variant"),
+                     F.col("doc_id").cast("string").alias("dup_key"),
+                     F.aggregate(
+                         "spans", F.lit(0).cast("long"),
+                         lambda acc, iv: acc + (iv["e"] - iv["s"] + 1))
+                     .alias("n_units"),
+                     F.col("doc_id").alias("canonical_doc_id"),
+                     F.array_join(
+                         F.transform("spans",
+                                     lambda iv: F.concat_ws("-", iv["s"],
+                                                            iv["e"])),
+                         ",").alias("detail")))
+    # No cosmetic final sort: the driver compare canonically sorts, and
+    # a trailing orderBy would re-execute the whole un-persisted span
+    # lineage to sample range bounds (registry rules; measured 1.5x on
+    # this query).
+    return prefix.unionByName(spans)
+
+
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ExactSubstr span REMOVAL (operators/dedup.
+    remove_duplicate_spans): every non-canonical repeated 25-token
+    window is cut and the remainder emitted as one row per surviving
+    piece. Bench-only twin of the registered 'span' variant of
+    dedup_exact_groups (which hash-proves the detection + interval
+    merge); the removal's convergence contract (a re-scan of the output
+    finds ZERO repeated windows) is pytest-asserted
+    (tests/test_span_dedup.py)."""
+    (docs,) = load(spark, sf_dir, "documents")
+    return D.remove_duplicate_spans(docs)
 
 
 def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_shingle_jaccard",         # unregistered baseline (EXTRA_FNS)
+    "dedup_span_removal",            # unregistered ExactSubstr removal (EXTRA_FNS)
     "dedup_connected_components",
     "text_profile",                  # round 2: lang-id + quality + tokens
     "text_repetition_profile",       # Gopher gates (registered since r5)
@@ -98,7 +99,10 @@ def _extra_fns():
         text_decontamination,
         text_decontamination_scrub,
     )
-    from aws_payment_data_lake_spark.queries.dedup import dedup_shingle_jaccard
+    from aws_payment_data_lake_spark.queries.dedup import (
+        dedup_shingle_jaccard,
+        dedup_span_removal,
+    )
     from aws_payment_data_lake_spark.queries.lm import lm_perplexity_quality
     from aws_payment_data_lake_spark.queries.rag import rag_chunk_retrieval
     from aws_payment_data_lake_spark.queries.report import corpus_source_report
@@ -121,6 +125,7 @@ def _extra_fns():
     )
     return {
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
+        "dedup_span_removal": dedup_span_removal,
         "knn_ivf_probe": knn_ivf_probe,
         "knn_rp_lsh": knn_rp_lsh,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,

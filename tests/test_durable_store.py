@@ -4,6 +4,7 @@ zero recomputation, rebuilt when the corpus changes."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
@@ -147,6 +148,61 @@ def test_durable_ivf_index(spark, tmp_path):
     assert got == want and got
 
 
+def test_reader_survives_concurrent_rebuild(spark, tmp_path):
+    """Versioned rebuilds (VERDICT r6 #4 / ADVICE r6): a corpus roll
+    writes a NEW fingerprint-scoped version dir and repoints the meta —
+    a reader application still holding DataFrames on the previous
+    version stays correct across the swap; GC keeps current+prior and
+    deletes older versions only after the next successful commit."""
+    from aws_payment_data_lake_spark.sources.store import (
+        corpus_fingerprint,
+        load_or_build,
+        write_store,
+    )
+
+    store = str(tmp_path / "vstore")
+
+    def corpus(n):
+        return spark.range(n).selectExpr("id", "id * 2 AS v")
+
+    c1 = corpus(10)
+    fp1 = corpus_fingerprint(c1)
+    frames1, built1 = load_or_build(spark, store, fp1, ("t",),
+                                    lambda: {"t": c1})
+    assert built1
+    old = frames1["t"]  # lazy plan over the fp1 version's parquet
+    assert old.count() == 10
+
+    # concurrent same-fingerprint writer: idempotent, data undisturbed
+    write_store(store, fp1, {"t": corpus(10)})
+    assert old.count() == 10
+
+    # corpus roll -> new version committed; OLD frames stay readable
+    c2 = corpus(20)
+    fp2 = corpus_fingerprint(c2)
+    frames2, built2 = load_or_build(spark, store, fp2, ("t",),
+                                    lambda: {"t": c2})
+    assert built2 and fp2 != fp1
+    assert sorted(r["v"] for r in old.collect()) == [2 * i
+                                                     for i in range(10)]
+    assert frames2["t"].count() == 20
+    assert os.path.isdir(os.path.join(store, fp1))  # prior retained
+
+    # second roll: fp1 is now two versions old -> GC'd; fp2 retained
+    c3 = corpus(30)
+    fp3 = corpus_fingerprint(c3)
+    _, built3 = load_or_build(spark, store, fp3, ("t",),
+                              lambda: {"t": c3})
+    assert built3
+    assert not os.path.isdir(os.path.join(store, fp1))
+    assert os.path.isdir(os.path.join(store, fp2))
+    # roll BACK to the retained fingerprint: instant re-point, no build
+    back, rebuilt = load_or_build(spark, store, fp2, ("t",),
+                                  lambda: (_ for _ in ()).throw(
+                                      AssertionError("must not rebuild")))
+    assert not rebuilt and back["t"].count() == 20
+
+
 def test_shared_store_consults_warehouse(spark, tmp_path, monkeypatch):
     """With SPARK_GRAFT_WAREHOUSE set and a cold memo, the session
     store builds THROUGH the durable tier (parquet lands under the
@@ -157,8 +213,9 @@ def test_shared_store_consults_warehouse(spark, tmp_path, monkeypatch):
     monkeypatch.setenv(QD.WAREHOUSE_ENV, wh)
     monkeypatch.setattr(QD, "_SHARED_MINHASH", {})
     sh, sigs = QD.shared_base_tables(spark, SF_DIR)
-    stored = os.path.join(wh, "minhash_base", "sigs")
-    assert os.path.isdir(stored)
+    hits = glob.glob(os.path.join(wh, "minhash_base", "v*", "sigs"))
+    assert len(hits) == 1
+    stored = hits[0]
     # the memoized frame IS the stored table (same rows; inputFiles is
     # empty on persisted frames, so compare against a direct read)
     assert sigs.count() == spark.read.parquet(stored).count() > 0
