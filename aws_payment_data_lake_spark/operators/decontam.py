@@ -51,17 +51,30 @@ DEFAULT_NGRAM = 8
 # only 12 tokens long is invisible at n=13 but caught at n<=12).
 SPEC_NGRAMS = tuple(range(8, 14))
 
-# Gram-hash knob: hash60 (md5-based) is the ORACLE hash — DuckDB can
-# recompute it, so every driver/pytest parity claim runs through it.
-# Production corpora don't need a cross-engine twin; xxhash64 computes
-# the same set-membership semantics cheaper. Measured honestly: ~13%
-# end-to-end on the sf1.0 scrub (9.3 -> 8.1 s) — gram STRING
-# construction, not hashing, dominates the pass, so the knob is a
-# modest win, not a rescue. Both hashes share the collision contract
+# Gram-hash knob: hash60 over the joined gram STRING is the ORACLE
+# tier — DuckDB can recompute it, so every driver/pytest parity claim
+# runs through it. Production corpora don't need a cross-engine twin,
+# and round 6 measured that gram STRING construction (not hashing)
+# dominates the pass — so the production tier skips the strings
+# entirely: HASH_FAST hashes the token SUB-ARRAY itself
+# (xxhash64(slice(tk, i, n)) per window — native, codegen'd, zero
+# concatenation; array equality <=> gram equality, exactly the same
+# set-membership semantics). Both tiers share the collision contract
 # documented above. tests/test_decontam.py asserts the two paths
-# produce identical flags and identical scrubbed pieces.
+# produce identical flags and identical scrubbed pieces; round 7
+# measured the slice tier + dropped cosmetic sort at 1.9x on the sf1.0
+# scrub (14.9 -> 8.0 s, see BASELINE.md).
 HASH_ORACLE = hash60
-HASH_FAST = F.xxhash64
+
+
+class _SliceHashTier:
+    """Sentinel: hash token slices directly, never build gram strings."""
+
+    def __repr__(self) -> str:  # pragma: no cover - repr only
+        return "HASH_FAST(xxhash64-over-token-slice)"
+
+
+HASH_FAST = _SliceHashTier()
 
 
 def _ns(n: int | Sequence[int]) -> tuple[int, ...]:
@@ -76,19 +89,43 @@ def _all_grams(tk: Column, ns: tuple[int, ...]) -> Column:
     return F.flatten(F.array(*[tiers[n] for n in ns]))
 
 
+def _win_positions(tk: Column, k: int) -> Column:
+    """0-based window start positions for n-gram size ``k`` (empty for
+    docs shorter than k)."""
+    return (F.when(F.size(tk) >= k, F.sequence(F.lit(0), F.size(tk) - k))
+            .otherwise(F.expr("CAST(array() AS array<int>)")))
+
+
+def _slice_gh(tk: Column, k: int):
+    """position -> xxhash64 of the k-token sub-array (factory keeps the
+    F.transform lambda at arity 1)."""
+    return lambda i: F.xxhash64(F.slice(tk, i + 1, k))
+
+
+def _all_gram_hashes(tk: Column, ns: tuple[int, ...], hash_fn) -> Column:
+    """Flat array of per-window hashes for every n in ``ns`` — via gram
+    strings (oracle tier: ``hash_fn`` over the joined string) or
+    directly from token slices (HASH_FAST production tier, zero string
+    construction)."""
+    if isinstance(hash_fn, _SliceHashTier):
+        return F.flatten(F.array(*[
+            F.transform(_win_positions(tk, k), _slice_gh(tk, k))
+            for k in ns]))
+    return F.transform(_all_grams(tk, ns), lambda g: hash_fn(g))
+
+
 def benchmark_gram_hashes(benchmark: DataFrame,
                           n: int | Sequence[int] = DEFAULT_NGRAM,
                           text_col: str = "text",
                           hash_fn=HASH_ORACLE) -> DataFrame:
-    """Distinct 60-bit hashes of every word n-gram (all sizes in ``n``)
-    in the benchmark set — the (small) probe table a decontamination
-    pass joins against. In production this is a stored table rebuilt
-    when eval sets change."""
+    """Distinct hashes of every word n-gram (all sizes in ``n``) in the
+    benchmark set — the (small) probe table a decontamination pass
+    joins against. In production this is a stored table rebuilt when
+    eval sets change."""
     return (
         benchmark
-        .select(F.explode(_all_grams(tokens(text_col), _ns(n)))
-                .alias("gram"))
-        .select(hash_fn(F.col("gram")).alias("gh"))
+        .select(F.explode(_all_gram_hashes(tokens(text_col), _ns(n),
+                                           hash_fn)).alias("gh"))
         .distinct()
     )
 
@@ -118,23 +155,21 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
     # (operators/spread.py has the full rationale). Measured at sf1.0:
     # warm 11.5 s -> ~2 s.
     corpus = spread_narrow_scan(corpus, id_col)
-    grams = (
-        corpus.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode_outer(
-                F.array_distinct(_all_grams(tokens(text_col), ns)))
-            .alias("gram"))
-        .withColumn("gh", hash_fn(F.col("gram")))
-    )
+    # distinct over HASHES (identical to distinct-gram counting under
+    # the collision contract) so both tiers share one downstream plan
+    grams = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(F.array_distinct(
+            _all_gram_hashes(tokens(text_col), ns, hash_fn))).alias("gh"))
     bench = benchmark_gram_hashes(benchmark, ns, text_col,
                                   hash_fn=hash_fn).withColumn(
         "hit", F.lit(1))
     if broadcast_bench:
         bench = F.broadcast(bench)
-    # left join: null gram (short doc) and misses both keep the row with
+    # left join: null gh (short doc) and misses both keep the row with
     # hit = null, so the per-doc aggregation sees every document.
     n_hits = F.count("hit")
-    n_grams = F.count("gram")
+    n_grams = F.count("gh")
     return (
         grams.join(bench, "gh", "left")
         .groupBy("doc_id")
@@ -159,6 +194,14 @@ def _win_tier(k: int, hash_fn):
         i.alias("s"), (i + F.lit(k - 1)).alias("e"), hash_fn(g).alias("gh"))
 
 
+def _slice_win_tier(tk: Column, k: int):
+    """position -> struct(s, e, gh) with gh hashed from the token
+    slice (HASH_FAST twin of _win_tier)."""
+    return lambda i: F.struct(
+        i.alias("s"), (i + F.lit(k - 1)).alias("e"),
+        F.xxhash64(F.slice(tk, i + 1, k)).alias("gh"))
+
+
 def contaminated_spans(corpus: DataFrame, benchmark: DataFrame,
                        n: int | Sequence[int] = DEFAULT_NGRAM,
                        id_col: str = "doc_id", text_col: str = "text",
@@ -171,9 +214,15 @@ def contaminated_spans(corpus: DataFrame, benchmark: DataFrame,
     merge is array-local arithmetic over the (tiny) per-doc hit list."""
     ns = _ns(n)
     corpus = spread_narrow_scan(corpus, id_col)
-    tiers = word_ngrams_upto(tokens(text_col), max(ns))
-    win = F.flatten(F.array(*[F.transform(tiers[k], _win_tier(k, hash_fn))
-                              for k in ns]))
+    tk = tokens(text_col)
+    if isinstance(hash_fn, _SliceHashTier):
+        win = F.flatten(F.array(*[
+            F.transform(_win_positions(tk, k), _slice_win_tier(tk, k))
+            for k in ns]))
+    else:
+        tiers = word_ngrams_upto(tk, max(ns))
+        win = F.flatten(F.array(*[
+            F.transform(tiers[k], _win_tier(k, hash_fn)) for k in ns]))
     bench = benchmark_gram_hashes(benchmark, ns, text_col, hash_fn=hash_fn)
     if broadcast_bench:
         bench = F.broadcast(bench)

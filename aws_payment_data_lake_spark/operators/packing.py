@@ -94,7 +94,19 @@ def write_training_shards(docs: DataFrame, path: str,
 
     Returns the assignment table (id, n_tokens, stream, shard_idx,
     shard_id) READ BACK from the written files — the audit is exactly
-    what landed on disk, immune to any re-evaluation drift."""
+    what landed on disk, immune to any re-evaluation drift.
+
+    Only ``mode='overwrite'`` is accepted (ADVICE r6): shard
+    assignments are computed from scratch per invocation, so an append
+    would land a SECOND file into existing ``shard_id=`` directories
+    (breaking the one-file-per-shard contract) and the read-back audit
+    would include earlier writes' rows. Incremental corpus growth is a
+    re-pack (or a new path per corpus snapshot), not an append."""
+    if mode != "overwrite":
+        raise ValueError(
+            "write_training_shards supports only mode='overwrite' "
+            f"(got {mode!r}); appending would break the one-file-per-"
+            "shard contract and the read-back audit")
     helper_cols = ("n_tokens", "stream", "tokens_before",
                    "shard_idx", "shard_id")
     clash = [c for c in docs.columns if c in helper_cols]

@@ -28,20 +28,33 @@ compilation PER CALL — is retired entirely.
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 # Logical-plan node names that imply the frame already went through a
-# shuffle (or explicitly chose its partitioning). Substring match is
-# deliberately conservative: a false positive merely skips the spread,
-# never adds a shuffle.
+# shuffle (or explicitly chose its partitioning). Matched at NODE
+# POSITION (line start after the tree-drawing prefix, ADVICE r6), so a
+# column name or filter literal containing 'Window'/'Sort'/'Join'
+# cannot fool the probe. Still conservative: a false positive merely
+# skips the spread, never adds a shuffle.
 _WIDE_NODES = ("Join", "Aggregate", "Window", "Sort",
                "RepartitionByExpression", "Repartition", "Deduplicate")
 
+# "Range (0, 1000, step=1, splits=Some(8))" — the one file-less leaf
+# that can be arbitrarily large; it declares its own parallelism.
+_RANGE_SPLITS = re.compile(
+    r"^[\s:+-]*Range .*splits=(?:Some\((\d+)\)|None)", re.MULTILINE)
 
-def _is_post_shuffle(df: DataFrame) -> bool:
-    plan = df._jdf.queryExecution().analyzed().toString()
-    return any(node in plan for node in _WIDE_NODES)
+
+def _analyzed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def _is_post_shuffle(plan: str) -> bool:
+    return any(line.lstrip(" :+-").startswith(_WIDE_NODES)
+               for line in plan.splitlines())
 
 
 def spread_narrow_scan(df: DataFrame, key: str | None = None,
@@ -50,17 +63,33 @@ def spread_narrow_scan(df: DataFrame, key: str | None = None,
     """Repartition ``df`` to ``target`` partitions (hash by ``key`` when
     given) iff it is a narrow/scan-rooted frame whose scan is narrower
     than ``threshold`` files. Post-shuffle frames pass through.
-    Defaults: target = defaultParallelism, threshold = target."""
+    Defaults: target = defaultParallelism, threshold = target.
+
+    File-less frames (zero inputFiles): a Range leaf (spark.range) can
+    be arbitrarily large but declares its parallelism in the plan —
+    it passes through when its split count already meets the
+    threshold (ADVICE r6); LocalRelation/createDataFrame frames are
+    driver-materialized rows, tiny by construction, and are spread
+    unconditionally (the shuffle is cheap and the downstream work is
+    CPU-heavy by this guard's contract)."""
     if df.isStreaming:
         # streaming frames expose neither inputFiles nor an RDD; their
         # parallelism comes from the source (maxFilesPerTrigger /
         # partitions), so the guard passes them through untouched
         return df
-    if _is_post_shuffle(df):
+    plan = _analyzed_plan(df)
+    if _is_post_shuffle(plan):
         return df
     sc = df.sparkSession.sparkContext
     tgt = target if target is not None else sc.defaultParallelism
     thr = threshold if threshold is not None else tgt
-    if len(df.inputFiles()) >= thr:
+    files = df.inputFiles()
+    if len(files) >= thr:
         return df
+    if not files:
+        m = _RANGE_SPLITS.search(plan)
+        if m:
+            splits = int(m.group(1)) if m.group(1) else sc.defaultParallelism
+            if splits >= thr:
+                return df
     return df.repartition(tgt, F.col(key)) if key else df.repartition(tgt)

@@ -11,7 +11,12 @@ into the decision a 100 TB pretraining-corpus job actually emits:
 
 Rules apply in that order (first failing rule names the reason —
 the same one-pass reason-column pattern as the silver audit split,
-plans/silver.py). Everything row-local stays row-local; the only joined
+plans/silver.py). Since round 7 the row also carries the CCNet-style
+LM perplexity gate decision (`lm_keep`, VERDICT r6 #6) as an advisory
+column: the bigram-LM score is a mean of logs (ulp-noisy cross-engine,
+unhashable), but the DECISION is an integer-rank contract — rank on
+the 4-dp-rounded score with doc_id tiebreak, keep the top ceil(90%) —
+which both engines compute identically. Everything row-local stays row-local; the only joined
 input is the duplicate-cluster table, which holds ONLY docs in clusters
 (tiny vs the corpus) and broadcasts.
 
@@ -38,6 +43,9 @@ from aws_payment_data_lake_spark.queries.text import _LEX_SQL, _LEXICON
 from aws_payment_data_lake_spark.sources import load
 
 QUALITY_THRESHOLD = 0.62
+# LM gate: keep the ceil(90%) best-avg_logprob docs (CCNet-style decile
+# cut as an integer-rank contract; see the in-function comment)
+LM_KEEP_FRAC = 0.9
 
 _ORACLE = f"""
 WITH RECURSIVE lex(word, cand_lang) AS (VALUES {_LEX_SQL}),
@@ -65,6 +73,31 @@ best AS (SELECT doc_id, cand_lang, n_hits,
                 row_number() OVER (PARTITION BY doc_id
                     ORDER BY n_hits DESC, cand_lang) AS rk
          FROM hits),
+lmuni AS (SELECT w, count(*) AS c_w
+          FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+lmtot AS (SELECT count(*) AS V, sum(c_w) AS T FROM lmuni),
+lmpairs AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS prev,
+                   unnest(tk[2:len(tk)]) AS w
+            FROM toks WHERE len(tk) >= 2),
+lmbig AS (SELECT prev, w, count(*) AS c_bg FROM lmpairs
+          GROUP BY prev, w),
+lmfst AS (SELECT doc_id, ln((coalesce(c_w, 0) + 1) * 1.0 / (T + V)) AS lp
+          FROM (SELECT doc_id, tk[1] AS w FROM toks) f
+          LEFT JOIN lmuni USING (w) CROSS JOIN lmtot),
+lmrst AS (SELECT doc_id,
+                 ln((coalesce(c_bg, 0) + 1) * 1.0
+                    / (coalesce(c_prev, 0) + V)) AS lp
+          FROM lmpairs LEFT JOIN lmbig USING (prev, w)
+          LEFT JOIN (SELECT w AS prev, c_w AS c_prev FROM lmuni)
+            USING (prev)
+          CROSS JOIN lmtot),
+lmsc AS (SELECT doc_id, round(avg(lp), 4) AS s
+         FROM (SELECT * FROM lmfst UNION ALL SELECT * FROM lmrst)
+         GROUP BY doc_id),
+lmkeep AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY s DESC, doc_id)
+                    <= ceil({LM_KEEP_FRAC} * count(*) OVER ()) AS lm_keep
+           FROM lmsc),
 feat AS (
   SELECT d.doc_id,
          coalesce(b.cand_lang, 'und') AS pred_lang,
@@ -89,8 +122,9 @@ SELECT doc_id, pred_lang,
        CASE WHEN pred_lang = 'und' THEN 'lang'
             WHEN q < {QUALITY_THRESHOLD} THEN 'quality'
             WHEN canonical IS NOT NULL AND canonical <> doc_id
-              THEN 'duplicate' END IS NULL AS keep
-FROM feat
+              THEN 'duplicate' END IS NULL AS keep,
+       coalesce(k.lm_keep, FALSE) AS lm_keep
+FROM feat LEFT JOIN lmkeep k USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -152,13 +186,38 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str,
         .when(F.col("canonical").isNotNull()
               & (F.col("canonical") != F.col("doc_id")), "duplicate")
     )
+    # LM gate decisions (round 7, VERDICT r6 #6): the registered row
+    # carries the perplexity gate as an INTEGER-RANK contract — rank
+    # docs by avg_logprob rounded to 4 dp (coarse grid: a cross-engine
+    # ulp flip would need the unrounded mean-of-logs to sit within
+    # ~1e-15 of a 1e-4 boundary; ties broken by doc_id, fully
+    # deterministic), keep the top ceil(90%). The production operator
+    # (operators/lm_quality.perplexity_gate) uses the exact-quantile
+    # threshold instead — one extra corpus-row-sized pass, no global
+    # sort; the global row_number here is the oracle-facing form (the
+    # score table is corpus-ROW-sized, and the driver runs at sf0.01).
+    from pyspark.sql import Window
+
+    from aws_payment_data_lake_spark.operators.lm_quality import (
+        lm_perplexity,
+    )
+
+    scores = lm_perplexity(docs).select(
+        "doc_id", F.round("avg_logprob", 4).alias("s"))
+    rn = F.row_number().over(Window.orderBy(F.desc("s"), "doc_id"))
+    total = F.count(F.lit(1)).over(Window.partitionBy())
+    lm = scores.select(
+        "doc_id",
+        (rn <= F.ceil(LM_KEEP_FRAC * total)).alias("lm_keep"))
     return (
-        feat.select(
+        feat.join(lm, "doc_id", "left")
+        .select(
             "doc_id", "pred_lang",
             F.round("q", 6).alias("quality_score"),
             F.coalesce(F.col("canonical") == F.col("doc_id"), F.lit(True))
             .alias("is_canonical"),
             drop_reason.alias("drop_reason"),
-            drop_reason.isNull().alias("keep"))
+            drop_reason.isNull().alias("keep"),
+            F.coalesce("lm_keep", F.lit(False)).alias("lm_keep"))
         .orderBy("doc_id")
     )

@@ -87,12 +87,16 @@ def text_decontamination_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The to-spec remedy (round 6, VERDICT r5 #4): 8-13-gram union
     detection + span scrub — contaminated windows removed, clean
     remainder kept as split pieces (operators/decontam.scrub_contaminated,
-    the GPT-3 appendix-C procedure). Benched for the timing record;
-    the zero-overlap-on-rerun guarantee and clean-remainder preservation
-    are pytest-proven (tests/test_decontam.py)."""
+    the GPT-3 appendix-C procedure). Benched on the HASH_FAST production
+    tier (round 7, VERDICT r6 #5: xxhash64 over token slices, zero gram
+    strings); tests/test_decontam.py proves the fast tier's flags and
+    scrubbed pieces are identical to the oracle tier's, and the
+    zero-overlap-on-rerun guarantee and clean-remainder preservation on
+    top of that."""
     import pyspark.sql.functions as FF
 
     from aws_payment_data_lake_spark.operators.decontam import (
+        HASH_FAST,
         SPEC_NGRAMS,
         scrub_contaminated,
     )
@@ -100,8 +104,11 @@ def text_decontamination_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 101 == 0)
     corpus = docs.where(F.col("doc_id") % 101 != 0)
-    return (scrub_contaminated(corpus, bench, n=SPEC_NGRAMS)
+    # no cosmetic final sort: large output, and the range partitioner
+    # would re-execute the whole scrub lineage to sample bounds
+    # (registry rules, round-6 finding)
+    return (scrub_contaminated(corpus, bench, n=SPEC_NGRAMS,
+                               hash_fn=HASH_FAST)
             .select("doc_id", "segment_idx",
                     FF.col("n_tokens").cast("long").alias("n_tokens"),
-                    "text")
-            .orderBy("doc_id", "segment_idx"))
+                    "text"))

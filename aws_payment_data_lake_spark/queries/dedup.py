@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_payment_data_lake_spark.operators import dedup as D
 from aws_payment_data_lake_spark.queries import register
 from aws_payment_data_lake_spark.sources import load
+from aws_payment_data_lake_spark.telemetry import timed_store_build
 from aws_payment_data_lake_spark.sources.store import (
     corpus_fingerprint,
     load_or_build,
@@ -175,14 +176,15 @@ def shared_base_tables(
     ent = _shared_entry(spark, sf_dir)
     with ent["base_lock"]:
         if ent["base"] is None:
-            wh = _warehouse()
-            if wh:
-                (sh, sigs), _ = durable_base_tables(spark, sf_dir, wh)
-                sh, sigs = sh.persist(), sigs.persist()
-                ent["base"] = (sh, sigs)
-            else:
-                (docs,) = load(spark, sf_dir, "documents")
-                ent["base"] = D.shingle_sig_tables(docs)
+            with timed_store_build("minhash_base"):
+                wh = _warehouse()
+                if wh:
+                    (sh, sigs), _ = durable_base_tables(spark, sf_dir, wh)
+                    sh, sigs = sh.persist(), sigs.persist()
+                    ent["base"] = (sh, sigs)
+                else:
+                    (docs,) = load(spark, sf_dir, "documents")
+                    ent["base"] = D.shingle_sig_tables(docs)
         _unpersist_if_evicted(ent, "base")
     return ent["base"]
 
@@ -201,20 +203,21 @@ def shared_minhash_tables(
     sh, sigs = shared_base_tables(spark, sf_dir)
     with ent["pairs_lock"]:
         if ent["pairs"] is None:
-            wh = _warehouse()
-            if wh:
-                (cands, verified, comp), _ = durable_pairs_tables(
-                    spark, sf_dir, wh)
-                ent["pairs"] = (cands.persist(), verified.persist(),
-                                comp.persist())
-            else:
-                cands = D.lsh_candidate_pairs(sigs).persist()
-                verified = D.verified_pairs_from(
-                    sh, sigs, cands=cands).persist()
-                verified.count()
-                comp = D.connected_components(verified).persist()
-                comp.count()
-                ent["pairs"] = (cands, verified, comp)
+            with timed_store_build("minhash_pairs"):
+                wh = _warehouse()
+                if wh:
+                    (cands, verified, comp), _ = durable_pairs_tables(
+                        spark, sf_dir, wh)
+                    ent["pairs"] = (cands.persist(), verified.persist(),
+                                    comp.persist())
+                else:
+                    cands = D.lsh_candidate_pairs(sigs).persist()
+                    verified = D.verified_pairs_from(
+                        sh, sigs, cands=cands).persist()
+                    verified.count()
+                    comp = D.connected_components(verified).persist()
+                    comp.count()
+                    ent["pairs"] = (cands, verified, comp)
         _unpersist_if_evicted(ent, "pairs")
     return (sh, sigs) + ent["pairs"]
 

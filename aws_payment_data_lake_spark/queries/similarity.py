@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from aws_payment_data_lake_spark.operators import similarity as S
 from aws_payment_data_lake_spark.queries import register
 from aws_payment_data_lake_spark.sources import load
+from aws_payment_data_lake_spark.telemetry import timed_store_build
 from aws_payment_data_lake_spark.sources.store import (
     corpus_fingerprint,
     load_or_build,
@@ -80,15 +81,17 @@ def shared_ivf_index(spark: SparkSession,
             _IVF_STORE[key] = ent
     with ent["build_lock"]:
         if ent["val"] is None:
-            wh = os.environ.get("SPARK_GRAFT_WAREHOUSE") or None
-            if wh:
-                (cents, assigned), _ = durable_ivf_index(spark, sf_dir, wh)
-            else:
-                (emb,) = load(spark, sf_dir, "embeddings")
-                cents, assigned = S.build_ivf_index(emb)
-            assigned = assigned.persist()
-            assigned.count()
-            ent["val"] = (cents, assigned)
+            with timed_store_build("ivf_index"):
+                wh = os.environ.get("SPARK_GRAFT_WAREHOUSE") or None
+                if wh:
+                    (cents, assigned), _ = durable_ivf_index(
+                        spark, sf_dir, wh)
+                else:
+                    (emb,) = load(spark, sf_dir, "embeddings")
+                    cents, assigned = S.build_ivf_index(emb)
+                assigned = assigned.persist()
+                assigned.count()
+                ent["val"] = (cents, assigned)
         if ent["evicted"]:
             try:
                 ent["val"][1].unpersist()

@@ -53,6 +53,8 @@ from collections.abc import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_payment_data_lake_spark.telemetry import timed_store_build
+
 _META_NAME = "_STORE_META.json"
 STORE_VERSION = 2  # v2: versioned layout + sum-folded fingerprint
 
@@ -201,11 +203,17 @@ def load_or_build(spark: SparkSession, store_dir: str, fingerprint: str,
         if all(os.path.isdir(os.path.join(vdir, t)) for t in tables):
             _commit_meta(store_dir, fingerprint, sorted(tables))
             return read_store(spark, store_dir, fingerprint, tables), False
-        frames = build()
-        missing = set(tables) - set(frames)
-        if missing:
-            raise ValueError(f"builder did not produce {sorted(missing)}")
-        write_store(store_dir, fingerprint, frames)
+        # "warehouse:" prefix keeps the durable build separable from a
+        # session-tier wrapper that may enclose this call under the
+        # same family name
+        with timed_store_build(
+                "warehouse:" + os.path.basename(store_dir.rstrip("/"))):
+            frames = build()
+            missing = set(tables) - set(frames)
+            if missing:
+                raise ValueError(
+                    f"builder did not produce {sorted(missing)}")
+            write_store(store_dir, fingerprint, frames)
         BUILD_EVENTS.append((store_dir, fingerprint))
         for df in frames.values():
             try:

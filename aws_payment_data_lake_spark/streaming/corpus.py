@@ -138,10 +138,19 @@ def finalize_training_shards(spark: SparkSession, chunk_zone: str,
     order) — independent of how many micro-batches delivered it, which
     is what makes streamed ingest + finalize byte-identical to the
     batch chain. Returns the assignment table."""
+    import os
+
     from aws_payment_data_lake_spark.operators.packing import (
         write_training_shards,
     )
 
+    # a stream that ran zero batches never created the zone — name the
+    # condition instead of surfacing a bare path-missing AnalysisException
+    # (ADVICE r6)
+    if not os.path.isdir(chunk_zone):
+        raise FileNotFoundError(
+            f"chunk zone {chunk_zone!r} does not exist — the ingest "
+            "stream produced no batches; nothing to finalize")
     chunks = (spark.read.parquet(chunk_zone)
               .select("chunk_uid", F.col("chunk_text").alias("text")))
     return write_training_shards(

@@ -205,6 +205,14 @@ def main() -> int:
         "queries": timings,
         "sf": sf_from_dir(sf_dir),
     }
+    # Shared-store build costs land on whichever consumer ran FIRST
+    # (BASELINE.md); emit them separately so per-query numbers stay
+    # comparable across rounds regardless of suite ordering. Eager
+    # seconds only — see aws_payment_data_lake_spark/telemetry.py.
+    from aws_payment_data_lake_spark.telemetry import drain_store_builds
+    builds = drain_store_builds()
+    if builds:
+        out["store_build_sec"] = builds
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -148,6 +148,60 @@ def test_durable_ivf_index(spark, tmp_path):
     assert got == want and got
 
 
+_CHUNK_PROBE = r"""
+import json, sys
+sys.path.insert(0, sys.argv[1])
+from aws_payment_data_lake_spark.session import get_spark
+from aws_payment_data_lake_spark.queries.rag import durable_chunk_index
+from aws_payment_data_lake_spark.operators import similarity as S
+from aws_payment_data_lake_spark.sources.store import BUILD_EVENTS
+
+spark = get_spark(app_name="chunk-store-probe", master="local[4]",
+                  shuffle_partitions=4)
+(emb, cents, assigned), built = durable_chunk_index(
+    spark, sys.argv[2], sys.argv[3])
+q = (emb.where("vec_id % 1000 = 0 AND vec_id < 5000")
+     .selectExpr("-vec_id - 1 AS query_id", "embedding AS qe"))
+rows = sorted((r["query_id"], r["neighbor_id"], r["rk"])
+              for r in S.ivf_probe_topk(cents, assigned, q).collect())
+print("PROBE:" + json.dumps({
+    "built": built, "n_build_events": len(BUILD_EVENTS), "rows": rows}))
+spark.stop()
+"""
+
+
+def test_durable_chunk_index_fresh_session(spark, tmp_path):
+    """Warehouse contract for the RAG chunk index (VERDICT r6 #7): a
+    fresh Spark application with an unchanged corpus reads the stored
+    (emb, cents, assigned) back with ZERO recomputation and serves
+    identical retrievals."""
+    from aws_payment_data_lake_spark.operators import similarity as S
+    from aws_payment_data_lake_spark.queries.rag import durable_chunk_index
+
+    wh = str(tmp_path / "whchunk")
+    (emb, cents, assigned), built = durable_chunk_index(spark, SF_DIR, wh)
+    assert built
+    _, built2 = durable_chunk_index(spark, SF_DIR, wh)
+    assert not built2
+
+    q = (emb.where("vec_id % 1000 = 0 AND vec_id < 5000")
+         .selectExpr("-vec_id - 1 AS query_id", "embedding AS qe"))
+    mine = sorted((r["query_id"], r["neighbor_id"], r["rk"])
+                  for r in S.ivf_probe_topk(cents, assigned, q).collect())
+    assert mine
+
+    out = subprocess.run(
+        [sys.executable, "-c", _CHUNK_PROBE, REPO, SF_DIR, wh],
+        capture_output=True, text=True, timeout=600, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("PROBE:")][-1]
+    res = json.loads(line[len("PROBE:"):])
+    assert res["built"] is False
+    assert res["n_build_events"] == 0
+    assert [tuple(r) for r in res["rows"]] == mine
+
+
 def test_reader_survives_concurrent_rebuild(spark, tmp_path):
     """Versioned rebuilds (VERDICT r6 #4 / ADVICE r6): a corpus roll
     writes a NEW fingerprint-scoped version dir and repoints the meta —
