@@ -121,11 +121,20 @@ def benchmark_gram_hashes(benchmark: DataFrame,
     """Distinct hashes of every word n-gram (all sizes in ``n``) in the
     benchmark set — the (small) probe table a decontamination pass
     joins against. In production this is a stored table rebuilt when
-    eval sets change."""
+    eval sets change. String tier hashes AFTER the explode: lambdas
+    inside F.transform are interpreted per element, while the
+    post-explode hash stays in whole-stage codegen."""
+    tk = tokens(text_col)
+    ns = _ns(n)
+    if isinstance(hash_fn, _SliceHashTier):
+        return (benchmark
+                .select(F.explode(_all_gram_hashes(tk, ns, hash_fn))
+                        .alias("gh"))
+                .distinct())
     return (
         benchmark
-        .select(F.explode(_all_gram_hashes(tokens(text_col), _ns(n),
-                                           hash_fn)).alias("gh"))
+        .select(F.explode(_all_grams(tk, ns)).alias("gram"))
+        .select(hash_fn(F.col("gram")).alias("gh"))
         .distinct()
     )
 
@@ -155,12 +164,22 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
     # (operators/spread.py has the full rationale). Measured at sf1.0:
     # warm 11.5 s -> ~2 s.
     corpus = spread_narrow_scan(corpus, id_col)
-    # distinct over HASHES (identical to distinct-gram counting under
-    # the collision contract) so both tiers share one downstream plan
-    grams = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(F.array_distinct(
-            _all_gram_hashes(tokens(text_col), ns, hash_fn))).alias("gh"))
+    # Per-doc distinct BEFORE hashing on the string tier (repetition-
+    # heavy docs carry many intra-doc repeats; hashing them first costs
+    # an md5 per repeat — measured 1.4x on the flag gate). The slice
+    # tier distincts the hashes (identical counting under the collision
+    # contract); both tiers emit the same (doc_id, gh) shape.
+    tk = tokens(text_col)
+    if isinstance(hash_fn, _SliceHashTier):
+        gh_arr = F.array_distinct(_all_gram_hashes(tk, ns, hash_fn))
+        grams = corpus.select(F.col(id_col).alias("doc_id"),
+                              F.explode_outer(gh_arr).alias("gh"))
+    else:
+        grams = (corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(F.array_distinct(_all_grams(tk, ns)))
+            .alias("gram"))
+            .select("doc_id", hash_fn(F.col("gram")).alias("gh")))
     bench = benchmark_gram_hashes(benchmark, ns, text_col,
                                   hash_fn=hash_fn).withColumn(
         "hit", F.lit(1))
