@@ -201,8 +201,10 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str,
     from aws_payment_data_lake_spark.operators.lm_quality import (
         lm_perplexity,
     )
+    from aws_payment_data_lake_spark.queries.lm import shared_lm_tables
 
-    scores = lm_perplexity(docs).select(
+    scores = lm_perplexity(
+        docs, lm=shared_lm_tables(spark, sf_dir)).select(
         "doc_id", F.round("avg_logprob", 4).alias("s"))
     rn = F.row_number().over(Window.orderBy(F.desc("s"), "doc_id"))
     total = F.count(F.lit(1)).over(Window.partitionBy())

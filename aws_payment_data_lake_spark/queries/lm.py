@@ -1,21 +1,115 @@
-"""Bigram-LM perplexity quality gate over `documents` (unregistered —
-the driver's 50-slot window is full, the decontam/shingle-jaccard
-precedent): DuckDB parity runs in tests/test_lm_quality.py with a
-float tolerance (the score is a mean of logs — cross-engine ulp noise
-makes a strict hash the wrong comparator; SURVEY.md §7.5), and the
-query stays on the bench for a timing record."""
+"""Bigram-LM perplexity quality gate over `documents`.
+
+The gate DECISION is driver-anchored since round 7 via the `lm_keep`
+column of `corpus_curation_decisions` (integer-rank contract — see
+queries/curation.py); the SCORE itself stays unregistered (a mean of
+logs is ulp-noisy cross-engine, so no strict hash; DuckDB parity runs
+in tests/test_lm_quality.py with a float tolerance, SURVEY.md §7.5)
+and this query stays on the bench for a timing record.
+
+Shared LM store (round 7): the trained model — unigram counts, bigram
+counts, (V, T) totals — is classic STORED state (CCNet trains its
+reference KenLM once and ships the artifact; every scoring job reads
+it). Same two tiers as the MinHash/IVF/chunk stores: a session memo
+keyed by (applicationId, sf_dir) with single-entry eviction, and a
+durable warehouse tier under SPARK_GRAFT_WAREHOUSE keyed by the corpus
+fingerprint (sources/store.py). Build cost is recorded under
+``bigram_lm`` in bench's ``store_build_sec``.
+"""
 
 from __future__ import annotations
 
+import os
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
-from aws_payment_data_lake_spark.operators.lm_quality import lm_perplexity
+from aws_payment_data_lake_spark.operators.lm_quality import (
+    lm_perplexity,
+    train_bigram_lm,
+)
 from aws_payment_data_lake_spark.sources import load
+from aws_payment_data_lake_spark.sources.store import (
+    corpus_fingerprint,
+    load_or_build,
+)
+from aws_payment_data_lake_spark.telemetry import timed_store_build
+
+_LM_STORE: dict = {}
+_LM_LOCK = threading.Lock()
+_LM_TABLES = ("uni", "big", "totals")
+
+
+def durable_lm_tables(
+        spark: SparkSession, sf_dir: str, warehouse: str,
+) -> tuple[tuple[DataFrame, DataFrame, DataFrame], bool]:
+    """((uni, big, totals), built) from the warehouse store."""
+    (docs,) = load(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs, "doc_id", "text")
+
+    def build() -> dict[str, DataFrame]:
+        uni, big, totals = train_bigram_lm(docs)
+        return {"uni": uni, "big": big, "totals": totals}
+
+    frames, built = load_or_build(
+        spark, os.path.join(warehouse, "bigram_lm"), fp,
+        _LM_TABLES, build)
+    return (frames["uni"], frames["big"], frames["totals"]), built
+
+
+def shared_lm_tables(spark: SparkSession, sf_dir: str,
+                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(uni, big, totals) for ``sf_dir``'s documents — trained once per
+    (Spark application, sf_dir), count tables persisted with a count
+    barrier, reused by every scoring consumer (the bench gate and the
+    curation capstone's lm_keep decision). Same store contract as
+    queries/similarity.py:shared_ivf_index."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _LM_LOCK:
+        ent = _LM_STORE.get(key)
+        if ent is None:
+            for old in _LM_STORE.values():
+                # mark first: a mid-build holder unpersists its own
+                # frames on completion instead of leaking them
+                old["evicted"] = True
+                if old.get("val") is not None:
+                    for df in old["val"][:2]:
+                        try:
+                            df.unpersist()
+                        except Exception:
+                            pass
+            _LM_STORE.clear()
+            ent = {"val": None, "evicted": False,
+                   "build_lock": threading.Lock()}
+            _LM_STORE[key] = ent
+    with ent["build_lock"]:
+        if ent["val"] is None:
+            with timed_store_build("bigram_lm"):
+                wh = os.environ.get("SPARK_GRAFT_WAREHOUSE") or None
+                if wh:
+                    (uni, big, totals), _ = durable_lm_tables(
+                        spark, sf_dir, wh)
+                else:
+                    (docs,) = load(spark, sf_dir, "documents")
+                    uni, big, totals = train_bigram_lm(docs)
+                uni, big = uni.persist(), big.persist()
+                big.count()  # one job fills both count-table caches
+                uni.count()
+                ent["val"] = (uni, big, totals)
+        if ent["evicted"]:
+            for df in ent["val"][:2]:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+    return ent["val"]
 
 
 def lm_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-trained add-one bigram LM scores every document; output
-    (doc_id, n_tokens, avg_logprob, ppl_proxy) ordered by doc_id.
-    CCNet-style deployment notes live on operators/lm_quality.py."""
+    """Corpus-trained add-one bigram LM (from the shared store) scores
+    every document; output (doc_id, n_tokens, avg_logprob, ppl_proxy)
+    ordered by doc_id. CCNet-style deployment notes live on
+    operators/lm_quality.py."""
     (docs,) = load(spark, sf_dir, "documents")
-    return lm_perplexity(docs).orderBy("doc_id")
+    return (lm_perplexity(docs, lm=shared_lm_tables(spark, sf_dir))
+            .orderBy("doc_id"))

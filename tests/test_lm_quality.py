@@ -126,3 +126,35 @@ def test_perplexity_gate_empty_and_bad_params(spark):
     assert {"ppl_proxy", "lm_keep"} <= set(out.columns)
     with pytest.raises(ValueError):
         perplexity_gate(empty, keep_frac=0.0)
+
+
+def test_shared_and_durable_lm_store(spark, tmp_path, monkeypatch):
+    """Round 7: the trained LM is store-state (CCNet ships the model
+    artifact). Session tier returns identical scores to self-training;
+    the durable tier rebuilds only when the corpus fingerprint flips."""
+    import aws_payment_data_lake_spark.queries.lm as QL
+    from aws_payment_data_lake_spark.queries.lm import (
+        durable_lm_tables,
+        shared_lm_tables,
+    )
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    monkeypatch.setattr(QL, "_LM_STORE", {})
+    shared = shared_lm_tables(spark, SF_DIR)
+    base = {r["doc_id"]: r["avg_logprob"]
+            for r in lm_perplexity(docs).collect()}
+    via_store = {r["doc_id"]: r["avg_logprob"]
+                 for r in lm_perplexity(docs, lm=shared).collect()}
+    assert via_store == base
+    # memo hit: same tuple object back
+    assert shared_lm_tables(spark, SF_DIR) is shared
+
+    wh = str(tmp_path / "whlm")
+    (uni, big, totals), built = durable_lm_tables(spark, SF_DIR, wh)
+    assert built
+    _, built2 = durable_lm_tables(spark, SF_DIR, wh)
+    assert not built2
+    stored = {r["doc_id"]: r["avg_logprob"]
+              for r in lm_perplexity(docs, lm=(uni, big, totals))
+              .collect()}
+    assert stored == base
