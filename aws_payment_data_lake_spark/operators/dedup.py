@@ -717,6 +717,36 @@ def simhash_pairs(docs: DataFrame | None,
 SPAN_NGRAM = 25
 
 
+def _window_occurrences(docs: DataFrame, n: int, id_col: str,
+                        text_col: str, hash_fn) -> DataFrame:
+    """(doc_id, pos, gh): every n-token window occurrence. Hashes are
+    built by DIRECT slice+join per position — one O(n)-byte concat per
+    window. (word_ngrams' incremental zip_with build is tuned for the
+    upto-max_n family shape; for one large n it materializes every
+    intermediate k-gram tier, ~n/2 times the bytes. Measured 2.3x
+    end-to-end on the detection operator at sf0.1.)"""
+    tok = (spread_narrow_scan(docs, id_col)
+           .select(F.col(id_col).alias("doc_id"),
+                   tokens(text_col).alias("tk")))
+    idx = F.when(F.size("tk") >= n,
+                 F.sequence(F.lit(0), F.size("tk") - n)
+                 ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    return tok.select(
+        "doc_id",
+        F.posexplode(F.transform(idx, lambda i: hash_fn(
+            F.array_join(F.slice("tk", i + 1, n), " "))))
+        .alias("pos", "gh"))
+
+
+def _merge_hit_spans(hits: DataFrame) -> DataFrame:
+    """(doc_id, s, e) flagged windows -> (doc_id, spans) merged."""
+    from aws_payment_data_lake_spark.functions.spans import merge_spans
+
+    return (hits.groupBy("doc_id")
+            .agg(merge_spans(F.array_sort(
+                F.collect_list(F.struct("s", "e")))).alias("spans")))
+
+
 def duplicate_spans(docs: DataFrame, n: int = SPAN_NGRAM,
                     id_col: str = "doc_id", text_col: str = "text",
                     hash_fn=hash60) -> DataFrame:
@@ -724,26 +754,9 @@ def duplicate_spans(docs: DataFrame, n: int = SPAN_NGRAM,
     occurrences of any n-gram that appears >= 2 times corpus-wide. The
     canonical occurrence (lowest (doc_id, pos)) is never flagged, so
     exactly one copy of every repeated span survives the removal."""
-    from aws_payment_data_lake_spark.functions.spans import merge_spans
-
     from pyspark.sql import Window
 
-    tok = (spread_narrow_scan(docs, id_col)
-           .select(F.col(id_col).alias("doc_id"),
-                   tokens(text_col).alias("tk")))
-    # Window hashes built by DIRECT slice+join per position — one
-    # O(n)-byte concat per window. (word_ngrams' incremental zip_with
-    # build is tuned for the upto-max_n family shape; for one large n
-    # it materializes every intermediate k-gram tier, ~n/2 times the
-    # bytes. Measured 2.3x end-to-end on this operator at sf0.1.)
-    idx = F.when(F.size("tk") >= n,
-                 F.sequence(F.lit(0), F.size("tk") - n)
-                 ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    occ = tok.select(
-        "doc_id",
-        F.posexplode(F.transform(idx, lambda i: hash_fn(
-            F.array_join(F.slice("tk", i + 1, n), " "))))
-        .alias("pos", "gh"))
+    occ = _window_occurrences(docs, n, id_col, text_col, hash_fn)
     # Non-canonical occurrences of repeated windows via ONE gh-hash
     # window (count + row_number share the shuffle): strictly less data
     # movement than aggregate-then-join-back, and no broadcast-size bet
@@ -758,9 +771,58 @@ def duplicate_spans(docs: DataFrame, n: int = SPAN_NGRAM,
             .select("doc_id",
                     F.col("pos").alias("s"),
                     (F.col("pos") + F.lit(n - 1)).alias("e")))
-    return (hits.groupBy("doc_id")
-            .agg(merge_spans(F.array_sort(
-                F.collect_list(F.struct("s", "e")))).alias("spans")))
+    return _merge_hit_spans(hits)
+
+
+def span_window_index(docs: DataFrame, n: int = SPAN_NGRAM,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      hash_fn=hash60) -> DataFrame:
+    """(gh): the distinct n-token window hashes of a corpus — the
+    STORED state the incremental span tier probes (the suffix-array
+    analogue a rolling Lee-et-al pipeline keeps between batches;
+    window-count-sized, i.e. ∝ corpus tokens — in production a
+    gh-bucketed parquet table so the incremental probe join is
+    co-located, never broadcast)."""
+    return (_window_occurrences(docs, n, id_col, text_col, hash_fn)
+            .select("gh").distinct())
+
+
+def duplicate_spans_incremental(new_docs: DataFrame, index: DataFrame,
+                                n: int = SPAN_NGRAM,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                hash_fn=hash60) -> DataFrame:
+    """(doc_id, spans) over a DELTA batch against a stored corpus
+    window index (``span_window_index``) — the incremental twin of
+    ``duplicate_spans``, same contract as the MinHash incremental
+    tier: corpus content is older, so ANY batch occurrence of an
+    indexed window is non-canonical (the corpus copy survives);
+    windows absent from the index keep their first batch occurrence
+    (min (doc_id, pos)) and flag the rest.
+
+    Equivalence (pytest-asserted): when every corpus doc id precedes
+    every batch doc id, this equals ``duplicate_spans`` over
+    corpus ∪ batch restricted to batch docs. Cost: one pass over the
+    BATCH's windows (one gh window + one join against the index) —
+    the full recompute's corpus-sized shuffle is replaced by a
+    delta-sized one, which is the entire point of keeping the index."""
+    from pyspark.sql import Window
+
+    occ = _window_occurrences(new_docs, n, id_col, text_col, hash_fn)
+    wp = Window.partitionBy("gh")
+    scored = (occ.select(
+        "doc_id", "pos", "gh",
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+        F.row_number().over(wp.orderBy("doc_id", "pos")).alias("rn")))
+    hits = (scored.join(
+                index.select("gh", F.lit(True).alias("in_corpus")),
+                "gh", "left")
+            .where(F.coalesce("in_corpus", F.lit(False))
+                   | ((F.col("cnt") >= 2) & (F.col("rn") > 1)))
+            .select("doc_id",
+                    F.col("pos").alias("s"),
+                    (F.col("pos") + F.lit(n - 1)).alias("e")))
+    return _merge_hit_spans(hits)
 
 
 def remove_duplicate_spans(docs: DataFrame, n: int = SPAN_NGRAM,

@@ -364,6 +364,42 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix.unionByName(spans)
 
 
+def durable_span_index(spark: SparkSession, corpus: DataFrame,
+                       warehouse: str) -> tuple[DataFrame, bool]:
+    """(win_index, built): the stored distinct-window-hash table of
+    ``corpus`` (operators/dedup.span_window_index) under the same
+    warehouse contract as every other store — the suffix-array
+    analogue a rolling ExactSubstr pipeline keeps between batches."""
+    fp = corpus_fingerprint(corpus, "doc_id", "text")
+
+    def build() -> dict[str, DataFrame]:
+        return {"win": D.span_window_index(corpus)}
+
+    frames, built = load_or_build(
+        spark, os.path.join(warehouse, "span_index"), fp, ("win",), build)
+    return frames["win"], built
+
+
+def dedup_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-batch ExactSubstr detection: docs with doc_id % 5 == 0
+    (the MinHash incremental convention) probed against the window
+    index of the remaining corpus. Bench-only production path: the
+    full recompute's corpus-sized gh shuffle becomes delta-sized (the
+    index join is the stored-state probe — gh-bucketed parquet at
+    scale). Correctness is pytest-proven equivalence to the full
+    recompute (tests/test_span_dedup.py); with SPARK_GRAFT_WAREHOUSE
+    set the index comes from the durable store."""
+    (docs,) = load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+    wh = _warehouse()
+    if wh:
+        idx, _ = durable_span_index(spark, corpus, wh)
+    else:
+        idx = D.span_window_index(corpus)
+    return D.duplicate_spans_incremental(delta, idx)
+
+
 def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ExactSubstr span REMOVAL (operators/dedup.
     remove_duplicate_spans): every non-canonical repeated 25-token

@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_shingle_jaccard",         # unregistered baseline (EXTRA_FNS)
     "dedup_span_removal",            # unregistered ExactSubstr removal (EXTRA_FNS)
+    "dedup_span_incremental",        # unregistered delta-vs-index probe (EXTRA_FNS)
     "dedup_connected_components",
     "text_profile",                  # round 2: lang-id + quality + tokens
     "text_repetition_profile",       # Gopher gates (registered since r5)
@@ -101,6 +102,7 @@ def _extra_fns():
     )
     from aws_payment_data_lake_spark.queries.dedup import (
         dedup_shingle_jaccard,
+        dedup_span_incremental,
         dedup_span_removal,
     )
     from aws_payment_data_lake_spark.queries.lm import lm_perplexity_quality
@@ -125,6 +127,7 @@ def _extra_fns():
     )
     return {
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
+        "dedup_span_incremental": dedup_span_incremental,
         "dedup_span_removal": dedup_span_removal,
         "knn_ivf_probe": knn_ivf_probe,
         "knn_rp_lsh": knn_rp_lsh,

@@ -131,3 +131,28 @@ def test_only_fixed_dims_hint_broadcast(spark, name, hinted):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     n_broadcasts = len(re.findall(r"BroadcastExchange \(\d+\)", plan))
     assert n_broadcasts == hinted, plan
+
+
+def test_span_dedup_detection_single_wide_shuffle(spark):
+    """ExactSubstr detection (round 7): the occurrence stream must hit
+    exactly ONE gh-keyed exchange (the window count+row_number share
+    it) plus the small per-doc merge — never the aggregate-then-
+    join-back shape (a second full shuffle of the occurrence table)
+    and never a broadcast of the unbounded repeated-window table."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from aws_payment_data_lake_spark.operators.dedup import duplicate_spans
+    from aws_payment_data_lake_spark.sources import load
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    buf = _io.StringIO()
+    with _rs(buf):
+        duplicate_spans(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastExchange" not in plan
+    import re as _re
+    # detail headers "(N) Exchange" count each node exactly once
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 3, plan  # spread + gh window + doc merge
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

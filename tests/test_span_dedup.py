@@ -141,3 +141,47 @@ def test_exactly_one_copy_survives_simple_case(spark):
     assert by_doc[0].endswith(run)
     for i in range(1, 5):
         assert by_doc[i] == f"p{i}0 p{i}1 p{i}2"
+
+
+def test_incremental_equals_full_recompute(spark):
+    """Incremental tier (round 7): when corpus ids precede batch ids,
+    probing the stored window index over the delta equals the full
+    recompute restricted to batch docs."""
+    from aws_payment_data_lake_spark.operators.dedup import (
+        duplicate_spans_incremental,
+        span_window_index,
+    )
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    cut = docs.agg(F.expr("percentile(doc_id, 0.7)")).collect()[0][0]
+    corpus = docs.where(F.col("doc_id") < cut)
+    batch = docs.where(F.col("doc_id") >= cut)
+
+    idx = span_window_index(corpus)
+    inc = {r["doc_id"]: [(iv["s"], iv["e"]) for iv in r["spans"]]
+           for r in duplicate_spans_incremental(batch, idx).collect()}
+    full = {r["doc_id"]: [(iv["s"], iv["e"]) for iv in r["spans"]]
+            for r in duplicate_spans(docs).collect()
+            if r["doc_id"] >= cut}
+    assert inc == full and inc  # non-vacuous: cross-split repeats exist
+
+
+def test_incremental_disjoint_batch_only_intra_dups(spark):
+    """A batch sharing no window with the corpus flags only its own
+    internal repeats (first occurrence survives)."""
+    from aws_payment_data_lake_spark.operators.dedup import (
+        duplicate_spans_incremental,
+        span_window_index,
+    )
+
+    toks = " ".join(f"w{i}" for i in range(SPAN_NGRAM))
+    corpus = spark.createDataFrame(
+        [(1, " ".join(f"c{i}" for i in range(SPAN_NGRAM)))],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, toks), (11, toks), (12, "unique " * SPAN_NGRAM)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: [(iv["s"], iv["e"]) for iv in r["spans"]]
+           for r in duplicate_spans_incremental(
+               batch, span_window_index(corpus)).collect()}
+    assert got == {11: [(0, SPAN_NGRAM - 1)]}

@@ -53,3 +53,25 @@ def test_wide_scan_passes_through(spark):
     out = spread_narrow_scan(docs.select("doc_id"), "doc_id", threshold=1)
     assert out.where(F.col("doc_id") >= 0) is not None
     assert "RepartitionByExpression" not in _plan(out)
+
+
+def test_wide_range_passes_through(spark):
+    """spark.range frames declare their parallelism in the plan
+    (ADVICE r6): a Range already at/above the threshold must not be
+    re-shuffled, while a 1-split Range still spreads."""
+    wide = spark.range(0, 1_000_000, 1, 64)
+    assert spread_narrow_scan(wide, threshold=32) is wide
+    narrow = spark.range(0, 100, 1, 1)
+    out = spread_narrow_scan(narrow)
+    assert "Repartition" in _plan(out)
+
+
+def test_column_named_like_wide_node_does_not_fool_probe(spark):
+    """Node matching is positional (line start), so a column literally
+    named 'Window' or a filter literal 'Sort' cannot suppress the
+    spread (ADVICE r6)."""
+    (docs,) = load(spark, SF_DIR, "documents")
+    tricky = (docs.select("doc_id", F.col("text").alias("Window"))
+              .where(F.col("Window") != "Sort"))
+    out = spread_narrow_scan(tricky, "doc_id")
+    assert "RepartitionByExpression" in _plan(out)
