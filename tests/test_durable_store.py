@@ -273,3 +273,20 @@ def test_shared_store_consults_warehouse(spark, tmp_path, monkeypatch):
     # the memoized frame IS the stored table (same rows; inputFiles is
     # empty on persisted frames, so compare against a direct read)
     assert sigs.count() == spark.read.parquet(stored).count() > 0
+
+
+def test_fingerprint_catches_even_multiplicity_swap(spark):
+    """ADVICE r6: XOR alone cancels on even-multiplicity swaps
+    ({A,A,B,B} vs {A,A,A,A}: same count, same XOR); the additive fold
+    must split them."""
+    a = spark.createDataFrame([("x",), ("x",), ("y",), ("y",)], "v: string")
+    b = spark.createDataFrame([("x",), ("x",), ("x",), ("x",)], "v: string")
+    assert corpus_fingerprint(a) != corpus_fingerprint(b)
+
+
+def test_fingerprint_quotes_awkward_column_names(spark):
+    """Backtick-quoting: a column name needing quoting must not break
+    the fingerprint expression (ADVICE r6)."""
+    df = spark.createDataFrame([(1, "a")], ["doc id", "select"])
+    fp = corpus_fingerprint(df)
+    assert fp.startswith("v2-1-")

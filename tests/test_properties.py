@@ -263,3 +263,63 @@ def test_chunking_matches_python_reference(spark, docs, stride, extra):
             want.append((start // stride, start, len(piece),
                          " ".join(piece)))
         assert sorted(got.get(i, [])) == want, (i, toks, window, stride)
+
+
+@SETTINGS
+@given(ivs=st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 15)).map(
+        lambda t: (t[0], t[0] + t[1])),
+    min_size=0, max_size=12))
+def test_merge_spans_matches_python_reference(spark, ivs):
+    """merge_spans (the array-local fold under span dedup + decontam
+    scrub): output must be sorted, pairwise-disjoint with gaps >= 1,
+    and cover exactly the union of the inputs (adjacent intervals
+    merge — a zero-length gap cannot survive)."""
+    from aws_payment_data_lake_spark.functions.spans import merge_spans
+
+    df = spark.createDataFrame(
+        [(sorted(ivs),)], "ivs: array<struct<s: int, e: int>>")
+    (got,) = df.select(merge_spans(F.col("ivs")).alias("m")).collect()
+    merged = [(iv["s"], iv["e"]) for iv in got["m"]]
+
+    # python reference: union of covered points, grouped into runs
+    covered = sorted({p for s, e in ivs for p in range(s, e + 1)})
+    runs, start = [], None
+    for i, p in enumerate(covered):
+        if start is None:
+            start = p
+        if i + 1 == len(covered) or covered[i + 1] > p + 1:
+            runs.append((start, p))
+            start = None
+    assert merged == runs
+
+
+@SETTINGS
+@given(n_tok=st.integers(1, 30),
+       ivs=st.lists(st.tuples(st.integers(0, 29), st.integers(0, 6)).map(
+           lambda t: (t[0], t[0] + t[1])), min_size=0, max_size=5))
+def test_split_by_spans_complement_property(spark, n_tok, ivs):
+    """split_tokens_by_spans: surviving pieces are exactly the
+    complement of the merged spans — no removed token survives, no
+    kept token vanishes, and piece texts are the original tokens."""
+    from aws_payment_data_lake_spark.functions.spans import (
+        merge_spans,
+        split_tokens_by_spans,
+    )
+
+    # contract: spans derive from real window positions, always inside
+    # the doc — clamp the generated intervals to the token range
+    ivs = [(s, min(e, n_tok - 1)) for s, e in ivs if s < n_tok]
+    toks = [f"t{i}" for i in range(n_tok)]
+    df = (spark.createDataFrame(
+        [(1, toks, sorted(ivs))],
+        "doc_id: long, tk: array<string>, raw: array<struct<s: int, e: int>>")
+        .select("doc_id", "tk", merge_spans(F.col("raw")).alias("spans")))
+    pieces = split_tokens_by_spans(df, "text").collect()
+
+    removed = {p for s, e in ivs for p in range(s, e + 1)}
+    kept = [i for i in range(n_tok) if i not in removed]
+    got_tokens = [t for r in sorted(pieces, key=lambda r: r["segment_idx"])
+                  for t in r["text"].split(" ")]
+    assert got_tokens == [toks[i] for i in kept]
+    assert all(r["n_tokens"] == len(r["text"].split(" ")) for r in pieces)
