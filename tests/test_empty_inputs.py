@@ -191,3 +191,26 @@ def test_zorder_on_empty(spark, tmp_path):
     assert rows == []
     write_zordered(empty, str(tmp_path / "z"), ["x", "y"], n_files=2)
     assert spark.read.parquet(str(tmp_path / "z")).count() == 0
+
+
+def test_span_dedup_on_empty_and_short(spark, empty_docs):
+    """ExactSubstr family: empty corpus, empty delta, empty index, and
+    docs shorter than the window all produce empty/whole-doc results
+    instead of throwing."""
+    from aws_payment_data_lake_spark.operators import dedup as D
+
+    assert D.duplicate_spans(empty_docs).count() == 0
+    assert D.remove_duplicate_spans(empty_docs).count() == 0
+    assert D.span_window_index(empty_docs).count() == 0
+
+    short = spark.createDataFrame([(1, "too short")],
+                                  "doc_id long, text string")
+    assert D.duplicate_spans(short).count() == 0
+    # a short doc passes through the removal whole (segment 0)
+    (row,) = D.remove_duplicate_spans(short).collect()
+    assert (row["segment_idx"], row["text"]) == (0, "too short")
+
+    empty_idx = D.span_window_index(empty_docs)
+    assert D.duplicate_spans_incremental(short, empty_idx).count() == 0
+    assert D.duplicate_spans_incremental(
+        empty_docs, D.span_window_index(short)).count() == 0
