@@ -825,6 +825,39 @@ def duplicate_spans_incremental(new_docs: DataFrame, index: DataFrame,
     return _merge_hit_spans(hits)
 
 
+def remove_indexed_spans(docs: DataFrame, index: DataFrame,
+                         n: int = SPAN_NGRAM, min_tokens: int = 1,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         hash_fn=hash60) -> DataFrame:
+    """Cut every window of ``docs`` that appears in the stored corpus
+    index (``span_window_index``) and emit surviving pieces — the
+    INDEX-ONLY scrub: no intra-batch comparison at all, so the result
+    for a document depends only on (document, index). That makes it
+    the streaming-safe tier (micro-batch boundaries cannot change the
+    output; used by streaming/corpus.py's ingest scrub) and the
+    standard crawl-vs-reference deployment (remove everything already
+    in the training corpus from a new crawl). For delta-ingest
+    semantics that ALSO dedups inside the batch, use
+    ``duplicate_spans_incremental`` + the split."""
+    from aws_payment_data_lake_spark.functions.spans import (
+        EMPTY_SPANS,
+        split_tokens_by_spans,
+    )
+
+    occ = _window_occurrences(docs, n, id_col, text_col, hash_fn)
+    hits = (occ.join(index.select("gh"), "gh")
+            .select("doc_id", F.col("pos").alias("s"),
+                    (F.col("pos") + F.lit(n - 1)).alias("e")))
+    spans = _merge_hit_spans(hits)
+    tok = (spread_narrow_scan(docs, id_col)
+           .select(F.col(id_col).alias("doc_id"),
+                   tokens(text_col).alias("tk")))
+    d = tok.join(spans, "doc_id", "left").select(
+        "doc_id", "tk",
+        F.coalesce(F.col("spans"), F.expr(EMPTY_SPANS)).alias("spans"))
+    return split_tokens_by_spans(d, text_col, min_tokens)
+
+
 def remove_duplicate_spans(docs: DataFrame, n: int = SPAN_NGRAM,
                            min_tokens: int = 1, id_col: str = "doc_id",
                            text_col: str = "text",

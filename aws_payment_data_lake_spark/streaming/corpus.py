@@ -44,6 +44,10 @@ from aws_payment_data_lake_spark.operators.lm_quality import lm_perplexity
 # queries/rag.py provenance convention); guarded in gate_and_chunk.
 CHUNK_ID_STRIDE = 1000
 
+# scrubbed-piece ids pack as doc_id * SEGMENT_ID_STRIDE + segment_idx
+# (guarded the same way) so provenance survives the span scrub stage.
+SEGMENT_ID_STRIDE = 100
+
 
 def read_document_stream(spark: SparkSession, path: str,
                          max_files_per_trigger: int | None = None,
@@ -78,11 +82,35 @@ def lm_score_stream(docs_stream: DataFrame,
 def gate_and_chunk(docs: DataFrame,
                    lm: tuple[DataFrame, DataFrame, DataFrame],
                    ppl_cut: float, window: int = 64,
-                   stride: int = 48) -> DataFrame:
-    """LM fluency gate -> chunking, on a BATCH of documents — the one
-    transformation both the streaming ingest (per micro-batch) and its
-    batch twin run, so parity is by construction. Emits (chunk_uid,
-    doc_id, chunk_idx, n_chunk_tokens, chunk_text)."""
+                   stride: int = 48,
+                   span_index: DataFrame | None = None) -> DataFrame:
+    """[optional ExactSubstr scrub ->] LM fluency gate -> chunking, on
+    a BATCH of documents — the one transformation both the streaming
+    ingest (per micro-batch) and its batch twin run, so parity is by
+    construction. Emits (chunk_uid, doc_id, chunk_idx, n_chunk_tokens,
+    chunk_text).
+
+    ``span_index`` (a stored ``span_window_index`` table) turns on the
+    round-7 ingest scrub: every window already present in the training
+    corpus is cut from arriving docs BEFORE gating/chunking
+    (operators/dedup.remove_indexed_spans — index-only, no intra-batch
+    comparison, so the output is independent of micro-batch
+    boundaries; the stream==batch invariant survives). Surviving
+    pieces become gate/chunk inputs under piece ids
+    doc_id * SEGMENT_ID_STRIDE + segment_idx."""
+    if span_index is not None:
+        from aws_payment_data_lake_spark.operators.dedup import (
+            remove_indexed_spans,
+        )
+
+        pieces = remove_indexed_spans(docs, span_index)
+        pid = F.when(
+            F.col("segment_idx") < SEGMENT_ID_STRIDE,
+            F.col("doc_id") * SEGMENT_ID_STRIDE + F.col("segment_idx"),
+        ).otherwise(F.raise_error(F.concat(
+            F.lit("segment_idx overflows SEGMENT_ID_STRIDE for doc "),
+            F.col("doc_id").cast("string"))))
+        docs = pieces.select(pid.alias("doc_id"), "text")
     scores = lm_perplexity(docs, lm=lm)
     fluent = docs.join(
         scores.where(F.col("ppl_proxy") <= ppl_cut).select("doc_id"),
@@ -103,7 +131,8 @@ def run_corpus_stream(spark: SparkSession, docs_path: str,
                       ppl_cut: float, chunk_zone: str,
                       checkpoint: str, window: int = 64,
                       stride: int = 48,
-                      max_files_per_trigger: int | None = None) -> None:
+                      max_files_per_trigger: int | None = None,
+                      span_index: DataFrame | None = None) -> None:
     """Continuous corpus ingest, drained with Trigger.AvailableNow:
     document stream -> LM gate -> chunking -> chunk-zone append, one
     subdirectory per micro-batch id. The per-batch write is
@@ -117,7 +146,8 @@ def run_corpus_stream(spark: SparkSession, docs_path: str,
     stream = read_document_stream(spark, docs_path, max_files_per_trigger)
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        out = gate_and_chunk(batch_df, lm, ppl_cut, window, stride)
+        out = gate_and_chunk(batch_df, lm, ppl_cut, window, stride,
+                             span_index=span_index)
         (out.write.mode("overwrite")
             .parquet(f"{chunk_zone}/batch_id={batch_id}"))
 

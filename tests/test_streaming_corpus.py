@@ -110,3 +110,67 @@ def test_end_to_end_ingest_matches_batch_chain(spark, tmp_path):
                       max_files_per_trigger=1)
     after = sorted(map(tuple, spark.read.parquet(chunk_zone).collect()))
     assert after == before
+
+
+def test_scrubbed_ingest_matches_batch_and_is_batching_independent(
+        spark, tmp_path):
+    """Round 7: ingest with the ExactSubstr scrub stage (windows
+    already in the training corpus cut from arriving docs before
+    gate/chunk). The scrub is index-only, so micro-batch boundaries
+    cannot change the output — streamed file-by-file equals the
+    pure-batch twin byte-for-byte."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from aws_payment_data_lake_spark.operators.dedup import (
+        span_window_index,
+    )
+    from aws_payment_data_lake_spark.streaming.corpus import (
+        gate_and_chunk,
+        run_corpus_stream,
+    )
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    reference = docs.where(F.col("doc_id") % 2 == 0)
+    arriving = docs.where(F.col("doc_id") % 2 == 1)
+    idx = span_window_index(reference).localCheckpoint(eager=True)
+
+    lm = tuple(t.localCheckpoint(eager=True)
+               for t in train_bigram_lm(reference))
+    (cut,) = lm_perplexity(reference, lm=lm).approxQuantile(
+        "ppl_proxy", [0.9], 0.0)
+
+    raw = str(tmp_path / "raw_s")
+    arriving.repartition(3).write.parquet(raw)
+    chunk_zone = str(tmp_path / "chunks_s")
+    run_corpus_stream(spark, raw, lm, cut, chunk_zone,
+                      checkpoint=str(tmp_path / "ckpt_s"),
+                      max_files_per_trigger=1, span_index=idx)
+    assert len(glob.glob(f"{chunk_zone}/batch_id=*")) == 3
+
+    streamed = sorted(map(tuple, spark.read.parquet(chunk_zone)
+                          .select("chunk_uid", "chunk_text").collect()))
+    batch = sorted(map(tuple, gate_and_chunk(
+        spark.read.parquet(raw), lm, cut, span_index=idx)
+        .select("chunk_uid", "chunk_text").collect()))
+    assert streamed == batch and streamed
+
+    # the scrub genuinely fired: scrubbed ingest differs from unscrubbed
+    plain = sorted(map(tuple, gate_and_chunk(
+        spark.read.parquet(raw), lm, cut)
+        .select("chunk_uid", "chunk_text").collect()))
+    assert streamed != plain
+
+    # and no surviving chunk contains a reference window verbatim:
+    # re-probing the scrubbed chunk text finds zero indexed windows
+    from aws_payment_data_lake_spark.operators.dedup import (
+        _window_occurrences,
+        hash60,
+    )
+    chunks = (spark.read.parquet(chunk_zone)
+              .select(F.col("chunk_uid").alias("doc_id"),
+                      F.col("chunk_text").alias("text")))
+    leftovers = (_window_occurrences(chunks, 25, "doc_id", "text", hash60)
+                 .join(idx, "gh").count())
+    assert leftovers == 0
