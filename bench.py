@@ -68,6 +68,7 @@ HEADLINE = [
     "vocab_heavy_hitters",           # unregistered MG sketch twin (EXTRA_FNS)
     "text_train_test_split",
     "text_fingerprint",
+    "text_pii_scrub",                # unregistered PII redaction (EXTRA_FNS)
     "text_decontamination",          # unregistered 8-gram gate (EXTRA_FNS)
     "text_decontamination_scrub",    # unregistered 8-13-gram span scrub (EXTRA_FNS)
     "lm_perplexity_quality",         # unregistered CCNet-style LM gate (EXTRA_FNS)
@@ -120,7 +121,10 @@ def _extra_fns():
     from aws_payment_data_lake_spark.queries.stats import (
         approx_distinct_quantiles,
     )
-    from aws_payment_data_lake_spark.queries.text import vocab_heavy_hitters
+    from aws_payment_data_lake_spark.queries.text import (
+        text_pii_scrub,
+        vocab_heavy_hitters,
+    )
     from aws_payment_data_lake_spark.queries.streaming_batch import (
         session_window_events,
         tumbling_window_events,
@@ -141,6 +145,7 @@ def _extra_fns():
         "sql_status_funnel": sql_status_funnel,
         "approx_distinct_quantiles": approx_distinct_quantiles,
         "session_window_events": session_window_events,
+        "text_pii_scrub": text_pii_scrub,
         "vocab_heavy_hitters": vocab_heavy_hitters,
         "tumbling_window_events": tumbling_window_events,
     }
