@@ -762,6 +762,19 @@ def duplicate_spans(docs: DataFrame, n: int = SPAN_NGRAM,
     # movement than aggregate-then-join-back, and no broadcast-size bet
     # on the repeated-window table (unbounded at corpus scale). This is
     # also exactly the oracle SQL's formulation.
+    #
+    # Skew posture: a hot window (boilerplate shared by many docs)
+    # lands all its occurrences in one gh partition. The within-
+    # partition sort is a spillable EXTERNAL sort over the whole
+    # partition (~rows/shuffle.partitions), so a hot key degrades to
+    # disk bandwidth, never a stall; the agg+join alternative trades
+    # that for a SECOND full shuffle of the occurrence table and
+    # measured slower even under engineered skew (60% of sf0.1 docs
+    # sharing one boilerplate window: 1.21 s vs 1.31 s, identical
+    # output). For corpora with truly degenerate repetition (the same
+    # page body 10^7 times) run the exact doc-level tier first — it
+    # removes identical documents before window analysis, which is the
+    # Lee et al. pipeline's own ordering.
     wp = Window.partitionBy("gh")
     hits = (occ.select(
                 "doc_id", "pos",
