@@ -567,3 +567,171 @@ def rp_lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
     return (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 7): the FAISS-standard ANN COMPRESSION
+# tier (Jegou, Douze, Schmid 2011, "Product Quantization for Nearest
+# Neighbor Search", IEEE TPAMI). The 64-dim float vector becomes m=8
+# one-byte codes (32x smaller): split the unit vector into m
+# subspaces, k-means each subspace into k codewords, store the nearest
+# codeword index per subspace. Queries score candidates WITHOUT
+# decompressing: per query, one m x k lookup table of
+# <query_sub, codeword> inner products; a candidate's approximate
+# cosine is the sum of m table lookups (ADC — asymmetric distance
+# computation). At 100 TB this is what makes the candidate table fit
+# scan bandwidth: 8 bytes/vector instead of 256, and scoring is m
+# int-indexed adds per candidate instead of a dim-length dot product.
+# Codebook training is FAISS-shaped: driver-side Lloyd on a capped
+# deterministic sample (m*k*subdim doubles — trivially broadcastable);
+# exact re-rank of the ADC top-R restores exact-cosine ordering.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces (dim 64 -> 8 dims each)
+PQ_K = 32         # codewords per subspace (5-bit codes)
+
+
+def train_pq_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
+                       train_cap: int = 4096, n_iter: int = 10):
+    """Per-subspace k-means codebooks trained on a deterministic stride
+    sample of UNIT vectors. Returns a python nested list
+    [m][k][dim/m] (driver literal — broadcast by closure into the
+    Arrow encode/score stages, the kmeans_centroids pattern)."""
+    import numpy as np
+
+    n = emb.count()
+    stride = max(1, n // train_cap)
+    rows = (emb.where(F.pmod("vec_id", F.lit(stride)) == 0)
+            .select(unit(F.col("embedding")).alias("ue"))
+            .collect())
+    X = np.stack([np.asarray(r["ue"], dtype=np.float64) for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    rng = np.random.default_rng(7)  # deterministic seed, training only
+    for j in range(m):
+        S = X[:, j * sub:(j + 1) * sub]
+        # k-means++-ish deterministic init: stride over the sample
+        init_idx = np.linspace(0, len(S) - 1, num=min(k, len(S)),
+                               dtype=np.int64)
+        C = S[init_idx].copy()
+        for _ in range(n_iter):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(len(C)):
+                mask = a == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+                else:  # re-seed empty cell deterministically
+                    C[c] = S[rng.integers(0, len(S))]
+        if len(C) < k:  # tiny sample: pad by repeating last codeword
+            C = np.vstack([C] + [C[-1:]] * (k - len(C)))
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, codes array<int>): nearest-codeword index per subspace
+    of the UNIT vector. One Arrow pass; at scale this table is the
+    stored compressed index (8 small ints per vector)."""
+    import numpy as np
+    import pandas as pd
+
+    B = [None]  # lazy numpy view of the closure literal, per worker
+
+    def encode(batches):
+        if B[0] is None:
+            B[0] = [np.asarray(b, dtype=np.float64) for b in codebooks]
+        books = B[0]
+        m = len(books)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            sub = X.shape[1] // m
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                S = X[:, j * sub:(j + 1) * sub]
+                d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "codes": list(codes)})
+
+    return (spread_narrow_scan(emb, "vec_id")
+            .select("vec_id", "embedding")
+            .mapInPandas(encode, "vec_id long, codes array<int>"))
+
+
+def pq_topk(codes: DataFrame, queries: DataFrame, codebooks,
+            k: int = 5, rerank: DataFrame | None = None,
+            rerank_factor: int = 8) -> DataFrame:
+    """ADC top-k: per (query, candidate) the approximate cosine is the
+    sum of m LUT entries <query_sub, codeword>. ``queries`` is
+    (query_id, qe). With ``rerank`` (the original embeddings), the ADC
+    top k*rerank_factor candidates are re-scored with exact cosine —
+    the standard PQ + re-rank pipeline; output matches the engine's
+    (query_id, neighbor_id, cos_sim, rk) ANN contract."""
+    import numpy as np
+    import pandas as pd
+
+    spark = codes.sparkSession
+    qrows = queries.collect()  # ANN contract: small query batch
+    qids = [int(r["query_id"]) for r in qrows]
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    luts = {}
+    for r in qrows:
+        q = np.asarray(r["qe"], dtype=np.float64)
+        q = q / np.sqrt(q @ q)
+        sub = len(q) // m
+        luts[int(r["query_id"])] = np.stack(
+            [B[j] @ q[j * sub:(j + 1) * sub] for j in range(m)])
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy())  # (n, m) int
+            out = []
+            for qid in qids:
+                lut = luts[qid]  # (m, k)
+                s = np.zeros(len(C))
+                for j in range(m):
+                    s += lut[j, C[:, j]]
+                out.append(pd.DataFrame({
+                    "query_id": qid,
+                    "neighbor_id": pdf["vec_id"],
+                    "adc_sim": np.round(s, 6)}))
+            yield pd.concat(out)
+
+    scored = (codes.mapInPandas(
+        adc, "query_id long, neighbor_id long, adc_sim double")
+        .where(F.col("neighbor_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id"))
+    if rerank is None:
+        return (scored.withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") <= k)
+                .select("query_id", "neighbor_id",
+                        F.col("adc_sim").alias("cos_sim"), "rk"))
+    cand = (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k * rerank_factor)
+            .select("query_id", "neighbor_id"))
+    qdf = spark.createDataFrame(
+        [(int(r["query_id"]), list(r["qe"])) for r in qrows],
+        "query_id long, qe array<double>")
+    exact = (cand.join(F.broadcast(qdf), "query_id")
+             .join(rerank.select(F.col("vec_id").alias("neighbor_id"),
+                                 F.col("embedding").alias("ne")),
+                   "neighbor_id")
+             .select("query_id", "qe", "neighbor_id", "ne")
+             .mapInPandas(_cosine_score_batches,
+                          "query_id long, neighbor_id long, cos_sim double"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (exact.withColumn("rk", F.row_number().over(w2))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rk"))

@@ -307,3 +307,19 @@ def knn_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load(spark, sf_dir, "embeddings")
     return (S.rp_lsh_topk(emb, k=5, n_queries=10)
             .orderBy("query_id", "rk"))
+
+
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators.similarity PQ tier, Jegou
+    et al. 2011): train 8x32 codebooks on a sample, encode the corpus
+    to 8-byte codes (32x compression), ADC-score, exact-re-rank the
+    top-8k. Unregistered (approximate; the >=0.7 recall floor vs brute
+    force and the cosine-1.0 self-retrieval are tests/test_pq.py).
+    Timing is the honest full pipeline: train + encode + probe."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    books = S.train_pq_codebooks(emb)
+    codes = S.pq_encode(emb, books)
+    q = emb.where("vec_id < 10").selectExpr(
+        "vec_id AS query_id", "embedding AS qe")
+    return (S.pq_topk(codes, q, books, rerank=emb)
+            .orderBy("query_id", "rk"))

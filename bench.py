@@ -114,6 +114,7 @@ def _extra_fns():
     )
     from aws_payment_data_lake_spark.queries.similarity import (
         knn_ivf_probe,
+        knn_pq,
         knn_rp_lsh,
         semantic_dedup_embeddings,
     )
@@ -134,6 +135,7 @@ def _extra_fns():
         "dedup_span_incremental": dedup_span_incremental,
         "dedup_span_removal": dedup_span_removal,
         "knn_ivf_probe": knn_ivf_probe,
+        "knn_pq": knn_pq,
         "knn_rp_lsh": knn_rp_lsh,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "rag_chunk_retrieval": rag_chunk_retrieval,
