@@ -323,3 +323,35 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id AS query_id", "embedding AS qe")
     return (S.pq_topk(codes, q, books, rerank=emb)
             .orderBy("query_id", "rk"))
+
+
+# Durable PQ tier (round 7): the codes table IS the stored compressed
+# index; the codebooks ride along as a (subspace, code, ce) table and
+# are reconstructed into the driver-literal form on read-back.
+_PQ_TABLES = ("codes", "books")
+
+
+def durable_pq_index(spark: SparkSession, sf_dir: str, warehouse: str,
+                     ) -> tuple[tuple[DataFrame, list], bool]:
+    """((codes, codebooks), built) from the warehouse store."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    fp = corpus_fingerprint(emb, "vec_id", "embedding")
+
+    def build() -> dict[str, DataFrame]:
+        books = S.train_pq_codebooks(emb)
+        codes = S.pq_encode(emb, books)
+        rows = [(j, c, books[j][c])
+                for j in range(len(books)) for c in range(len(books[j]))]
+        bdf = spark.createDataFrame(
+            rows, "subspace int, code int, ce array<double>")
+        return {"codes": codes, "books": bdf}
+
+    frames, built = load_or_build(
+        spark, os.path.join(warehouse, "pq_index"), fp, _PQ_TABLES, build)
+    brows = frames["books"].collect()  # m*k tiny centroid rows
+    m = 1 + max(r["subspace"] for r in brows)
+    books = [[None] * (1 + max(r["code"] for r in brows if
+                               r["subspace"] == j)) for j in range(m)]
+    for r in brows:
+        books[r["subspace"]][r["code"]] = list(r["ce"])
+    return (frames["codes"], books), built
