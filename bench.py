@@ -76,6 +76,7 @@ HEADLINE = [
     "knn_brute_force",
     "knn_ivf_probe",                 # unregistered approx path (EXTRA_FNS)
     "knn_rp_lsh",                    # unregistered sign-LSH ANN (EXTRA_FNS)
+    "knn_pq",                        # unregistered PQ+rerank ANN (EXTRA_FNS)
     "semantic_dedup_embeddings",     # unregistered SemDeDup (EXTRA_FNS)
     "rag_chunk_retrieval",           # unregistered chunk->embed->IVF (EXTRA_FNS)
     "embedding_neardup_pairs",
