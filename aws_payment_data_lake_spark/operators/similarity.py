@@ -735,3 +735,94 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks,
     return (exact.withColumn("rk", F.row_number().over(w2))
             .where(F.col("rk") <= k)
             .select("query_id", "neighbor_id", "cos_sim", "rk"))
+
+
+def ivfpq_topk(cents: DataFrame, assigned: DataFrame, codes: DataFrame,
+               queries: DataFrame, codebooks, k: int = 5,
+               n_probe: int = 4, rerank: DataFrame | None = None,
+               rerank_factor: int = 8) -> DataFrame:
+    """IVF-PQ (the FAISS workhorse composition): coarse cells bound the
+    candidate set to ~n_probe/K of the corpus, and PQ codes make
+    scoring those candidates m table lookups each — at 100 TB the
+    probe touches only the probed cells of an 8-byte-per-vector codes
+    table instead of the float corpus. Exact re-rank restores true
+    cosine order over the ADC top k*rerank_factor."""
+    import numpy as np
+    import pandas as pd
+
+    spark = codes.sparkSession
+    qrows = queries.collect()  # ANN contract: small query batch
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    luts = {}
+    for r in qrows:
+        q = np.asarray(r["qe"], dtype=np.float64)
+        q = q / np.sqrt(q @ q)
+        sub = len(q) // m
+        luts[int(r["query_id"])] = np.stack(
+            [B[j] @ q[j * sub:(j + 1) * sub] for j in range(m)])
+
+    # top-n_probe cells per query over the broadcast centroid table
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), "cent_id")
+    probes = (queries.crossJoin(F.broadcast(cents))
+              .select("query_id",
+                      "cent_id",
+                      F.round(cosine(F.col("qe"), F.col("ce")), 6)
+                      .alias("c"))
+              .withColumn("rk", F.row_number().over(w))
+              .where(F.col("rk") <= n_probe)
+              .select("query_id", "cent_id"))
+
+    cand = (probes
+            .join(assigned.select("cent_id", "neighbor_id"), "cent_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+                  "neighbor_id")
+            .select("query_id", "neighbor_id", "codes"))
+
+    def adc_pairs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy())
+            qa = pdf["query_id"].to_numpy()
+            s = np.zeros(len(C))
+            for qid in np.unique(qa):
+                mask = qa == qid
+                lut = luts[int(qid)]
+                sub = C[mask]
+                acc = np.zeros(int(mask.sum()))
+                for j in range(m):
+                    acc += lut[j, sub[:, j]]
+                s[mask] = acc
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "adc_sim": np.round(s, 6)})
+
+    scored = cand.mapInPandas(
+        adc_pairs, "query_id long, neighbor_id long, adc_sim double")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id"))
+    if rerank is None:
+        return (scored.withColumn("rk", F.row_number().over(w2))
+                .where(F.col("rk") <= k)
+                .select("query_id", "neighbor_id",
+                        F.col("adc_sim").alias("cos_sim"), "rk"))
+    top = (scored.withColumn("rk", F.row_number().over(w2))
+           .where(F.col("rk") <= k * rerank_factor)
+           .select("query_id", "neighbor_id"))
+    qdf = spark.createDataFrame(
+        [(int(r["query_id"]), list(r["qe"])) for r in qrows],
+        "query_id long, qe array<double>")
+    exact = (top.join(F.broadcast(qdf), "query_id")
+             .join(rerank.select(F.col("vec_id").alias("neighbor_id"),
+                                 F.col("embedding").alias("ne")),
+                   "neighbor_id")
+             .select("query_id", "qe", "neighbor_id", "ne")
+             .mapInPandas(_cosine_score_batches,
+                          "query_id long, neighbor_id long, cos_sim double"))
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (exact.withColumn("rk", F.row_number().over(w3))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rk"))

@@ -99,3 +99,27 @@ def test_durable_pq_index(spark, tmp_path, pq):
     want = sorted(map(tuple,
                       S.pq_topk(codes, q, books, rerank=emb).collect()))
     assert got == want and got
+
+
+def test_ivfpq_recall_and_self_retrieval(spark, pq):
+    """IVF-PQ composition: probing n_probe cells then ADC+re-rank
+    still clears a recall floor vs brute force (cells bound the
+    candidate set, so the floor sits under plain PQ's), and a planted
+    corpus vector still self-retrieves at cosine 1.0."""
+    emb, books, codes = pq
+    cents, assigned = S.build_ivf_index(emb)
+    q = emb.where("vec_id < 10").selectExpr(
+        "vec_id AS query_id", "embedding AS qe")
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(emb).collect()}
+    got = {(r["query_id"], r["neighbor_id"])
+           for r in S.ivfpq_topk(cents, assigned, codes, q, books,
+                                 rerank=emb).collect()}
+    assert len(got & brute) / len(brute) >= 0.5
+
+    planted = (emb.where("vec_id = 42")
+               .selectExpr("-1 AS query_id", "embedding AS qe"))
+    top = (S.ivfpq_topk(cents, assigned, codes, planted, books,
+                        rerank=emb).where("rk = 1").collect())
+    assert len(top) == 1 and top[0]["neighbor_id"] == 42
+    assert top[0]["cos_sim"] == 1.0
