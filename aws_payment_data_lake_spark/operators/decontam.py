@@ -102,16 +102,17 @@ def _slice_gh(tk: Column, k: int):
     return lambda i: F.xxhash64(F.slice(tk, i + 1, k))
 
 
-def _all_gram_hashes(tk: Column, ns: tuple[int, ...], hash_fn) -> Column:
-    """Flat array of per-window hashes for every n in ``ns`` — via gram
-    strings (oracle tier: ``hash_fn`` over the joined string) or
-    directly from token slices (HASH_FAST production tier, zero string
-    construction)."""
-    if isinstance(hash_fn, _SliceHashTier):
-        return F.flatten(F.array(*[
-            F.transform(_win_positions(tk, k), _slice_gh(tk, k))
-            for k in ns]))
-    return F.transform(_all_grams(tk, ns), lambda g: hash_fn(g))
+def _slice_gram_hashes(tk: Column, ns: tuple[int, ...]) -> Column:
+    """Flat array of per-window xxhash64 hashes for every n in ``ns``,
+    directly from token slices — the HASH_FAST tier's builder, zero
+    string construction. Slice-tier-only by design: a string-tier
+    variant would hash inside a transform lambda (interpreted per
+    element); the string tier instead hashes AFTER its explode so the
+    md5 stays in whole-stage codegen (review r7 — an earlier general
+    helper carried exactly that slow dead branch)."""
+    return F.flatten(F.array(*[
+        F.transform(_win_positions(tk, k), _slice_gh(tk, k))
+        for k in ns]))
 
 
 def benchmark_gram_hashes(benchmark: DataFrame,
@@ -128,7 +129,7 @@ def benchmark_gram_hashes(benchmark: DataFrame,
     ns = _ns(n)
     if isinstance(hash_fn, _SliceHashTier):
         return (benchmark
-                .select(F.explode(_all_gram_hashes(tk, ns, hash_fn))
+                .select(F.explode(_slice_gram_hashes(tk, ns))
                         .alias("gh"))
                 .distinct())
     return (
@@ -171,7 +172,7 @@ def benchmark_contamination(corpus: DataFrame, benchmark: DataFrame,
     # contract); both tiers emit the same (doc_id, gh) shape.
     tk = tokens(text_col)
     if isinstance(hash_fn, _SliceHashTier):
-        gh_arr = F.array_distinct(_all_gram_hashes(tk, ns, hash_fn))
+        gh_arr = F.array_distinct(_slice_gram_hashes(tk, ns))
         grams = corpus.select(F.col(id_col).alias("doc_id"),
                               F.explode_outer(gh_arr).alias("gh"))
     else:

@@ -31,7 +31,6 @@ from aws_payment_data_lake_spark.functions import (
     hash60_mod_p,
     shingles,
     tokens,
-    word_ngrams,
 )
 from aws_payment_data_lake_spark.operators.spread import spread_narrow_scan
 
@@ -717,17 +716,26 @@ def simhash_pairs(docs: DataFrame | None,
 SPAN_NGRAM = 25
 
 
-def _window_occurrences(docs: DataFrame, n: int, id_col: str,
-                        text_col: str, hash_fn) -> DataFrame:
-    """(doc_id, pos, gh): every n-token window occurrence. Hashes are
-    built by DIRECT slice+join per position — one O(n)-byte concat per
-    window. (word_ngrams' incremental zip_with build is tuned for the
-    upto-max_n family shape; for one large n it materializes every
-    intermediate k-gram tier, ~n/2 times the bytes. Measured 2.3x
-    end-to-end on the detection operator at sf0.1.)"""
-    tok = (spread_narrow_scan(docs, id_col)
-           .select(F.col(id_col).alias("doc_id"),
-                   tokens(text_col).alias("tk")))
+def _tok_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, tk): the spread+tokenized frame every span-tier stage
+    derives from. The removal operators reference it twice (window
+    occurrences + the split complement) — two evaluations of one
+    row-local scan subtree, the same two-pass shape as
+    decontam.scrub_contaminated (scan-bandwidth-bound; callers with a
+    hot corpus can pass a persisted frame as ``docs``)."""
+    return (spread_narrow_scan(docs, id_col)
+            .select(F.col(id_col).alias("doc_id"),
+                    tokens(text_col).alias("tk")))
+
+
+def _occurrences_from_tok(tok: DataFrame, n: int, hash_fn) -> DataFrame:
+    """(doc_id, pos, gh) window occurrences from a (doc_id, tk) frame.
+    Hashes are built by DIRECT slice+join per position — one
+    O(n)-byte concat per window. (word_ngrams' incremental zip_with
+    build is tuned for the upto-max_n family shape; for one large n
+    it materializes every intermediate k-gram tier, ~n/2 times the
+    bytes. Measured 2.3x end-to-end on the detection operator at
+    sf0.1.)"""
     idx = F.when(F.size("tk") >= n,
                  F.sequence(F.lit(0), F.size("tk") - n)
                  ).otherwise(F.expr("CAST(array() AS array<int>)"))
@@ -736,6 +744,13 @@ def _window_occurrences(docs: DataFrame, n: int, id_col: str,
         F.posexplode(F.transform(idx, lambda i: hash_fn(
             F.array_join(F.slice("tk", i + 1, n), " "))))
         .alias("pos", "gh"))
+
+
+def _window_occurrences(docs: DataFrame, n: int, id_col: str,
+                        text_col: str, hash_fn) -> DataFrame:
+    """(doc_id, pos, gh): every n-token window occurrence of ``docs``."""
+    return _occurrences_from_tok(_tok_frame(docs, id_col, text_col),
+                                 n, hash_fn)
 
 
 def _merge_hit_spans(hits: DataFrame) -> DataFrame:
@@ -857,14 +872,12 @@ def remove_indexed_spans(docs: DataFrame, index: DataFrame,
         split_tokens_by_spans,
     )
 
-    occ = _window_occurrences(docs, n, id_col, text_col, hash_fn)
+    tok = _tok_frame(docs, id_col, text_col)
+    occ = _occurrences_from_tok(tok, n, hash_fn)
     hits = (occ.join(index.select("gh"), "gh")
             .select("doc_id", F.col("pos").alias("s"),
                     (F.col("pos") + F.lit(n - 1)).alias("e")))
     spans = _merge_hit_spans(hits)
-    tok = (spread_narrow_scan(docs, id_col)
-           .select(F.col(id_col).alias("doc_id"),
-                   tokens(text_col).alias("tk")))
     d = tok.join(spans, "doc_id", "left").select(
         "doc_id", "tk",
         F.coalesce(F.col("spans"), F.expr(EMPTY_SPANS)).alias("spans"))
@@ -895,9 +908,7 @@ def remove_duplicate_spans(docs: DataFrame, n: int = SPAN_NGRAM,
     )
 
     spans = duplicate_spans(docs, n, id_col, text_col, hash_fn)
-    tok = (spread_narrow_scan(docs, id_col)
-           .select(F.col(id_col).alias("doc_id"),
-                   tokens(text_col).alias("tk")))
+    tok = _tok_frame(docs, id_col, text_col)
     d = tok.join(spans, "doc_id", "left").select(
         "doc_id", "tk",
         F.coalesce(F.col("spans"), F.expr(EMPTY_SPANS)).alias("spans"))

@@ -40,13 +40,29 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def _count_and_redact(col: Column) -> tuple[dict[str, Column], Column]:
+    """(per-type counts, fully redacted text), with CONSUME-IN-ORDER
+    counting: each type is counted on the text with earlier types
+    already replaced, so the counts describe exactly what the
+    redaction chain consumes. Counting every pattern on the raw text
+    instead double-counts — an SSN's digits-and-dashes body also
+    matches the broad phone pattern, so 'ssn 123-45-6789' would report
+    a phantom phone (review r7 finding); placeholders contain no
+    digits, so a consumed match can never re-match a later pattern."""
+    counts: dict[str, Column] = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = F.regexp_count(col, F.lit(pat))
+        col = F.regexp_replace(col, pat, repl)
+    return counts, col
+
+
 def pii_profile(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """One row per document: per-type match counts (n_email, n_ipv4,
-    n_ssn, n_phone), n_pii total, and the has_pii flag a curation
-    gate keys on. One projection, no shuffle."""
-    counts = {f"n_{name}": F.regexp_count(F.col(text_col), F.lit(pat))
-              for name, pat, _ in PII_PATTERNS}
+    """One row per document: per-type consumed-match counts (n_email,
+    n_ipv4, n_ssn, n_phone — see _count_and_redact for the ordering
+    contract), n_pii total, and the has_pii flag a curation gate keys
+    on. One projection, no shuffle."""
+    counts, _ = _count_and_redact(F.col(text_col))
     total = reduce(lambda a, b: a + b, counts.values())
     return docs.select(
         F.col(id_col).alias("doc_id"),
@@ -60,9 +76,20 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
     """Replace every match with its typed placeholder, in the fixed
     pattern order (broadest last). Output schema = input schema with
     ``text_col`` redacted — the stage drops into any pipeline seam."""
-    def chain(col: Column) -> Column:
-        for _, pat, repl in PII_PATTERNS:
-            col = F.regexp_replace(col, pat, repl)
-        return col
+    _, redacted = _count_and_redact(F.col(text_col))
+    return docs.withColumn(text_col, redacted)
 
-    return docs.withColumn(text_col, chain(F.col(text_col)))
+
+def pii_scan(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Profile AND redacted text in ONE projection (the benched shape:
+    profile + redact as separate frames joined back would scan and
+    regex the corpus twice and add a corpus-sized shuffle)."""
+    counts, redacted = _count_and_redact(F.col(text_col))
+    total = reduce(lambda a, b: a + b, counts.values())
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.cast("long").alias(n) for n, c in counts.items()],
+        total.cast("long").alias("n_pii"),
+        (total > 0).alias("has_pii"),
+        redacted.alias(f"redacted_{text_col}"))

@@ -665,51 +665,28 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
             .mapInPandas(encode, "vec_id long, codes array<int>"))
 
 
-def pq_topk(codes: DataFrame, queries: DataFrame, codebooks,
-            k: int = 5, rerank: DataFrame | None = None,
-            rerank_factor: int = 8) -> DataFrame:
-    """ADC top-k: per (query, candidate) the approximate cosine is the
-    sum of m LUT entries <query_sub, codeword>. ``queries`` is
-    (query_id, qe). With ``rerank`` (the original embeddings), the ADC
-    top k*rerank_factor candidates are re-scored with exact cosine —
-    the standard PQ + re-rank pipeline; output matches the engine's
-    (query_id, neighbor_id, cos_sim, rk) ANN contract."""
+def _query_luts(qrows, codebooks):
+    """{query_id: (m, k) LUT of <unit-query-subvector, codeword> inner
+    products} — the shared ADC preparation for pq_topk and ivfpq_topk."""
     import numpy as np
-    import pandas as pd
 
-    spark = codes.sparkSession
-    qrows = queries.collect()  # ANN contract: small query batch
-    qids = [int(r["query_id"]) for r in qrows]
     B = [np.asarray(b, dtype=np.float64) for b in codebooks]
-    m = len(B)
     luts = {}
     for r in qrows:
         q = np.asarray(r["qe"], dtype=np.float64)
         q = q / np.sqrt(q @ q)
-        sub = len(q) // m
+        sub = len(q) // len(B)
         luts[int(r["query_id"])] = np.stack(
-            [B[j] @ q[j * sub:(j + 1) * sub] for j in range(m)])
+            [B[j] @ q[j * sub:(j + 1) * sub] for j in range(len(B))])
+    return luts
 
-    def adc(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            C = np.stack(pdf["codes"].to_numpy())  # (n, m) int
-            out = []
-            for qid in qids:
-                lut = luts[qid]  # (m, k)
-                s = np.zeros(len(C))
-                for j in range(m):
-                    s += lut[j, C[:, j]]
-                out.append(pd.DataFrame({
-                    "query_id": qid,
-                    "neighbor_id": pdf["vec_id"],
-                    "adc_sim": np.round(s, 6)}))
-            yield pd.concat(out)
 
-    scored = (codes.mapInPandas(
-        adc, "query_id long, neighbor_id long, adc_sim double")
-        .where(F.col("neighbor_id") != F.col("query_id")))
+def _adc_rank(scored: DataFrame, qrows, k: int,
+              rerank: DataFrame | None, rerank_factor: int) -> DataFrame:
+    """Shared ADC ranking tail: top-k on adc_sim, or exact-cosine
+    re-rank of the ADC top k*rerank_factor (one implementation so a
+    tie-break or guard fix cannot diverge between the PQ tiers)."""
+    spark = scored.sparkSession
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("neighbor_id"))
     if rerank is None:
@@ -737,6 +714,46 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks,
             .select("query_id", "neighbor_id", "cos_sim", "rk"))
 
 
+def pq_topk(codes: DataFrame, queries: DataFrame, codebooks,
+            k: int = 5, rerank: DataFrame | None = None,
+            rerank_factor: int = 8) -> DataFrame:
+    """ADC top-k: per (query, candidate) the approximate cosine is the
+    sum of m LUT entries <query_sub, codeword>. ``queries`` is
+    (query_id, qe). With ``rerank`` (the original embeddings), the ADC
+    top k*rerank_factor candidates are re-scored with exact cosine —
+    the standard PQ + re-rank pipeline; output matches the engine's
+    (query_id, neighbor_id, cos_sim, rk) ANN contract."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.collect()  # ANN contract: small query batch
+    qids = [int(r["query_id"]) for r in qrows]
+    luts = _query_luts(qrows, codebooks)
+    m = len(codebooks)
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].to_numpy())  # (n, m) int
+            out = []
+            for qid in qids:
+                lut = luts[qid]  # (m, k)
+                s = np.zeros(len(C))
+                for j in range(m):
+                    s += lut[j, C[:, j]]
+                out.append(pd.DataFrame({
+                    "query_id": qid,
+                    "neighbor_id": pdf["vec_id"],
+                    "adc_sim": np.round(s, 6)}))
+            yield pd.concat(out)
+
+    scored = (codes.mapInPandas(
+        adc, "query_id long, neighbor_id long, adc_sim double")
+        .where(F.col("neighbor_id") != F.col("query_id")))
+    return _adc_rank(scored, qrows, k, rerank, rerank_factor)
+
+
 def ivfpq_topk(cents: DataFrame, assigned: DataFrame, codes: DataFrame,
                queries: DataFrame, codebooks, k: int = 5,
                n_probe: int = 4, rerank: DataFrame | None = None,
@@ -750,17 +767,9 @@ def ivfpq_topk(cents: DataFrame, assigned: DataFrame, codes: DataFrame,
     import numpy as np
     import pandas as pd
 
-    spark = codes.sparkSession
     qrows = queries.collect()  # ANN contract: small query batch
-    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
-    m = len(B)
-    luts = {}
-    for r in qrows:
-        q = np.asarray(r["qe"], dtype=np.float64)
-        q = q / np.sqrt(q @ q)
-        sub = len(q) // m
-        luts[int(r["query_id"])] = np.stack(
-            [B[j] @ q[j * sub:(j + 1) * sub] for j in range(m)])
+    luts = _query_luts(qrows, codebooks)
+    m = len(codebooks)
 
     # top-n_probe cells per query over the broadcast centroid table
     w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), "cent_id")
@@ -801,28 +810,4 @@ def ivfpq_topk(cents: DataFrame, assigned: DataFrame, codes: DataFrame,
 
     scored = cand.mapInPandas(
         adc_pairs, "query_id long, neighbor_id long, adc_sim double")
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("adc_sim").desc(), F.col("neighbor_id"))
-    if rerank is None:
-        return (scored.withColumn("rk", F.row_number().over(w2))
-                .where(F.col("rk") <= k)
-                .select("query_id", "neighbor_id",
-                        F.col("adc_sim").alias("cos_sim"), "rk"))
-    top = (scored.withColumn("rk", F.row_number().over(w2))
-           .where(F.col("rk") <= k * rerank_factor)
-           .select("query_id", "neighbor_id"))
-    qdf = spark.createDataFrame(
-        [(int(r["query_id"]), list(r["qe"])) for r in qrows],
-        "query_id long, qe array<double>")
-    exact = (top.join(F.broadcast(qdf), "query_id")
-             .join(rerank.select(F.col("vec_id").alias("neighbor_id"),
-                                 F.col("embedding").alias("ne")),
-                   "neighbor_id")
-             .select("query_id", "qe", "neighbor_id", "ne")
-             .mapInPandas(_cosine_score_batches,
-                          "query_id long, neighbor_id long, cos_sim double"))
-    w3 = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (exact.withColumn("rk", F.row_number().over(w3))
-            .where(F.col("rk") <= k)
-            .select("query_id", "neighbor_id", "cos_sim", "rk"))
+    return _adc_rank(scored, qrows, k, rerank, rerank_factor)

@@ -91,7 +91,7 @@ lmrst AS (SELECT doc_id,
           LEFT JOIN (SELECT w AS prev, c_w AS c_prev FROM lmuni)
             USING (prev)
           CROSS JOIN lmtot),
-lmsc AS (SELECT doc_id, round(avg(lp), 4) AS s
+lmsc AS (SELECT doc_id, round(round(avg(lp), 6), 4) AS s
          FROM (SELECT * FROM lmfst UNION ALL SELECT * FROM lmrst)
          GROUP BY doc_id),
 lmkeep AS (SELECT doc_id,
@@ -188,10 +188,14 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str,
     )
     # LM gate decisions (round 7, VERDICT r6 #6): the registered row
     # carries the perplexity gate as an INTEGER-RANK contract — rank
-    # docs by avg_logprob rounded to 4 dp (coarse grid: a cross-engine
-    # ulp flip would need the unrounded mean-of-logs to sit within
-    # ~1e-15 of a 1e-4 boundary; ties broken by doc_id, fully
-    # deterministic), keep the top ceil(90%). The production operator
+    # docs by avg_logprob DOUBLE-rounded to 6 then 4 dp with doc_id
+    # tiebreak, keep the top ceil(90%). The oracle applies the same
+    # round(round(avg, 6), 4) — lm_perplexity already emits the 6-dp
+    # score, and a single 4-dp oracle round would disagree with the
+    # double-rounded Spark value on the ~5e-7-wide band where the two
+    # roundings differ (review r7 finding). With both engines double-
+    # rounding, a flip needs the unrounded mean within ulps of a 6-dp
+    # boundary. The production operator
     # (operators/lm_quality.perplexity_gate) uses the exact-quantile
     # threshold instead — one extra corpus-row-sized pass, no global
     # sort; the global row_number here is the oracle-facing form (the

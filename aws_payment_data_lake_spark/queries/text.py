@@ -493,25 +493,22 @@ def text_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII profile + redaction over the corpus (operators/pii.py):
-    per-doc typed match counts joined with the redacted text length.
-    Bench-only (the synthetic corpus plants no PII, so a driver row
-    would be vacuous; cross-engine parity is the strict planted-PII
-    DuckDB twin in tests/test_pii.py). Timing is the honest cost of
-    four regex passes over every document — pure scan bandwidth,
-    zero shuffles."""
+    """PII profile + redaction over the corpus (operators/pii.py
+    ``pii_scan``): per-doc typed match counts plus the redacted text
+    length, ONE projection — no second scan, no join (review r7
+    finding). Bench-only (the synthetic corpus plants no PII, so a
+    driver row would be vacuous; cross-engine parity is the strict
+    planted-PII DuckDB twin in tests/test_pii.py). Timing is the
+    honest cost of the regex chain over every document — pure scan
+    bandwidth, zero shuffles."""
     import pyspark.sql.functions as FF
 
-    from aws_payment_data_lake_spark.operators.pii import (
-        pii_profile,
-        redact_pii,
-    )
+    from aws_payment_data_lake_spark.operators.pii import pii_scan
 
     (docs,) = load(spark, sf_dir, "documents")
-    prof = pii_profile(docs)
-    red = redact_pii(docs).select(
-        "doc_id", FF.length("text").alias("redacted_len"))
-    return prof.join(red, "doc_id")
+    return (pii_scan(docs)
+            .withColumn("redacted_len", FF.length("redacted_text"))
+            .drop("redacted_text"))
 
 
 def vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -129,20 +129,23 @@ def read_store(spark: SparkSession, store_dir: str, fingerprint: str,
             for t in tables}
 
 
-def _gc_old_versions(store_dir: str, current: str) -> None:
-    """Keep the committed version plus the single most recent prior one
-    (a reader that resolved the old meta may still hold open frames on
-    it); delete anything older. Best-effort — GC failure never fails a
-    commit."""
+def _gc_old_versions(store_dir: str, current: str,
+                     previous: str | None) -> None:
+    """Keep the committed version plus the version the meta pointed at
+    IMMEDIATELY BEFORE this commit (a reader that resolved the old
+    meta may still hold open frames on it); delete every other
+    version. Keyed to the meta pointer, not directory mtime: after a
+    roll-BACK (repoint without a new dir) the mtime-newest prior dir
+    is NOT the one readers were using, and an mtime-based keep would
+    delete live files (review r7 finding). Best-effort — GC failure
+    never fails a commit."""
+    keep = {current, previous}
     try:
-        versions = [d for d in os.listdir(store_dir)
-                    if _VERSION_DIR_RE.match(d) and d != current
-                    and os.path.isdir(os.path.join(store_dir, d))]
-        versions.sort(key=lambda d: os.path.getmtime(
-            os.path.join(store_dir, d)), reverse=True)
-        for stale in versions[1:]:
-            shutil.rmtree(os.path.join(store_dir, stale),
-                          ignore_errors=True)
+        for d in os.listdir(store_dir):
+            if (_VERSION_DIR_RE.match(d) and d not in keep
+                    and os.path.isdir(os.path.join(store_dir, d))):
+                shutil.rmtree(os.path.join(store_dir, d),
+                              ignore_errors=True)
     except OSError:
         pass
 
@@ -171,17 +174,37 @@ def write_store(store_dir: str, fingerprint: str,
                     raise
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+    else:
+        # The version dir exists but this build may carry tables it
+        # lacks (a store family grew a table without a corpus change —
+        # the fingerprint is corpus-only). Skipping the write and
+        # committing a meta that lists the missing table would wedge
+        # the store: every later read crashes, every later build skips
+        # again (review r7 finding). Write exactly the MISSING tables
+        # into the existing dir — same-fingerprint content is
+        # deterministic, so this is the one place an in-place write is
+        # sound (and a crash mid-write leaves meta uncommitted, so the
+        # next consumer retries).
+        for name, df in frames.items():
+            if not os.path.isdir(os.path.join(vdir, name)):
+                df.write.mode("overwrite").parquet(
+                    os.path.join(vdir, name))
     _commit_meta(store_dir, fingerprint, sorted(frames))
 
 
 def _commit_meta(store_dir: str, fingerprint: str,
                  tables: list[str]) -> None:
+    try:  # the version readers were on until this commit — GC-protected
+        with open(_meta_path(store_dir)) as fh:
+            previous = json.load(fh).get("fingerprint")
+    except (OSError, json.JSONDecodeError):
+        previous = None
     tmp = _meta_path(store_dir) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"fingerprint": fingerprint, "version": STORE_VERSION,
                    "tables": tables}, fh)
     os.replace(tmp, _meta_path(store_dir))
-    _gc_old_versions(store_dir, fingerprint)
+    _gc_old_versions(store_dir, fingerprint, previous)
 
 
 def load_or_build(spark: SparkSession, store_dir: str, fingerprint: str,

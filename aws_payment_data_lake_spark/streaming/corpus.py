@@ -168,21 +168,28 @@ def finalize_training_shards(spark: SparkSession, chunk_zone: str,
     order) — independent of how many micro-batches delivered it, which
     is what makes streamed ingest + finalize byte-identical to the
     batch chain. Returns the assignment table."""
-    import os
+    from pyspark.errors import AnalysisException
 
     from aws_payment_data_lake_spark.operators.packing import (
         write_training_shards,
     )
 
     # a stream that ran zero batches never created the zone — name the
-    # condition instead of surfacing a bare path-missing AnalysisException
-    # (ADVICE r6)
-    if not os.path.isdir(chunk_zone):
-        raise FileNotFoundError(
-            f"chunk zone {chunk_zone!r} does not exist — the ingest "
-            "stream produced no batches; nothing to finalize")
-    chunks = (spark.read.parquet(chunk_zone)
-              .select("chunk_uid", F.col("chunk_text").alias("text")))
+    # condition instead of surfacing a bare path-missing
+    # AnalysisException (ADVICE r6). Detected via the Spark read, not
+    # os.path.isdir: the zone may live on any Hadoop-resolvable
+    # filesystem (file:/, s3a://, hdfs://) where a local path test is
+    # meaningless (review r7 finding).
+    try:
+        chunks = (spark.read.parquet(chunk_zone)
+                  .select("chunk_uid", F.col("chunk_text").alias("text")))
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            raise FileNotFoundError(
+                f"chunk zone {chunk_zone!r} does not exist — the "
+                "ingest stream produced no batches; nothing to "
+                "finalize") from e
+        raise
     return write_training_shards(
         chunks, shards_dir, token_budget=token_budget,
         n_streams=n_streams, id_col="chunk_uid")

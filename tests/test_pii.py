@@ -26,19 +26,21 @@ _PLANTED = [
 
 
 def _twin(rows):
+    """Consume-in-order twin: each type counted on the text with
+    earlier types already replaced (the operator's contract — an SSN
+    must not also count as a phone)."""
     con = duckdb.connect()
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO d VALUES (?, ?)", rows)
-    counts = ", ".join(
-        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
-        for name, pat, _ in PII_PATTERNS)
+    cur, counts = "text", []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({cur}, '{pat}')) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
     profile = {r[0]: r[1:] for r in con.sql(
-        f"SELECT doc_id, {counts} FROM d ORDER BY doc_id").fetchall()}
-    red = "text"
-    for _, pat, repl in PII_PATTERNS:
-        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+        f"SELECT doc_id, {', '.join(counts)} FROM d ORDER BY doc_id"
+    ).fetchall()}
     redacted = dict(con.sql(
-        f"SELECT doc_id, {red} FROM d ORDER BY doc_id").fetchall())
+        f"SELECT doc_id, {cur} FROM d ORDER BY doc_id").fetchall())
     return profile, redacted
 
 
@@ -53,6 +55,9 @@ def test_profile_and_redaction_match_duckdb_twin(spark):
     # sanity on the planted rows themselves, not just cross-engine
     assert got_prof[1] == (2, 0, 0, 0)
     assert got_prof[4] == (0, 0, 0, 0)
+    # consume-in-order: the SSN is NOT double-counted as a phone, while
+    # the genuine phone on the same row still counts
+    assert got_prof[3] == (0, 0, 1, 1)
 
     got_red = {r["doc_id"]: r["text"] for r in redact_pii(df).collect()}
     assert got_red == want_red
