@@ -355,3 +355,20 @@ def durable_pq_index(spark: SparkSession, sf_dir: str, warehouse: str,
     for r in brows:
         books[r["subspace"]][r["code"]] = list(r["ce"])
     return (frames["codes"], books), built
+
+
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the FAISS workhorse composition): session-shared
+    coarse cells bound the candidate set, PQ codes score it with m
+    lookups per candidate, exact re-rank on top. Unregistered
+    (approximate; recall + self-retrieval floors in tests/test_pq.py).
+    Timing: codebook train + encode + probe over the shared IVF
+    index."""
+    cents, assigned = shared_ivf_index(spark, sf_dir)
+    (emb,) = load(spark, sf_dir, "embeddings")
+    books = S.train_pq_codebooks(emb)
+    codes = S.pq_encode(emb, books)
+    q = emb.where("vec_id < 10").selectExpr(
+        "vec_id AS query_id", "embedding AS qe")
+    return (S.ivfpq_topk(cents, assigned, codes, q, books, rerank=emb)
+            .orderBy("query_id", "rk"))

@@ -77,6 +77,7 @@ HEADLINE = [
     "knn_ivf_probe",                 # unregistered approx path (EXTRA_FNS)
     "knn_rp_lsh",                    # unregistered sign-LSH ANN (EXTRA_FNS)
     "knn_pq",                        # unregistered PQ+rerank ANN (EXTRA_FNS)
+    "knn_ivfpq",                     # unregistered IVF-PQ composition (EXTRA_FNS)
     "semantic_dedup_embeddings",     # unregistered SemDeDup (EXTRA_FNS)
     "rag_chunk_retrieval",           # unregistered chunk->embed->IVF (EXTRA_FNS)
     "embedding_neardup_pairs",
@@ -115,6 +116,7 @@ def _extra_fns():
     )
     from aws_payment_data_lake_spark.queries.similarity import (
         knn_ivf_probe,
+        knn_ivfpq,
         knn_pq,
         knn_rp_lsh,
         semantic_dedup_embeddings,
@@ -136,6 +138,7 @@ def _extra_fns():
         "dedup_span_incremental": dedup_span_incremental,
         "dedup_span_removal": dedup_span_removal,
         "knn_ivf_probe": knn_ivf_probe,
+        "knn_ivfpq": knn_ivfpq,
         "knn_pq": knn_pq,
         "knn_rp_lsh": knn_rp_lsh,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
