@@ -301,6 +301,24 @@ def build_ivf_index(emb: DataFrame, n_centroids: int = 16,
     return cents, assigned
 
 
+def ivf_ingest(cents: DataFrame, assigned: DataFrame,
+               delta_emb: DataFrame) -> DataFrame:
+    """Assign a batch of NEW vectors into an EXISTING index's cells and
+    return the grown `assigned` table — the FAISS ``add()`` contract:
+    train-time artifacts (the coarse centroids) are FROZEN on ingest,
+    so growing the index costs one broadcast-matmul pass over the DELTA
+    only, never a corpus re-scan. Callers wanting train-fresh centroids
+    rebuild via `build_ivf_index` (the retrain path). At 100 TB this is
+    the difference between an index roll costing minutes (delta
+    assignment + one partition append) and hours (full re-assignment)."""
+    new = assign_cells_blas(
+        cents,
+        delta_emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").alias("ne")),
+        "neighbor_id", "ne")
+    return assigned.unionByName(new)
+
+
 def _cosine_score_batches(batches):
     """Shared Arrow candidate scorer for the ANN tiers: one einsum per
     batch over (query_id, qe, neighbor_id, ne) rows -> 6-dp cosine.
@@ -663,6 +681,17 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
     return (spread_narrow_scan(emb, "vec_id")
             .select("vec_id", "embedding")
             .mapInPandas(encode, "vec_id long, codes array<int>"))
+
+
+def pq_ingest(codes: DataFrame, delta_emb: DataFrame,
+              codebooks) -> DataFrame:
+    """Encode a batch of NEW vectors with EXISTING (frozen) codebooks
+    and return the grown codes table — the PQ half of the FAISS
+    ``add()`` contract (`ivf_ingest` has the rationale). Quantization
+    error for delta vectors is whatever the frozen books give; a
+    distribution shift big enough to hurt recall is a retrain event
+    (`train_pq_codebooks`), not an ingest."""
+    return codes.unionByName(pq_encode(delta_emb, codebooks))
 
 
 def _query_luts(qrows, codebooks):

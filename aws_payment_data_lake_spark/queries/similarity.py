@@ -13,8 +13,10 @@ from aws_payment_data_lake_spark.queries import register
 from aws_payment_data_lake_spark.sources import load
 from aws_payment_data_lake_spark.telemetry import timed_store_build
 from aws_payment_data_lake_spark.sources.store import (
+    committed_version,
     corpus_fingerprint,
     load_or_build,
+    read_store,
 )
 
 # ---------------------------------------------------------------------------
@@ -35,22 +37,68 @@ _IVF_LOCK = threading.Lock()
 _IVF_TABLES = ("cents", "assigned")
 
 
+def _pure_append_prior(spark: SparkSession, emb: DataFrame,
+                       store_dir: str, tables: tuple[str, ...],
+                       id_table: str, id_col: str,
+                       ) -> tuple[dict[str, DataFrame], DataFrame] | None:
+    """Incremental-ingest gate for the ANN durable stores: when the
+    store's committed version is a PURE-APPEND ancestor of ``emb`` —
+    every prior row still present byte-identical, proven by
+    re-fingerprinting the prior-id subset of the current corpus and
+    matching it against the committed version's own fingerprint (which
+    IS its dir name) — return ``(prior_frames, delta_rows)`` so the
+    builder can grow the index with frozen train-time artifacts
+    instead of re-encoding the corpus. Any edit, delete, or id reuse
+    flips the subset fingerprint and returns None (full retrain).
+    Cost of the gate: one semi-join + one fingerprint scan — far under
+    the re-encode it avoids."""
+    cv = committed_version(store_dir)
+    if cv is None:
+        return None
+    fp_prior, meta_tables = cv
+    if not set(tables) <= set(meta_tables):
+        return None
+    frames = read_store(spark, store_dir, fp_prior, tables)
+    prior_ids = frames[id_table].select(
+        F.col(id_col).alias("vec_id")).distinct()
+    base = emb.join(prior_ids, "vec_id", "semi")
+    if corpus_fingerprint(base, "vec_id", "embedding") != fp_prior:
+        return None
+    return frames, emb.join(prior_ids, "vec_id", "anti")
+
+
 def durable_ivf_index(spark: SparkSession, sf_dir: str, warehouse: str,
+                      ingest: bool = True,
                       ) -> tuple[tuple[DataFrame, DataFrame], bool]:
     """((cents, assigned), built) from the warehouse store: a fresh
     Spark application whose embeddings are unchanged reads the index
     back with zero recomputation; a corpus roll flips the fingerprint
-    and rebuilds (tests/test_durable_store.py)."""
+    and rebuilds (tests/test_durable_store.py). A PURE-APPEND roll
+    (``ingest=True``, gated by `_pure_append_prior`) rebuilds
+    incrementally: frozen centroids assign only the delta
+    (`S.ivf_ingest` — the FAISS add() contract), the new version's
+    assigned table is prior ∪ delta. Compute is ∝ delta; the version
+    write is IO-∝-corpus plain parquet (a partition-append table
+    format — the declared Delta path — would make the write ∝ delta
+    too)."""
     (emb,) = load(spark, sf_dir, "embeddings")
+    store_dir = os.path.join(warehouse, "ivf_index")
     fp = corpus_fingerprint(emb, "vec_id", "embedding")
 
     def build() -> dict[str, DataFrame]:
+        if ingest:
+            pa = _pure_append_prior(spark, emb, store_dir, _IVF_TABLES,
+                                    "assigned", "neighbor_id")
+            if pa is not None:
+                frames, delta = pa
+                return {"cents": frames["cents"],
+                        "assigned": S.ivf_ingest(
+                            frames["cents"], frames["assigned"], delta)}
         cents, assigned = S.build_ivf_index(emb)
         return {"cents": cents, "assigned": assigned}
 
-    frames, built = load_or_build(
-        spark, os.path.join(warehouse, "ivf_index"), fp,
-        _IVF_TABLES, build)
+    frames, built = load_or_build(spark, store_dir, fp,
+                                  _IVF_TABLES, build)
     return (frames["cents"], frames["assigned"]), built
 
 
@@ -331,13 +379,38 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_TABLES = ("codes", "books")
 
 
+def _books_of(bdf: DataFrame) -> list:
+    """Reconstruct the driver-literal nested codebook list from the
+    stored (subspace, code, ce) table — m*k tiny centroid rows."""
+    brows = bdf.collect()
+    m = 1 + max(r["subspace"] for r in brows)
+    books = [[None] * (1 + max(r["code"] for r in brows if
+                               r["subspace"] == j)) for j in range(m)]
+    for r in brows:
+        books[r["subspace"]][r["code"]] = list(r["ce"])
+    return books
+
+
 def durable_pq_index(spark: SparkSession, sf_dir: str, warehouse: str,
+                     ingest: bool = True,
                      ) -> tuple[tuple[DataFrame, list], bool]:
-    """((codes, codebooks), built) from the warehouse store."""
+    """((codes, codebooks), built) from the warehouse store. A
+    pure-append corpus roll (`_pure_append_prior`) encodes only the
+    delta with the FROZEN stored codebooks (`S.pq_ingest`); any edit
+    or delete falls back to a full retrain+re-encode."""
     (emb,) = load(spark, sf_dir, "embeddings")
+    store_dir = os.path.join(warehouse, "pq_index")
     fp = corpus_fingerprint(emb, "vec_id", "embedding")
 
     def build() -> dict[str, DataFrame]:
+        if ingest:
+            pa = _pure_append_prior(spark, emb, store_dir, _PQ_TABLES,
+                                    "codes", "vec_id")
+            if pa is not None:
+                frames, delta = pa
+                return {"codes": S.pq_ingest(frames["codes"], delta,
+                                             _books_of(frames["books"])),
+                        "books": frames["books"]}
         books = S.train_pq_codebooks(emb)
         codes = S.pq_encode(emb, books)
         rows = [(j, c, books[j][c])
@@ -346,15 +419,9 @@ def durable_pq_index(spark: SparkSession, sf_dir: str, warehouse: str,
             rows, "subspace int, code int, ce array<double>")
         return {"codes": codes, "books": bdf}
 
-    frames, built = load_or_build(
-        spark, os.path.join(warehouse, "pq_index"), fp, _PQ_TABLES, build)
-    brows = frames["books"].collect()  # m*k tiny centroid rows
-    m = 1 + max(r["subspace"] for r in brows)
-    books = [[None] * (1 + max(r["code"] for r in brows if
-                               r["subspace"] == j)) for j in range(m)]
-    for r in brows:
-        books[r["subspace"]][r["code"]] = list(r["ce"])
-    return (frames["codes"], books), built
+    frames, built = load_or_build(spark, store_dir, fp,
+                                  _PQ_TABLES, build)
+    return (frames["codes"], _books_of(frames["books"])), built
 
 
 def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,4 +438,29 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.where("vec_id < 10").selectExpr(
         "vec_id AS query_id", "embedding AS qe")
     return (S.ivfpq_topk(cents, assigned, codes, q, books, rerank=emb)
+            .orderBy("query_id", "rk"))
+
+
+def ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-roll path a production corpus lives on: train IVF+PQ
+    on the base 90% of the corpus, ingest the newest 10% with FROZEN
+    artifacts (`S.ivf_ingest` / `S.pq_ingest` — the FAISS add()
+    contract; zero base re-encoding), then IVF-PQ-probe ten DELTA
+    vectors against the grown index. Unregistered (approximate);
+    frozen-ingest == frozen-full-encode equivalence and delta
+    self-retrieval are tests/test_ann_ingest.py. Timing: base train +
+    base encode + delta ingest + probe — the honest roll cost."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    cut = int(emb.count() * 9) // 10
+    base = emb.where(F.col("vec_id") < cut)
+    delta = emb.where(F.col("vec_id") >= cut)
+    cents, assigned = S.build_ivf_index(base)
+    books = S.train_pq_codebooks(base)
+    codes = S.pq_encode(base, books)
+    grown_assigned = S.ivf_ingest(cents, assigned, delta)
+    grown_codes = S.pq_ingest(codes, delta, books)
+    q = (delta.orderBy("vec_id").limit(10)
+         .selectExpr("vec_id AS query_id", "embedding AS qe"))
+    return (S.ivfpq_topk(cents, grown_assigned, grown_codes, q, books,
+                         rerank=emb)
             .orderBy("query_id", "rk"))

@@ -129,6 +129,27 @@ def read_store(spark: SparkSession, store_dir: str, fingerprint: str,
             for t in tables}
 
 
+def committed_version(store_dir: str) -> tuple[str, list[str]] | None:
+    """(fingerprint, tables) the meta pointer currently commits, or None
+    when the store is empty/uncommitted. Lets an INCREMENTAL builder
+    read the prior version's tables and compute only the delta against
+    a rolled corpus (queries/similarity.py ANN ingest): the meta is the
+    snapshot pointer, so whatever it names is a complete, immutable
+    version — safe to read while a new version is being staged."""
+    try:
+        with open(_meta_path(store_dir)) as fh:
+            meta = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+    fp, tables = meta.get("fingerprint"), meta.get("tables", [])
+    if (not fp or meta.get("version") != STORE_VERSION
+            or not all(os.path.isdir(
+                os.path.join(_version_dir(store_dir, fp), t))
+                for t in tables)):
+        return None
+    return fp, list(tables)
+
+
 def _gc_old_versions(store_dir: str, current: str,
                      previous: str | None) -> None:
     """Keep the committed version plus the version the meta pointed at

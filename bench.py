@@ -78,6 +78,7 @@ HEADLINE = [
     "knn_rp_lsh",                    # unregistered sign-LSH ANN (EXTRA_FNS)
     "knn_pq",                        # unregistered PQ+rerank ANN (EXTRA_FNS)
     "knn_ivfpq",                     # unregistered IVF-PQ composition (EXTRA_FNS)
+    "ann_index_ingest",              # frozen-artifact index roll (EXTRA_FNS)
     "semantic_dedup_embeddings",     # unregistered SemDeDup (EXTRA_FNS)
     "rag_chunk_retrieval",           # unregistered chunk->embed->IVF (EXTRA_FNS)
     "embedding_neardup_pairs",
@@ -115,6 +116,7 @@ def _extra_fns():
         corpus_mixture_resample,
     )
     from aws_payment_data_lake_spark.queries.similarity import (
+        ann_index_ingest,
         knn_ivf_probe,
         knn_ivfpq,
         knn_pq,
@@ -137,6 +139,7 @@ def _extra_fns():
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
         "dedup_span_incremental": dedup_span_incremental,
         "dedup_span_removal": dedup_span_removal,
+        "ann_index_ingest": ann_index_ingest,
         "knn_ivf_probe": knn_ivf_probe,
         "knn_ivfpq": knn_ivfpq,
         "knn_pq": knn_pq,

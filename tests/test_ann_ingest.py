@@ -1,0 +1,160 @@
+"""Incremental ANN index ingest (the FAISS add() contract): a
+PURE-APPEND corpus roll grows the durable IVF/PQ stores with frozen
+train-time artifacts — compute ∝ delta — and any edit/delete falls back
+to a full retrain. Equivalence contract: frozen-ingest output ==
+one-pass frozen-artifact encode of the rolled corpus (deterministic
+argmax), NOT == a fresh retrain (whose sample would shift)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+
+from aws_payment_data_lake_spark.operators import similarity as S
+from aws_payment_data_lake_spark.queries.similarity import (
+    _books_of,
+    _pure_append_prior,
+    ann_index_ingest,
+    durable_ivf_index,
+    durable_pq_index,
+)
+from aws_payment_data_lake_spark.sources import load
+from aws_payment_data_lake_spark.sources.store import committed_version
+
+
+def _write_corpus(emb, path: str) -> str:
+    emb.coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(path, "embeddings.parquet"))
+    return path
+
+
+def _setup(spark, tmp_path):
+    """(base_dir, full_dir, cut): base = lowest-90%-of-ids subset of the
+    testdata embeddings, full = the whole table — a pure-append roll."""
+    (emb,) = load(spark, SF_DIR, "embeddings")
+    cut = int(emb.count() * 9) // 10
+    base_dir = _write_corpus(emb.where(F.col("vec_id") < cut),
+                             str(tmp_path / "corpus_base"))
+    full_dir = _write_corpus(emb, str(tmp_path / "corpus_full"))
+    return base_dir, full_dir, cut
+
+
+def _arows(assigned):
+    return sorted((r["neighbor_id"], r["cent_id"])
+                  for r in assigned.collect())
+
+
+def _crows(codes):
+    return sorted((r["vec_id"], tuple(r["codes"]))
+                  for r in codes.collect())
+
+
+def test_ivf_pure_append_ingests_with_frozen_centroids(spark, tmp_path):
+    base_dir, full_dir, cut = _setup(spark, tmp_path)
+    wh = str(tmp_path / "wh")
+
+    (cents1, assigned1), built1 = durable_ivf_index(spark, base_dir, wh)
+    assert built1
+    fp1, tables1 = committed_version(os.path.join(wh, "ivf_index"))
+    assert set(tables1) == {"cents", "assigned"}
+    base_rows = _arows(assigned1)
+
+    (cents2, assigned2), built2 = durable_ivf_index(spark, full_dir, wh)
+    assert built2  # corpus rolled -> new version
+    # frozen centroids: the grown index keeps version-1's centroid table
+    c1 = sorted((r["cent_id"], tuple(r["ce"])) for r in cents1.collect())
+    c2 = sorted((r["cent_id"], tuple(r["ce"])) for r in cents2.collect())
+    assert c1 == c2
+
+    # equivalence: ingest == one-pass frozen-centroid assignment of the
+    # rolled corpus (and the base rows are bit-identically preserved)
+    (full,) = load(spark, full_dir, "embeddings")
+    one_pass = S.assign_cells_blas(
+        cents2,
+        full.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("ne")), "neighbor_id", "ne")
+    got = _arows(assigned2)
+    assert got == _arows(one_pass)
+    assert [r for r in got if r[0] < cut] == base_rows
+    assert len(got) == full.count()
+
+
+def test_pq_pure_append_encodes_delta_with_frozen_books(spark, tmp_path):
+    base_dir, full_dir, cut = _setup(spark, tmp_path)
+    wh = str(tmp_path / "wh")
+
+    (codes1, books1), built1 = durable_pq_index(spark, base_dir, wh)
+    assert built1
+    base_code_rows = _crows(codes1)
+
+    (codes2, books2), built2 = durable_pq_index(spark, full_dir, wh)
+    assert built2
+    # frozen codebooks prove the ingest path ran: a retrain on the full
+    # corpus samples a different row set and moves the codewords
+    assert books2 == books1
+
+    got = _crows(codes2)
+    assert [r for r in got if r[0] < cut] == base_code_rows
+    (full,) = load(spark, full_dir, "embeddings")
+    delta = full.where(F.col("vec_id") >= cut)
+    assert ([r for r in got if r[0] >= cut]
+            == _crows(S.pq_encode(delta, books1)))
+
+
+def test_gate_rejects_edit_and_delete(spark, tmp_path):
+    base_dir, full_dir, cut = _setup(spark, tmp_path)
+    wh = str(tmp_path / "wh")
+    durable_ivf_index(spark, base_dir, wh)
+    store_dir = os.path.join(wh, "ivf_index")
+    (full,) = load(spark, full_dir, "embeddings")
+
+    # pure append passes the gate; delta is exactly the appended ids
+    pa = _pure_append_prior(spark, full, store_dir,
+                            ("cents", "assigned"), "assigned",
+                            "neighbor_id")
+    assert pa is not None
+    _, delta = pa
+    assert (sorted(r["vec_id"] for r in delta.collect())
+            == sorted(r["vec_id"] for r in
+                      full.where(F.col("vec_id") >= cut).collect()))
+
+    # edit of a BASE row's embedding flips the subset fingerprint
+    edited = full.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0,
+               F.transform("embedding", lambda x: x + F.lit(1.0)))
+        .otherwise(F.col("embedding")))
+    assert _pure_append_prior(spark, edited, store_dir,
+                              ("cents", "assigned"), "assigned",
+                              "neighbor_id") is None
+
+    # delete of a base row likewise forces a retrain
+    assert _pure_append_prior(spark, full.where(F.col("vec_id") != 1),
+                              store_dir, ("cents", "assigned"),
+                              "assigned", "neighbor_id") is None
+
+
+def test_ingested_delta_is_retrievable(spark, tmp_path):
+    """Plant an exact duplicate of the first DELTA vector as a new
+    max-id row; the grown IVF-PQ index must return it at rk=1 with
+    cosine 1.0 for that delta query — proof the ingested rows serve."""
+    (emb,) = load(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    cut = int(n * 9) // 10
+    first_delta = emb.where(F.col("vec_id") >= cut).orderBy("vec_id").first()
+    planted_id = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+    planted = emb.sparkSession.createDataFrame(
+        [(planted_id, list(first_delta["embedding"]),
+          first_delta["label"])], emb.schema)
+    corpus = _write_corpus(emb.unionByName(planted),
+                           str(tmp_path / "corpus_planted"))
+
+    res = ann_index_ingest(spark, corpus).collect()
+    top1 = {r["query_id"]: r for r in res if r["rk"] == 1}
+    q = int(first_delta["vec_id"])
+    assert q in top1
+    assert top1[q]["neighbor_id"] == planted_id
+    assert top1[q]["cos_sim"] == 1.0
