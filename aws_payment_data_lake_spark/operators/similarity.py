@@ -368,7 +368,12 @@ def ivf_probe_topk(cents: DataFrame, assigned: DataFrame,
     # expression evals per candidate; at sf1.0 the probe join emits ~50k
     # candidate rows).
     c = (
-        probes.join(assigned, "cent_id")
+        # probes is bounded (n_queries x n_probe rows) — broadcast it
+        # explicitly: stats on a window-over-crossJoin frame are
+        # unknown to Catalyst, and the size-based fallback is an SMJ
+        # shuffling the corpus-sized assigned table over ~K cent_id
+        # keys (a skew disaster at scale)
+        F.broadcast(probes).join(assigned, "cent_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .mapInPandas(_cosine_score_batches,
                      "query_id long, neighbor_id long, cos_sim double")
@@ -729,7 +734,10 @@ def _adc_rank(scored: DataFrame, qrows, k: int,
     qdf = spark.createDataFrame(
         [(int(r["query_id"]), list(r["qe"])) for r in qrows],
         "query_id long, qe array<double>")
-    exact = (cand.join(F.broadcast(qdf), "query_id")
+    # cand is bounded (k*rerank_factor rows per query over a small
+    # query batch) — broadcast it into the corpus-sized rerank join
+    # rather than betting on stats the window output doesn't have
+    exact = (F.broadcast(cand.join(F.broadcast(qdf), "query_id"))
              .join(rerank.select(F.col("vec_id").alias("neighbor_id"),
                                  F.col("embedding").alias("ne")),
                    "neighbor_id")
@@ -811,7 +819,9 @@ def ivfpq_topk(cents: DataFrame, assigned: DataFrame, codes: DataFrame,
               .where(F.col("rk") <= n_probe)
               .select("query_id", "cent_id"))
 
-    cand = (probes
+    # probes broadcast for the same reason as ivf_probe_topk; the codes
+    # join stays a shuffle join — both sides are corpus-sized there
+    cand = (F.broadcast(probes)
             .join(assigned.select("cent_id", "neighbor_id"), "cent_id")
             .where(F.col("neighbor_id") != F.col("query_id"))
             .join(codes.withColumnRenamed("vec_id", "neighbor_id"),

@@ -133,6 +133,49 @@ def test_only_fixed_dims_hint_broadcast(spark, name, hinted):
     assert n_broadcasts == hinted, plan
 
 
+def test_ann_probe_joins_broadcast_the_bounded_side(spark):
+    """The ANN serving tiers must never rest on size-based broadcast
+    fallbacks: with autoBroadcastJoinThreshold disabled, every join of
+    a BOUNDED frame (probes = n_queries x n_probe rows; re-rank
+    candidates = k*factor per query) against a corpus-sized table
+    (assigned / codes / rerank embeddings) must still plan as a
+    broadcast join from the explicit hints. The fallback is an SMJ
+    shuffling the corpus over ~K cent_id keys — invisible at sf0.001,
+    a skew disaster at 100 TB."""
+    import re as _re
+
+    from aws_payment_data_lake_spark.queries.similarity import (
+        knn_ivf_probe,
+        knn_ivfpq,
+    )
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plans = {}
+        for name, fn in [("ivf", knn_ivf_probe), ("ivfpq", knn_ivfpq)]:
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                fn(spark, SF_DIR).explain("formatted")
+            plans[name] = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+    # ivf: probes->assigned (no re-rank tier there); ivfpq: probes->
+    # assigned + query-vectors->candidates + candidates->rerank
+    for name, want_bhj in [("ivf", 1), ("ivfpq", 3)]:
+        plan = plans[name]
+        assert "CartesianProduct" not in plan, name
+        n_bhj = len(_re.findall(r"\(\d+\) BroadcastHashJoin", plan))
+        assert n_bhj >= want_bhj, (name, plan)
+    # ivf probe path: NO corpus-sized shuffle join anywhere
+    assert "SortMergeJoin" not in plans["ivf"], plans["ivf"]
+    # ivfpq: exactly the candidates<->codes join shuffles (both sides
+    # corpus-sized there — broadcasting either would be the bug)
+    n_smj = len(_re.findall(r"\(\d+\) SortMergeJoin", plans["ivfpq"]))
+    assert n_smj == 1, plans["ivfpq"]
+
+
 def test_span_dedup_detection_single_wide_shuffle(spark):
     """ExactSubstr detection (round 7): the occurrence stream must hit
     exactly ONE gh-keyed exchange (the window count+row_number share
