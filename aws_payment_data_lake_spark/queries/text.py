@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from aws_payment_data_lake_spark.functions import MERSENNE_P, word_ngrams_upto
 from aws_payment_data_lake_spark.operators.chunking import chunk_documents
 from aws_payment_data_lake_spark.operators.mixture import mixture_resample
+from aws_payment_data_lake_spark.operators.quota import source_quota_cap
 from aws_payment_data_lake_spark.operators.packing import (
     pack_training_shards,
 )
@@ -143,6 +144,20 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Per-source quota caps (the RefinedWeb/C4 per-domain cap, variant
+# 'quota' below): bounded driver literals shared by the Spark plan and
+# the oracle CASE expression. Chosen to exercise every decision band
+# at the driver SFs: src1's zero cap drops a whole source, src2's
+# oversized cap keeps one windowlessly, src0's tiny cap and the
+# default cut mid-histogram (with score ties at the cutoff).
+QUOTA_CAPS = {"src0": 2, "src1": 0, "src2": 30}
+QUOTA_DEFAULT_CAP = 7
+_QUOTA_CAP_CASE = ("CASE source "
+                   + " ".join(f"WHEN '{s}' THEN {c}"
+                              for s, c in sorted(QUOTA_CAPS.items()))
+                   + f" ELSE {QUOTA_DEFAULT_CAP} END")
+
+
 @register(
     "text_train_test_split",
     oracle=f"""
@@ -195,6 +210,18 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS group_idx,
            source AS label
     FROM mc WHERE n_copies > 0
+    UNION ALL
+    SELECT 'quota' AS variant, doc_id, score AS n_tokens,
+           cap AS group_idx,
+           CASE WHEN rk <= cap THEN 'keep' ELSE 'drop' END AS label
+    FROM (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS score,
+             CAST({_QUOTA_CAP_CASE} AS BIGINT) AS cap,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rk
+      FROM documents)
     ORDER BY variant, doc_id, group_idx
     """,
     tags=("text", "split", "sampling", "packing", "mixture"),
@@ -242,6 +269,20 @@ def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                        oracle embeds the identical 2^60-scale literals,
                        so the hash check is exact, not statistical.
 
+      variant='quota'  operators.quota.source_quota_cap: the RefinedWeb/
+                       C4 per-domain cap — at most cap(source) docs kept
+                       per source, preferring high token count, doc_id
+                       tiebreak. The ENGINE plan has no corpus-wide
+                       window: a per-(source, score) histogram finds
+                       each source's cutoff, docs above it are kept
+                       windowlessly, and only the cutoff tie group is
+                       ranked (operators/quota.py has the scale
+                       rationale). The oracle states the SAME contract
+                       as a naive row_number — the hash match certifies
+                       the two plans agree decision-for-decision.
+                       n_tokens = the score, group_idx = the source's
+                       cap, label = keep/drop.
+
     All variants are one scan + (for pack only) one shuffle by stream
     and a windowed cumsum — no driver loop, the shape that holds at any
     corpus size."""
@@ -287,8 +328,16 @@ def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("copy_idx").cast("long").alias("group_idx"),
         F.col("source").alias("label"),
     )
+    quota_rows = source_quota_cap(
+        docs, QUOTA_CAPS, QUOTA_DEFAULT_CAP).select(
+        F.lit("quota").alias("variant"),
+        "doc_id",
+        F.col("score").alias("n_tokens"),
+        F.col("cap").alias("group_idx"),
+        F.when(F.col("kept"), "keep").otherwise("drop").alias("label"),
+    )
     return (split_rows.unionByName(pack_rows).unionByName(chunk_rows)
-            .unionByName(mix_rows)
+            .unionByName(mix_rows).unionByName(quota_rows)
             .orderBy("variant", "doc_id", "group_idx"))
 
 
