@@ -13,6 +13,7 @@ from aws_payment_data_lake_spark.queries import register
 from aws_payment_data_lake_spark.sources import load
 from aws_payment_data_lake_spark.telemetry import timed_store_build
 from aws_payment_data_lake_spark.sources.store import (
+    AppendFrom,
     committed_version,
     corpus_fingerprint,
     load_or_build,
@@ -40,15 +41,16 @@ _IVF_TABLES = ("cents", "assigned")
 def _pure_append_prior(spark: SparkSession, emb: DataFrame,
                        store_dir: str, tables: tuple[str, ...],
                        id_table: str, id_col: str,
-                       ) -> tuple[dict[str, DataFrame], DataFrame] | None:
+                       ) -> tuple[dict[str, DataFrame], DataFrame,
+                                  str] | None:
     """Incremental-ingest gate for the ANN durable stores: when the
     store's committed version is a PURE-APPEND ancestor of ``emb`` —
     every prior row still present byte-identical, proven by
     re-fingerprinting the prior-id subset of the current corpus and
     matching it against the committed version's own fingerprint (which
-    IS its dir name) — return ``(prior_frames, delta_rows)`` so the
-    builder can grow the index with frozen train-time artifacts
-    instead of re-encoding the corpus. Any edit, delete, id reuse, or
+    IS its dir name) — return ``(prior_frames, delta_rows,
+    prior_fingerprint)`` so the builder can grow the index with frozen
+    train-time artifacts instead of re-encoding the corpus. Any edit, delete, id reuse, or
     below-prior-max interleaved append flips the subset fingerprint
     and returns None (full retrain). Cost of the gate: one id-column
     scan + one fingerprint scan, zero shuffles — far under the
@@ -75,7 +77,7 @@ def _pure_append_prior(spark: SparkSession, emb: DataFrame,
     base = emb.where(F.col("vec_id") <= prior_max)
     if corpus_fingerprint(base, "vec_id", "embedding") != fp_prior:
         return None
-    return frames, emb.where(F.col("vec_id") > prior_max)
+    return frames, emb.where(F.col("vec_id") > prior_max), fp_prior
 
 
 def durable_ivf_index(spark: SparkSession, sf_dir: str, warehouse: str,
@@ -86,25 +88,34 @@ def durable_ivf_index(spark: SparkSession, sf_dir: str, warehouse: str,
     back with zero recomputation; a corpus roll flips the fingerprint
     and rebuilds (tests/test_durable_store.py). A PURE-APPEND roll
     (``ingest=True``, gated by `_pure_append_prior`) rebuilds
-    incrementally: frozen centroids assign only the delta
-    (`S.ivf_ingest` — the FAISS add() contract), the new version's
-    assigned table is prior ∪ delta. Compute is ∝ delta; the version
-    write is IO-∝-corpus plain parquet (a partition-append table
-    format — the declared Delta path — would make the write ∝ delta
-    too)."""
+    incrementally: frozen centroids assign only the delta (the FAISS
+    add() contract), and the new version's assigned table is the
+    delta's part files plus HARDLINKS to the prior version's
+    (sources/store.py:AppendFrom) — both compute AND write IO are
+    ∝ delta, the file-reference move a manifest-based table format
+    makes on append."""
     (emb,) = load(spark, sf_dir, "embeddings")
     store_dir = os.path.join(warehouse, "ivf_index")
     fp = corpus_fingerprint(emb, "vec_id", "embedding")
 
-    def build() -> dict[str, DataFrame]:
+    def build() -> dict:
         if ingest:
             pa = _pure_append_prior(spark, emb, store_dir, _IVF_TABLES,
                                     "assigned", "neighbor_id")
             if pa is not None:
-                frames, delta = pa
+                frames, delta, fp_prior = pa
+                # materialize ONLY the delta's assignments; the new
+                # version's table directory hardlinks the prior part
+                # files (AppendFrom) — write IO ∝ delta, the manifest
+                # move a table format makes on append
+                new_rows = S.assign_cells_blas(
+                    frames["cents"],
+                    delta.select(F.col("vec_id").alias("neighbor_id"),
+                                 F.col("embedding").alias("ne")),
+                    "neighbor_id", "ne")
                 return {"cents": frames["cents"],
-                        "assigned": S.ivf_ingest(
-                            frames["cents"], frames["assigned"], delta)}
+                        "assigned": AppendFrom(new_rows, os.path.join(
+                            store_dir, fp_prior, "assigned"))}
         cents, assigned = S.build_ivf_index(emb)
         return {"cents": cents, "assigned": assigned}
 
@@ -413,14 +424,15 @@ def durable_pq_index(spark: SparkSession, sf_dir: str, warehouse: str,
     store_dir = os.path.join(warehouse, "pq_index")
     fp = corpus_fingerprint(emb, "vec_id", "embedding")
 
-    def build() -> dict[str, DataFrame]:
+    def build() -> dict:
         if ingest:
             pa = _pure_append_prior(spark, emb, store_dir, _PQ_TABLES,
                                     "codes", "vec_id")
             if pa is not None:
-                frames, delta = pa
-                return {"codes": S.pq_ingest(frames["codes"], delta,
-                                             _books_of(frames["books"])),
+                frames, delta, fp_prior = pa
+                return {"codes": AppendFrom(
+                            S.pq_encode(delta, _books_of(frames["books"])),
+                            os.path.join(store_dir, fp_prior, "codes")),
                         "books": frames["books"]}
         books = S.train_pq_codebooks(emb)
         codes = S.pq_encode(emb, books)

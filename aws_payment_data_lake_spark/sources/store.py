@@ -49,6 +49,7 @@ import re
 import shutil
 import uuid
 from collections.abc import Callable
+from dataclasses import dataclass
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -171,8 +172,44 @@ def _gc_old_versions(store_dir: str, current: str,
         pass
 
 
+@dataclass(frozen=True)
+class AppendFrom:
+    """A builder's declaration that a table's new version is the PRIOR
+    version's content plus ``delta`` rows: write_store materializes
+    only the delta as new part files and HARDLINKS the prior version's
+    data files into the new table directory (a parquet directory is
+    just its part files — the link set plus the delta IS the union).
+    This is the file-reference move a manifest-based table format
+    makes on append: the new snapshot lists old files + new files, no
+    data is rewritten, and GC of the old version directory only
+    unlinks names (the shared bytes live until the last version
+    referencing them goes). On object stores without hard links this
+    degrades to a server-side copy (shutil.copy2 fallback here);
+    the honest fix there is the declared Delta upgrade path."""
+
+    delta: DataFrame
+    prior_table_dir: str
+
+
+def _link_prior_files(prior_dir: str, dest_dir: str) -> None:
+    """Hardlink the prior version's parquet DATA files into dest (the
+    freshly written delta dir). Spark part-file names embed a per-write
+    UUID, so collisions with the delta's files cannot happen; marker
+    files (_SUCCESS etc.) are skipped. Falls back to copy2 when the
+    filesystem refuses links."""
+    for name in os.listdir(prior_dir):
+        if name.startswith("_") or name.startswith("."):
+            continue
+        src = os.path.join(prior_dir, name)
+        dst = os.path.join(dest_dir, name)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
+
 def write_store(store_dir: str, fingerprint: str,
-                frames: dict[str, DataFrame]) -> None:
+                frames: dict[str, DataFrame | AppendFrom]) -> None:
     """Materialize ``frames`` as parquet tables under a NEW version dir
     named by the fingerprint; the meta commit marker is written to a
     temp name and renamed into place LAST. The version dir itself is
@@ -186,8 +223,12 @@ def write_store(store_dir: str, fingerprint: str,
         staging = os.path.join(store_dir, f".build-{uuid.uuid4().hex}")
         try:
             for name, df in frames.items():
-                df.write.mode("overwrite").parquet(
-                    os.path.join(staging, name))
+                tdir = os.path.join(staging, name)
+                if isinstance(df, AppendFrom):
+                    df.delta.write.mode("overwrite").parquet(tdir)
+                    _link_prior_files(df.prior_table_dir, tdir)
+                else:
+                    df.write.mode("overwrite").parquet(tdir)
             try:
                 os.rename(staging, vdir)
             except OSError:
@@ -208,8 +249,12 @@ def write_store(store_dir: str, fingerprint: str,
         # next consumer retries).
         for name, df in frames.items():
             if not os.path.isdir(os.path.join(vdir, name)):
-                df.write.mode("overwrite").parquet(
-                    os.path.join(vdir, name))
+                tdir = os.path.join(vdir, name)
+                if isinstance(df, AppendFrom):
+                    df.delta.write.mode("overwrite").parquet(tdir)
+                    _link_prior_files(df.prior_table_dir, tdir)
+                else:
+                    df.write.mode("overwrite").parquet(tdir)
     _commit_meta(store_dir, fingerprint, sorted(frames))
 
 
@@ -261,7 +306,7 @@ def load_or_build(spark: SparkSession, store_dir: str, fingerprint: str,
         BUILD_EVENTS.append((store_dir, fingerprint))
         for df in frames.values():
             try:
-                df.unpersist()
+                (df.delta if isinstance(df, AppendFrom) else df).unpersist()
             except Exception:
                 pass
         return read_store(spark, store_dir, fingerprint, tables), True

@@ -81,6 +81,24 @@ def test_ivf_pure_append_ingests_with_frozen_centroids(spark, tmp_path):
     assert [r for r in got if r[0] < cut] == base_rows
     assert len(got) == full.count()
 
+    # write IO ∝ delta: the rolled version's table directory HARDLINKS
+    # the prior version's part files (shared inodes) and adds only the
+    # delta's new files (sources/store.py:AppendFrom)
+    store_dir = os.path.join(wh, "ivf_index")
+    fp2, _ = committed_version(store_dir)
+    assert fp2 != fp1
+
+    def _data_inodes(vdir_fp):
+        d = os.path.join(store_dir, vdir_fp, "assigned")
+        return {os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d)
+                if not f.startswith(("_", "."))}
+
+    prior_inodes = _data_inodes(fp1)
+    new_inodes = _data_inodes(fp2)
+    assert prior_inodes <= new_inodes        # prior files linked, not copied
+    assert new_inodes - prior_inodes         # plus fresh delta part files
+
 
 def test_pq_pure_append_encodes_delta_with_frozen_books(spark, tmp_path):
     base_dir, full_dir, cut = _setup(spark, tmp_path)
@@ -116,7 +134,7 @@ def test_gate_rejects_edit_and_delete(spark, tmp_path):
                             ("cents", "assigned"), "assigned",
                             "neighbor_id")
     assert pa is not None
-    _, delta = pa
+    _, delta, _ = pa
     assert (sorted(r["vec_id"] for r in delta.collect())
             == sorted(r["vec_id"] for r in
                       full.where(F.col("vec_id") >= cut).collect()))
