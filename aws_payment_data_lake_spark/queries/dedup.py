@@ -20,8 +20,11 @@ from aws_payment_data_lake_spark.queries import register
 from aws_payment_data_lake_spark.sources import load
 from aws_payment_data_lake_spark.telemetry import timed_store_build
 from aws_payment_data_lake_spark.sources.store import (
+    AppendFrom,
+    committed_version,
     corpus_fingerprint,
     load_or_build,
+    read_store,
 )
 
 # ---------------------------------------------------------------------------
@@ -365,18 +368,51 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def durable_span_index(spark: SparkSession, corpus: DataFrame,
-                       warehouse: str) -> tuple[DataFrame, bool]:
+                       warehouse: str,
+                       ingest: bool = True) -> tuple[DataFrame, bool]:
     """(win_index, built): the stored distinct-window-hash table of
     ``corpus`` (operators/dedup.span_window_index) under the same
     warehouse contract as every other store — the suffix-array
-    analogue a rolling ExactSubstr pipeline keeps between batches."""
-    fp = corpus_fingerprint(corpus, "doc_id", "text")
+    analogue a rolling ExactSubstr pipeline keeps between batches.
 
-    def build() -> dict[str, DataFrame]:
+    A PURE-APPEND corpus roll (``ingest=True``) grows the index
+    incrementally, the ANN-store pattern (queries/similarity.py): the
+    gate cuts join-free at the prior commit's max doc_id (recorded in
+    the store meta — the win table itself holds only hashes) and
+    re-fingerprints the base subset against the prior version's own
+    fingerprint; on a match, only the DELTA docs are windowed, new
+    hashes are anti-joined against the prior index (the win table's
+    distinctness contract — incremental-probe consumers join it, and
+    duplicate gh rows would fan their matches out), and the new
+    version's table is the delta part files plus hardlinks to the
+    prior version's (AppendFrom — write IO ∝ delta too). Any edit,
+    delete, or below-max append retrains from scratch."""
+    fp = corpus_fingerprint(corpus, "doc_id", "text")
+    store_dir = os.path.join(warehouse, "span_index")
+
+    def build() -> dict:
+        if ingest:
+            cv = committed_version(store_dir)
+            if cv is not None:
+                fp_prior, tables, extras = cv
+                pm = extras.get("max_doc_id")
+                if pm is not None and "win" in tables:
+                    base = corpus.where(F.col("doc_id") <= pm)
+                    if corpus_fingerprint(
+                            base, "doc_id", "text") == fp_prior:
+                        prior = read_store(spark, store_dir, fp_prior,
+                                           ("win",))["win"]
+                        delta = D.span_window_index(
+                            corpus.where(F.col("doc_id") > pm))
+                        return {"win": AppendFrom(
+                            delta.join(prior, "gh", "left_anti"),
+                            os.path.join(store_dir, fp_prior, "win"))}
         return {"win": D.span_window_index(corpus)}
 
     frames, built = load_or_build(
-        spark, os.path.join(warehouse, "span_index"), fp, ("win",), build)
+        spark, store_dir, fp, ("win",), build,
+        extras=lambda: {
+            "max_doc_id": corpus.agg(F.max("doc_id")).first()[0]})
     return frames["win"], built
 
 

@@ -58,7 +58,7 @@ def _pure_append_prior(spark: SparkSession, emb: DataFrame,
     cv = committed_version(store_dir)
     if cv is None:
         return None
-    fp_prior, meta_tables = cv
+    fp_prior, meta_tables, _ = cv
     if not set(tables) <= set(meta_tables):
         return None
     frames = read_store(spark, store_dir, fp_prior, tables)

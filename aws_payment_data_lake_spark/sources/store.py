@@ -130,13 +130,17 @@ def read_store(spark: SparkSession, store_dir: str, fingerprint: str,
             for t in tables}
 
 
-def committed_version(store_dir: str) -> tuple[str, list[str]] | None:
-    """(fingerprint, tables) the meta pointer currently commits, or None
-    when the store is empty/uncommitted. Lets an INCREMENTAL builder
-    read the prior version's tables and compute only the delta against
-    a rolled corpus (queries/similarity.py ANN ingest): the meta is the
+def committed_version(store_dir: str
+                      ) -> tuple[str, list[str], dict] | None:
+    """(fingerprint, tables, extras) the meta pointer currently
+    commits, or None when the store is empty/uncommitted. Lets an
+    INCREMENTAL builder read the prior version's tables and compute
+    only the delta against a rolled corpus (queries/similarity.py ANN
+    ingest, queries/dedup.py span-index roll): the meta is the
     snapshot pointer, so whatever it names is a complete, immutable
-    version — safe to read while a new version is being staged."""
+    version — safe to read while a new version is being staged.
+    ``extras`` is the small builder-declared metadata dict recorded at
+    commit (e.g. the corpus max id the pure-append gate cuts at)."""
     try:
         with open(_meta_path(store_dir)) as fh:
             meta = json.load(fh)
@@ -148,7 +152,7 @@ def committed_version(store_dir: str) -> tuple[str, list[str]] | None:
                 os.path.join(_version_dir(store_dir, fp), t))
                 for t in tables)):
         return None
-    return fp, list(tables)
+    return fp, list(tables), dict(meta.get("extras") or {})
 
 
 def _gc_old_versions(store_dir: str, current: str,
@@ -209,7 +213,8 @@ def _link_prior_files(prior_dir: str, dest_dir: str) -> None:
 
 
 def write_store(store_dir: str, fingerprint: str,
-                frames: dict[str, DataFrame | AppendFrom]) -> None:
+                frames: dict[str, DataFrame | AppendFrom],
+                extras: dict | None = None) -> None:
     """Materialize ``frames`` as parquet tables under a NEW version dir
     named by the fingerprint; the meta commit marker is written to a
     temp name and renamed into place LAST. The version dir itself is
@@ -255,11 +260,11 @@ def write_store(store_dir: str, fingerprint: str,
                     _link_prior_files(df.prior_table_dir, tdir)
                 else:
                     df.write.mode("overwrite").parquet(tdir)
-    _commit_meta(store_dir, fingerprint, sorted(frames))
+    _commit_meta(store_dir, fingerprint, sorted(frames), extras)
 
 
 def _commit_meta(store_dir: str, fingerprint: str,
-                 tables: list[str]) -> None:
+                 tables: list[str], extras: dict | None = None) -> None:
     try:  # the version readers were on until this commit — GC-protected
         with open(_meta_path(store_dir)) as fh:
             previous = json.load(fh).get("fingerprint")
@@ -268,7 +273,7 @@ def _commit_meta(store_dir: str, fingerprint: str,
     tmp = _meta_path(store_dir) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"fingerprint": fingerprint, "version": STORE_VERSION,
-                   "tables": tables}, fh)
+                   "tables": tables, "extras": extras or {}}, fh)
     os.replace(tmp, _meta_path(store_dir))
     _gc_old_versions(store_dir, fingerprint, previous)
 
@@ -276,6 +281,7 @@ def _commit_meta(store_dir: str, fingerprint: str,
 def load_or_build(spark: SparkSession, store_dir: str, fingerprint: str,
                   tables: tuple[str, ...],
                   build: Callable[[], dict[str, DataFrame]],
+                  extras: dict | Callable[[], dict] | None = None,
                   ) -> tuple[dict[str, DataFrame], bool]:
     """The store contract: return ``tables`` read from ``store_dir`` if
     the stored fingerprint matches (zero recomputation), else run
@@ -286,11 +292,20 @@ def load_or_build(spark: SparkSession, store_dir: str, fingerprint: str,
 
     A corpus roll-BACK to a still-retained version (GC keeps
     current+prior) repoints the meta without building: built=False,
-    zero recomputation."""
+    zero recomputation.
+
+    ``extras`` (dict, or a zero-arg callable evaluated only when a
+    commit actually happens — so a fresh-store hit never pays for it)
+    is recorded in the meta and surfaced by `committed_version`; used
+    by pure-append ingest gates to remember e.g. the corpus max id."""
+
+    def _extras() -> dict | None:
+        return extras() if callable(extras) else extras
+
     if not store_is_fresh(store_dir, fingerprint, tables):
         vdir = _version_dir(store_dir, fingerprint)
         if all(os.path.isdir(os.path.join(vdir, t)) for t in tables):
-            _commit_meta(store_dir, fingerprint, sorted(tables))
+            _commit_meta(store_dir, fingerprint, sorted(tables), _extras())
             return read_store(spark, store_dir, fingerprint, tables), False
         # "warehouse:" prefix keeps the durable build separable from a
         # session-tier wrapper that may enclose this call under the
@@ -302,7 +317,7 @@ def load_or_build(spark: SparkSession, store_dir: str, fingerprint: str,
             if missing:
                 raise ValueError(
                     f"builder did not produce {sorted(missing)}")
-            write_store(store_dir, fingerprint, frames)
+            write_store(store_dir, fingerprint, frames, _extras())
         BUILD_EVENTS.append((store_dir, fingerprint))
         for df in frames.values():
             try:

@@ -58,7 +58,7 @@ def test_ivf_pure_append_ingests_with_frozen_centroids(spark, tmp_path):
 
     (cents1, assigned1), built1 = durable_ivf_index(spark, base_dir, wh)
     assert built1
-    fp1, tables1 = committed_version(os.path.join(wh, "ivf_index"))
+    fp1, tables1, _ = committed_version(os.path.join(wh, "ivf_index"))
     assert set(tables1) == {"cents", "assigned"}
     base_rows = _arows(assigned1)
 
@@ -85,7 +85,7 @@ def test_ivf_pure_append_ingests_with_frozen_centroids(spark, tmp_path):
     # the prior version's part files (shared inodes) and adds only the
     # delta's new files (sources/store.py:AppendFrom)
     store_dir = os.path.join(wh, "ivf_index")
-    fp2, _ = committed_version(store_dir)
+    fp2, _, _ = committed_version(store_dir)
     assert fp2 != fp1
 
     def _data_inodes(vdir_fp):
@@ -153,6 +153,56 @@ def test_gate_rejects_edit_and_delete(spark, tmp_path):
     assert _pure_append_prior(spark, full.where(F.col("vec_id") != 1),
                               store_dir, ("cents", "assigned"),
                               "assigned", "neighbor_id") is None
+
+
+def test_span_index_pure_append_roll(spark, tmp_path):
+    """The span window index rolls the same way: delta docs windowed,
+    new hashes anti-joined, prior part files hardlinked — and the
+    distinctness contract survives the roll (exact multiset equality
+    with a from-scratch build). An edited base doc flips the gate and
+    the rebuilt version shares no files with the prior one."""
+    from aws_payment_data_lake_spark.operators import dedup as D
+    from aws_payment_data_lake_spark.queries.dedup import (
+        durable_span_index,
+    )
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    cut = int(docs.count() * 9) // 10
+    base = docs.where(F.col("doc_id") < cut)
+    wh = str(tmp_path / "wh")
+    store_dir = os.path.join(wh, "span_index")
+
+    idx1, b1 = durable_span_index(spark, base, wh)
+    assert b1
+    fp1, _, extras1 = committed_version(store_dir)
+    assert extras1["max_doc_id"] == base.agg(F.max("doc_id")).first()[0]
+
+    idx2, b2 = durable_span_index(spark, docs, wh)
+    assert b2
+    fp2, _, _ = committed_version(store_dir)
+    want = sorted(r["gh"] for r in
+                  D.span_window_index(docs).collect())
+    assert sorted(r["gh"] for r in idx2.collect()) == want  # multiset!
+
+    def _inodes(fp):
+        d = os.path.join(store_dir, fp, "win")
+        return {os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if not f.startswith(("_", "."))}
+
+    assert _inodes(fp1) <= _inodes(fp2)
+
+    # edit a BASE doc -> gate rejects -> full rebuild, no shared files
+    edited = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 0,
+                       F.concat(F.col("text"), F.lit(" zz")))
+        .otherwise(F.col("text")))
+    idx3, b3 = durable_span_index(spark, edited, wh)
+    assert b3
+    fp3, _, _ = committed_version(store_dir)
+    assert not (_inodes(fp3) & _inodes(fp2))
+    assert (sorted(r["gh"] for r in idx3.collect())
+            == sorted(r["gh"] for r in
+                      D.span_window_index(edited).collect()))
 
 
 def test_ingested_delta_is_retrievable(spark, tmp_path):
