@@ -362,6 +362,37 @@ def lsh_candidate_pairs(sigs: DataFrame,
     return expand(cold).union(big_pairs).distinct()
 
 
+def lsh_delta_candidates(delta_sigs: DataFrame,
+                         all_sigs: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) band-bucket candidate pairs with at
+    least one side in the DELTA — exactly cands(all) minus cands(prior)
+    when the delta's doc ids follow the prior corpus's (prior-prior
+    pairs are unreachable through a delta side; band hashing is per-doc,
+    so prior buckets are unchanged). The durable pairs store's
+    pure-append roll appends these to the prior candidate table
+    (queries/dedup.py). The delta-banded side is batch-sized and
+    broadcast; a hot CORPUS bucket fans out only against the delta's
+    rows in that bucket, so per-task work is |delta ∩ bucket| x
+    |bucket| — delta-bounded, no salting tier needed (a delta carrying
+    its own hot bucket is a retrain-scale event, not an append)."""
+    bands = F.array(*[
+        F.xxhash64(F.lit(j), F.col(f"sig{2 * j}"), F.col(f"sig{2 * j + 1}"))
+        for j in range(N_BANDS)
+    ])
+
+    def banded(sigs: DataFrame, out: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(out),
+            F.posexplode(bands).alias("band_idx", "band_hash"))
+
+    return (F.broadcast(banded(delta_sigs, "d_id"))
+            .join(banded(all_sigs, "o_id"), ["band_idx", "band_hash"])
+            .where(F.col("d_id") != F.col("o_id"))
+            .select(F.least("d_id", "o_id").alias("doc_a"),
+                    F.greatest("d_id", "o_id").alias("doc_b"))
+            .distinct())
+
+
 def shingle_sig_tables(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> tuple[DataFrame, DataFrame]:
     """Persisted (shingles, signatures) intermediates shared across the

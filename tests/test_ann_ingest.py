@@ -205,6 +205,60 @@ def test_span_index_pure_append_roll(spark, tmp_path):
                       D.span_window_index(edited).collect()))
 
 
+def test_minhash_stores_pure_append_roll(spark, tmp_path):
+    """The MinHash family rolls incrementally too: sh/sigs are per-doc
+    (delta-only compute, hardlink append); cands/verified append
+    exactly the pairs with a delta side (lsh_delta_candidates); comp
+    is recomputed from the unioned pair graph (a new edge can merge
+    old components — the one genuinely global table). Equality
+    contract: every rolled table matches a from-scratch full build
+    EXACTLY (multisets)."""
+    from aws_payment_data_lake_spark.queries.dedup import (
+        durable_base_tables,
+        durable_pairs_tables,
+    )
+
+    # the documents sf_dir must be a real dir: write base/full corpora
+    (docs,) = load(spark, SF_DIR, "documents")
+    cut = int(docs.count() * 9) // 10
+    base_dir = str(tmp_path / "c_base")
+    full_dir = str(tmp_path / "c_full")
+    docs.where(F.col("doc_id") < cut).coalesce(2).write.parquet(
+        os.path.join(base_dir, "documents.parquet"))
+    docs.coalesce(2).write.parquet(
+        os.path.join(full_dir, "documents.parquet"))
+
+    wh_roll = str(tmp_path / "wh_roll")
+    wh_scratch = str(tmp_path / "wh_scratch")
+
+    (sh0, sigs0), b0 = durable_base_tables(spark, base_dir, wh_roll)
+    assert b0
+    _, pb0 = durable_pairs_tables(spark, base_dir, wh_roll)
+    assert pb0
+
+    (shr, sigsr), b1 = durable_base_tables(spark, full_dir, wh_roll)
+    assert b1
+    (cr, vr, compr), b2 = durable_pairs_tables(spark, full_dir, wh_roll)
+    assert b2
+
+    (shf, sigsf), _ = durable_base_tables(spark, full_dir, wh_scratch,
+                                          ingest=False)
+    (cf, vf, compf), _ = durable_pairs_tables(spark, full_dir,
+                                              wh_scratch, ingest=False)
+
+    def rows(df, *cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    assert rows(sigsr, "doc_id", "sig0", "n_sh") == \
+        rows(sigsf, "doc_id", "sig0", "n_sh")
+    assert rows(shr, "doc_id", "h60") == rows(shf, "doc_id", "h60")
+    assert rows(cr, "doc_a", "doc_b") == rows(cf, "doc_a", "doc_b")
+    assert rows(vr, "doc_a", "doc_b", "jaccard") == \
+        rows(vf, "doc_a", "doc_b", "jaccard")
+    assert rows(compr, "doc_id", "canonical_doc_id", "group_size") == \
+        rows(compf, "doc_id", "canonical_doc_id", "group_size")
+
+
 def test_ingested_delta_is_retrievable(spark, tmp_path):
     """Plant an exact duplicate of the first DELTA vector as a new
     max-id row; the grown IVF-PQ index must return it at rk=1 with
