@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import threading
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from aws_payment_data_lake_spark.operators.lm_quality import (
@@ -30,8 +31,10 @@ from aws_payment_data_lake_spark.operators.lm_quality import (
 )
 from aws_payment_data_lake_spark.sources import load
 from aws_payment_data_lake_spark.sources.store import (
+    committed_version,
     corpus_fingerprint,
     load_or_build,
+    read_store,
 )
 from aws_payment_data_lake_spark.telemetry import timed_store_build
 
@@ -42,18 +45,56 @@ _LM_TABLES = ("uni", "big", "totals")
 
 def durable_lm_tables(
         spark: SparkSession, sf_dir: str, warehouse: str,
+        ingest: bool = True,
 ) -> tuple[tuple[DataFrame, DataFrame, DataFrame], bool]:
-    """((uni, big, totals), built) from the warehouse store."""
+    """((uni, big, totals), built) from the warehouse store.
+
+    PURE-APPEND roll (the store-family contract, gated like
+    queries/dedup.py's span index via the meta `extras` max-id — no
+    LM table carries doc ids): n-gram counts are ADDITIVE and bigrams
+    never cross document boundaries, so the rolled model is the prior
+    count tables MERGED with counts over the delta docs only —
+    compute ∝ delta tokens plus a vocab-sized merge shuffle (≪ corpus
+    tokens), exact at the durable tier's no-prune default (a pruned
+    prior table would have dropped rows a merge can't resurrect —
+    this tier never prunes). Counts change per key, so the tables are
+    REWRITTEN (no hardlink append — correct, not an omission)."""
     (docs,) = load(spark, sf_dir, "documents")
     fp = corpus_fingerprint(docs, "doc_id", "text")
+    store_dir = os.path.join(warehouse, "bigram_lm")
 
     def build() -> dict[str, DataFrame]:
+        if ingest:
+            cv = committed_version(store_dir)
+            if cv is not None:
+                fp_prior, tables, extras = cv
+                pm = extras.get("max_doc_id")
+                if pm is not None and set(_LM_TABLES) <= set(tables):
+                    base = docs.where(F.col("doc_id") <= pm)
+                    if corpus_fingerprint(
+                            base, "doc_id", "text") == fp_prior:
+                        prior = read_store(spark, store_dir, fp_prior,
+                                           _LM_TABLES)
+                        du, db, _ = train_bigram_lm(
+                            docs.where(F.col("doc_id") > pm))
+                        uni = (prior["uni"].unionByName(du)
+                               .groupBy("w")
+                               .agg(F.sum("c_w").alias("c_w")))
+                        big = (prior["big"].unionByName(db)
+                               .groupBy("prev", "w")
+                               .agg(F.sum("c_bg").alias("c_bg")))
+                        totals = uni.agg(
+                            F.count("*").alias("V"),
+                            F.sum("c_w").cast("long").alias("T"))
+                        return {"uni": uni, "big": big,
+                                "totals": totals}
         uni, big, totals = train_bigram_lm(docs)
         return {"uni": uni, "big": big, "totals": totals}
 
     frames, built = load_or_build(
-        spark, os.path.join(warehouse, "bigram_lm"), fp,
-        _LM_TABLES, build)
+        spark, store_dir, fp, _LM_TABLES, build,
+        extras=lambda: {
+            "max_doc_id": docs.agg(F.max("doc_id")).first()[0]})
     return (frames["uni"], frames["big"], frames["totals"]), built
 
 

@@ -40,8 +40,11 @@ from aws_payment_data_lake_spark.operators.multimodal import (
 )
 from aws_payment_data_lake_spark.sources import load
 from aws_payment_data_lake_spark.sources.store import (
+    AppendFrom,
+    committed_version,
     corpus_fingerprint,
     load_or_build,
+    read_store,
 )
 from aws_payment_data_lake_spark.telemetry import timed_store_build
 
@@ -88,20 +91,58 @@ _CHUNK_TABLES = ("emb", "cents", "assigned")
 
 def durable_chunk_index(
         spark: SparkSession, sf_dir: str, warehouse: str,
+        ingest: bool = True,
 ) -> tuple[tuple[DataFrame, DataFrame, DataFrame], bool]:
-    """((emb, cents, assigned), built) from the warehouse store."""
+    """((emb, cents, assigned), built) from the warehouse store.
+
+    PURE-APPEND roll (the store-family contract; gate via the meta
+    `extras` max doc id — chunk vec_ids encode provenance but the
+    extras channel is the uniform mechanism): chunking and the stub
+    embedder are per-doc, so only the DELTA docs are chunked+embedded;
+    the frozen prior centroids assign the new chunks (the FAISS add()
+    contract, queries/similarity.py); emb and assigned hardlink the
+    prior version's part files (AppendFrom). Any edit/delete retrains."""
     (docs,) = load(spark, sf_dir, "documents")
     fp = corpus_fingerprint(docs, "doc_id", "text")
+    store_dir = os.path.join(warehouse, "rag_chunk_index")
 
-    def build() -> dict[str, DataFrame]:
+    def build() -> dict:
+        if ingest:
+            cv = committed_version(store_dir)
+            if cv is not None:
+                fp_prior, tables, extras = cv
+                pm = extras.get("max_doc_id")
+                if pm is not None and set(_CHUNK_TABLES) <= set(tables):
+                    base = docs.where(F.col("doc_id") <= pm)
+                    if corpus_fingerprint(
+                            base, "doc_id", "text") == fp_prior:
+                        prior = read_store(spark, store_dir, fp_prior,
+                                           _CHUNK_TABLES)
+                        emb_d = chunk_embeddings(
+                            docs.where(F.col("doc_id") > pm)).persist()
+                        emb_d.count()
+                        asg_d = S.assign_cells_blas(
+                            prior["cents"],
+                            emb_d.select(
+                                F.col("vec_id").alias("neighbor_id"),
+                                F.col("embedding").alias("ne")),
+                            "neighbor_id", "ne")
+                        vdir = os.path.join(store_dir, fp_prior)
+                        return {
+                            "emb": AppendFrom(
+                                emb_d, os.path.join(vdir, "emb")),
+                            "cents": prior["cents"],
+                            "assigned": AppendFrom(
+                                asg_d, os.path.join(vdir, "assigned"))}
         emb = chunk_embeddings(docs).persist()
         emb.count()  # one Arrow pass feeds both k-means and the write
         cents, assigned = S.build_ivf_index(emb)
         return {"emb": emb, "cents": cents, "assigned": assigned}
 
     frames, built = load_or_build(
-        spark, os.path.join(warehouse, "rag_chunk_index"), fp,
-        _CHUNK_TABLES, build)
+        spark, store_dir, fp, _CHUNK_TABLES, build,
+        extras=lambda: {
+            "max_doc_id": docs.agg(F.max("doc_id")).first()[0]})
     return (frames["emb"], frames["cents"], frames["assigned"]), built
 
 

@@ -259,6 +259,81 @@ def test_minhash_stores_pure_append_roll(spark, tmp_path):
         rows(compf, "doc_id", "canonical_doc_id", "group_size")
 
 
+def _write_docs_corpora(spark, tmp_path):
+    (docs,) = load(spark, SF_DIR, "documents")
+    cut = int(docs.count() * 9) // 10
+    base_dir = str(tmp_path / "d_base")
+    full_dir = str(tmp_path / "d_full")
+    docs.where(F.col("doc_id") < cut).coalesce(2).write.mode(
+        "overwrite").parquet(os.path.join(base_dir, "documents.parquet"))
+    docs.coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(full_dir, "documents.parquet"))
+    return base_dir, full_dir, cut
+
+
+def test_lm_store_pure_append_merges_counts(spark, tmp_path):
+    """Bigram-LM counts are additive and bigrams never cross doc
+    boundaries: the rolled model (prior counts merged with delta-doc
+    counts) must equal a full retrain exactly — every unigram count,
+    every bigram count, V and T."""
+    from aws_payment_data_lake_spark.queries.lm import durable_lm_tables
+
+    base_dir, full_dir, _ = _write_docs_corpora(spark, tmp_path)
+    wh_roll = str(tmp_path / "wh_roll")
+    wh_full = str(tmp_path / "wh_full")
+
+    _, b0 = durable_lm_tables(spark, base_dir, wh_roll)
+    assert b0
+    (unir, bigr, totr), b1 = durable_lm_tables(spark, full_dir, wh_roll)
+    assert b1
+    (unif, bigf, totf), _ = durable_lm_tables(spark, full_dir, wh_full,
+                                              ingest=False)
+
+    def rows(df, *cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    assert rows(unir, "w", "c_w") == rows(unif, "w", "c_w")
+    assert rows(bigr, "prev", "w", "c_bg") == rows(bigf, "prev", "w", "c_bg")
+    assert rows(totr, "V", "T") == rows(totf, "V", "T")
+
+
+def test_chunk_index_pure_append_roll(spark, tmp_path):
+    """RAG chunk index roll: delta docs chunked+embedded only, frozen
+    prior centroids assign the new chunks, emb/assigned hardlink the
+    prior part files. emb must equal a from-scratch chunking of the
+    full corpus; assigned must equal a one-pass frozen-cents
+    assignment of that emb."""
+    from aws_payment_data_lake_spark.queries.rag import (
+        chunk_embeddings,
+        durable_chunk_index,
+    )
+
+    base_dir, full_dir, _ = _write_docs_corpora(spark, tmp_path)
+    wh = str(tmp_path / "wh")
+
+    (e1, c1, a1), b0 = durable_chunk_index(spark, base_dir, wh)
+    assert b0
+    (e2, c2, a2), b1 = durable_chunk_index(spark, full_dir, wh)
+    assert b1
+
+    # frozen centroids survived the roll
+    crows = lambda c: sorted(  # noqa: E731
+        (r["cent_id"], tuple(r["ce"])) for r in c.collect())
+    assert crows(c2) == crows(c1)
+
+    (docs,) = load(spark, full_dir, "documents")
+    want_emb = sorted((r["vec_id"], tuple(r["embedding"]))
+                      for r in chunk_embeddings(docs).collect())
+    assert sorted((r["vec_id"], tuple(r["embedding"]))
+                  for r in e2.collect()) == want_emb
+
+    one_pass = S.assign_cells_blas(
+        c2, e2.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("ne")),
+        "neighbor_id", "ne")
+    assert _arows(a2) == _arows(one_pass)
+
+
 def test_ingested_delta_is_retrievable(spark, tmp_path):
     """Plant an exact duplicate of the first DELTA vector as a new
     max-id row; the grown IVF-PQ index must return it at rk=1 with
