@@ -90,7 +90,8 @@ HEADLINE = [
     "sql_daily_totals",
     "sql_status_funnel",             # unregistered SQL twin (EXTRA_FNS)
     "streaming_windows_live",        # round 2: all 3 live streams merged
-    "jsonl_events_roundtrip",
+    "jsonl_events_roundtrip",        # r7: + ORC + Python DataSource variants
+    "pysource_payments",             # unregistered sf-scaled source (EXTRA_FNS)
     "udtf_order_quarters",
     "corpus_curation_decisions",
     "corpus_source_report",          # unregistered per-source dashboard (EXTRA_FNS)
@@ -135,7 +136,11 @@ def _extra_fns():
         session_window_events,
         tumbling_window_events,
     )
+    from aws_payment_data_lake_spark.queries.jsonl_source import (
+        pysource_payments,
+    )
     return {
+        "pysource_payments": pysource_payments,
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
         "dedup_span_incremental": dedup_span_incremental,
         "dedup_span_removal": dedup_span_removal,
