@@ -72,6 +72,7 @@ HEADLINE = [
     "text_decontamination",          # unregistered 8-gram gate (EXTRA_FNS)
     "text_decontamination_scrub",    # unregistered 8-13-gram span scrub (EXTRA_FNS)
     "lm_perplexity_quality",         # unregistered CCNet-style LM gate (EXTRA_FNS)
+    "quality_model_filter",          # unregistered learned MLlib gate (EXTRA_FNS)
     "corpus_mixture_resample",       # unregistered epoch mixing (EXTRA_FNS)
     "knn_brute_force",
     "knn_ivf_probe",                 # unregistered approx path (EXTRA_FNS)
@@ -139,8 +140,12 @@ def _extra_fns():
     from aws_payment_data_lake_spark.queries.jsonl_source import (
         pysource_payments,
     )
+    from aws_payment_data_lake_spark.queries.quality import (
+        quality_model_filter,
+    )
     return {
         "pysource_payments": pysource_payments,
+        "quality_model_filter": quality_model_filter,
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
         "dedup_span_incremental": dedup_span_incremental,
         "dedup_span_removal": dedup_span_removal,
