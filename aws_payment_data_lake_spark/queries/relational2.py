@@ -185,3 +185,75 @@ def rolling_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("sum_1h"))
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 plan shape (customer order-count distribution): LEFT
+    join customers to a FILTERED orders side (so zero-order customers
+    survive with count 0), per-customer count, then a count-of-counts
+    histogram — two aggregations stacked on one outer join, the
+    double-grouping shape none of the other queries exercise.
+
+    Unregistered (the 50-slot driver registry is pinned); DuckDB parity
+    asserted in tests/test_queries_extra.py.
+
+    Scale shape: the orders side is pre-filtered AND pre-aggregated to
+    (o_custkey, cnt) BEFORE the outer join — the join input shrinks from
+    O(orders) rows to O(customers), and the second groupBy runs on the
+    tiny histogram domain. A naive left join of raw orders then one wide
+    groupBy would shuffle the full fact table; this plan shuffles it
+    once for the pre-aggregation and never again."""
+    cust, orders = load(spark, sf_dir, "customer", "orders")
+    per_cust = (orders.where(F.col("o_orderpriority") != "1-URGENT")
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("c_count")))
+    counts = (cust.join(per_cust,
+                        cust.c_custkey == per_cust.o_custkey, "left")
+              .select(F.coalesce("c_count", F.lit(0)).alias("c_count")))
+    return (counts.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .orderBy(F.desc("n_customers"), F.desc("c_count")))
+
+
+def slow_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 plan shape (suppliers who alone delayed a multi-supplier
+    order): for each slow line (shipped >90 days after the order date),
+    keep it iff the order HAS lines from another supplier (EXISTS -> a
+    semi-join) and NO other supplier's line in the order was also slow
+    (NOT EXISTS -> an anti-join) — the stacked correlated-exists shape
+    on the same fact table, which decorelates into semi + anti joins on
+    (orderkey, suppkey-mismatch) predicates.
+
+    The testdata's lineitem has no commitdate/receiptdate, so the Q21
+    'late' predicate is re-based on l_shipdate vs o_orderdate + 90 days
+    (reference columns: TPC-H spec Q21; same plan, different literal).
+
+    Unregistered; DuckDB parity in tests/test_queries_extra.py.
+
+    Scale shape: both existence probes are aggregations of the SAME
+    pre-shuffled (l_orderkey)-keyed frame (any-other-supplier /
+    any-other-slow-supplier as bool_or over a groupBy), so the whole
+    query is ONE shuffle of the slim (orderkey, suppkey, slow) columns
+    plus broadcast-size joins back — not three self-joins of lineitem,
+    which is how a literal EXISTS/NOT-EXISTS translation would run."""
+    orders, li, supp = load(spark, sf_dir, "orders", "lineitem", "supplier")
+    lines = (li.join(orders.select("o_orderkey", "o_orderdate"),
+                     li.l_orderkey == F.col("o_orderkey"))
+             .select("l_orderkey", "l_suppkey",
+                     (F.col("l_shipdate")
+                      > F.date_add("o_orderdate", 90)).alias("slow")))
+    # one pass per order: which suppliers appear, which were slow
+    per_order = (lines.groupBy("l_orderkey")
+                 .agg(F.collect_set("l_suppkey").alias("supps"),
+                      F.collect_set(F.when(F.col("slow"),
+                                           F.col("l_suppkey")))
+                      .alias("slow_supps")))
+    blamed = (per_order
+              .where(F.size("slow_supps") == 1)
+              .where(F.size("supps") >= 2)
+              .select(F.element_at("slow_supps", 1).alias("s_suppkey")))
+    return (blamed.groupBy("s_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_blamed_orders"))
+            .join(supp.select("s_suppkey", "s_name"), "s_suppkey")
+            .select("s_name", "n_blamed_orders")
+            .orderBy(F.desc("n_blamed_orders"), "s_name"))

@@ -55,6 +55,8 @@ HEADLINE = [
     "trade_flows_by_nation_year",
     "returned_revenue_by_customer",
     "brand_market_share",
+    "order_count_histogram",         # unregistered Q13 shape (EXTRA_FNS)
+    "slow_supplier_blame",           # unregistered Q21 shape (EXTRA_FNS)
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -143,7 +145,13 @@ def _extra_fns():
     from aws_payment_data_lake_spark.queries.quality import (
         quality_model_filter,
     )
+    from aws_payment_data_lake_spark.queries.relational2 import (
+        order_count_histogram,
+        slow_supplier_blame,
+    )
     return {
+        "order_count_histogram": order_count_histogram,
+        "slow_supplier_blame": slow_supplier_blame,
         "pysource_payments": pysource_payments,
         "quality_model_filter": quality_model_filter,
         "dedup_shingle_jaccard": dedup_shingle_jaccard,

@@ -361,3 +361,55 @@ def test_text_repetition_profile_flags_loopy_doc(spark):
         assert rows[(2, n)]["dup_frac"] == 0.0, rows[(2, n)]
     # the dominant bigram covers ~half of all bigram positions
     assert rows[(1, 2)]["top_frac"] > 0.45
+
+
+def test_order_count_histogram_matches_duckdb(spark, duck):
+    """Q13 shape: pre-aggregated outer join + count-of-counts histogram
+    equals the literal LEFT JOIN ... GROUP BY GROUP BY SQL."""
+    from aws_payment_data_lake_spark.queries.relational2 import (
+        order_count_histogram,
+    )
+
+    status = compare_spark_duck(
+        order_count_histogram(spark, SF_DIR), duck, """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS n_customers
+        FROM (
+          SELECT c.c_custkey, coalesce(o.cnt, 0) AS c_count
+          FROM customer c LEFT JOIN (
+            SELECT o_custkey, count(*) AS cnt FROM orders
+            WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey) o
+          ON c.c_custkey = o.o_custkey)
+        GROUP BY c_count ORDER BY n_customers DESC, c_count DESC
+        """)
+    assert not status, "; ".join(status)
+
+
+def test_slow_supplier_blame_matches_duckdb(spark, duck):
+    """Q21 shape: the one-shuffle bool_or/collect_set plan returns
+    exactly the rows of the literal stacked EXISTS / NOT EXISTS SQL."""
+    from aws_payment_data_lake_spark.queries.relational2 import (
+        slow_supplier_blame,
+    )
+
+    status = compare_spark_duck(
+        slow_supplier_blame(spark, SF_DIR), duck, """
+        WITH lines AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS slow
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_blamed_orders
+        FROM (
+          SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+          FROM lines l1
+          WHERE l1.slow
+            AND EXISTS (SELECT 1 FROM lines l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lines l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey AND l3.slow)
+        ) b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+        ORDER BY n_blamed_orders DESC, s_name
+        """)
+    assert not status, "; ".join(status)
