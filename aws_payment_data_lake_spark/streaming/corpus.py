@@ -193,3 +193,23 @@ def finalize_training_shards(spark: SparkSession, chunk_zone: str,
     return write_training_shards(
         chunks, shards_dir, token_budget=token_budget,
         n_streams=n_streams, id_col="chunk_uid")
+
+
+def quality_score_stream(docs_stream: DataFrame, model,
+                         threshold: float = 0.5) -> DataFrame:
+    """The learned quality gate (operators/quality_model.py) on a
+    stream: a BATCH-trained PipelineModel scores arriving documents —
+    the CCNet deployment twin of `lm_score_stream`, with the broadcast
+    weight vector in place of the count-table stream-static join.
+    Tokenize -> HashingTF -> logistic transform are all stateless
+    row-local maps, so the result stays an APPEND-mode stream with no
+    watermark and no state store; replayed micro-batches rescore to
+    bit-identical probabilities (the model is frozen). Training on a
+    stream is out by nature (LBFGS needs global passes) — exactly the
+    batch-train / stream-score split the module docstring describes
+    for the LM gate."""
+    from aws_payment_data_lake_spark.operators.quality_model import (
+        score_documents,
+    )
+
+    return score_documents(model, docs_stream, threshold=threshold)

@@ -174,3 +174,27 @@ def test_scrubbed_ingest_matches_batch_and_is_batching_independent(
     leftovers = (_window_occurrences(chunks, 25, "doc_id", "text", hash60)
                  .join(idx, "gh").count())
     assert leftovers == 0
+
+
+def test_quality_score_stream_matches_batch(spark):
+    """Scores from the learned quality gate on the arriving stream equal
+    the batch scores under the same frozen model — the model-based twin
+    of the LM-gate parity above (batch-train / stream-score). Stateless
+    map-only transform: runs in append mode, no watermark."""
+    import pyspark.sql.functions as F
+
+    import aws_payment_data_lake_spark.operators.quality_model as Q
+    from aws_payment_data_lake_spark.streaming.corpus import (
+        quality_score_stream,
+    )
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    lab = Q.weak_labels(docs, band=0.3)
+    model = Q.train_quality_model(lab.where(F.col("doc_id") % 2 == 0))
+    stream = quality_score_stream(read_document_stream(spark, DOCS), model)
+    got = run_available_now(stream, "t_quality_stream",
+                            output_mode="append")
+    want = Q.score_documents(model, docs)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
