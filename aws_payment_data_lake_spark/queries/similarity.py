@@ -457,3 +457,25 @@ def ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (S.ivfpq_topk(cents, grown_assigned, grown_codes, q, books,
                          rerank=emb)
             .orderBy("query_id", "rk"))
+
+
+def cluster_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling (operators/balance.py — the
+    SemDeDup/DataComp cluster-cap stage): cap each k-means cell of the
+    embedding space at 5% of the corpus (16 cells x 5% = a corpus-wide
+    80% budget, so over-dense cells actually shed), deterministic
+    hash-uniform within-cell preference. REUSES the session/durable
+    IVF quantizer (shared_ivf_index) — the balance pass adds only the
+    histogram cut on top of cells the ANN family already paid for, and
+    under a warehouse roll the frozen centroids keep old vectors'
+    decisions stable. Unregistered (k-means is iterative — no SQL
+    oracle); caps/equivalence/determinism in tests/test_balance.py."""
+    from aws_payment_data_lake_spark.operators.balance import (
+        cluster_balanced_sample,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    cents, _ = shared_ivf_index(spark, sf_dir)
+    cap = max(1, int(emb.count()) // 20)
+    return cluster_balanced_sample(emb, centroids=cents,
+                                   cap_per_cluster=cap)

@@ -83,6 +83,7 @@ HEADLINE = [
     "knn_ivfpq",                     # unregistered IVF-PQ composition (EXTRA_FNS)
     "ann_index_ingest",              # frozen-artifact index roll (EXTRA_FNS)
     "semantic_dedup_embeddings",     # unregistered SemDeDup (EXTRA_FNS)
+    "cluster_balance_sample",        # unregistered cluster-cap stage (EXTRA_FNS)
     "rag_chunk_retrieval",           # unregistered chunk->embed->IVF (EXTRA_FNS)
     "embedding_neardup_pairs",
     "multimodal_decode_stub",
@@ -121,6 +122,7 @@ def _extra_fns():
     )
     from aws_payment_data_lake_spark.queries.similarity import (
         ann_index_ingest,
+        cluster_balance_sample,
         knn_ivf_probe,
         knn_ivfpq,
         knn_pq,
@@ -150,6 +152,7 @@ def _extra_fns():
         slow_supplier_blame,
     )
     return {
+        "cluster_balance_sample": cluster_balance_sample,
         "order_count_histogram": order_count_histogram,
         "slow_supplier_blame": slow_supplier_blame,
         "pysource_payments": pysource_payments,
