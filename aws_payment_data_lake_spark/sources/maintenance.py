@@ -91,3 +91,68 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     n_after = len(spark.read.parquet(path).inputFiles())
     return {"files_before": len(files), "files_after": n_after,
             "bytes_total": total, "compacted": True}
+
+
+def forget_rows(spark: SparkSession, path: str, match_col: str,
+                match_values: list, partition_col: str) -> dict:
+    """Right-to-be-forgotten delete: remove every row whose
+    ``match_col`` is in ``match_values`` from a ``partition_col``-
+    partitioned parquet zone, REWRITING ONLY the partitions that
+    actually contain such rows.
+
+    The surgical part is the scale story: a GDPR erasure request
+    against a years-deep 100 TB zone must not rewrite the table. Pass 1
+    finds affected partitions with a predicate-pushed scan of just
+    (match_col, partition_col) — column-pruned, and the IN-list reaches
+    the parquet row-group filter. Pass 2 rewrites those partitions
+    minus the matching rows via dynamic partition overwrite, which
+    REPLACES only the partition directories it writes — untouched
+    partitions' files are never opened for write. (A table format would
+    log a delete vector instead; this is the plain-parquet equivalent,
+    same posture as compact_parquet_dir above.)
+
+    Replay-safe: a second run finds zero affected partitions and
+    rewrites nothing. Returns {"partitions_rewritten", "rows_deleted",
+    "rows_kept_in_rewritten"} for the erasure audit log.
+
+    Input rows are MATERIALIZED before the overwrite (the
+    self-referential-overwrite hazard: a lazy scan dangles once its
+    files are replaced — see module docstring)."""
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(path)
+    hit = F.col(match_col).isin(*match_values)
+    parts = [r[0] for r in (df.where(hit)
+                            .select(partition_col).distinct().collect())]
+    if not parts:
+        return {"partitions_rewritten": 0, "rows_deleted": 0,
+                "rows_kept_in_rewritten": 0}
+    affected = df.where(F.col(partition_col).isin(parts))
+    deleted = affected.where(hit).count()
+    keep = affected.where(~hit).localCheckpoint(eager=True)
+    kept = keep.count()
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # frame — a partition whose rows ALL matched writes nothing and its
+    # directory (still holding the to-be-forgotten rows) would survive.
+    # Those directories are removed explicitly.
+    kept_parts = {r[0] for r in
+                  keep.select(partition_col).distinct().collect()}
+    base = _local_path(path)
+    for p in parts:
+        if p not in kept_parts:
+            shutil.rmtree(os.path.join(base, f"{partition_col}={p}"),
+                          ignore_errors=True)
+    if kept:
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (keep.write.mode("overwrite").partitionBy(partition_col)
+             .parquet(path))
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev)
+    return {"partitions_rewritten": len(parts), "rows_deleted": deleted,
+            "rows_kept_in_rewritten": kept}
