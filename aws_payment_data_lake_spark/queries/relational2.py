@@ -257,3 +257,19 @@ def slow_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(supp.select("s_suppkey", "s_name"), "s_suppkey")
             .select("s_name", "n_blamed_orders")
             .orderBy(F.desc("n_blamed_orders"), "s_name"))
+
+
+def fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join over part names (operators/fuzzy.py — the
+    ED-Join/q-gram-count string-similarity join): every distinct
+    p_name pair within edit distance 2, blocked by occurrence-tagged
+    q-gram multiset overlap before any levenshtein runs. Unregistered;
+    brute-force parity (exact DP edit distance) and short-string /
+    repeated-gram edge cases in tests/test_fuzzy.py."""
+    from aws_payment_data_lake_spark.operators.fuzzy import (
+        string_similarity_join,
+    )
+
+    (part,) = load(spark, sf_dir, "part")
+    return (string_similarity_join(part, "p_name", max_ed=2)
+            .orderBy("s_a", "s_b"))

@@ -57,6 +57,7 @@ HEADLINE = [
     "brand_market_share",
     "order_count_histogram",         # unregistered Q13 shape (EXTRA_FNS)
     "slow_supplier_blame",           # unregistered Q21 shape (EXTRA_FNS)
+    "fuzzy_name_join",               # unregistered similarity join (EXTRA_FNS)
     "dedup_exact_groups",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -148,11 +149,13 @@ def _extra_fns():
         quality_model_filter,
     )
     from aws_payment_data_lake_spark.queries.relational2 import (
+        fuzzy_name_join,
         order_count_histogram,
         slow_supplier_blame,
     )
     return {
         "cluster_balance_sample": cluster_balance_sample,
+        "fuzzy_name_join": fuzzy_name_join,
         "order_count_histogram": order_count_histogram,
         "slow_supplier_blame": slow_supplier_blame,
         "pysource_payments": pysource_payments,
