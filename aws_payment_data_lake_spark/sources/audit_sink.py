@@ -1,0 +1,211 @@
+"""Custom Python Data Source SINK with a real commit protocol
+(write/commit/abort), plus the manifest-trusting reader that closes the
+exactly-once loop.
+
+The writer half of the Python Data Source API (SPARK-44076) is the
+part that demonstrates Spark's two-phase commit: every task stages its
+output under a write-scoped staging directory and returns a
+WriterCommitMessage (file, row count, content digest); the DRIVER then
+calls commit() once with all messages — only then does a `_MANIFEST
+.json` appear, naming exactly the committed files — or abort(), which
+removes the staging directory wholesale. Readers trust ONLY
+manifest-listed files, so:
+
+  * a failed/aborted write leaves no visible rows (staging is invisible
+    to the reader and deleted on abort);
+  * a task retried by Spark stages twice but is committed once (the
+    commit message names the one surviving attempt's file);
+  * the manifest lands via temp-file + atomic rename, the same
+    commit-marker posture as sources/store.py — crash before rename =
+    nothing committed, repeated work, never a partial read.
+
+`overwrite` replaces the manifest (old data files become unreferenced
+and are removed best-effort AFTER the new manifest is live); append
+mode unions the old manifest's file list with the new files.
+
+Format: JSON-lines data files (human-auditable — this sink's use case
+is audit/erasure logs, not bulk data; the parquet zones stay the bulk
+path), schema recorded in the manifest as DDL, per-file md5-sum
+digests so an auditor can verify file integrity offline. The digest
+combine is an order-independent sum mod 2^64 — task order never
+changes the recorded corpus digest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+SINK_NAME = "payments_audit"
+_MANIFEST = "_MANIFEST.json"
+_DIGEST_MOD = 2 ** 64
+
+
+def _row_digest(line: str) -> int:
+    return int.from_bytes(hashlib.md5(line.encode()).digest()[:8], "big")
+
+
+class _AuditCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int, digest: int) -> None:
+        self.filename = filename
+        self.n_rows = n_rows
+        self.digest = digest
+
+
+class _AuditWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema: StructType,
+                 overwrite: bool) -> None:
+        self.path = options["path"]
+        self.schema_ddl = schema.simpleString()
+        self.cols = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+        # one write-scoped staging dir, chosen on the DRIVER so every
+        # task of this write stages under the same root
+        self.write_id = uuid.uuid4().hex
+        self.staging = os.path.join(self.path, f".staging-{self.write_id}")
+
+    # -- executor side ----------------------------------------------------
+    def write(self, rows: Iterator) -> _AuditCommit:
+        os.makedirs(self.staging, exist_ok=True)
+        name = f"part-{self.write_id}-{uuid.uuid4().hex}.jsonl"
+        n, digest = 0, 0
+        tmp = os.path.join(self.staging, name)
+        with open(tmp, "w") as fh:
+            for row in rows:
+                d = row.asDict()
+                line = json.dumps({c: d[c] for c in self.cols},
+                                  sort_keys=True, default=str)
+                fh.write(line + "\n")
+                n += 1
+                digest = (digest + _row_digest(line)) % _DIGEST_MOD
+        return _AuditCommit(name, n, digest)
+
+    # -- driver side ------------------------------------------------------
+    def commit(self, messages) -> None:
+        files, total, digest = [], 0, 0
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(os.path.join(self.staging, m.filename),
+                       os.path.join(self.path, m.filename))
+            files.append({"file": m.filename, "n_rows": m.n_rows,
+                          "digest": m.digest})
+            total += m.n_rows
+            digest = (digest + m.digest) % _DIGEST_MOD
+        old_files: list[dict] = []
+        mpath = os.path.join(self.path, _MANIFEST)
+        try:
+            with open(mpath) as fh:
+                old = json.load(fh)
+            old_files = old.get("files", [])
+        except (OSError, json.JSONDecodeError):
+            old = None
+        if not self.overwrite and old is not None:
+            files = old_files + files
+            total += old.get("n_rows", 0)
+            digest = (digest + old.get("digest", 0)) % _DIGEST_MOD
+        tmp = mpath + f".tmp-{self.write_id}"
+        with open(tmp, "w") as fh:
+            json.dump({"schema": self.schema_ddl, "files": files,
+                       "n_rows": total, "digest": digest}, fh)
+        os.replace(tmp, mpath)  # the commit point
+        shutil.rmtree(self.staging, ignore_errors=True)
+        # sweep stale staging dirs from earlier ABORTED writes: abort()
+        # races still-running tasks, which can re-create their staging
+        # dir after the driver's rmtree. Strays are invisible to
+        # readers (manifest-trusting), so the next successful commit is
+        # the safe point to collect them — ours was just removed, and
+        # no other write can be live here (Spark serializes writes to
+        # one path per query; concurrent apps on one audit zone are out
+        # of contract, same single-writer posture as sources/store.py).
+        for d in os.listdir(self.path):
+            if d.startswith(".staging-"):
+                shutil.rmtree(os.path.join(self.path, d),
+                              ignore_errors=True)
+        if self.overwrite and old is not None:
+            kept = {f["file"] for f in files}
+            for f in old_files:  # unreference-then-delete, best effort
+                if f["file"] not in kept:
+                    try:
+                        os.remove(os.path.join(self.path, f["file"]))
+                    except OSError:
+                        pass
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class _AuditReadPartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class _AuditReader(DataSourceReader):
+    """Reads ONLY manifest-listed files — staged/orphaned files are
+    invisible, which is what makes the sink exactly-once."""
+
+    def __init__(self, options: dict, schema: StructType) -> None:
+        self.path = options["path"]
+        self.cols = [f.name for f in schema.fields]
+        try:
+            with open(os.path.join(self.path, _MANIFEST)) as fh:
+                self.files = [f["file"] for f in json.load(fh)["files"]]
+        except (OSError, json.JSONDecodeError, KeyError):
+            self.files = []
+
+    def partitions(self) -> list[InputPartition]:
+        return [_AuditReadPartition(os.path.join(self.path, f))
+                for f in self.files] or [_AuditReadPartition("")]
+
+    def read(self, partition: _AuditReadPartition) -> Iterator:
+        if not partition.path:
+            return
+        with open(partition.path) as fh:
+            for line in fh:
+                d = json.loads(line)
+                yield tuple(d[c] for c in self.cols)
+
+
+class PaymentsAuditDataSource(DataSource):
+    """`format("payments_audit")`: manifest-committed JSONL audit zone.
+    Writing requires a schema-carrying DataFrame; reading requires the
+    caller to pass the schema (`.schema(ddl)`) matching the manifest
+    (the engine's explicit-schema-at-scale rule — the manifest's
+    recorded DDL is the documentation)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return SINK_NAME
+
+    def writer(self, schema: StructType, overwrite: bool
+               ) -> DataSourceWriter:
+        return _AuditWriter(self.options, schema, overwrite)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _AuditReader(self.options, schema)
+
+
+def register_audit_sink(spark: SparkSession) -> None:
+    spark.dataSource.register(PaymentsAuditDataSource)
+
+
+def read_manifest(path: str) -> dict | None:
+    try:
+        with open(os.path.join(path, _MANIFEST)) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
