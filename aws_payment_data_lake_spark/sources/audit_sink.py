@@ -44,6 +44,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -73,10 +74,16 @@ class _AuditWriter(DataSourceWriter):
         self.schema_ddl = schema.simpleString()
         self.cols = [f.name for f in schema.fields]
         self.overwrite = overwrite
-        # one write-scoped staging dir, chosen on the DRIVER so every
-        # task of this write stages under the same root
         self.write_id = uuid.uuid4().hex
-        self.staging = os.path.join(self.path, f".staging-{self.write_id}")
+        # staging is a FIXED dot-dir (reader-invisible), not a
+        # write-scoped one: the streaming path instantiates the writer
+        # separately for the executor side (pickled, stages files) and
+        # the driver side (commits) — a per-instance staging name made
+        # the driver look in a directory no task wrote to. Filenames
+        # stay globally unique (instance write_id + per-task uuid), and
+        # the single-writer-per-path contract (module docstring) is
+        # what makes the shared dir safe.
+        self.staging = os.path.join(self.path, ".staging")
 
     # -- executor side ----------------------------------------------------
     def write(self, rows: Iterator) -> _AuditCommit:
@@ -123,19 +130,16 @@ class _AuditWriter(DataSourceWriter):
             json.dump({"schema": self.schema_ddl, "files": files,
                        "n_rows": total, "digest": digest}, fh)
         os.replace(tmp, mpath)  # the commit point
+        # sweep the staging dir: our files were just moved out; any
+        # leftovers are strays from earlier ABORTED writes (abort races
+        # still-running tasks, which can re-create staged files after
+        # the driver's cleanup). Strays are invisible to readers
+        # (manifest-trusting), so the next successful commit is the
+        # safe point to collect them — no other write can be live here
+        # (Spark serializes writes to one path per query; concurrent
+        # apps on one audit zone are out of contract, the same
+        # single-writer posture as sources/store.py).
         shutil.rmtree(self.staging, ignore_errors=True)
-        # sweep stale staging dirs from earlier ABORTED writes: abort()
-        # races still-running tasks, which can re-create their staging
-        # dir after the driver's rmtree. Strays are invisible to
-        # readers (manifest-trusting), so the next successful commit is
-        # the safe point to collect them — ours was just removed, and
-        # no other write can be live here (Spark serializes writes to
-        # one path per query; concurrent apps on one audit zone are out
-        # of contract, same single-writer posture as sources/store.py).
-        for d in os.listdir(self.path):
-            if d.startswith(".staging-"):
-                shutil.rmtree(os.path.join(self.path, d),
-                              ignore_errors=True)
         if self.overwrite and old is not None:
             kept = {f["file"] for f in files}
             for f in old_files:  # unreference-then-delete, best effort
@@ -195,6 +199,11 @@ class PaymentsAuditDataSource(DataSource):
                ) -> DataSourceWriter:
         return _AuditWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema: StructType,  # noqa: N802 (API name)
+                     overwrite: bool) -> "DataSourceStreamWriter":
+        # _AuditStreamWriter is defined below; resolved at call time
+        return _AuditStreamWriter(self.options, schema, overwrite)
+
     def reader(self, schema: StructType) -> DataSourceReader:
         return _AuditReader(self.options, schema)
 
@@ -209,3 +218,68 @@ def read_manifest(path: str) -> dict | None:
             return json.load(fh)
     except (OSError, json.JSONDecodeError):
         return None
+
+
+class _AuditStreamWriter(_AuditWriter, DataSourceStreamWriter):
+    """Micro-batch twin (DataSourceStreamWriter): same task-staged
+    files, but commit is keyed by BATCH ID and idempotent — the
+    manifest records which batch ids are already in, and a replayed
+    batch (structured streaming is at-least-once into foreach-style
+    sinks) is detected and discarded instead of double-appended. That
+    plus the atomic manifest rename gives exactly-once CONTENT from an
+    at-least-once delivery, the same argument as the batch-id-keyed
+    parquet appends in streaming/corpus.py, upgraded from
+    "idempotent overwrite" to "skip, don't rewrite"."""
+
+    def __init__(self, options: dict, schema: StructType,
+                 overwrite: bool) -> None:
+        _AuditWriter.__init__(self, options, schema, overwrite)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        mpath = os.path.join(self.path, _MANIFEST)
+        try:
+            with open(mpath) as fh:
+                old = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            old = {"schema": self.schema_ddl, "files": [],
+                   "n_rows": 0, "digest": 0, "batches": []}
+        if batchId in old.get("batches", []):
+            # replayed batch: its rows are already committed — drop the
+            # new attempt's staged files, keep the manifest untouched
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.staging, m.filename))
+                    except OSError:
+                        pass
+            return
+        files, total, digest = (list(old["files"]), old["n_rows"],
+                                old["digest"])
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(os.path.join(self.staging, m.filename),
+                       os.path.join(self.path, m.filename))
+            files.append({"file": m.filename, "n_rows": m.n_rows,
+                          "digest": m.digest, "batch_id": batchId})
+            total += m.n_rows
+            digest = (digest + m.digest) % _DIGEST_MOD
+        tmp = mpath + f".tmp-{self.write_id}-{batchId}"
+        with open(tmp, "w") as fh:
+            json.dump({"schema": self.schema_ddl, "files": files,
+                       "n_rows": total, "digest": digest,
+                       "batches": old.get("batches", []) + [batchId]},
+                      fh)
+        os.replace(tmp, mpath)
+        try:  # drop the staging dir when this batch emptied it
+            os.rmdir(self.staging)
+        except OSError:
+            pass
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.staging, m.filename))
+                except OSError:
+                    pass

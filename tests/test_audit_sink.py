@@ -96,7 +96,7 @@ def test_failed_write_commits_nothing(spark, tmp_path):
     # stray staging from the aborted write (abort races still-running
     # tasks) is reader-invisible and swept by the next commit
     _write(_df(spark, 30, 35), out, "append")
-    assert not glob.glob(os.path.join(out, ".staging-*"))
+    assert not glob.glob(os.path.join(out, ".staging"))
     assert _read(spark, out).count() == 35
 
 
@@ -104,3 +104,66 @@ def test_missing_manifest_reads_empty(spark, tmp_path):
     out = str(tmp_path / "nothing")
     os.makedirs(out)
     assert _read(spark, out).count() == 0
+
+
+def test_stream_write_exactly_once(spark, tmp_path):
+    """Micro-batch writes through the streaming sink: every batch id
+    committed once, content equals the batch source, and a REPLAYED
+    commit (same batch id — at-least-once delivery) is detected via the
+    manifest's batch registry and discarded instead of double-appended."""
+    import time
+
+    from pyspark.sql.types import StructType
+
+    from aws_payment_data_lake_spark.sources.audit_sink import (
+        _AuditCommit,
+        _AuditStreamWriter,
+    )
+    from aws_payment_data_lake_spark.sources.pydatasource import (
+        SOURCE_NAME as SYNTH,
+        read_payments,
+        register_payments_source,
+    )
+
+    register_payments_source(spark)
+    out = str(tmp_path / "audit_stream")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = (spark.readStream.format(SYNTH).option("n", "6000")
+           .option("rowsPerBatch", "2500").option("numPartitions", "3")
+           .load())
+    q = (sdf.writeStream.format(SINK_NAME).option("path", out)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            m = read_manifest(out)
+            if m and m["n_rows"] >= 6000:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    m = read_manifest(out)
+    assert m["n_rows"] == 6000
+    assert sorted(m["batches"]) == list(range(len(m["batches"])))
+    ddl = ("txn_id bigint, user_id bigint, amount_cents bigint, "
+           "currency string, status string, ts_us bigint")
+    back = (spark.read.format(SINK_NAME).schema(ddl)
+            .option("path", out).load())
+    batch = read_payments(spark, 6_000, 3)
+    assert back.exceptAll(batch).count() == 0
+    assert batch.exceptAll(back).count() == 0
+
+    # unit-level replay: re-commit an already-committed batch id with a
+    # fresh staged file — manifest must be unchanged, file discarded
+    import pyspark.sql.types as T
+
+    schema = StructType([T.StructField("txn_id", T.LongType())])
+    w = _AuditStreamWriter({"path": out}, schema, False)
+    os.makedirs(w.staging, exist_ok=True)
+    stray = "part-replayed-attempt.jsonl"
+    with open(os.path.join(w.staging, stray), "w") as fh:
+        fh.write('{"txn_id": 999999}\n')
+    before = read_manifest(out)
+    w.commit([_AuditCommit(stray, 1, 123)], batchId=0)
+    assert read_manifest(out) == before
+    assert not os.path.exists(os.path.join(out, stray))
