@@ -156,3 +156,28 @@ def forget_rows(spark: SparkSession, path: str, match_col: str,
                     "spark.sql.sources.partitionOverwriteMode", prev)
     return {"partitions_rewritten": len(parts), "rows_deleted": deleted,
             "rows_kept_in_rewritten": kept}
+
+
+def expire_partitions(spark: SparkSession, path: str,
+                      partition_col: str, keep_from: str) -> dict:
+    """Retention sweep: drop every ``partition_col=<value>`` directory
+    whose value sorts strictly below ``keep_from`` (ISO dates sort
+    lexically, so a date cutoff needs no parsing). The complement of
+    `forget_rows`: erasure keyed by TIME instead of identity, and
+    cheaper still — expiry is a directory unlink per partition, ZERO
+    data scanned or rewritten, because the partition layout already IS
+    the index (the same reason date-ranged reads prune). Hive-encoded
+    values are compared in their encoded (directory-name) form —
+    exactly what a date/int partition column yields.
+
+    Replay-safe (a second run finds nothing below the cutoff) and
+    crash-safe (each rmtree is independent; a partial sweep just
+    leaves fewer partitions for the retry). Returns audit counts."""
+    base = _local_path(path)
+    prefix = f"{partition_col}="
+    dropped = 0
+    for d in sorted(os.listdir(base)):
+        if d.startswith(prefix) and d[len(prefix):] < keep_from:
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            dropped += 1
+    return {"partitions_dropped": dropped}

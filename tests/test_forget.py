@@ -79,3 +79,26 @@ def test_forget_removes_fully_matching_partition(spark, zone):
     back = spark.read.parquet(zone)
     assert back.where(F.col("user_id") == 9).count() == 0
     assert back.count() == 8  # everything else intact (9 rows - 1)
+
+
+def test_expire_partitions(spark, zone):
+    """TTL sweep drops exactly the below-cutoff partition dirs, touches
+    no data otherwise, and replays as a no-op."""
+    from aws_payment_data_lake_spark.sources.maintenance import (
+        expire_partitions,
+    )
+
+    before = _file_state(zone)
+    res = expire_partitions(spark, zone, "d", "2026-01-03")
+    assert res == {"partitions_dropped": 2}
+    assert not os.path.isdir(os.path.join(zone, "d=2026-01-01"))
+    assert not os.path.isdir(os.path.join(zone, "d=2026-01-02"))
+    back = spark.read.parquet(zone)
+    assert {str(r["d"]) for r in back.select("d").distinct().collect()} \
+        == {"2026-01-03", "2026-01-04"}
+    after = _file_state(zone)
+    survivors = [p for p in before
+                 if "/d=2026-01-03/" in p or "/d=2026-01-04/" in p]
+    assert survivors and all(after[p] == before[p] for p in survivors)
+    assert expire_partitions(spark, zone, "d", "2026-01-03") \
+        == {"partitions_dropped": 0}
