@@ -160,14 +160,27 @@ class _AuditReadPartition(InputPartition):
 
 class _AuditReader(DataSourceReader):
     """Reads ONLY manifest-listed files — staged/orphaned files are
-    invisible, which is what makes the sink exactly-once."""
+    invisible, which is what makes the sink exactly-once.
+
+    Option ``fromBatch=<k>``: restrict to files committed by streaming
+    batch id >= k — a minimal change-data-feed over the manifest's
+    batch registry (an incremental consumer remembers the last batch id
+    it processed and reads only what landed since; batch-mode writes
+    carry no batch_id and are excluded under fromBatch)."""
 
     def __init__(self, options: dict, schema: StructType) -> None:
         self.path = options["path"]
         self.cols = [f.name for f in schema.fields]
+        from_batch = options.get("frombatch")  # option keys lowercased
         try:
             with open(os.path.join(self.path, _MANIFEST)) as fh:
-                self.files = [f["file"] for f in json.load(fh)["files"]]
+                entries = json.load(fh)["files"]
+            if from_batch is not None:
+                k = int(from_batch)
+                entries = [f for f in entries
+                           if f.get("batch_id") is not None
+                           and f["batch_id"] >= k]
+            self.files = [f["file"] for f in entries]
         except (OSError, json.JSONDecodeError, KeyError):
             self.files = []
 

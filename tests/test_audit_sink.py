@@ -167,3 +167,37 @@ def test_stream_write_exactly_once(spark, tmp_path):
     w.commit([_AuditCommit(stray, 1, 123)], batchId=0)
     assert read_manifest(out) == before
     assert not os.path.exists(os.path.join(out, stray))
+
+
+def test_from_batch_incremental_read(spark, tmp_path):
+    """fromBatch reads only files committed at batch id >= k — the
+    incremental-consumer contract over the manifest's batch registry."""
+    import pyspark.sql.types as T
+    from pyspark.sql.types import StructType
+
+    from aws_payment_data_lake_spark.sources.audit_sink import (
+        _AuditCommit,
+        _AuditStreamWriter,
+    )
+
+    out = str(tmp_path / "audit_cdf")
+    os.makedirs(out)
+    schema = StructType([T.StructField("id", T.LongType())])
+    w = _AuditStreamWriter({"path": out}, schema, False)
+    for batch_id, ids in enumerate([[1, 2], [3], [4, 5]]):
+        os.makedirs(w.staging, exist_ok=True)
+        name = f"part-b{batch_id}.jsonl"
+        with open(os.path.join(w.staging, name), "w") as fh:
+            for i in ids:
+                fh.write('{"id": %d}\n' % i)
+        w.commit([_AuditCommit(name, len(ids), 1)], batchId=batch_id)
+
+    def ids_from(k):
+        df = (spark.read.format(SINK_NAME).schema("id bigint")
+              .option("path", out).option("fromBatch", str(k)).load())
+        return sorted(r["id"] for r in df.collect())
+
+    assert ids_from(0) == [1, 2, 3, 4, 5]
+    assert ids_from(1) == [3, 4, 5]
+    assert ids_from(2) == [4, 5]
+    assert ids_from(3) == []
