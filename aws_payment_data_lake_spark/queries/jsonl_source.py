@@ -175,8 +175,13 @@ def pysource_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_payment_data_lake_spark.session import cpu_count
 
     pay = read_payments(spark, n, num_partitions=cpu_count())
+    # every aggregate map-side combinable (approx_count_distinct ships
+    # HLL sketches, not (group, user) pairs): the probe measured an
+    # exact countDistinct shuffling 43 MB of pair tuples for 2M rows,
+    # which benchmarked the dedup shuffle instead of the SOURCE — with
+    # sketches the shuffle is ~20 groups x a few KB per partition
     return (pay.groupBy("currency", "status")
             .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.countDistinct("user_id").alias("n_users"),
+                 F.approx_count_distinct("user_id").alias("n_users_approx"),
                  F.sum("amount_cents").alias("sum_cents"),
                  F.timestamp_micros(F.max("ts_us")).alias("last_ts")))

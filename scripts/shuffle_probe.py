@@ -45,7 +45,11 @@ DEFAULT = ("q1_pricing_summary,q5_local_supplier_volume,"
            "topk_orders_per_customer,dedup_exact_groups,"
            "dedup_minhash_lsh,text_repetition_profile,"
            "lm_perplexity_quality,knn_ivf_probe,corpus_source_report,"
-           "text_decontamination")
+           "text_decontamination,"
+           # round-7 additions
+           "quality_model_filter,fuzzy_name_join,cluster_balance_sample,"
+           "order_count_histogram,slow_supplier_blame,pysource_payments,"
+           "jsonl_events_roundtrip")
 
 
 def _stages(ui: str, app: str) -> dict[int, dict]:
