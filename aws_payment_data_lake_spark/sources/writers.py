@@ -17,7 +17,7 @@ import importlib.util
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-SUPPORTED_FORMATS = ("parquet", "delta")
+SUPPORTED_FORMATS = ("parquet", "delta", "txn")
 
 
 def delta_available() -> bool:
@@ -29,10 +29,21 @@ def delta_available() -> bool:
 
 def write_zone(df: DataFrame, path: str, mode: str = "overwrite",
                partition_col: str = "txn_date", fmt: str = "parquet",
-               files_per_partition: int | None = None) -> None:
+               files_per_partition: int | None = None,
+               txn_app: str | None = None,
+               txn_batch: int | None = None) -> None:
     """Partitioned zone sink (S5/S6/S7). Default is idempotent dynamic
     partition overwrite; pass mode="append" for reference parity (and
-    prefer fmt="delta" with it, where append is transactional).
+    prefer a transactional format with it).
+
+    ``fmt="txn"`` routes through the engine's OWN ACID format
+    (sources/txlog.py): appends become log commits — pass
+    (``txn_app``, ``txn_batch``) and a retried job SKIPS its replayed
+    append instead of duplicating rows, the exact failure the
+    reference's blind append has
+    (src/glue_jobs/etl_transactions_bronze.py:130). ``fmt="delta"``
+    remains the declared external-dependency path, gated on the
+    missing package.
 
     ``files_per_partition`` bounds output file count — the small-files
     control that matters at 100 TB: without it every shuffle task holding
@@ -52,6 +63,21 @@ def write_zone(df: DataFrame, path: str, mode: str = "overwrite",
         df = (df.withColumn("_file_salt", salt)
               .repartition(F.col(partition_col), F.col("_file_salt"))
               .drop("_file_salt"))
+    if fmt == "txn":
+        from aws_payment_data_lake_spark.sources.txlog import TxnTable
+
+        t = TxnTable(df.sparkSession, path)
+        if not t.exists():
+            t.create(df.limit(0), partition_by=[partition_col])
+        if mode == "append":
+            t.append(df, txn_app=txn_app, txn_batch=txn_batch,
+                     partition_by=[partition_col])
+        elif mode == "overwrite":
+            t.overwrite(df, partition_by=[partition_col])
+        else:
+            raise ValueError(f"fmt='txn' supports append/overwrite, "
+                             f"got mode={mode!r}")
+        return
     if fmt == "delta" and not delta_available():
         raise RuntimeError(
             "fmt='delta' requires the delta-spark package (pip install "
