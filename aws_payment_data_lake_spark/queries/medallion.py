@@ -24,23 +24,61 @@ _VALID_EVENT_TYPES = ("click", "view", "purchase", "signup")
 # (etl_transactions_bronze.py:61-80); at scale we aggregate with max_by
 # over a total ordering (ts, then unique event_id as tiebreak): one shuffle
 # with map-side partial aggregation, no per-key sort, deterministic.
+# Round 7 folds in the STORAGE-LAYER expression of the same "latest
+# wins" semantic: the ACID table format's MERGE upsert (sources/
+# txlog.py) run for real on disk, hash-checked against a purely
+# relational oracle.
 # --------------------------------------------------------------------------
 @register(
     "medallion_dedup_latest",
     oracle="""
-    SELECT user_id, event_type, event_id AS last_event_id,
-           ts AS last_ts, value AS last_value
+    SELECT 'window' AS variant, user_id, event_type,
+           event_id AS last_event_id, ts AS last_ts, value AS last_value
     FROM (
       SELECT *, row_number() OVER (
                PARTITION BY user_id, event_type
                ORDER BY ts DESC, event_id DESC) AS rn
       FROM events
     ) WHERE rn = 1
+    UNION ALL
+    SELECT 'txn_v0', user_id, event_type, event_id, ts, value
+    FROM events WHERE event_id % 30 = 1
+    UNION ALL
+    SELECT 'txn_merge', user_id, event_type, event_id, ts,
+           CASE WHEN event_id % 50 = 0 THEN -value ELSE value END
+    FROM events
+    WHERE event_id % 30 IN (1, 2) OR event_id % 50 = 0
     """,
-    tags=("dedup", "window", "reference:W1"),
+    tags=("dedup", "window", "acid", "reference:W1,S5b"),
 )
 def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest event per (user_id, event_type), deterministic tiebreak."""
+    """Latest-record-wins, in-engine AND at the storage layer:
+
+      variant='window'     latest event per (user_id, event_type) via
+                           max_by over a total (ts, event_id) ordering.
+      variant='txn_v0'     time travel: the ACID table's version-0
+                           snapshot (the created base slice,
+                           event_id % 30 == 1) read back AFTER two
+                           appends and a merge have advanced the log.
+      variant='txn_merge'  the table after a real on-disk lifecycle:
+                           create(base) -> append(event_id % 30 == 2)
+                           -> the SAME append replayed with the same
+                           (app, batch) txn id (must be skipped, or
+                           the hash sees doubled rows) -> MERGE of
+                           event_id % 50 == 0 with negated value
+                           (updates rows already present, inserts the
+                           rest). The oracle reconstructs the final
+                           content relationally, so the hash pins the
+                           whole commit protocol's row-level outcome.
+
+    The result is materialized (localCheckpoint) before the scratch
+    table is deleted."""
+    import os
+    import shutil
+    import tempfile
+
+    from aws_payment_data_lake_spark.sources.txlog import TxnTable
+
     (ev,) = load(spark, sf_dir, "events")
     payload = F.struct(
         F.col("event_id").alias("last_event_id"),
@@ -48,12 +86,39 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
     )
     ordering = F.struct(F.col("ts"), F.col("event_id"))
-    return (
+    win = (
         ev.groupBy("user_id", "event_type")
         .agg(F.max_by(payload, ordering).alias("_r"))
-        .select("user_id", "event_type", "_r.last_event_id", "_r.last_ts",
-                "_r.last_value")
+        .select(F.lit("window").alias("variant"), "user_id", "event_type",
+                "_r.last_event_id", "_r.last_ts", "_r.last_value")
     )
+
+    cols = ["event_id", "user_id", "event_type", "value", "ts"]
+    mod = F.col("event_id")
+    tmp = tempfile.mkdtemp(prefix="txnq-")
+    try:
+        t = TxnTable(spark, os.path.join(tmp, "t"))
+        t.create(ev.where(mod % 30 == 1).select(*cols))
+        b = ev.where(mod % 30 == 2).select(*cols)
+        t.append(b, txn_app="driver", txn_batch=1)
+        t.append(b, txn_app="driver", txn_batch=1)   # replay: no-op
+        src = (ev.where(mod % 50 == 0)
+               .select("event_id", "user_id", "event_type",
+                       (-F.col("value")).alias("value"), "ts"))
+        t.merge(src, on=["event_id"])
+
+        def shape(df: DataFrame, tag: str) -> DataFrame:
+            return df.select(
+                F.lit(tag).alias("variant"), "user_id", "event_type",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts").alias("last_ts"),
+                F.col("value").alias("last_value"))
+
+        out = (win.unionByName(shape(t.snapshot(0), "txn_v0"))
+               .unionByName(shape(t.snapshot(), "txn_merge")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
