@@ -51,6 +51,13 @@ def get_spark(app_name: str = "aws-payment-data-lake-spark",
                 str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Spark still defaults timestamps to legacy INT96, which
+        # carries NO footer min/max statistics — every timestamp
+        # range predicate then reads every file (no row-group skip,
+        # no txlog/manifest pruning). TIMESTAMP_MICROS is the modern
+        # parquet logical type: stats-bearing and what every other
+        # engine (DuckDB, Arrow, Trino) writes and expects.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

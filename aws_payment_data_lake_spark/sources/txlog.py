@@ -126,6 +126,7 @@ class Snapshot:
     schema_json: str | None
     live: dict[str, AddFile]                 # path -> add
     txns: dict[str, int] = field(default_factory=dict)  # app -> last batch
+    partition_by: list[str] = field(default_factory=list)
 
     @property
     def schema(self) -> StructType | None:
@@ -250,7 +251,8 @@ class TxnTable:
                                        json.loads(r["stats"]))
                     for r in rows}
             return Snapshot(v, meta["schema_json"], live,
-                            dict(meta.get("txns", {})))
+                            dict(meta.get("txns", {})),
+                            list(meta.get("partition_by", [])))
         except (OSError, KeyError, ValueError):
             return None   # corrupt/missing checkpoint -> full replay
 
@@ -273,6 +275,8 @@ class TxnTable:
                 c = json.load(f)
             if c.get("schema_json"):
                 snap.schema_json = c["schema_json"]
+            if "partition_by" in c:
+                snap.partition_by = list(c["partition_by"] or [])
             for rp in c.get("remove", []):
                 snap.live.pop(rp, None)
             for a in c.get("add", []):
@@ -318,7 +322,8 @@ class TxnTable:
                                     ("bytes", pa.int64()),
                                     ("stats", pa.string())]))
         meta = json.dumps({"schema_json": snap.schema_json,
-                           "txns": snap.txns})
+                           "txns": snap.txns,
+                           "partition_by": snap.partition_by})
         t = t.replace_schema_metadata({b"txlog": meta.encode()})
         ck = self._ckpt_path(snap.version)
         pq.write_table(t, ck + ".tmp")
@@ -398,13 +403,14 @@ class TxnTable:
         """Transactional append. With (txn_app, txn_batch): exactly-once
         under replay — a batch at or below the app's recorded high-water
         mark is skipped (returns None) without staging anything.
-        Returns the committed version otherwise."""
+        New files inherit the table's clustered layout unless
+        ``partition_by`` overrides it. Returns the committed version."""
         snap = self._replay()
         if (txn_app is not None
                 and snap.txns.get(txn_app, -1) >= (txn_batch or 0)):
             return None
         self._check_schema(df, snap)
-        adds = self._stage(df, partition_by)
+        adds = self._stage(df, partition_by or snap.partition_by or None)
         commit: dict[str, Any] = {
             "op": "append", "ts": time.time(),
             "add": [a.to_json() for a in adds], "remove": []}
@@ -430,6 +436,9 @@ class TxnTable:
             snap = self._replay()
             commit = {"op": "overwrite", "ts": time.time(),
                       "schema_json": df.schema.json(),
+                      "partition_by": (partition_by
+                                       if partition_by is not None
+                                       else snap.partition_by),
                       "add": [a.to_json() for a in adds],
                       "remove": sorted(snap.live)}
             v = snap.version + 1
@@ -553,7 +562,7 @@ class TxnTable:
             cols = ([f.name for f in snap.schema.fields]
                     if snap.schema else source.columns)
             new_content = source.select(*cols)
-        adds = self._stage(new_content, None)
+        adds = self._stage(new_content, snap.partition_by or None)
         commit = {"op": "merge", "ts": time.time(),
                   "read_version": snap.version,
                   "add": [a.to_json() for a in adds],
@@ -584,7 +593,13 @@ class TxnTable:
                 return {"version": snap.version, "files_in": len(inputs),
                         "files_out": len(inputs), "noop": 1}
             content = self._read_files(snap, inputs)
-            adds = self._stage(content, None, max_files=max_files)
+            # OPTIMIZE preserves the clustered layout: a compaction
+            # that binned clustered files arbitrarily would destroy
+            # the footer-stats pruning the layout exists for
+            pb = snap.partition_by or None
+            adds = self._stage(content, pb,
+                               max_files=None if pb else max_files,
+                               partition_files=max_files if pb else None)
             commit = {"op": "compact", "ts": time.time(),
                       "read_version": snap.version,
                       "add": [a.to_json() for a in adds],

@@ -97,6 +97,7 @@ HEADLINE = [
     "streaming_windows_live",        # round 2: all 3 live streams merged
     "jsonl_events_roundtrip",        # r7: + ORC + Python DataSource variants
     "pysource_payments",             # unregistered sf-scaled source (EXTRA_FNS)
+    "txn_table_lifecycle",           # r7: ACID format create/append/merge/compact (EXTRA_FNS)
     "udtf_order_quarters",
     "corpus_curation_decisions",
     "corpus_source_report",          # unregistered per-source dashboard (EXTRA_FNS)
@@ -145,6 +146,9 @@ def _extra_fns():
     from aws_payment_data_lake_spark.queries.jsonl_source import (
         pysource_payments,
     )
+    from aws_payment_data_lake_spark.queries.acid import (
+        txn_table_lifecycle,
+    )
     from aws_payment_data_lake_spark.queries.quality import (
         quality_model_filter,
     )
@@ -159,6 +163,7 @@ def _extra_fns():
         "order_count_histogram": order_count_histogram,
         "slow_supplier_blame": slow_supplier_blame,
         "pysource_payments": pysource_payments,
+        "txn_table_lifecycle": txn_table_lifecycle,
         "quality_model_filter": quality_model_filter,
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
         "dedup_span_incremental": dedup_span_incremental,

@@ -133,8 +133,10 @@ def test_merge_conflict_aborts(spark, tmp_path):
     intruder = _mk(spark, tmp_path)
     real_stage = TxnTable._stage
 
-    def stage_then_intrude(self, df, partition_by, max_files=None):
-        adds = real_stage(self, df, partition_by, max_files)
+    def stage_then_intrude(self, df, partition_by, max_files=None,
+                           partition_files=None):
+        adds = real_stage(self, df, partition_by, max_files,
+                          partition_files)
         if self is t:                  # race: intruder commits first
             intruder.append(spark.range(50, 55)
                             .selectExpr("id", "id as v"))
@@ -157,8 +159,10 @@ def test_compact_commutes_with_concurrent_append(spark, tmp_path):
     real_stage = TxnTable._stage
     fired = []
 
-    def stage_then_append(self, df, partition_by, max_files=None):
-        adds = real_stage(self, df, partition_by, max_files)
+    def stage_then_append(self, df, partition_by, max_files=None,
+                          partition_files=None):
+        adds = real_stage(self, df, partition_by, max_files,
+                          partition_files)
         if self is t and not fired:
             fired.append(1)
             intruder.append(spark.range(100, 110)
@@ -181,8 +185,10 @@ def test_compact_aborts_when_input_removed(spark, tmp_path):
     real_stage = TxnTable._stage
     fired = []
 
-    def stage_then_overwrite(self, df, partition_by, max_files=None):
-        adds = real_stage(self, df, partition_by, max_files)
+    def stage_then_overwrite(self, df, partition_by, max_files=None,
+                             partition_files=None):
+        adds = real_stage(self, df, partition_by, max_files,
+                          partition_files)
         if self is t and not fired:
             fired.append(1)
             intruder.overwrite(spark.range(5).selectExpr("id", "id as v"))
@@ -262,6 +268,29 @@ def test_stats_pruning_scan(spark, tmp_path):
     # no-stats column: conservatively reads everything
     kept2, total2 = t.scan_file_count("nope", 0, 1)
     assert kept2 == total2
+
+
+def test_layout_survives_append_merge_compact(spark, tmp_path):
+    """Appends inherit the table's clustered layout and OPTIMIZE
+    re-clusters, so stats pruning keeps working after maintenance."""
+    import pyspark.sql.functions as F
+    t = _mk(spark, tmp_path)
+    mk = lambda lo, hi: (spark.range(lo, hi)                  # noqa: E731
+                         .withColumn("bucket",
+                                     (F.col("id") / 100).cast("int"))
+                         .selectExpr("id", "bucket", "id * 3 as v"))
+    t.create(mk(0, 600), partition_by=["bucket"], partition_files=6)
+    t.append(mk(600, 1200))           # no explicit partition_by
+    t.merge(spark.createDataFrame([(50, 0, -1)],
+                                  "id long, bucket int, v long"),
+            on=["id"])
+    t.compact(max_files=8)
+    kept, total = t.scan_file_count("bucket", 3, 4)
+    assert kept < total
+    got = _rows(t.scan("bucket", 3, 4)
+                .where(F.col("bucket").between(3, 4)).select("id"))
+    assert got == [(i,) for i in range(300, 500)]
+    assert t.snapshot().where("id = 50").collect()[0]["v"] == -1
 
 
 def test_schema_enforcement_and_evolution(spark, tmp_path):
