@@ -578,6 +578,111 @@ class TxnTable:
                 "files_added": len(adds),
                 "rows_upserted": src_rows}
 
+    def _cow_rewrite(self, op: str, hit, rewrite) -> dict[str, int]:
+        """Shared copy-on-write core for DELETE/UPDATE: find the files
+        holding rows where ``hit`` (already null-coalesced) is true,
+        rewrite ONLY those through ``rewrite(content)``, publish
+        remove+add. Strictly serialized like merge — any concurrent
+        commit between read and publish aborts."""
+        snap = self._replay()
+        target = self._read_files(snap, sorted(snap.live))
+        touched_uris = [r[0] for r in
+                        (target.where(hit).select(F.input_file_name())
+                         .distinct().collect())]
+        touched = sorted({self._rel_of(u) for u in touched_uris})
+        if not touched:
+            return {"version": snap.version, "files_rewritten": 0,
+                    "rows_changed": 0}
+        content = self._read_files(snap, touched)
+        rows_changed = content.where(hit).count()
+        adds = self._stage(rewrite(content), snap.partition_by or None)
+        commit = {"op": op, "ts": time.time(),
+                  "read_version": snap.version,
+                  "add": [a.to_json() for a in adds],
+                  "remove": touched}
+        if not self._try_publish(snap.version + 1, commit):
+            raise ConcurrentWriteError(
+                f"{op} on {self.path} read version {snap.version} but "
+                "another commit won the next version; re-run (staged "
+                "files are orphaned until vacuum)")
+        self._maybe_checkpoint(snap.version + 1)
+        return {"version": snap.version + 1,
+                "files_rewritten": len(touched),
+                "rows_changed": rows_changed}
+
+    def delete(self, condition) -> dict[str, int]:
+        """DELETE WHERE, SQL semantics (rows where the predicate is
+        NULL survive), file-granular copy-on-write: files with no
+        matching row keep their bytes. ``condition`` is a Column or a
+        SQL string."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond, F.lit(False))
+        return self._cow_rewrite("delete", hit,
+                                 lambda content: content.where(~hit))
+
+    def update(self, assignments: dict[str, Any], condition) -> dict[str, int]:
+        """UPDATE SET ... WHERE, copy-on-write like delete.
+        ``assignments`` maps column name -> Column/SQL-string
+        expression, evaluated against the pre-update row."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hit = F.coalesce(cond, F.lit(False))
+        sets = {k: (F.expr(v) if isinstance(v, str) else v)
+                for k, v in assignments.items()}
+
+        def rewrite(content: DataFrame) -> DataFrame:
+            return content.select(*[
+                (F.when(hit, sets[c]).otherwise(F.col(c)).alias(c)
+                 if c in sets else F.col(c))
+                for c in content.columns])
+
+        return self._cow_rewrite("update", hit, rewrite)
+
+    def optimize(self, zorder_by: list[str], n_files: int = 16,
+                 bits: int = 8, quantile: bool = True) -> dict[str, int]:
+        """OPTIMIZE ZORDER BY: rewrite the whole table clustered on the
+        interleaved z-value of ``zorder_by`` (operators/layout.py), so
+        footer min/max stay tight on EVERY participating column and
+        scan() prunes on any of them — the multi-column upgrade of the
+        single-column range clustering ``partition_by`` gives. Same
+        concurrency posture as compact: commutes with concurrent
+        appends, aborts if an input was removed."""
+        from aws_payment_data_lake_spark.operators.layout import zorder_key
+
+        while True:
+            snap = self._replay()
+            inputs = sorted(snap.live)
+            if not inputs:
+                return {"version": snap.version, "files_in": 0,
+                        "files_out": 0, "noop": 1}
+            content = self._read_files(snap, inputs)
+            z = zorder_key(content, zorder_by, bits, quantile=quantile)
+            clustered = (content.withColumn("__z", z)
+                         .repartitionByRange(n_files, "__z")
+                         .sortWithinPartitions("__z")
+                         .drop("__z"))
+            adds = self._stage(clustered, None)   # keep layout as-is
+            commit = {"op": "optimize", "ts": time.time(),
+                      "read_version": snap.version,
+                      "zorder_by": zorder_by,
+                      "add": [a.to_json() for a in adds],
+                      "remove": inputs}
+            if self._try_publish(snap.version + 1, commit):
+                self._maybe_checkpoint(snap.version + 1)
+                return {"version": snap.version + 1,
+                        "files_in": len(inputs),
+                        "files_out": len(adds), "noop": 0}
+            head = self._replay()
+            if not all(p in head.live for p in inputs):
+                raise ConcurrentWriteError(
+                    f"optimize of {self.path}: an input file was "
+                    "removed by a concurrent commit")
+            commit["read_version"] = head.version
+            if self._try_publish(head.version + 1, commit):
+                self._maybe_checkpoint(head.version + 1)
+                return {"version": head.version + 1,
+                        "files_in": len(inputs),
+                        "files_out": len(adds), "noop": 0}
+
     def compact(self, max_files: int = 1,
                 small_file_rows: int | None = None) -> dict[str, int]:
         """Bin small files into ``max_files`` (OPTIMIZE). Inputs are

@@ -356,6 +356,86 @@ def test_stream_sink_replay_skipped(spark, tmp_path):
     assert [h["txn"]["batch"] for h in t.history() if h["txn"]] == [0, 1, 2]
 
 
+def test_delete_where_sql_semantics(spark, tmp_path):
+    """DELETE: NULL-predicate rows survive; untouched files keep their
+    bytes; a concurrent commit aborts the delete."""
+    import pyspark.sql.functions as F
+    t = _mk(spark, tmp_path)
+    lo = spark.sql(
+        "SELECT id, CASE WHEN id = 3 THEN NULL ELSE CAST(id AS DOUBLE) "
+        "END AS v FROM range(0, 10)").coalesce(1)
+    hi = spark.range(100, 110).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v").coalesce(1)
+    t.create(lo)
+    t.append(hi)
+    hi_file = [p for p, a in t._replay().live.items()
+               if a.stats["id"][0] >= 100]
+    hi_stat = [os.path.getmtime(os.path.join(t.path, p)) for p in hi_file]
+    res = t.delete(F.col("v") < 6)     # id=3 has v NULL: survives
+    assert res["files_rewritten"] == 1 and res["rows_changed"] == 5
+    ids = sorted(r["id"] for r in t.snapshot().collect())
+    assert ids == [3, 6, 7, 8, 9] + list(range(100, 110))
+    assert [os.path.getmtime(os.path.join(t.path, p))
+            for p in hi_file] == hi_stat
+    # no-match delete is a no-op commit-wise
+    v = t.latest_version()
+    assert t.delete("v > 1e9")["files_rewritten"] == 0
+    assert t.latest_version() == v
+
+
+def test_delete_conflict_aborts(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(10).selectExpr("id", "id as v"))
+    intruder = _mk(spark, tmp_path)
+    real_stage = TxnTable._stage
+
+    def stage_then_intrude(self, df, partition_by, max_files=None,
+                           partition_files=None):
+        adds = real_stage(self, df, partition_by, max_files,
+                          partition_files)
+        if self is t:
+            intruder.append(spark.range(50, 52)
+                            .selectExpr("id", "id as v"))
+        return adds
+
+    with mock.patch.object(TxnTable, "_stage", stage_then_intrude):
+        with pytest.raises(ConcurrentWriteError):
+            t.delete("id < 5")
+    assert t.snapshot().count() == 12   # nothing deleted, append intact
+
+
+def test_update_where(spark, tmp_path):
+    import pyspark.sql.functions as F
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(20).selectExpr("id", "id as v", "'a' as tag"))
+    res = t.update({"v": F.col("v") * 100, "tag": F.lit("hot")},
+                   "id >= 15")
+    assert res["rows_changed"] == 5
+    got = {r["id"]: (r["v"], r["tag"]) for r in t.snapshot().collect()}
+    assert got[17] == (1700, "hot") and got[3] == (3, "a")
+    assert len(got) == 20
+
+
+def test_optimize_zorder_multi_column_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER: after clustering on (x, y), scan() prunes on
+    EITHER column; content is unchanged."""
+    import pyspark.sql.functions as F
+    t = _mk(spark, tmp_path)
+    df = (spark.range(4096)
+          .selectExpr("id", "id % 64 AS x", "CAST(id / 64 AS INT) AS y"))
+    t.create(df)
+    before = _rows(t.snapshot())
+    res = t.optimize(zorder_by=["x", "y"], n_files=16)
+    assert res["noop"] == 0 and res["files_out"] <= 16
+    assert _rows(t.snapshot()) == before
+    kx, tot = t.scan_file_count("x", 0, 7)
+    ky, _ = t.scan_file_count("y", 0, 7)
+    assert kx < tot and ky < tot       # both dimensions prune
+    got = _rows(t.scan("x", 10, 12).where(F.col("x").between(10, 12))
+                .select("id"))
+    assert got == sorted((i,) for i in range(4096) if 10 <= i % 64 <= 12)
+
+
 def test_changes_feed(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.create(spark.range(2).selectExpr("id", "id as v"))
