@@ -506,11 +506,19 @@ class TxnTable:
                         "txn": c.get("txn")})
         return out
 
+    # layout-only ops: their adds rewrite existing rows without
+    # changing content (Delta's dataChange=false) — the change feed
+    # and the streaming source skip them or they would re-emit the
+    # whole table after every OPTIMIZE
+    _LAYOUT_OPS = ("compact", "optimize")
+
     def changes(self, since_version: int) -> DataFrame:
         """Change feed: rows ADDED by commits > since_version, tagged
         with _commit_version — the table-format twin of the audit
-        sink's fromBatch reader. (Removed-file rows are rewrites;
-        consumers wanting row-level deletes diff snapshots.)"""
+        sink's fromBatch reader. Layout-only commits (compact,
+        optimize) are skipped. (Removed-file rows from merge/delete
+        are rewrites; consumers wanting row-level deletes diff
+        snapshots.)"""
         snap = self._replay()
         frames = []
         for v in self._versions_on_disk():
@@ -518,6 +526,8 @@ class TxnTable:
                 continue
             with open(self._commit_path(v)) as f:
                 c = json.load(f)
+            if c.get("op") in self._LAYOUT_OPS:
+                continue
             rels = [a["path"] for a in c.get("add", [])]
             if rels:
                 frames.append(self._read_files(snap, rels)
