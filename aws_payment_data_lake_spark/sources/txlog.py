@@ -367,17 +367,40 @@ class TxnTable:
             adds.append(AddFile(rel, nrows, os.path.getsize(local), stats))
         return adds
 
-    def _check_schema(self, df: DataFrame, snap: Snapshot) -> None:
+    def _check_schema(self, df: DataFrame, snap: Snapshot,
+                      schema_mode: str = "strict") -> str | None:
+        """Validate ``df`` against the table schema. strict: exact
+        name->type equality. merge: common columns must type-match
+        exactly (no silent widening); NEW columns extend the table
+        schema (old files read as NULL for them — parquet fills
+        missing columns); columns absent from ``df`` stay in the
+        schema (the new file reads as NULL for them). Returns the
+        updated schema JSON when the table schema grew, else None."""
         cur = snap.schema
         if cur is None:
-            return
+            return None
         want = {f.name: f.dataType.simpleString() for f in cur.fields}
         got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        if want != got:
+        if want == got:
+            return None
+        if schema_mode != "merge":
             raise ValueError(
                 f"schema mismatch appending to {self.path}: table has "
                 f"{sorted(want.items())}, frame has {sorted(got.items())}; "
-                "use overwrite() to change the schema")
+                "pass schema_mode='merge' to evolve (new columns) or "
+                "overwrite() to replace the schema")
+        clash = {c: (want[c], got[c]) for c in want.keys() & got.keys()
+                 if want[c] != got[c]}
+        if clash:
+            raise ValueError(
+                f"schema merge rejected for {self.path}: column types "
+                f"differ {clash} — changing a column's type needs "
+                "overwrite()")
+        new_fields = [f for f in df.schema.fields if f.name not in want]
+        if not new_fields:
+            return None                 # df is a column subset: fine
+        merged = StructType(list(cur.fields) + new_fields)
+        return merged.json()
 
     # ------------------------------------------------------- commands
     def create(self, df: DataFrame,
@@ -399,21 +422,27 @@ class TxnTable:
 
     def append(self, df: DataFrame, txn_app: str | None = None,
                txn_batch: int | None = None,
-               partition_by: list[str] | None = None) -> int | None:
+               partition_by: list[str] | None = None,
+               schema_mode: str = "strict") -> int | None:
         """Transactional append. With (txn_app, txn_batch): exactly-once
         under replay — a batch at or below the app's recorded high-water
         mark is skipped (returns None) without staging anything.
         New files inherit the table's clustered layout unless
-        ``partition_by`` overrides it. Returns the committed version."""
+        ``partition_by`` overrides it. ``schema_mode='merge'`` allows
+        schema evolution: new columns extend the table schema (old
+        files read as NULL for them); see _check_schema.
+        Returns the committed version."""
         snap = self._replay()
         if (txn_app is not None
                 and snap.txns.get(txn_app, -1) >= (txn_batch or 0)):
             return None
-        self._check_schema(df, snap)
+        evolved = self._check_schema(df, snap, schema_mode)
         adds = self._stage(df, partition_by or snap.partition_by or None)
         commit: dict[str, Any] = {
             "op": "append", "ts": time.time(),
             "add": [a.to_json() for a in adds], "remove": []}
+        if evolved:
+            commit["schema_json"] = evolved
         if txn_app is not None:
             commit["txn"] = {"app": txn_app, "batch": int(txn_batch or 0)}
         while True:
@@ -425,6 +454,14 @@ class TxnTable:
             if (txn_app is not None
                     and snap.txns.get(txn_app, -1) >= (txn_batch or 0)):
                 return None            # a concurrent replay beat us
+            # re-derive the evolved schema against the new head — the
+            # winner may itself have evolved it, and republishing our
+            # stale merge would drop their columns
+            evolved = self._check_schema(df, snap, schema_mode)
+            if evolved:
+                commit["schema_json"] = evolved
+            else:
+                commit.pop("schema_json", None)
 
     def overwrite(self, df: DataFrame,
                   partition_by: list[str] | None = None) -> int:

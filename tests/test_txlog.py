@@ -307,6 +307,33 @@ def test_schema_enforcement_and_evolution(spark, tmp_path):
     assert t.snapshot(0).schema.fieldNames() == ["id", "v"]
 
 
+def test_schema_evolution_merge_mode(spark, tmp_path):
+    """schema_mode='merge': new columns extend the schema (old files
+    read NULL), subset appends fill NULL, time travel keeps the old
+    schema, type changes stay rejected."""
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(3).selectExpr("id", "id as v"))
+    # widen with a new column
+    t.append(spark.range(3, 5).selectExpr("id", "id as v", "'x' as tag"),
+             schema_mode="merge")
+    got = {r["id"]: (r["v"], r["tag"]) for r in t.snapshot().collect()}
+    assert got[1] == (1, None) and got[4] == (4, "x")
+    assert t.snapshot().schema.fieldNames() == ["id", "v", "tag"]
+    # a column-subset append fills the missing column with NULL
+    t.append(spark.range(5, 6).selectExpr("id", "id as v"),
+             schema_mode="merge")
+    assert t.snapshot().where("id = 5").collect()[0]["tag"] is None
+    # time travel reads with the schema AS OF that version
+    assert t.snapshot(0).schema.fieldNames() == ["id", "v"]
+    # type conflicts are rejected even in merge mode
+    with pytest.raises(ValueError, match="column types differ"):
+        t.append(spark.range(9).selectExpr("id", "'s' as v"),
+                 schema_mode="merge")
+    # strict mode still refuses evolution
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.range(9).selectExpr("id", "id as v", "1 as more"))
+
+
 def test_empty_table_and_empty_append(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.create(spark.range(0).selectExpr("id", "id as v"))
