@@ -20,6 +20,7 @@ from aws_payment_data_lake_spark.plans import bronze as B
 from aws_payment_data_lake_spark.plans import generator as G
 from aws_payment_data_lake_spark.plans import silver as S
 from aws_payment_data_lake_spark.plans.schemas import RAW_SCHEMA
+from aws_payment_data_lake_spark.sources.writers import read_zone
 
 
 def read_raw(spark: SparkSession, path: str):
@@ -32,7 +33,8 @@ def read_raw(spark: SparkSession, path: str):
 def run_pipeline(spark: SparkSession, base_dir: str, *, days: int = 3,
                  rows_per_day: int = 1000, invalid_rate: float = 0.02,
                  duplicate_rate: float = 0.0, seed: int = 42,
-                 mode: str = "overwrite", ingest: str = "batch") -> dict:
+                 mode: str = "overwrite", ingest: str = "batch",
+                 fmt: str = "parquet") -> dict:
     """Generate raw CSVs, run bronze + silver + audit, write DQ summary.
 
     ``ingest`` selects how raw reaches bronze (round-5, VERDICT r4 #6 —
@@ -52,6 +54,14 @@ def run_pipeline(spark: SparkSession, base_dir: str, *, days: int = 3,
     Silver, audit and DQ stages are ingest-agnostic: they read back
     whatever the bronze zone holds. Returns zone paths and row counts
     (the pipeline's own smoke check).
+
+    ``fmt`` selects the zone table format end-to-end: "parquet"
+    (default; idempotence via dynamic partition overwrite) or "txn" —
+    the engine's ACID format (sources/txlog.py), where bronze and
+    silver become transaction-logged tables read back through their
+    snapshots and every write is an atomic commit with history/time
+    travel. The streaming_upsert ingest keeps its parquet MERGE sink
+    (its own idempotence protocol); fmt="txn" pairs with batch ingest.
     """
     raw_dir = os.path.join(base_dir, "raw", "transactions")
     bronze_dir = os.path.join(base_dir, "bronze", "transactions_parquet")
@@ -59,6 +69,11 @@ def run_pipeline(spark: SparkSession, base_dir: str, *, days: int = 3,
     audit_dir = os.path.join(base_dir, "audit", "transactions_rejected")
     dq_path = os.path.join(base_dir, "audit", "dq_summary.json")
 
+    if fmt == "txn" and ingest == "streaming_upsert":
+        raise ValueError(
+            "fmt='txn' pairs with ingest='batch' (the streaming upsert "
+            "sink has its own partition-merge idempotence protocol); "
+            "stream INTO a txn table via txn_foreach_batch instead")
     if ingest not in ("batch", "streaming_upsert"):
         raise ValueError(
             f"unknown ingest {ingest!r}; expected 'batch' or "
@@ -82,11 +97,11 @@ def run_pipeline(spark: SparkSession, base_dir: str, *, days: int = 3,
             stream, bronze_dir, ckpt).awaitTermination()
     else:
         bronze_df = B.run_bronze(read_raw(spark, raw_dir).drop("ingest_date"))
-        B.write_bronze(bronze_df, bronze_dir, mode=mode)
+        B.write_bronze(bronze_df, bronze_dir, mode=mode, fmt=fmt)
 
-    bronze_back = spark.read.parquet(bronze_dir)
+    bronze_back = read_zone(spark, bronze_dir, fmt)
     silver_df = S.run_silver(bronze_back)
-    S.write_silver(silver_df, silver_dir, mode=mode)
+    S.write_silver(silver_df, silver_dir, mode=mode, fmt=fmt)
 
     audit_df = S.audit(bronze_back)
     audit_df.write.mode("overwrite").parquet(audit_dir)
@@ -99,8 +114,8 @@ def run_pipeline(spark: SparkSession, base_dir: str, *, days: int = 3,
 
     counts = {
         "raw": raw.count(),
-        "bronze": spark.read.parquet(bronze_dir).count(),
-        "silver": spark.read.parquet(silver_dir).count(),
+        "bronze": read_zone(spark, bronze_dir, fmt).count(),
+        "silver": read_zone(spark, silver_dir, fmt).count(),
         "audit": spark.read.parquet(audit_dir).count(),
     }
     return {"paths": {"raw": raw_dir, "bronze": bronze_dir,

@@ -172,7 +172,15 @@ def _footer_stats(local_path: str) -> tuple[int, dict[str, list[Any]]]:
             if st is None or not st.has_min_max:
                 mins[name] = maxs[name] = None
                 continue
-            lo, hi = _json_safe(st.min), _json_safe(st.max)
+            try:
+                # pyarrow can't materialize stats for every physical
+                # type (e.g. some decimal encodings raise
+                # ArrowNotImplementedError) — no stats, no pruning,
+                # still correct
+                lo, hi = _json_safe(st.min), _json_safe(st.max)
+            except Exception:
+                mins[name] = maxs[name] = None
+                continue
             if lo is None or hi is None:
                 mins[name] = maxs[name] = None
                 continue

@@ -94,6 +94,18 @@ def write_zone(df: DataFrame, path: str, mode: str = "overwrite",
     writer.save(path)
 
 
+def read_zone(spark, path: str, fmt: str = "parquet") -> DataFrame:
+    """Format-aware zone read-back. A txn table must be read through
+    its log — a bare ``spark.read.parquet`` on the table root would
+    sweep up data/ files from EVERY version, removed and orphaned
+    ones included."""
+    if fmt == "txn":
+        from aws_payment_data_lake_spark.sources.txlog import TxnTable
+
+        return TxnTable(spark, path).snapshot()
+    return spark.read.parquet(path)
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int, sort_cols: list[str] | None = None,
                    path: str | None = None, mode: str = "overwrite") -> None:

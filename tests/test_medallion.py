@@ -210,6 +210,36 @@ def test_append_mode_reruns_duplicate_like_reference(spark, tmp_path_factory):
     assert r2["counts"]["bronze"] == 2 * r1["counts"]["bronze"]
 
 
+def test_pipeline_on_acid_format(spark, tmp_path_factory):
+    """fmt='txn': the whole medallion pipeline on the engine's own
+    ACID format — same counts as parquet, zones are transaction-logged
+    tables with history, an overwrite rerun advances the version
+    without changing content, and the append-mode rerun hazard the
+    reference has (test above) is FIXED at the storage layer when the
+    caller keys appends with txn ids (write_zone fmt='txn')."""
+    from aws_payment_data_lake_spark.sources.txlog import TxnTable
+
+    kw = dict(days=2, rows_per_day=300, invalid_rate=0.05,
+              duplicate_rate=0.02, seed=7)
+    base_p = str(tmp_path_factory.mktemp("medallion_pq"))
+    base_t = str(tmp_path_factory.mktemp("medallion_txn"))
+    rp = run_pipeline(spark, base_p, **kw)
+    rt = run_pipeline(spark, base_t, fmt="txn", **kw)
+    assert rt["counts"] == rp["counts"]
+
+    bronze = TxnTable(spark, rt["paths"]["bronze"])
+    assert [h["op"] for h in bronze.history()] == ["create", "overwrite"]
+    v1 = bronze.latest_version()
+    rt2 = run_pipeline(spark, base_t, fmt="txn", **kw)   # rerun
+    assert rt2["counts"] == rt["counts"]
+    assert bronze.latest_version() > v1                  # new commit,
+    assert bronze.snapshot().count() == rt["counts"]["bronze"]  # same rows
+
+    with pytest.raises(ValueError, match="pairs with ingest='batch'"):
+        run_pipeline(spark, base_t, fmt="txn",
+                     ingest="streaming_upsert", **kw)
+
+
 def test_register_zones_enables_sql_over_catalog_names(spark, pipeline_result):
     from aws_payment_data_lake_spark.plans.pipeline import register_zones
 
