@@ -437,6 +437,68 @@ def assign_cells_blas(cents: DataFrame, df: DataFrame,
     return df.mapInPandas(assign, out_schema)
 
 
+def cross_decontam(corpus_emb: DataFrame, benchmark_emb: DataFrame,
+                   threshold: float = 0.4) -> DataFrame:
+    """Semantic decontamination: flag every CORPUS vector whose cosine
+    to any BENCHMARK vector reaches ``threshold`` — the embedding-space
+    twin of the n-gram decontamination (operators/decontam.py), which
+    catches verbatim leaks; this tier catches paraphrased/near-copy
+    eval contamination the gram hashes miss (the published motivation
+    for embedding-similarity decontamination in the Phi/LIMA-era data
+    reports).
+
+    Output: one row per corpus vector — (vec_id, bench_id, max_cos,
+    flagged). bench_id = the most-similar benchmark vector (6-dp
+    rounded cosine, ties to the smallest id — deterministic and
+    SQL-replayable); unflagged rows carry bench_id=-1, max_cos=-1.0.
+
+    Scale shape: eval benchmarks are SMALL by contract (1e3-1e5
+    vectors), so the benchmark matrix is a bounded driver literal
+    broadcast into one Arrow matmul pass over the corpus — NO shuffle,
+    NO join, cost N x B inside BLAS, the same posture as
+    assign_cells_blas. A benchmark too large for one matrix means
+    bucketing both sides through the IVF quantizer (semantic_dedup's
+    cell shape) — not this operator's contract."""
+    import numpy as np
+    import pandas as pd
+
+    bench_rows = (benchmark_emb.select("vec_id", "embedding")
+                  .orderBy("vec_id").collect())
+    out_schema = "vec_id long, bench_id long, max_cos double, flagged boolean"
+    if not bench_rows:
+        return (corpus_emb.select(
+            "vec_id", F.lit(-1).cast("long").alias("bench_id"),
+            F.lit(-1.0).alias("max_cos"), F.lit(False).alias("flagged")))
+    bids = np.array([r["vec_id"] for r in bench_rows], dtype=np.int64)
+    B = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in bench_rows])
+    B = B / np.linalg.norm(B, axis=1, keepdims=True)
+
+    corpus_emb = spread_narrow_scan(corpus_emb)
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            scores = np.round(Mn @ B.T, 6)
+            # ties at the 6-dp max -> smallest benchmark id (bench
+            # rows are id-sorted, argmax takes the first hit)
+            best = np.argmax(scores, axis=1)
+            mc = scores[np.arange(len(best)), best]
+            hit = mc >= threshold
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "bench_id": np.where(hit, bids[best], -1).astype(np.int64),
+                "max_cos": np.where(hit, mc, -1.0),
+                "flagged": hit,
+            })
+
+    return corpus_emb.select("vec_id", "embedding").mapInPandas(
+        probe, out_schema)
+
+
 def semantic_dedup(emb: DataFrame, threshold: float = 0.4,
                    n_centroids: int = 16, n_train_iter: int = 0,
                    cents: DataFrame | None = None,

@@ -250,6 +250,24 @@ gbest AS (
            CASE WHEN b.cs >= 0.4 THEN b.cs ELSE -1.0 END AS cos,
            coalesce(b.cs < 0.4, TRUE) AS flag
     FROM mem m LEFT JOIN gbest b USING (vec_id)
+    UNION ALL
+    SELECT 'xdecontam' AS variant, x.a,
+           CASE WHEN x.cs >= 0.4 THEN x.bid ELSE -1 END AS b,
+           CAST(-1 AS BIGINT) AS grp,
+           CASE WHEN x.cs >= 0.4 THEN x.cs ELSE -1.0 END AS cos,
+           x.cs >= 0.4 AS flag
+    FROM (
+      SELECT a, bid, cs, row_number() OVER (
+               PARTITION BY a ORDER BY cs DESC, bid) AS rn
+      FROM (
+        SELECT c.vec_id AS a, b.vec_id AS bid,
+               round(list_cosine_similarity(
+                 CAST(c.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])), 6) AS cs
+        FROM embeddings c JOIN embeddings b
+          ON c.vec_id % 37 <> 0 AND b.vec_id % 37 = 0
+      )
+    ) x WHERE x.rn = 1
     ORDER BY variant, a, b
     """,
     tags=("similarity", "dedup", "embedding", "semdedup", "scale-path"),
@@ -275,6 +293,17 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    greedy exactly (recursive CTE; see _SEMDEDUP_CTES),
                    so the hash match certifies the scale path's actual
                    decisions, not just row counts.
+      variant='xdecontam' semantic decontamination
+                   (operators/similarity.py:cross_decontam, round 7):
+                   benchmark = vec_id % 37 == 0, corpus = the rest;
+                   every corpus vector probed against the broadcast
+                   benchmark matrix in one shuffle-free Arrow matmul.
+                   a = corpus vec_id, b = most-similar benchmark id
+                   (-1 below the 0.4 threshold, ties to smallest id),
+                   cos = the 6-dp max cosine (-1 unflagged), flag =
+                   contaminated, grp = -1. The embedding twin of the
+                   n-gram decontam row: catches paraphrase-level leaks
+                   gram hashes miss.
     """
     (emb,) = load(spark, sf_dir, "embeddings")
     pairs = S.neardup_pairs(emb, threshold=0.4).select(
@@ -298,11 +327,22 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("cos_to_rep")).alias("cos"),
         F.col("kept").alias("flag"),
     )
+    xd = S.cross_decontam(emb.where(F.col("vec_id") % 37 != 0),
+                          emb.where(F.col("vec_id") % 37 == 0),
+                          threshold=0.4)
+    xd_rows = xd.select(
+        F.lit("xdecontam").alias("variant"),
+        F.col("vec_id").alias("a"),
+        F.col("bench_id").alias("b"),
+        F.lit(-1).cast("long").alias("grp"),
+        F.col("max_cos").alias("cos"),
+        F.col("flagged").alias("flag"),
+    )
     # No final orderBy (same rationale as text_fingerprint): the driver
     # compare sorts canonically, and a range sort would sample-run the
     # block-matmul + Arrow greedy lineage twice. No row choice depends
     # on output order here.
-    return pairs.unionByName(sd_rows)
+    return pairs.unionByName(sd_rows).unionByName(xd_rows)
 
 
 def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

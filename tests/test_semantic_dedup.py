@@ -94,3 +94,57 @@ def test_planted_duplicates(spark):
     assert copies[0]["kept"]
     assert not copies[10]["kept"] and copies[10]["dup_of"] == 0
     assert not copies[20]["kept"] and copies[20]["dup_of"] == 0
+
+
+def test_cross_decontam_planted(spark):
+    """cross_decontam: a near-copy of a benchmark vector is flagged
+    with that benchmark's id; orthogonal corpus rows pass; ties at the
+    rounded max go to the smallest benchmark id; an empty benchmark
+    flags nothing."""
+    e = np.eye(8)
+    bench = [(5, e[0]), (9, e[0]), (7, e[1])]       # ids 5,9 identical
+    corpus = [
+        (100, e[0] + 0.01 * e[3]),                  # near-copy of e0
+        (101, e[2]),                                # orthogonal: clean
+        (102, e[1]),                                # exact copy of id 7
+    ]
+    to_df = lambda rows: spark.createDataFrame(     # noqa: E731
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in
+           S.cross_decontam(to_df(corpus), to_df(bench), 0.9).collect()}
+    assert got[100]["flagged"] and got[100]["bench_id"] == 5  # tie -> 5
+    assert got[100]["max_cos"] > 0.99
+    assert not got[101]["flagged"] and got[101]["bench_id"] == -1
+    assert got[101]["max_cos"] == -1.0
+    assert got[102]["flagged"] and got[102]["bench_id"] == 7
+    assert got[102]["max_cos"] == 1.0
+    empty = to_df([])
+    all_clean = S.cross_decontam(to_df(corpus), empty, 0.0).collect()
+    assert len(all_clean) == 3 and not any(r["flagged"] for r in all_clean)
+
+
+def test_cross_decontam_matches_numpy(spark):
+    """Real-table parity: flags and argmax ids reproduce a dense NumPy
+    reference over the sf slice."""
+    (emb,) = load(spark, SF_DIR, "embeddings")
+    corpus = emb.where("vec_id % 37 <> 0")
+    bench = emb.where("vec_id % 37 = 0")
+    got = {r["vec_id"]: r for r in
+           S.cross_decontam(corpus, bench, 0.4).collect()}
+
+    crows = corpus.orderBy("vec_id").collect()
+    brows = bench.orderBy("vec_id").collect()
+    B = np.stack([np.asarray(r["embedding"]) for r in brows])
+    B = B / np.linalg.norm(B, axis=1, keepdims=True)
+    bids = np.array([r["vec_id"] for r in brows])
+    for r in crows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        s = np.round((v / np.linalg.norm(v)) @ B.T, 6)
+        k = int(np.argmax(s))
+        g = got[r["vec_id"]]
+        if s[k] >= 0.4:
+            assert g["flagged"] and g["bench_id"] == bids[k]
+            assert abs(g["max_cos"] - s[k]) < 1e-9
+        else:
+            assert not g["flagged"] and g["bench_id"] == -1
