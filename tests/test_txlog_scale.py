@@ -36,33 +36,53 @@ def _fabricate(path: str, n_commits: int, files_per_commit: int,
     return t
 
 
+def _count_commit_reads(t: TxnTable):
+    """Wrap t._commit_path so each replayed commit JSON is counted —
+    _replay calls it exactly once per commit it re-reads, making the
+    checkpoint's bounding effect STRUCTURAL rather than a wall-clock
+    race (timing asserts flaked when the full suite's 32-thread Spark
+    runs loaded the box)."""
+    reads = []
+    orig = t._commit_path
+
+    def counting(v):
+        reads.append(v)
+        return orig(v)
+
+    t._commit_path = counting
+    return reads
+
+
 def test_replay_and_prune_at_100k_files(tmp_path):
     """2,000 commits x 50 files = 100k live files (~100 TB at 1 GB
-    files): checkpointed replay under 2 s, file pruning under 1 s, and
-    the checkpoint actually bounds the JSON tail that is re-read."""
+    files): checkpointed replay re-reads only the post-checkpoint JSON
+    tail (structural count, load-independent), pruning visits pure
+    metadata, and both stay inside a generous wall ceiling."""
     t = _fabricate(str(tmp_path / "big"), n_commits=2000,
                    files_per_commit=50, checkpoint_every=500)
 
+    reads = _count_commit_reads(t)
     t0 = time.time()
     snap = t._replay()
     replay_s = time.time() - t0
     assert len(snap.live) == 100_000
-    assert replay_s < 2.0, f"checkpointed replay took {replay_s:.2f}s"
+    # checkpoints landed at 500/1000/1500 -> the tail is 1501..1999
+    assert len(reads) == 499, f"replayed {len(reads)} commits, want 499"
+    assert replay_s < 20.0, f"checkpointed replay took {replay_s:.2f}s"
 
     t0 = time.time()
     kept, total = t.scan_file_count("id", 500_000, 500_010)
     prune_s = time.time() - t0
     # files k=0..10 of commit 500 overlap [500000, 500010]
     assert total == 100_000 and kept == 11
-    assert prune_s < 1.0, f"prune took {prune_s:.2f}s"
+    assert prune_s < 10.0, f"prune took {prune_s:.2f}s"
 
     # the checkpoint must be doing the bounding: replay from raw JSON
-    # only (checkpoint pointer removed) is strictly more work
+    # only (checkpoint pointer removed) re-reads the ENTIRE log
     os.unlink(os.path.join(t._log, "_last_checkpoint"))
-    t0 = time.time()
+    reads.clear()
     snap2 = t._replay()
-    raw_s = time.time() - t0
     assert len(snap2.live) == 100_000
-    assert raw_s > replay_s, (
-        f"raw replay {raw_s:.2f}s not slower than checkpointed "
-        f"{replay_s:.2f}s — checkpoint isn't bounding the tail")
+    assert len(reads) == 2000, (
+        f"raw replay read {len(reads)} commits, want all 2000 — "
+        "checkpoint isn't what bounds the tail")
