@@ -1,0 +1,423 @@
+"""Kafka-semantics streaming source (`format("payments_queue")`): the
+reference's declared Kinesis/Kafka upgrade path
+(/root/reference/README.md "Potential Upgrades") closed to within the
+transport. No broker ships in this container, so the commit log lives
+as files — but everything Spark-visible IS the Kafka contract:
+
+  * **Output schema** is byte-for-byte Spark's Kafka source schema:
+    `key binary, value binary, topic string, partition int,
+    offset long, timestamp timestamp, timestampType int`.
+  * **Offsets** are per-(topic,partition) monotone longs; the stream's
+    checkpointed offset is the same `{"topic": {"0": nextOffset}}`
+    JSON shape Kafka uses, so `startingOffsets` accepts
+    `"earliest"` / `"latest"` / explicit JSON, and batch reads honor
+    `endingOffsets` the same way.
+  * **`maxOffsetsPerTrigger`** rate-limits each micro-batch, spread
+    across partitions proportionally to lag (Kafka's policy).
+  * **Segments are immutable once published** (tmp + atomic rename),
+    so a replayed offset range re-reads byte-identical records:
+    exactly-once content with any idempotent sink — and composing with
+    `txn_foreach_batch` (sources/txlog.py) gives the queue -> ACID
+    table pipeline Delta documents for Kafka, end-to-end exactly-once,
+    with zero source-side state beyond the checkpoint.
+  * **Retention** (`trim_segments`) drops whole expired segments and
+    moves `earliest` forward — consumers pinned to "earliest" resume
+    from the retention floor exactly as they would on a real broker.
+
+Swapping in a real broker changes ONLY `_segments`/`_read_segment`
+(list offsets + poll instead of listdir + read): planning, offsets,
+rate limiting, schema, and every downstream pipeline stay untouched.
+Kinesis maps onto the same surface (shard = partition, sequence
+number = offset, TRIM_HORIZON/LATEST = earliest/latest).
+
+Storage layout (one dir per topic-partition, append-only segments):
+
+    <dir>/<topic>/p<partition>/<start:020d>-<count:08d>.jsonl
+
+Segment filenames carry (start offset, record count), so stream
+PLANNING never opens a data file — latestOffset is a directory
+listing, exactly the metadata-not-data cost a 100 TB log needs (the
+same posture as txlog checkpointed replay). Records are JSON lines
+`{"o": offset, "t": ts_ms, "k": b64|null, "v": b64}`; key/value are
+base64 so arbitrary BYTES round-trip — the source emits them as Arrow
+binary columns, executors decode segments in one pass with no Python
+row loop downstream.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SOURCE_NAME = "payments_queue"
+
+QUEUE_SCHEMA_DDL = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp, timestampType int")
+
+_CREATE_TIME = 1           # Kafka TimestampType.CREATE_TIME
+_EPOCH_2024_MS = 1_704_067_200_000
+
+
+# ---------------------------------------------------------------------------
+# Producer side (the test/demo "broker"): append-only immutable segments
+# ---------------------------------------------------------------------------
+
+def _b64(s: bytes | str | None) -> str | None:
+    if s is None:
+        return None
+    if isinstance(s, str):
+        s = s.encode()
+    return base64.b64encode(s).decode()
+
+
+def _partition_for(key: bytes | str | None, idx: int, parts: int) -> int:
+    """Kafka's sticky semantics, deterministically: keyed records hash
+    (stable md5, not Python's salted hash), keyless round-robin by
+    record index within the produce call."""
+    if key is None:
+        return idx % parts
+    k = key.encode() if isinstance(key, str) else key
+    return int(hashlib.md5(k).hexdigest()[:15], 16) % parts
+
+
+def _tp_dir(queue_dir: str, topic: str, p: int) -> str:
+    return os.path.join(queue_dir, topic, f"p{p}")
+
+
+def _segments(tp_dir: str) -> list[tuple[int, int, str]]:
+    """Sorted (start_offset, count, path) from filenames alone."""
+    if not os.path.isdir(tp_dir):
+        return []
+    out = []
+    for name in os.listdir(tp_dir):
+        if not name.endswith(".jsonl") or name.startswith("."):
+            continue
+        start, count = name[:-len(".jsonl")].split("-")
+        out.append((int(start), int(count), os.path.join(tp_dir, name)))
+    return sorted(out)
+
+
+def _offset_bounds(tp_dir: str) -> tuple[int, int]:
+    """(earliest, next) for one topic-partition — a directory listing."""
+    segs = _segments(tp_dir)
+    if not segs:
+        return 0, 0
+    return segs[0][0], segs[-1][0] + segs[-1][1]
+
+
+def produce(queue_dir: str, topic: str, records: list[dict],
+            num_partitions: int = 4) -> dict[int, tuple[int, int]]:
+    """Append `records` (dicts with "value", optional "key"/"ts_ms") to
+    `topic`, one immutable segment per touched partition, offsets
+    continuing per partition. Returns {partition: (start, count)}.
+    Single producer per topic assumed (a broker's leader serializes
+    writes the same way); atomic rename publishes each segment."""
+    by_part: dict[int, list[dict]] = {}
+    for idx, rec in enumerate(records):
+        p = rec.get("partition")
+        if p is None:
+            p = _partition_for(rec.get("key"), idx, num_partitions)
+        by_part.setdefault(int(p), []).append(rec)
+
+    out: dict[int, tuple[int, int]] = {}
+    for p, recs in sorted(by_part.items()):
+        tp = _tp_dir(queue_dir, topic, p)
+        os.makedirs(tp, exist_ok=True)
+        _, nxt = _offset_bounds(tp)
+        lines = []
+        for j, rec in enumerate(recs):
+            ts = int(rec.get("ts_ms", _EPOCH_2024_MS + nxt + j))
+            lines.append(json.dumps({
+                "o": nxt + j, "t": ts,
+                "k": _b64(rec.get("key")), "v": _b64(rec["value"])}))
+        tmp = os.path.join(tp, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        final = os.path.join(tp, f"{nxt:020d}-{len(recs):08d}.jsonl")
+        os.rename(tmp, final)
+        out[p] = (nxt, len(recs))
+    return out
+
+
+def trim_segments(queue_dir: str, topic: str, upto_offset: int) -> int:
+    """Retention: drop every segment of `topic` that lies ENTIRELY
+    below `upto_offset` (whole-segment granularity, like a broker's
+    log cleaner — never splits a segment). Returns segments removed;
+    `earliest` moves forward for every consumer planning afterwards."""
+    removed = 0
+    topic_dir = os.path.join(queue_dir, topic)
+    if not os.path.isdir(topic_dir):
+        return 0
+    for pdir in os.listdir(topic_dir):
+        tp = os.path.join(topic_dir, pdir)
+        for start, count, path in _segments(tp):
+            if start + count <= upto_offset:
+                os.unlink(path)
+                removed += 1
+    return removed
+
+
+# ---------------------------------------------------------------------------
+# Offset-map helpers (the Kafka {"topic": {"partition": offset}} shape)
+# ---------------------------------------------------------------------------
+
+def _topics(options: dict) -> list[str]:
+    sub = options.get("subscribe")
+    if not sub:
+        raise ValueError(
+            "payments_queue requires .option('subscribe', 'topic[,topic]')")
+    return [t.strip() for t in sub.split(",") if t.strip()]
+
+
+def _partitions_of(queue_dir: str, topic: str) -> list[int]:
+    tdir = os.path.join(queue_dir, topic)
+    if not os.path.isdir(tdir):
+        return []
+    return sorted(int(d[1:]) for d in os.listdir(tdir)
+                  if d.startswith("p") and d[1:].isdigit())
+
+
+def _snapshot(queue_dir: str, topics: list[str],
+              which: str) -> dict[str, dict[str, int]]:
+    """Current earliest/latest offset map, Kafka JSON shape (partition
+    keys are strings — that is what Kafka's offset JSON does too)."""
+    out: dict[str, dict[str, int]] = {}
+    for t in topics:
+        out[t] = {}
+        for p in _partitions_of(queue_dir, t):
+            lo, hi = _offset_bounds(_tp_dir(queue_dir, t, p))
+            out[t][str(p)] = lo if which == "earliest" else hi
+    return out
+
+
+def _resolve_offsets(queue_dir: str, topics: list[str], spec: str,
+                     default: str) -> dict[str, dict[str, int]]:
+    spec = (spec or default).strip()
+    if spec in ("earliest", "latest"):
+        return _snapshot(queue_dir, topics, spec)
+    explicit = json.loads(spec)
+    base = _snapshot(queue_dir, topics, "earliest")
+    for t, parts in explicit.items():
+        base.setdefault(t, {}).update(
+            {str(p): int(o) for p, o in parts.items()})
+    return base
+
+
+# ---------------------------------------------------------------------------
+# Readers
+# ---------------------------------------------------------------------------
+
+class _SegSlice(InputPartition):
+    """One segment file clipped to [lo, hi) — the unit of read
+    parallelism (file-granular, like a native parquet scan)."""
+
+    def __init__(self, path: str, topic: str, part: int,
+                 lo: int, hi: int) -> None:
+        self.path = path
+        self.topic = topic
+        self.part = part
+        self.lo = lo
+        self.hi = hi
+
+
+def _plan(queue_dir: str, start: dict, end: dict) -> list[_SegSlice]:
+    slices: list[_SegSlice] = []
+    for t, parts in end.items():
+        for p_str, hi in parts.items():
+            p = int(p_str)
+            lo = int(start.get(t, {}).get(p_str, 0))
+            if hi <= lo:
+                continue
+            for seg_start, count, path in _segments(_tp_dir(queue_dir, t, p)):
+                s_lo, s_hi = max(lo, seg_start), min(hi, seg_start + count)
+                if s_lo < s_hi:
+                    slices.append(_SegSlice(path, t, p, s_lo, s_hi))
+    return slices
+
+
+def _read_slice(sl: _SegSlice) -> Iterator[Any]:
+    """Decode one segment slice into a single Arrow RecordBatch of the
+    Kafka schema (columnar across the Python->JVM boundary)."""
+    import pyarrow as pa
+
+    keys, vals, offs, ts = [], [], [], []
+    with open(sl.path) as f:
+        for line in f:
+            r = json.loads(line)
+            if not sl.lo <= r["o"] < sl.hi:
+                continue
+            keys.append(base64.b64decode(r["k"]) if r["k"] else None)
+            vals.append(base64.b64decode(r["v"]))
+            offs.append(r["o"])
+            ts.append(r["t"] * 1000)          # ms -> us
+    n = len(offs)
+    if not n:
+        return
+    yield pa.RecordBatch.from_arrays(
+        [pa.array(keys, pa.binary()), pa.array(vals, pa.binary()),
+         pa.array([sl.topic] * n, pa.string()),
+         pa.array([sl.part] * n, pa.int32()),
+         pa.array(offs, pa.int64()),
+         pa.array(ts, pa.timestamp("us", tz="UTC")),
+         pa.array([_CREATE_TIME] * n, pa.int32())],
+        names=["key", "value", "topic", "partition", "offset",
+               "timestamp", "timestampType"])
+
+
+class _QueueBatchReader(DataSourceReader):
+    """Batch mode: [startingOffsets, endingOffsets), Kafka defaults
+    (earliest -> latest), resolved at planning time."""
+
+    def __init__(self, options: dict) -> None:
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("payments_queue requires .option('path', ...)")
+        self.topics = _topics(options)
+        self.start = _resolve_offsets(
+            self.dir, self.topics,
+            options.get("startingoffsets") or options.get("startingOffsets"),
+            "earliest")
+        self.end = _resolve_offsets(
+            self.dir, self.topics,
+            options.get("endingoffsets") or options.get("endingOffsets"),
+            "latest")
+
+    def partitions(self) -> list[InputPartition]:
+        return (_plan(self.dir, self.start, self.end)
+                or [_SegSlice("", "", -1, 0, 0)])
+
+    def read(self, partition: _SegSlice) -> Iterator:
+        if partition.part < 0:
+            return
+        yield from _read_slice(partition)
+
+
+class _QueueStreamReader(DataSourceStreamReader):
+    """Micro-batch twin. latestOffset advances to the current log end,
+    clipped by maxOffsetsPerTrigger spread across partitions
+    proportionally to lag (Kafka's rate-limit policy). Offsets live in
+    the checkpoint; segments are immutable, so any replayed range is
+    byte-identical."""
+
+    def __init__(self, options: dict) -> None:
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("payments_queue requires .option('path', ...)")
+        self.topics = _topics(options)
+        self.starting = (options.get("startingoffsets")
+                         or options.get("startingOffsets"))
+        cap = (options.get("maxoffsetspertrigger")
+               or options.get("maxOffsetsPerTrigger"))
+        self.cap = int(cap) if cap else None
+        self._pos: dict[str, dict[str, int]] | None = None
+
+    def initialOffset(self) -> dict:
+        self._pos = _resolve_offsets(self.dir, self.topics,
+                                     self.starting, "earliest")
+        return self._pos
+
+    def latestOffset(self) -> dict:
+        if self._pos is None:       # restarted run: resume rate-limit
+            self._pos = _resolve_offsets(self.dir, self.topics,
+                                         self.starting, "earliest")
+        cur = _snapshot(self.dir, self.topics, "latest")
+        lag = {(t, p): cur[t][p] - self._pos.get(t, {}).get(p, 0)
+               for t in cur for p in cur[t]
+               if cur[t][p] > self._pos.get(t, {}).get(p, 0)}
+        total = sum(lag.values())
+        if self.cap is not None and total > self.cap:
+            # proportional-to-lag spread; every lagging partition gets
+            # >= 1 so no partition starves (Kafka's behavior)
+            nxt = {t: dict(ps) for t, ps in self._pos.items()}
+            for (t, p), lg in sorted(lag.items()):
+                take = max(1, (self.cap * lg) // total)
+                base = nxt.setdefault(t, {}).get(p, 0)
+                nxt[t][p] = min(base + take, cur[t][p])
+            self._pos = nxt
+        else:
+            self._pos = cur
+        return self._pos
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        return (_plan(self.dir, start, end)
+                or [_SegSlice("", "", -1, 0, 0)])
+
+    def read(self, partition: _SegSlice) -> Iterator:
+        if partition.part < 0:
+            return
+        yield from _read_slice(partition)
+
+    def commit(self, end: dict) -> None:
+        pass                        # offsets live in the checkpoint
+
+
+class PaymentsQueueDataSource(DataSource):
+    """`format("payments_queue")`; options: path (required), subscribe
+    (required), startingOffsets / endingOffsets / maxOffsetsPerTrigger
+    (Kafka names). Schema is fixed: Spark's Kafka source schema."""
+
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> str:
+        return QUEUE_SCHEMA_DDL
+
+    def reader(self, schema) -> DataSourceReader:
+        return _QueueBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _QueueStreamReader(self.options)
+
+
+def register_queue_source(spark: SparkSession) -> None:
+    """Idempotent per-session registration."""
+    spark.dataSource.register(PaymentsQueueDataSource)
+
+
+def read_queue(spark: SparkSession, queue_dir: str, topics: str,
+               starting: str = "earliest", ending: str = "latest"):
+    register_queue_source(spark)
+    return (spark.read.format(SOURCE_NAME)
+            .option("path", queue_dir).option("subscribe", topics)
+            .option("startingOffsets", starting)
+            .option("endingOffsets", ending).load())
+
+
+def stream_queue(spark: SparkSession, queue_dir: str, topics: str,
+                 starting: str = "earliest",
+                 max_offsets_per_trigger: int | None = None):
+    register_queue_source(spark)
+    r = (spark.readStream.format(SOURCE_NAME)
+         .option("path", queue_dir).option("subscribe", topics)
+         .option("startingOffsets", starting))
+    if max_offsets_per_trigger is not None:
+        r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return r.load()
+
+
+def parse_json_values(df, schema_ddl: str):
+    """The standard Kafka deserialize step: value binary -> UTF-8 ->
+    from_json(schema), keeping the queue metadata columns — built-in
+    functions only (JVM-side), no UDF."""
+    import pyspark.sql.functions as F
+
+    return (df.select(
+        F.col("topic"), F.col("partition"), F.col("offset"),
+        F.col("timestamp"),
+        F.from_json(F.col("value").cast("string"), schema_ddl).alias("m"))
+        .select("topic", "partition", "offset", "timestamp", "m.*"))

@@ -98,6 +98,7 @@ HEADLINE = [
     "jsonl_events_roundtrip",        # r7: + ORC + Python DataSource variants
     "pysource_payments",             # unregistered sf-scaled source (EXTRA_FNS)
     "txn_table_lifecycle",           # r7: ACID format create/append/merge/compact (EXTRA_FNS)
+    "queue_source_ingest",           # r7: Kafka-semantics queue consume path (EXTRA_FNS)
     "udtf_order_quarters",
     "corpus_curation_decisions",
     "corpus_source_report",          # unregistered per-source dashboard (EXTRA_FNS)
@@ -149,6 +150,9 @@ def _extra_fns():
     from aws_payment_data_lake_spark.queries.acid import (
         txn_table_lifecycle,
     )
+    from aws_payment_data_lake_spark.queries.queue import (
+        queue_source_ingest,
+    )
     from aws_payment_data_lake_spark.queries.quality import (
         quality_model_filter,
     )
@@ -164,6 +168,7 @@ def _extra_fns():
         "slow_supplier_blame": slow_supplier_blame,
         "pysource_payments": pysource_payments,
         "txn_table_lifecycle": txn_table_lifecycle,
+        "queue_source_ingest": queue_source_ingest,
         "quality_model_filter": quality_model_filter,
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
         "dedup_span_incremental": dedup_span_incremental,
