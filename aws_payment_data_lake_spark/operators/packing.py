@@ -9,8 +9,14 @@ with one window cumsum, and a shard is the run of documents whose
 stream-local starting token offset falls in [k*budget, (k+1)*budget).
 Consequences of that rule (document-level packing can't hit budgets
 exactly): a shard's token total can overshoot the budget by at most one
-document, and every non-final shard reaches the budget boundary. One
-shuffle (by stream), one windowed pass — no driver loop, no iteration.
+document, and the CUMULATIVE stream total through any non-final shard k
+reaches (k+1)*budget — an individual shard may undershoot when its
+predecessor's last document overshot into its window. One shuffle (by
+stream), one windowed pass — no driver loop, no iteration.
+
+Epoch shuffling: ``epoch_seed`` turns the within-stream order into a
+seeded hash permutation (shuffle-then-pack, re-derived from the seed
+each epoch — no stored permutation table to ship or go stale).
 """
 
 from __future__ import annotations
@@ -19,11 +25,33 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
+def _stream_order(id_col: str, epoch_seed: int | None,
+                  order_exprs: list[Column] | None) -> list[Column]:
+    """Within-stream packing order. Default: doc_id (stable corpus
+    order). With ``epoch_seed``: a seeded hash permutation with doc_id
+    tiebreak — the standard shuffle-then-pack step a training run does
+    PER EPOCH (same docs, new co-packing each epoch; the seed is the
+    epoch number, so any worker re-derives the order with no stored
+    permutation table — nothing to ship, nothing to go stale).
+    ``order_exprs`` overrides both (the driver query passes the
+    md5-based cross-engine hash so DuckDB replays the permutation;
+    production keeps xxhash64)."""
+    if order_exprs is not None:
+        return list(order_exprs)
+    if epoch_seed is None:
+        return [F.col(id_col)]
+    return [F.xxhash64(F.lit(int(epoch_seed)), F.col(id_col)),
+            F.col(id_col)]
+
+
 def pack_training_shards(docs: DataFrame, token_budget: int = 512,
                          n_streams: int = 32, id_col: str = "doc_id",
                          text_col: str = "text",
                          n_tokens_expr: Column | None = None,
-                         stream_expr: Column | None = None) -> DataFrame:
+                         stream_expr: Column | None = None,
+                         epoch_seed: int | None = None,
+                         order_exprs: list[Column] | None = None
+                         ) -> DataFrame:
     """One row per document: (doc_id, n_tokens, stream, shard_idx,
     shard_id) with shard_id = "<stream>-<shard_idx>".
 
@@ -46,7 +74,8 @@ def pack_training_shards(docs: DataFrame, token_budget: int = 512,
              if n_tokens_expr is None else n_tokens_expr)
     stream = (F.pmod(F.xxhash64(id_col), F.lit(n_streams))
               if stream_expr is None else stream_expr)
-    w = (Window.partitionBy("stream").orderBy(id_col)
+    w = (Window.partitionBy("stream")
+         .orderBy(*_stream_order(id_col, epoch_seed, order_exprs))
          .rowsBetween(Window.unboundedPreceding, -1))
     return (
         docs.select(id_col, n_tok.alias("n_tokens"),
@@ -66,6 +95,8 @@ def write_training_shards(docs: DataFrame, path: str,
                           id_col: str = "doc_id", text_col: str = "text",
                           n_tokens_expr: Column | None = None,
                           stream_expr: Column | None = None,
+                          epoch_seed: int | None = None,
+                          order_exprs: list[Column] | None = None,
                           mode: str = "overwrite") -> DataFrame:
     """Materialize the packed corpus as ONE FILE PER SHARD — the layout
     a training dataloader consumes (shard = the unit of shuffling and
@@ -118,7 +149,11 @@ def write_training_shards(docs: DataFrame, path: str,
              if n_tokens_expr is None else n_tokens_expr)
     stream = (F.pmod(F.xxhash64(id_col), F.lit(n_streams))
               if stream_expr is None else stream_expr)
-    w = (Window.partitionBy("stream").orderBy(id_col)
+    # epoch_seed reshuffles shard COMPOSITION; within-FILE rows still
+    # sort by doc id below, keeping shard bytes deterministic (loaders
+    # shuffle within shard at read time)
+    w = (Window.partitionBy("stream")
+         .orderBy(*_stream_order(id_col, epoch_seed, order_exprs))
          .rowsBetween(Window.unboundedPreceding, -1))
     out = (
         docs.withColumn("n_tokens", n_tok)

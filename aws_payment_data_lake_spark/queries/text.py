@@ -178,6 +178,15 @@ _QUOTA_CAP_CASE = ("CASE source "
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS BIGINT) AS tokens_before
       FROM d),
+    pe AS (
+      SELECT doc_id, n_tokens, stream,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY stream
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                 || ':ep1'), 1, 15))::BIGINT, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tokens_before
+      FROM d),
     mc AS (
       SELECT doc_id, source,
              {_MIX_BASE_CASE}
@@ -193,6 +202,10 @@ _QUOTA_CAP_CASE = ("CASE source "
     SELECT 'pack' AS variant, doc_id, n_tokens, stream AS group_idx,
            stream || '-' || CAST(tokens_before // 512 AS BIGINT) AS label
     FROM p
+    UNION ALL
+    SELECT 'epoch' AS variant, doc_id, n_tokens, stream AS group_idx,
+           stream || '-' || CAST(tokens_before // 512 AS BIGINT) AS label
+    FROM pe
     UNION ALL
     SELECT 'chunk' AS variant, doc_id,
            CAST(least(64, n - start) AS BIGINT) AS n_tokens,
@@ -248,6 +261,15 @@ def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                        md5-based cross-engine hash (stream_expr override)
                        so DuckDB recomputes the exact assignment;
                        production default is xxhash64.
+
+      variant='epoch'  the same packing under epoch_seed shuffle-then-
+                       pack: within-stream order becomes a seeded hash
+                       permutation (doc_id tiebreak), re-deriving each
+                       epoch's co-packing from the seed alone — no
+                       stored permutation table. Same budget contract;
+                       shard COMPOSITION differs from variant='pack'
+                       (the hash check proves the oracle replays the
+                       exact permutation, not just the counts).
 
       variant='chunk'  operators.chunking.chunk_documents: 64-token
                        windows at stride 48 (16-token overlap), pure
@@ -320,6 +342,19 @@ def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").alias("group_idx"),
         F.substring(F.md5("chunk_text"), 1, 16).alias("label"),
     )
+    epoch_hash = F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ep1"))),
+        1, 15), 16, 10).cast("long")
+    epoch_rows = pack_training_shards(
+        docs, token_budget=512, n_streams=32,
+        stream_expr=_hash_mod(":stream", 32),
+        order_exprs=[epoch_hash, F.col("doc_id")]).select(
+        F.lit("epoch").alias("variant"),
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("stream").cast("long").alias("group_idx"),
+        F.col("shard_id").alias("label"),
+    )
     mix_rows = mixture_resample(
         docs, MIX_WEIGHTS, default_weight=MIX_DEFAULT_W).select(
         F.lit("mixture").alias("variant"),
@@ -336,7 +371,8 @@ def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cap").alias("group_idx"),
         F.when(F.col("kept"), "keep").otherwise("drop").alias("label"),
     )
-    return (split_rows.unionByName(pack_rows).unionByName(chunk_rows)
+    return (split_rows.unionByName(pack_rows).unionByName(epoch_rows)
+            .unionByName(chunk_rows)
             .unionByName(mix_rows).unionByName(quota_rows)
             .orderBy("variant", "doc_id", "group_idx"))
 

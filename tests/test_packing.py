@@ -107,3 +107,51 @@ def test_write_training_shards_one_file_per_shard(spark, tmp_path):
             .agg(F.sum("n_tokens").alias("tok"),
                  F.max("n_tokens").alias("mx")).collect())
     assert all(r["tok"] <= 512 + r["mx"] for r in sums)
+
+
+def test_epoch_seed_reproducible_and_distinct(spark):
+    """Same seed -> identical assignment (re-derivable from the seed
+    alone); different seeds -> different shard composition; doc set,
+    streams, and token counts invariant across epochs."""
+    (docs,) = load(spark, SF_DIR, "documents")
+    e1a = _assignment(pack_training_shards(docs, BUDGET, STREAMS,
+                                           epoch_seed=1))
+    e1b = _assignment(pack_training_shards(docs, BUDGET, STREAMS,
+                                           epoch_seed=1))
+    e2 = _assignment(pack_training_shards(docs, BUDGET, STREAMS,
+                                          epoch_seed=2))
+    base = _assignment(pack_training_shards(docs, BUDGET, STREAMS))
+    assert e1a == e1b
+    assert set(e1a) == set(e2) == set(base)          # same docs
+    # streams are seed-independent (stream hash has no seed): only the
+    # within-stream order — hence shard_idx — moves between epochs
+    assert all(e1a[d][0] == e2[d][0] == base[d][0] for d in e1a)
+    assert e1a != e2 and e1a != base
+
+
+def test_epoch_seed_keeps_budget_contract(spark):
+    """The shuffle changes WHICH docs co-pack, not the packing rule.
+    The rule in offset terms: shard k covers stream-token window
+    [k*B, (k+1)*B), so the CUMULATIVE total through any non-final
+    shard k reaches (k+1)*B (a single shard may undershoot when the
+    previous shard's last doc overshot into its window — observed
+    under epoch order on this corpus), and no shard exceeds its
+    window by more than one document."""
+    (docs,) = load(spark, SF_DIR, "documents")
+    packed = pack_training_shards(docs, BUDGET, STREAMS, epoch_seed=7)
+    shards = (packed.groupBy("stream", "shard_idx")
+              .agg(F.sum("n_tokens").alias("total"),
+                   F.max("n_tokens").alias("max_doc"))
+              .collect())
+    import collections
+    by_stream = collections.defaultdict(list)
+    for r in shards:
+        by_stream[r["stream"]].append(r)
+    for stream, rows in by_stream.items():
+        rows.sort(key=lambda r: r["shard_idx"])
+        cum = 0
+        for r in rows[:-1]:                      # non-final shards
+            cum += r["total"]
+            assert cum >= (r["shard_idx"] + 1) * BUDGET, (stream, r)
+        for r in rows:
+            assert r["total"] < BUDGET + r["max_doc"], (stream, r)
