@@ -104,6 +104,11 @@ class ConcurrentWriteError(RuntimeError):
     the optimistic-concurrency race to a conflicting commit."""
 
 
+class CheckViolationError(ValueError):
+    """A write carried rows violating a table CHECK constraint; the
+    commit was not published and no staged file became visible."""
+
+
 @dataclass
 class AddFile:
     path: str                      # relative to the table root
@@ -127,6 +132,7 @@ class Snapshot:
     live: dict[str, AddFile]                 # path -> add
     txns: dict[str, int] = field(default_factory=dict)  # app -> last batch
     partition_by: list[str] = field(default_factory=list)
+    constraints: dict[str, str] = field(default_factory=dict)  # name -> expr
 
     @property
     def schema(self) -> StructType | None:
@@ -260,7 +266,8 @@ class TxnTable:
                     for r in rows}
             return Snapshot(v, meta["schema_json"], live,
                             dict(meta.get("txns", {})),
-                            list(meta.get("partition_by", [])))
+                            list(meta.get("partition_by", [])),
+                            dict(meta.get("constraints", {})))
         except (OSError, KeyError, ValueError):
             return None   # corrupt/missing checkpoint -> full replay
 
@@ -285,6 +292,8 @@ class TxnTable:
                 snap.schema_json = c["schema_json"]
             if "partition_by" in c:
                 snap.partition_by = list(c["partition_by"] or [])
+            if "constraints" in c:        # full-map replace semantics
+                snap.constraints = dict(c["constraints"])
             for rp in c.get("remove", []):
                 snap.live.pop(rp, None)
             for a in c.get("add", []):
@@ -331,7 +340,8 @@ class TxnTable:
                                     ("stats", pa.string())]))
         meta = json.dumps({"schema_json": snap.schema_json,
                            "txns": snap.txns,
-                           "partition_by": snap.partition_by})
+                           "partition_by": snap.partition_by,
+                           "constraints": snap.constraints})
         t = t.replace_schema_metadata({b"txlog": meta.encode()})
         ck = self._ckpt_path(snap.version)
         pq.write_table(t, ck + ".tmp")
@@ -410,7 +420,69 @@ class TxnTable:
         merged = StructType(list(cur.fields) + new_fields)
         return merged.json()
 
+    def _enforce(self, df: DataFrame,
+                 constraints: dict[str, str]) -> None:
+        """CHECK-constraint enforcement, SQL semantics: a row violates
+        when its expression evaluates to FALSE (NULL passes, like
+        Delta/ANSI). All constraints check in ONE scan — per-constraint
+        violation flags, one filter, take(1)."""
+        if not constraints:
+            return
+        flags = [F.expr(f"NOT coalesce(({e}), true)").alias(n)
+                 for n, e in sorted(constraints.items())]
+        bad = df.select(*flags).where(
+            F.greatest(*[F.col(n) for n in sorted(constraints)])
+            if len(constraints) > 1 else F.col(next(iter(constraints))))
+        hit = bad.take(1)
+        if hit:
+            names = [n for n in sorted(constraints) if hit[0][n]]
+            raise CheckViolationError(
+                f"CHECK constraint(s) {names} violated writing to "
+                f"{self.path}: "
+                + "; ".join(f"{n}: ({constraints[n]})" for n in names))
+
     # ------------------------------------------------------- commands
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr). Validates the
+        EXISTING table data first (one scan); publishes a
+        set_constraints commit carrying the full updated map. Losing a
+        version race re-validates against the new head — data appended
+        concurrently is never grandfathered past the check."""
+        while True:
+            snap = self._replay()
+            if name in snap.constraints:
+                raise ValueError(
+                    f"constraint {name!r} already on {self.path}: "
+                    f"({snap.constraints[name]})")
+            if snap.live:
+                self._enforce(
+                    self._read_files(snap, sorted(snap.live)),
+                    {name: expr})
+            commit = {"op": "set_constraints", "ts": time.time(),
+                      "add": [], "remove": [],
+                      "constraints": {**snap.constraints, name: expr}}
+            v = snap.version + 1
+            if self._try_publish(v, commit):
+                self._maybe_checkpoint(v)
+                return v
+
+    def drop_check_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT."""
+        while True:
+            snap = self._replay()
+            if name not in snap.constraints:
+                raise KeyError(
+                    f"no constraint {name!r} on {self.path} "
+                    f"(have {sorted(snap.constraints)})")
+            kept = {n: e for n, e in snap.constraints.items()
+                    if n != name}
+            commit = {"op": "set_constraints", "ts": time.time(),
+                      "add": [], "remove": [], "constraints": kept}
+            v = snap.version + 1
+            if self._try_publish(v, commit):
+                self._maybe_checkpoint(v)
+                return v
+
     def create(self, df: DataFrame,
                partition_by: list[str] | None = None,
                partition_files: int | None = None) -> "TxnTable":
@@ -445,6 +517,8 @@ class TxnTable:
                 and snap.txns.get(txn_app, -1) >= (txn_batch or 0)):
             return None
         evolved = self._check_schema(df, snap, schema_mode)
+        validated = dict(snap.constraints)
+        self._enforce(df, validated)
         adds = self._stage(df, partition_by or snap.partition_by or None)
         commit: dict[str, Any] = {
             "op": "append", "ts": time.time(),
@@ -462,6 +536,11 @@ class TxnTable:
             if (txn_app is not None
                     and snap.txns.get(txn_app, -1) >= (txn_batch or 0)):
                 return None            # a concurrent replay beat us
+            if snap.constraints != validated:
+                # a concurrent ALTER added/changed constraints between
+                # our read and publish — our rows are not grandfathered
+                validated = dict(snap.constraints)
+                self._enforce(df, validated)
             # re-derive the evolved schema against the new head — the
             # winner may itself have evolved it, and republishing our
             # stale merge would drop their columns
@@ -476,6 +555,7 @@ class TxnTable:
         """Replace the table content (and, if different, the schema).
         Last-writer-wins under concurrency: losing the version race
         recomputes the removes against the new head and retries."""
+        self._enforce(df, self._replay().constraints)
         adds = self._stage(df, partition_by)
         while True:
             snap = self._replay()
@@ -492,11 +572,36 @@ class TxnTable:
                 return v
 
     # -------------------------------------------------------- queries
-    def snapshot(self, version: int | None = None) -> DataFrame:
-        """The table as a DataFrame — at ``version`` for time travel.
+    def version_at(self, timestamp: float) -> int:
+        """TIMESTAMP AS OF resolution: the last version committed at or
+        before ``timestamp`` (unix seconds). Metadata-only — reads
+        commit JSONs, never data. Raises if the timestamp predates the
+        table."""
+        best = None
+        for v in self._versions_on_disk():
+            with open(self._commit_path(v)) as f:
+                ts = json.load(f).get("ts", 0.0)
+            if ts <= timestamp:
+                best = v             # no early break: a retried append
+                                     # republishes its ORIGINAL ts, so
+                                     # ts is not strictly monotone
+        if best is None:
+            raise ValueError(
+                f"timestamp {timestamp} predates {self.path} "
+                "(first commit is newer)")
+        return best
+
+    def snapshot(self, version: int | None = None,
+                 timestamp: float | None = None) -> DataFrame:
+        """The table as a DataFrame — at ``version`` (VERSION AS OF) or
+        ``timestamp`` (TIMESTAMP AS OF, unix seconds) for time travel.
         The returned frame pins the file LIST, so it stays valid across
         concurrent overwrites until vacuum passes the retention
         horizon (MVCC)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
         snap = self._replay(version)
         return self._read_files(snap, sorted(snap.live))
 
@@ -617,6 +722,7 @@ class TxnTable:
             cols = ([f.name for f in snap.schema.fields]
                     if snap.schema else source.columns)
             new_content = source.select(*cols)
+        self._enforce(new_content, snap.constraints)
         adds = self._stage(new_content, snap.partition_by or None)
         commit = {"op": "merge", "ts": time.time(),
                   "read_version": snap.version,
@@ -650,7 +756,10 @@ class TxnTable:
                     "rows_changed": 0}
         content = self._read_files(snap, touched)
         rows_changed = content.where(hit).count()
-        adds = self._stage(rewrite(content), snap.partition_by or None)
+        rewritten = rewrite(content)
+        if op == "update":            # deletes only drop rows — they
+            self._enforce(rewritten, snap.constraints)  # can't violate
+        adds = self._stage(rewritten, snap.partition_by or None)
         commit = {"op": op, "ts": time.time(),
                   "read_version": snap.version,
                   "add": [a.to_json() for a in adds],

@@ -1,0 +1,127 @@
+"""CHECK constraints and TIMESTAMP AS OF on the ACID format
+(sources/txlog.py): ALTER-style add/drop with existing-data
+validation, write-side enforcement across append/overwrite/merge/
+update, NULL-passes SQL semantics, checkpoint survival, and
+timestamp-resolved time travel."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from aws_payment_data_lake_spark.sources.txlog import (
+    CheckViolationError,
+    TxnTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, amount double")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = TxnTable(spark, str(tmp_path / "tbl"))
+    t.create(_df(spark, [(1, 10.0), (2, 20.0)]))
+    return t
+
+
+def test_add_validates_existing_data(spark, table):
+    table.add_check_constraint("amount_pos", "amount > 0")
+    v = table.latest_version()
+    with pytest.raises(CheckViolationError, match="amount_cap"):
+        table.add_check_constraint("amount_cap", "amount < 15")
+    # the failed ALTER published nothing
+    assert table.latest_version() == v
+    with pytest.raises(ValueError, match="already"):
+        table.add_check_constraint("amount_pos", "amount > 1")
+
+
+def test_append_enforced_and_atomic(spark, table):
+    table.add_check_constraint("amount_pos", "amount > 0")
+    v = table.latest_version()
+    with pytest.raises(CheckViolationError, match="amount_pos"):
+        table.append(_df(spark, [(3, -1.0)]))
+    assert table.latest_version() == v          # nothing committed
+    assert table.snapshot().count() == 2        # nothing visible
+    table.append(_df(spark, [(3, 3.0)]))        # valid rows pass
+    assert table.snapshot().count() == 3
+
+
+def test_null_passes_sql_semantics(spark, table):
+    """ANSI/Delta CHECK: a NULL predicate result is NOT a violation."""
+    table.add_check_constraint("amount_pos", "amount > 0")
+    table.append(_df(spark, [(4, None)]))
+    assert table.snapshot().where("id = 4").count() == 1
+
+
+def test_overwrite_merge_update_enforced(spark, table):
+    table.add_check_constraint("amount_pos", "amount > 0")
+    with pytest.raises(CheckViolationError):
+        table.overwrite(_df(spark, [(9, -9.0)]))
+    with pytest.raises(CheckViolationError):
+        table.merge(_df(spark, [(1, -5.0)]), on=["id"])
+    with pytest.raises(CheckViolationError):
+        table.update({"amount": "amount - 100"}, "id = 1")
+    # the table is bit-unchanged after all three rejections
+    assert sorted((r["id"], r["amount"])
+                  for r in table.snapshot().collect()) == \
+        [(1, 10.0), (2, 20.0)]
+    # deletes need no check (they only remove rows)
+    table.delete("id = 2")
+    assert table.snapshot().count() == 1
+
+
+def test_drop_constraint_reopens_writes(spark, table):
+    table.add_check_constraint("amount_pos", "amount > 0")
+    table.drop_check_constraint("amount_pos")
+    table.append(_df(spark, [(5, -5.0)]))       # now legal
+    assert table.snapshot().where("amount < 0").count() == 1
+    with pytest.raises(KeyError):
+        table.drop_check_constraint("amount_pos")
+
+
+def test_constraints_survive_checkpoint(spark, tmp_path):
+    """A fresh reader replaying FROM THE CHECKPOINT (not the JSON
+    tail) still sees and enforces the constraint."""
+    t = TxnTable(spark, str(tmp_path / "ck"), checkpoint_every=2)
+    t.create(_df(spark, [(1, 1.0)]))
+    t.add_check_constraint("amount_pos", "amount > 0")
+    t.append(_df(spark, [(2, 2.0)]))            # v2 -> checkpoint
+    t.append(_df(spark, [(3, 3.0)]))
+    fresh = TxnTable(spark, str(tmp_path / "ck"), checkpoint_every=2)
+    assert fresh._read_checkpoint(fresh.latest_version()) is not None
+    assert fresh._replay().constraints == {"amount_pos": "amount > 0"}
+    with pytest.raises(CheckViolationError):
+        fresh.append(_df(spark, [(4, -4.0)]))
+
+
+def test_multiple_constraints_one_scan_names_violators(spark, table):
+    table.add_check_constraint("amount_pos", "amount > 0")
+    table.add_check_constraint("id_range", "id < 100")
+    with pytest.raises(CheckViolationError, match="id_range"):
+        table.append(_df(spark, [(500, 5.0)]))
+    with pytest.raises(CheckViolationError) as ei:
+        table.append(_df(spark, [(500, -5.0)]))
+    assert "amount_pos" in str(ei.value) and "id_range" in str(ei.value)
+
+
+def test_timestamp_time_travel(spark, table):
+    t1 = time.time()
+    time.sleep(0.02)
+    table.append(_df(spark, [(3, 3.0)]))
+    time.sleep(0.02)
+    t2 = time.time()
+    time.sleep(0.02)
+    table.append(_df(spark, [(4, 4.0)]))
+
+    assert table.version_at(t1) == 0
+    assert table.version_at(t2) == 1
+    assert table.snapshot(timestamp=t1).count() == 2
+    assert table.snapshot(timestamp=t2).count() == 3
+    assert table.snapshot(timestamp=time.time()).count() == 4
+    with pytest.raises(ValueError, match="predates"):
+        table.version_at(0.0)
+    with pytest.raises(ValueError, match="not both"):
+        table.snapshot(version=1, timestamp=t1)
