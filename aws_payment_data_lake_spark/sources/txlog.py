@@ -692,20 +692,34 @@ class TxnTable:
         return out
 
     # --------------------------------------------------- read-modify-write
-    def merge(self, source: DataFrame, on: list[str]) -> dict[str, int]:
+    def merge(self, source: DataFrame, on: list[str],
+              delete_when: Any = None) -> dict[str, int]:
         """Upsert (MERGE INTO): target rows matching ``source`` on the
         key columns are replaced by the source row; unmatched source
-        rows are inserted. Copy-on-write at FILE granularity: only
-        files containing a matching key are rewritten; every other
-        file's bytes stay untouched (asserted in tests). Strictly
-        serialized: any concurrent commit between our read and our
-        publish aborts with ConcurrentWriteError (even an append can
-        carry matching keys)."""
+        rows are inserted. ``delete_when`` (Column or SQL string over
+        the SOURCE row) adds Delta's `WHEN MATCHED AND cond THEN
+        DELETE` clause: flagged source rows delete their match instead
+        of replacing it, and flagged rows with NO match insert nothing
+        — exactly the CDC-apply contract, with no driver-side key
+        lists (the flag rides the same broadcast key join). Replaying
+        the same merge is idempotent. Copy-on-write at FILE
+        granularity: only files containing a matching key are
+        rewritten; every other file's bytes stay untouched (asserted
+        in tests). Strictly serialized: any concurrent commit between
+        our read and our publish aborts with ConcurrentWriteError
+        (even an append can carry matching keys)."""
         snap = self._replay()
         target = self._read_files(snap, sorted(snap.live))
         source = source.localCheckpoint(eager=True)  # pin: read twice
         src_rows = source.count()
-        keys = source.select(*on).distinct()
+        if delete_when is not None:
+            dcond = (F.expr(delete_when)
+                     if isinstance(delete_when, str) else delete_when)
+            dflag = F.coalesce(dcond, F.lit(False))
+            upserts = source.where(~dflag)
+        else:
+            upserts = source
+        keys = source.select(*on).distinct()   # deletes touch files too
         touched_uris = [
             r[0] for r in
             (target.join(F.broadcast(keys), on=on, how="leftsemi")
@@ -717,11 +731,11 @@ class TxnTable:
             survivors = keep_frames.join(F.broadcast(keys), on=on,
                                          how="left_anti")
             new_content = survivors.unionByName(
-                source.select(*keep_frames.columns))
+                upserts.select(*keep_frames.columns))
         else:
             cols = ([f.name for f in snap.schema.fields]
                     if snap.schema else source.columns)
-            new_content = source.select(*cols)
+            new_content = upserts.select(*cols)
         self._enforce(new_content, snap.constraints)
         adds = self._stage(new_content, snap.partition_by or None)
         commit = {"op": "merge", "ts": time.time(),

@@ -1,0 +1,136 @@
+"""CDC apply (streaming/cdc.py + txlog merge delete_when): the
+queue -> ACID-table change-data-capture loop."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from aws_payment_data_lake_spark.sources.queue_source import (
+    produce,
+    stream_queue,
+)
+from aws_payment_data_lake_spark.sources.txlog import TxnTable
+from aws_payment_data_lake_spark.streaming.cdc import cdc_foreach_batch
+
+DDL = "id bigint, v double"
+
+
+def _state(table):
+    return sorted((r["id"], r["v"]) for r in table.snapshot().collect())
+
+
+def _send(qdir, events):
+    """events: list of (id, v, op). Keyed by id, so per-key order is
+    one partition's offset order — the Kafka CDC guarantee."""
+    produce(qdir, "cdc", [
+        {"key": str(i), "value": json.dumps({"id": i, "v": v, "_op": op})}
+        for i, v, op in events], num_partitions=3)
+
+
+# ------------------------------------------------------------------ merge
+
+def test_merge_delete_when_matrix(spark, tmp_path):
+    """The four MERGE cases: matched+flagged deletes, matched+unflagged
+    updates, unmatched+unflagged inserts, unmatched+flagged is a
+    no-op."""
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 1.0), (2, 2.0)], DDL))
+    src = spark.createDataFrame(
+        [(1, 0.0, "d"),     # matched + flagged -> delete
+         (2, 22.0, "u"),    # matched + unflagged -> update
+         (3, 3.0, "u"),     # unmatched + unflagged -> insert
+         (4, 0.0, "d")],    # unmatched + flagged -> nothing
+        DDL + ", _op string")
+    t.merge(src, on=["id"], delete_when="_op = 'd'")
+    assert _state(t) == [(2, 22.0), (3, 3.0)]
+    # replaying the identical merge is idempotent
+    t.merge(src, on=["id"], delete_when="_op = 'd'")
+    assert _state(t) == [(2, 22.0), (3, 3.0)]
+
+
+def test_merge_delete_when_untouched_files_kept(spark, tmp_path):
+    """delete_when keeps merge's file-granular contract: files with no
+    matching key stay byte-identical."""
+    import os
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(i, float(i)) for i in range(100)],
+                                   DDL),
+             partition_by=["id"], partition_files=8)
+    before = {p: os.path.getmtime(os.path.join(t.path, p))
+              for p in t._replay().live}
+    src = spark.createDataFrame([(5, 0.0, "d")], DDL + ", _op string")
+    t.merge(src, on=["id"], delete_when="_op = 'd'")
+    after = t._replay().live
+    survivors = set(before) & set(after)
+    assert survivors and all(
+        os.path.getmtime(os.path.join(t.path, p)) == before[p]
+        for p in survivors)
+    assert (5, 5.0) not in _state(t) and len(_state(t)) == 99
+
+
+# ------------------------------------------------------------------ stream
+
+def _run(spark, qdir, table, ckpt):
+    q = (stream_queue(spark, qdir, "cdc")
+         .writeStream
+         .foreachBatch(cdc_foreach_batch(table, ["id"], DDL))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_cdc_stream_end_to_end(spark, tmp_path):
+    """Produce upserts/deletes, apply, produce more (including events
+    for existing keys), restart from the checkpoint: final table ==
+    the python fold of the full event log."""
+    qdir, ckpt = str(tmp_path / "q"), str(tmp_path / "ckpt")
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([], DDL))
+
+    log1 = [(1, 1.0, "u"), (2, 2.0, "u"), (3, 3.0, "u"), (2, 0.0, "d")]
+    _send(qdir, log1)
+    _run(spark, qdir, t, ckpt)
+    assert _state(t) == [(1, 1.0), (3, 3.0)]
+
+    log2 = [(3, 33.0, "u"), (4, 4.0, "u"), (1, 0.0, "d"),
+            (2, 20.0, "u")]                 # resurrect a deleted key
+    _send(qdir, log2)
+    _run(spark, qdir, t, ckpt)              # restart: only new events
+    assert _state(t) == [(2, 20.0), (3, 33.0), (4, 4.0)]
+
+
+def test_within_batch_order_nets_correctly(spark, tmp_path):
+    """A key upserted THEN deleted inside one batch nets to deleted;
+    deleted then re-upserted nets to present — the per-key last-event
+    reduction follows offset order."""
+    qdir, ckpt = str(tmp_path / "q"), str(tmp_path / "ckpt")
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(7, 7.0), (8, 8.0)], DDL))
+
+    _send(qdir, [(7, 70.0, "u"), (7, 0.0, "d"),       # u then d -> gone
+                 (8, 0.0, "d"), (8, 80.0, "u"),       # d then u -> kept
+                 (9, 9.0, "u"), (9, 99.0, "u")])      # u then u -> last
+    _run(spark, qdir, t, ckpt)
+    assert _state(t) == [(8, 80.0), (9, 99.0)]
+
+
+def test_cdc_respects_table_constraints(spark, tmp_path):
+    """The CDC path goes through merge, so table CHECK constraints
+    gate it: a violating upsert aborts the batch and the table stays
+    bit-unchanged."""
+    from aws_payment_data_lake_spark.sources.txlog import (
+        CheckViolationError,
+    )
+    qdir, ckpt = str(tmp_path / "q"), str(tmp_path / "ckpt")
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 1.0)], DDL))
+    t.add_check_constraint("v_pos", "v > 0")
+
+    _send(qdir, [(2, -2.0, "u")])
+    with pytest.raises(Exception) as ei:
+        _run(spark, qdir, t, ckpt)
+    assert "CHECK" in str(ei.value) or isinstance(
+        ei.value, CheckViolationError)
+    assert _state(t) == [(1, 1.0)]
