@@ -644,6 +644,32 @@ class TxnTable:
             return False
         return True
 
+    def count_rows(self, version: int | None = None,
+                   timestamp: float | None = None) -> int:
+        """SELECT COUNT(*) answered from the LOG alone — the sum of
+        live files' footer row counts, zero data files opened (the
+        Delta metadata-only count). Time travel via version or
+        timestamp like snapshot()."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
+        snap = self._replay(version)
+        return sum(a.rows for a in snap.live.values())
+
+    def describe_detail(self) -> dict[str, Any]:
+        """DESCRIBE DETAIL: current table facts from metadata only."""
+        snap = self._replay()
+        return {
+            "version": snap.version,
+            "num_files": len(snap.live),
+            "num_rows": sum(a.rows for a in snap.live.values()),
+            "size_bytes": sum(a.bytes for a in snap.live.values()),
+            "partition_by": list(snap.partition_by),
+            "constraints": dict(snap.constraints),
+            "txn_apps": dict(snap.txns),
+        }
+
     def history(self) -> list[dict[str, Any]]:
         out = []
         for v in self._versions_on_disk():

@@ -125,3 +125,26 @@ def test_timestamp_time_travel(spark, table):
         table.version_at(0.0)
     with pytest.raises(ValueError, match="not both"):
         table.snapshot(version=1, timestamp=t1)
+
+
+def test_metadata_only_count_and_detail(spark, table):
+    """COUNT(*) and DESCRIBE DETAIL answered from the log alone — no
+    data file is opened (files chmod'd unreadable to prove it)."""
+    import os
+    table.append(_df(spark, [(3, 3.0)]))
+    paths = [os.path.join(table.path, p) for p in table._replay().live]
+    try:
+        for p in paths:
+            os.chmod(p, 0)
+        assert table.count_rows() == 3
+        assert table.count_rows(version=0) == 2
+        d = table.describe_detail()
+        assert d["num_rows"] == 3 and d["version"] == 1
+        assert d["num_files"] == len(paths)
+    finally:
+        for p in paths:
+            os.chmod(p, 0o644)
+    # and the counts agree with a real scan
+    assert table.count_rows() == table.snapshot().count()
+    ts_now = time.time()
+    assert table.count_rows(timestamp=ts_now) == 3
