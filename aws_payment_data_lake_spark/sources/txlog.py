@@ -935,6 +935,63 @@ class TxnTable:
             # lost twice: loop from scratch (orphans vacuumed later)
 
     # ---------------------------------------------------- maintenance
+    def fsck(self, verify_footers: bool = False) -> dict[str, Any]:
+        """Integrity check — detection before repair, the operability
+        tool a 100 TB lake runs on a schedule. Metadata-only by
+        default (log replay + os.stat per live file); pass
+        ``verify_footers=True`` to also re-open every live parquet
+        footer and compare its row count against the log's (catches
+        silent truncation/corruption at one footer read per file, no
+        data pages).
+
+        Reports, never mutates:
+          missing      live files the log references but disk lacks
+                       (an unsafe external delete — time travel and
+                       snapshot reads will fail on them);
+          size_drift   live files whose on-disk byte size differs from
+                       the committed AddFile.bytes;
+          row_drift    (verify_footers) footer row count != committed;
+          orphans      data files on disk no commit ever referenced
+                       (crashed stages; vacuum's cleanup input);
+          gaps         missing version numbers inside the log range
+                       (an unsafe external delete of a commit JSON —
+                       replay silently skips them, so flag loudly).
+        ``clean`` is True iff everything above is empty."""
+        vs = self._versions_on_disk()
+        snap = self._replay()
+        ever_logged: set[str] = set()
+        for v in vs:
+            with open(self._commit_path(v)) as f:
+                ever_logged.update(a["path"]
+                                   for a in json.load(f).get("add", []))
+        missing, size_drift, row_drift = [], [], []
+        for rel, add in sorted(snap.live.items()):
+            local = os.path.join(self.path, rel)
+            if not os.path.isfile(local):
+                missing.append(rel)
+                continue
+            if os.path.getsize(local) != add.bytes:
+                size_drift.append(rel)
+            elif verify_footers:
+                nrows, _ = _footer_stats(local)
+                if nrows != add.rows:
+                    row_drift.append(rel)
+        orphans = []
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for wid in sorted(os.listdir(data_root)
+                          if os.path.isdir(data_root) else []):
+            wdir = os.path.join(data_root, wid)
+            for n in sorted(os.listdir(wdir)):
+                rel = os.path.join(_DATA_DIR, wid, n)
+                if n.endswith(".parquet") and rel not in ever_logged:
+                    orphans.append(rel)
+        gaps = sorted(set(range(vs[0], vs[-1] + 1)) - set(vs)) if vs else []
+        report = {"missing": missing, "size_drift": size_drift,
+                  "row_drift": row_drift, "orphans": orphans,
+                  "gaps": gaps}
+        report["clean"] = not any(report.values())
+        return report
+
     def vacuum(self, retain_versions: int = 2,
                orphan_grace_s: float = 3600.0) -> dict[str, int]:
         """Delete data files no snapshot within the last

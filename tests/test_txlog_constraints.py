@@ -148,3 +148,42 @@ def test_metadata_only_count_and_detail(spark, table):
     assert table.count_rows() == table.snapshot().count()
     ts_now = time.time()
     assert table.count_rows(timestamp=ts_now) == 3
+
+
+def test_fsck_detects_each_failure_class(spark, table):
+    """fsck: clean table reports clean; an externally deleted live
+    file, a truncated file, an orphan, and a deleted commit JSON are
+    each named in their own bucket; nothing is mutated."""
+    import os
+    table.append(_df(spark, [(3, 3.0)]))
+    assert table.fsck(verify_footers=True)["clean"]
+
+    live = sorted(table._replay().live)
+    victim = os.path.join(table.path, live[0])
+    os.unlink(victim)                                  # external delete
+    r = table.fsck()
+    assert r["missing"] == [live[0]] and not r["clean"]
+
+    # "restore" the path with truncated bytes: size drift, not missing
+    with open(os.path.join(table.path, live[1]), "rb") as f:
+        blob = f.read()
+    with open(victim, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    r = table.fsck()
+    assert r["size_drift"] == [live[0]] and not r["missing"]
+
+    # orphan: an unreferenced parquet under a stage dir
+    orphan_dir = os.path.join(table.path, "data", "deadbeef")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "part-x.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    r = table.fsck()
+    assert any("deadbeef" in o for o in r["orphans"])
+
+    # gap: a MIDDLE commit JSON deleted out from under the log (a
+    # deleted TAIL commit is indistinguishable from the append never
+    # happening — its files surface as orphans, not a gap)
+    table.append(_df(spark, [(4, 4.0)]))        # versions now 0,1,2
+    os.unlink(table._commit_path(1))
+    r = table.fsck()
+    assert r["gaps"] == [1] and not r["clean"]
