@@ -585,7 +585,11 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver row would be vacuous; cross-engine parity is the strict
     planted-PII DuckDB twin in tests/test_pii.py). Timing is the
     honest cost of the regex chain over every document — pure scan
-    bandwidth, zero shuffles."""
+    bandwidth, zero shuffles. (A [0-9@] char pre-gate was measured
+    and REJECTED as the default: on digit-rich text the per-column
+    CASE wrappers defeat subexpression sharing, 3.5x slower —
+    operators/pii.py docstring has the numbers; it remains opt-in for
+    digit-sparse corpora.)"""
     import pyspark.sql.functions as FF
 
     from aws_payment_data_lake_spark.operators.pii import pii_scan

@@ -89,3 +89,19 @@ def test_corpus_scan_shape(spark):
         prof.explain("formatted")
     assert "Exchange" not in buf.getvalue()
     assert prof.count() == docs.count()
+
+
+def test_char_gate_is_exact(spark):
+    """The [0-9@] pre-gate changes nothing: gated and ungated outputs
+    are identical on a mix of planted-PII and clean docs (every
+    pattern needs a digit or @, so the gate is exact by construction)."""
+    from aws_payment_data_lake_spark.operators.pii import pii_scan
+
+    rows = [(1, "call me at +1 415-555-0188 or a@b.co"),
+            (2, "clean prose with no personal data at all"),
+            (3, "ssn 123-45-6789 and ip 10.0.0.1"),
+            (4, "digits 123 but no pii shape x")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    gated = pii_scan(docs, char_gate=True).collect()
+    raw = pii_scan(docs, char_gate=False).collect()
+    assert sorted(map(tuple, gated)) == sorted(map(tuple, raw))
