@@ -15,6 +15,7 @@ from aws_payment_data_lake_spark.functions import MERSENNE_P, word_ngrams_upto
 from aws_payment_data_lake_spark.operators.chunking import chunk_documents
 from aws_payment_data_lake_spark.operators.mixture import mixture_resample
 from aws_payment_data_lake_spark.operators.quota import source_quota_cap
+from aws_payment_data_lake_spark.operators.wordlist import wordlist_flags
 from aws_payment_data_lake_spark.operators.packing import (
     pack_training_shards,
 )
@@ -79,7 +80,17 @@ _LEX_SQL = ", ".join(f"('{w}', '{lang}')" for w, lang in _LEXICON)
            round(t.n_stop * 1.0 / t.n_tokens, 6) AS stopword_ratio,
            round(0.5 * (t.n_distinct * 1.0 / t.n_tokens)
                  + 0.3 * (1 - t.n_stop * 1.0 / t.n_tokens)
-                 + 0.2 * least(t.n_tokens / 100.0, 1.0), 6) AS quality_score
+                 + 0.2 * least(t.n_tokens / 100.0, 1.0), 6) AS quality_score,
+           CAST(len(list_intersect(list_distinct(
+                  string_split(lower(t.text), ' ')),
+                  ['slow', 'legacy']))
+                + CASE WHEN contains(lower(t.text), 'slow join')
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_blocked,
+           (len(list_intersect(list_distinct(
+                  string_split(lower(t.text), ' ')),
+                  ['slow', 'legacy']))
+                + CASE WHEN contains(lower(t.text), 'slow join')
+                       THEN 1 ELSE 0 END) > 0 AS has_blocked
     FROM t
     LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
     ORDER BY doc_id
@@ -123,7 +134,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(tk, lambda w: w.isin("the", "a", "of")))
     ttr = n_distinct / n_tokens.cast("double")
     stop_ratio = n_stop / n_tokens.cast("double")
-    return docs.select(
+    return wordlist_flags(docs).select(
         "doc_id",
         pred.alias("pred_lang"),
         m.alias("n_hits"),
@@ -141,6 +152,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.5 * ttr + 0.3 * (1 - stop_ratio)
                 + 0.2 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)), 6)
          .alias("quality_score"),
+        "n_blocked",             # C4 banned-wordlist stage
+        "has_blocked",           # (operators/wordlist.py, demo list)
     ).orderBy("doc_id")
 
 
