@@ -331,7 +331,13 @@ class _QueueStreamReader(DataSourceStreamReader):
         return self._pos
 
     def latestOffset(self) -> dict:
-        if self._pos is None:       # restarted run: resume rate-limit
+        if self._pos is None:
+            # restarted run (Spark skips initialOffset when a
+            # checkpoint exists): re-seed from startingOffsets. The
+            # checkpointed start still bounds WHAT the next batch
+            # reads (partitions() gets it), but the first post-restart
+            # batch may exceed maxOffsetsPerTrigger — the same
+            # documented catch-up behavior Kafka's option has.
             self._pos = _resolve_offsets(self.dir, self.topics,
                                          self.starting, "earliest")
         cur = _snapshot(self.dir, self.topics, "latest")
