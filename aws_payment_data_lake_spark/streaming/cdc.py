@@ -77,7 +77,22 @@ def cdc_foreach_batch(table: TxnTable, key_cols: list[str],
         src = last.select(*table_cols, OP_COL)
         # one merge applies the whole batch: _op='d' rows delete,
         # everything else upserts (the extra _op column never lands —
-        # merge projects the table schema before staging)
-        table.merge(src, on=key_cols,
-                    delete_when=F.col(OP_COL) == "d")
+        # merge projects the table schema before staging). merge is
+        # strictly serialized, so a concurrent writer (an append, a
+        # compaction) aborts it — retry a bounded number of times
+        # against the new head rather than failing the stream; the
+        # merge re-reads the table each attempt, so a retry is correct
+        # by construction.
+        from aws_payment_data_lake_spark.sources.txlog import (
+            ConcurrentWriteError,
+        )
+
+        for attempt in range(5):
+            try:
+                table.merge(src, on=key_cols,
+                            delete_when=F.col(OP_COL) == "d")
+                return
+            except ConcurrentWriteError:
+                if attempt == 4:
+                    raise
     return _apply

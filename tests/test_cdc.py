@@ -134,3 +134,33 @@ def test_cdc_respects_table_constraints(spark, tmp_path):
     assert "CHECK" in str(ei.value) or isinstance(
         ei.value, CheckViolationError)
     assert _state(t) == [(1, 1.0)]
+
+
+def test_cdc_retries_past_concurrent_writer(spark, tmp_path):
+    """A concurrent append between the CDC merge's read and publish
+    aborts the merge (strict serialization); the apply retries against
+    the new head instead of failing the stream, and BOTH writes land."""
+    qdir, ckpt = str(tmp_path / "q"), str(tmp_path / "ckpt")
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 1.0)], DDL))
+
+    intruder = spark.createDataFrame([(50, 50.0)], DDL)
+    orig = t._try_publish
+    fired = {"n": 0}
+
+    def racing_publish(version, commit):
+        # first merge publish attempt loses: an append sneaks in first
+        if commit.get("op") == "merge" and fired["n"] == 0:
+            fired["n"] = 1
+            t2 = TxnTable(spark, t.path)
+            t2.append(intruder)
+        return orig(version, commit)
+
+    t._try_publish = racing_publish
+    try:
+        _send(qdir, [(2, 2.0, "u")])
+        _run(spark, qdir, t, ckpt)
+    finally:
+        t._try_publish = orig
+    assert fired["n"] == 1
+    assert _state(t) == [(1, 1.0), (2, 2.0), (50, 50.0)]
