@@ -735,7 +735,6 @@ class TxnTable:
         our read and our publish aborts with ConcurrentWriteError
         (even an append can carry matching keys)."""
         snap = self._replay()
-        target = self._read_files(snap, sorted(snap.live))
         source = source.localCheckpoint(eager=True)  # pin: read twice
         src_rows = source.count()
         if delete_when is not None:
@@ -746,9 +745,25 @@ class TxnTable:
         else:
             upserts = source
         keys = source.select(*on).distinct()   # deletes touch files too
+        # stats-pruned discovery: files whose footer [min,max] on the
+        # first key column can't overlap the batch's key range can't
+        # hold a match — prune them from the discovery SCAN using log
+        # metadata alone (the same _overlaps contract as scan()). On a
+        # key-clustered table a narrow batch scans a handful of files
+        # instead of the corpus; stats-less files are kept
+        # conservatively, multi-column keys prune on the first only.
+        b = source.agg(F.min(on[0]).alias("lo"),
+                       F.max(on[0]).alias("hi")).first()
+        lo, hi = _json_safe(b["lo"]), _json_safe(b["hi"])
+        if lo is None:                          # empty/all-null source
+            cand = sorted(snap.live)
+        else:
+            cand = sorted(p for p, a in snap.live.items()
+                          if self._overlaps(a.stats.get(on[0]), lo, hi))
+        discovery = self._read_files(snap, cand)
         touched_uris = [
             r[0] for r in
-            (target.join(F.broadcast(keys), on=on, how="leftsemi")
+            (discovery.join(F.broadcast(keys), on=on, how="leftsemi")
              .select(F.input_file_name()).distinct().collect())
         ]
         touched = {self._rel_of(u) for u in touched_uris}
@@ -777,6 +792,8 @@ class TxnTable:
         return {"version": snap.version + 1,
                 "files_rewritten": len(touched),
                 "files_added": len(adds),
+                "files_scanned": len(cand),
+                "files_total": len(snap.live),
                 "rows_upserted": src_rows}
 
     def _cow_rewrite(self, op: str, hit, rewrite) -> dict[str, int]:

@@ -187,3 +187,23 @@ def test_fsck_detects_each_failure_class(spark, table):
     os.unlink(table._commit_path(1))
     r = table.fsck()
     assert r["gaps"] == [1] and not r["clean"]
+
+
+def test_merge_discovery_is_stats_pruned(spark, tmp_path):
+    """MERGE's match-discovery scan prunes by footer key stats: on an
+    id-clustered table a narrow-key batch scans only the overlapping
+    files, and the result equals an unpruned merge."""
+    t = TxnTable(spark, str(tmp_path / "m"))
+    t.create(_df(spark, [(i, float(i)) for i in range(1000)]),
+             partition_by=["id"], partition_files=10)
+    total = len(t._replay().live)
+    assert total == 10
+    src = _df(spark, [(5, 5555.0), (7, 7777.0)])    # one file's range
+    res = t.merge(src, on=["id"])
+    assert res["files_total"] == total
+    assert res["files_scanned"] <= 2                # stats-pruned
+    assert res["files_rewritten"] == 1
+    got = {r["id"]: r["amount"] for r in
+           t.snapshot().where("id in (5, 7, 500)").collect()}
+    assert got == {5: 5555.0, 7: 7777.0, 500: 500.0}
+    assert t.count_rows() == 1000
