@@ -153,6 +153,61 @@ def produce(queue_dir: str, topic: str, records: list[dict],
     return out
 
 
+def compact_topic(queue_dir: str, topic: str) -> dict[str, int]:
+    """Kafka log compaction: within each partition, keep only the
+    LATEST record per key (keyless records are kept — they have no
+    compaction identity), never touching the ACTIVE (last) segment —
+    Kafka's cleaner has the same exclusion, which is what keeps the
+    next-offset calculation (last segment's start+count) exact.
+
+    Offsets are PRESERVED, not renumbered: a compacted segment keeps
+    its original (start, count) filename — the span over-approximates
+    its surviving records, which is harmless (planning clips by span,
+    readers filter by actual offsets; consumers must tolerate offset
+    gaps, exactly as on a compacted Kafka topic). Rewrites publish by
+    tmp+rename, so a concurrent reader sees either version, both
+    self-consistent. Returns {"records_removed": n, "segments": m}.
+
+    A compacted topic still replays to the same FINAL state through
+    the CDC apply (latest-per-key is all merge consumes) — the
+    pairing Kafka documents for changelog topics."""
+    removed = segs_rewritten = 0
+    topic_dir = os.path.join(queue_dir, topic)
+    if not os.path.isdir(topic_dir):
+        return {"records_removed": 0, "segments": 0}
+    for pdir in sorted(os.listdir(topic_dir)):
+        tp = os.path.join(topic_dir, pdir)
+        segs = _segments(tp)
+        if len(segs) < 2:
+            continue                      # active segment only
+        # latest offset per key across the WHOLE partition (the active
+        # segment contributes to the map but is never rewritten)
+        latest: dict[str, int] = {}
+        records: dict[str, list[dict]] = {}
+        for start, count, path in segs:
+            rows = []
+            with open(path) as f:
+                for line in f:
+                    r = json.loads(line)
+                    rows.append(r)
+                    if r["k"] is not None:
+                        latest[r["k"]] = max(latest.get(r["k"], -1),
+                                             r["o"])
+            records[path] = rows
+        for start, count, path in segs[:-1]:
+            keep = [r for r in records[path]
+                    if r["k"] is None or latest[r["k"]] == r["o"]]
+            if len(keep) == len(records[path]):
+                continue
+            removed += len(records[path]) - len(keep)
+            segs_rewritten += 1
+            tmp = os.path.join(tp, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write("".join(json.dumps(r) + "\n" for r in keep))
+            os.rename(tmp, path)          # same name: span preserved
+    return {"records_removed": removed, "segments": segs_rewritten}
+
+
 def trim_segments(queue_dir: str, topic: str, upto_offset: int) -> int:
     """Retention: drop every segment of `topic` that lies ENTIRELY
     below `upto_offset` (whole-segment granularity, like a broker's
