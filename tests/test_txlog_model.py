@@ -98,8 +98,8 @@ def test_model_based_op_sequence(spark, tmp_path, seed):
         return ks
 
     for step in range(12):
-        op = rng.choice(["append", "merge", "delete", "update",
-                         "compact", "optimize"])
+        op = rng.choice(["append", "merge", "cdc_merge", "delete",
+                         "update", "compact", "optimize"])
         if op == "append":
             ks = fresh_keys(rng.randint(1, 5))
             batch = {k: k * 2 for k in ks}
@@ -114,6 +114,24 @@ def test_model_based_op_sequence(spark, tmp_path, seed):
             src = {**updates, **inserts}
             res = t.merge(_model_df(spark, src), on=["id"])
             model.update(src)
+            history[res["version"]] = dict(model)
+        elif op == "cdc_merge":
+            # the delete_when clause under random interleaving: some
+            # existing keys upsert, some delete, some unmatched
+            # deletes no-op, some fresh keys insert
+            pool = rng.sample(sorted(model), min(4, len(model)))
+            ups = {k: rng.randint(0, 999) for k in pool[:2]}
+            dels = set(pool[2:])
+            ghost_dels = set(fresh_keys(1))       # unmatched + flagged
+            inserts = {k: -k for k in fresh_keys(1)}
+            rows = ([(k, v, "u") for k, v in {**ups, **inserts}.items()]
+                    + [(k, 0, "d") for k in dels | ghost_dels])
+            src = spark.createDataFrame(rows, "id long, v long, _op string")
+            res = t.merge(src, on=["id"], delete_when="_op = 'd'")
+            model.update(ups)
+            model.update(inserts)
+            for k in dels:
+                del model[k]
             history[res["version"]] = dict(model)
         elif op == "delete":
             lo = rng.randint(0, next_key)
