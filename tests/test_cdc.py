@@ -164,3 +164,39 @@ def test_cdc_retries_past_concurrent_writer(spark, tmp_path):
         t._try_publish = orig
     assert fired["n"] == 1
     assert _state(t) == [(1, 1.0), (2, 2.0), (50, 50.0)]
+
+
+def test_cdc_batching_invariance_random(spark, tmp_path):
+    """Random event streams under random produce/drain splits: the
+    final table always equals the python fold of the full event
+    sequence — micro-batch boundaries never change the outcome (the
+    per-key last-event reduction + merge are both order-correct)."""
+    import random
+    rng = random.Random(20260815)
+    for trial in range(3):
+        events = []
+        for i in range(rng.randint(8, 20)):
+            k = rng.randint(1, 5)
+            if rng.random() < 0.3:
+                events.append((k, 0.0, "d"))
+            else:
+                events.append((k, round(rng.uniform(1, 99), 2), "u"))
+        # python fold (per-key order == sequence order: keyed routing)
+        state = {}
+        for k, v, op in events:
+            if op == "d":
+                state.pop(k, None)
+            else:
+                state[k] = v
+
+        qdir = str(tmp_path / f"q{trial}")
+        ckpt = str(tmp_path / f"ck{trial}")
+        t = TxnTable(spark, str(tmp_path / f"t{trial}"))
+        t.create(spark.createDataFrame([], DDL))
+        i = 0
+        while i < len(events):                  # random split points
+            j = min(len(events), i + rng.randint(1, 7))
+            _send(qdir, events[i:j])
+            _run(spark, qdir, t, ckpt)
+            i = j
+        assert _state(t) == sorted(state.items()), (trial, events)
