@@ -644,6 +644,51 @@ class TxnTable:
             return False
         return True
 
+    def restore(self, version: int | None = None,
+                timestamp: float | None = None) -> int:
+        """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF: roll the table
+        back to an earlier snapshot as a NEW commit (history is never
+        rewritten — time travel to the pre-restore states still works,
+        and the restore itself is just another version). File
+        references move; no data is copied. Data, schema, partitioning
+        and CHECK constraints all restore to the target's; the (app,
+        batch) txn high-water marks do NOT — they must stay monotone
+        or a replayed streaming batch from before the restore point
+        would double-apply (test-asserted). Fails loudly if vacuum has
+        already deleted a file the target snapshot needs (Delta's
+        RESTORE has the same limit). Strictly serialized."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
+        if version is None:
+            raise ValueError("restore needs version or timestamp")
+        target = self._replay(version)
+        missing = [p for p in target.live
+                   if not os.path.isfile(os.path.join(self.path, p))]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore {self.path} to v{version}: {len(missing)}"
+                f" file(s) already vacuumed (first: {missing[0]})")
+        cur = self._replay()
+        commit = {"op": "restore", "ts": time.time(),
+                  "read_version": cur.version,
+                  "restore_of": version,
+                  "schema_json": target.schema_json,
+                  "partition_by": target.partition_by,
+                  "constraints": target.constraints,
+                  "add": [a.to_json() for p, a in sorted(target.live.items())
+                          if p not in cur.live],
+                  "remove": sorted(p for p in cur.live
+                                   if p not in target.live)}
+        v = cur.version + 1
+        if not self._try_publish(v, commit):
+            raise ConcurrentWriteError(
+                f"restore of {self.path} read version {cur.version} but "
+                "another commit won the next version; re-run")
+        self._maybe_checkpoint(v)
+        return v
+
     def count_rows(self, version: int | None = None,
                    timestamp: float | None = None) -> int:
         """SELECT COUNT(*) answered from the LOG alone — the sum of

@@ -207,3 +207,38 @@ def test_merge_discovery_is_stats_pruned(spark, tmp_path):
            t.snapshot().where("id in (5, 7, 500)").collect()}
     assert got == {5: 5555.0, 7: 7777.0, 500: 500.0}
     assert t.count_rows() == 1000
+
+
+def test_restore_rolls_back_as_new_version(spark, table):
+    """RESTORE: data/schema/constraints return to the target version
+    as a NEW commit; history and pre-restore time travel survive; txn
+    high-water marks stay monotone so a pre-restore streaming batch
+    replay is still skipped."""
+    table.add_check_constraint("amount_pos", "amount > 0")   # v1
+    table.append(_df(spark, [(3, 3.0)]),
+                 txn_app="ing", txn_batch=7)                 # v2
+    table.update({"amount": "amount + 1"}, "id = 1")         # v3
+    assert sorted(r["id"] for r in table.snapshot().collect()) \
+        == [1, 2, 3]
+
+    v = table.restore(version=0)                             # pre-all
+    assert v == table.latest_version()
+    got = sorted((r["id"], r["amount"])
+                 for r in table.snapshot().collect())
+    assert got == [(1, 10.0), (2, 20.0)]
+    # constraints restored to v0's (none): negative append now legal
+    assert table._replay().constraints == {}
+    # pre-restore states still time-travel
+    assert sorted(r["id"] for r in table.snapshot(version=3).collect()) \
+        == [1, 2, 3]
+    # txn marks did NOT roll back: the batch-7 replay is still skipped
+    assert table.append(_df(spark, [(9, 9.0)]),
+                        txn_app="ing", txn_batch=7) is None
+    assert table.count_rows() == 2
+
+    # restore past vacuum fails loudly
+    table.overwrite(_df(spark, [(8, 8.0)]))
+    table.vacuum(retain_versions=1, orphan_grace_s=0.0)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
+        table.restore(version=0)
