@@ -99,7 +99,7 @@ def test_model_based_op_sequence(spark, tmp_path, seed):
 
     for step in range(12):
         op = rng.choice(["append", "merge", "cdc_merge", "delete",
-                         "update", "compact", "optimize"])
+                         "update", "compact", "optimize", "restore"])
         if op == "append":
             ks = fresh_keys(rng.randint(1, 5))
             batch = {k: k * 2 for k in ks}
@@ -151,6 +151,11 @@ def test_model_based_op_sequence(spark, tmp_path, seed):
             assert res["rows_changed"] == len(hit)
             if res["files_rewritten"]:
                 history[res["version"]] = dict(model)
+        elif op == "restore":
+            tv = rng.choice(sorted(history))
+            v = t.restore(version=tv)
+            model = dict(history[tv])
+            history[v] = dict(model)
         elif op == "compact":
             r = t.compact(max_files=2)
             if not r["noop"]:
