@@ -82,7 +82,8 @@ def _dec_avg(col: F.Column, scale: int, alias: str) -> F.Column:
       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
            AS DOUBLE)                             AS sum_disc_price,
       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                    AS DECIMAL(18,6))) AS DOUBLE)  AS sum_charge,
+                    AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+                                                  AS sum_charge_micros,
       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
                                                   AS avg_qty,
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
@@ -110,13 +111,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum(F.col("l_quantity"), 2, "sum_qty"),
             _dec_sum(F.col("l_extendedprice"), 2, "sum_base_price"),
             _dec_sum(disc_price, 4, "sum_disc_price"),
-            # charge has 6 exact decimals; cast the sum straight to double
-            # (NOT via an intermediate lower-scale decimal: Spark rounds
-            # decimal->decimal HALF_UP but DuckDB truncates at the half
-            # boundary). Exact while per-group sums < 9e9 (holds at the
-            # tested SFs; at larger SF lower the term scale instead).
-            F.sum(charge.cast("decimal(18,6)")).cast("double")
-             .alias("sum_charge"),
+            # charge has 6 exact decimals. A decimal(_,6)->DOUBLE cast
+            # diverges by 1 ulp between engines once the unscaled sum
+            # crosses 2^53 — OBSERVED at the sf1.0 parity probe
+            # (27864155010.94159 vs ...93; fine at the driver SFs), and
+            # lowering the TERM scale would put 4dp rounding ties at
+            # the mercy of each engine's double->decimal path. So emit
+            # the production convention instead: money as INTEGER
+            # micro-units — exact decimal sum * 1e6 to BIGINT, bit-
+            # identical in both engines until per-group sums reach 9e12.
+            (F.sum(charge.cast("decimal(18,6)")) * 1_000_000)
+             .cast("long").alias("sum_charge_micros"),
             _dec_avg(F.col("l_quantity"), 2, "avg_qty"),
             _dec_avg(F.col("l_extendedprice"), 2, "avg_price"),
             _dec_avg(F.col("l_discount"), 2, "avg_disc"),
