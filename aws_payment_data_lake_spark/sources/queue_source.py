@@ -180,26 +180,28 @@ def compact_topic(queue_dir: str, topic: str) -> dict[str, int]:
         segs = _segments(tp)
         if len(segs) < 2:
             continue                      # active segment only
-        # latest offset per key across the WHOLE partition (the active
-        # segment contributes to the map but is never rewritten)
+        # pass 1 — latest offset per key across the WHOLE partition
+        # (the active segment contributes to the map but is never
+        # rewritten). Only (key -> offset) is held; pass 2 rewrites
+        # one segment at a time, so memory is bounded by the key
+        # cardinality plus a single segment — the same two-pass shape
+        # as Kafka's cleaner (offset map, then per-segment copy).
         latest: dict[str, int] = {}
-        records: dict[str, list[dict]] = {}
         for start, count, path in segs:
-            rows = []
             with open(path) as f:
                 for line in f:
                     r = json.loads(line)
-                    rows.append(r)
                     if r["k"] is not None:
                         latest[r["k"]] = max(latest.get(r["k"], -1),
                                              r["o"])
-            records[path] = rows
         for start, count, path in segs[:-1]:
-            keep = [r for r in records[path]
+            with open(path) as f:
+                rows = [json.loads(line) for line in f]
+            keep = [r for r in rows
                     if r["k"] is None or latest[r["k"]] == r["o"]]
-            if len(keep) == len(records[path]):
+            if len(keep) == len(rows):
                 continue
-            removed += len(records[path]) - len(keep)
+            removed += len(rows) - len(keep)
             segs_rewritten += 1
             tmp = os.path.join(tp, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
