@@ -66,6 +66,8 @@ def cdc_foreach_batch(table: TxnTable, key_cols: list[str],
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal table_cols
+        if batch_df.isEmpty():
+            return          # don't publish an empty merge per trigger
         parsed = parse_json_values(batch_df, full_ddl)
         last = last_event_per_key(parsed, key_cols)
         if table_cols is None:
