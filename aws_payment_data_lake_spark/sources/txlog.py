@@ -555,10 +555,16 @@ class TxnTable:
         """Replace the table content (and, if different, the schema).
         Last-writer-wins under concurrency: losing the version race
         recomputes the removes against the new head and retries."""
-        self._enforce(df, self._replay().constraints)
+        validated = dict(self._replay().constraints)
+        self._enforce(df, validated)
         adds = self._stage(df, partition_by)
         while True:
             snap = self._replay()
+            if snap.constraints != validated:
+                # same hole append closes: a concurrent ALTER between
+                # our read and publish must re-validate our rows
+                validated = dict(snap.constraints)
+                self._enforce(df, validated)
             commit = {"op": "overwrite", "ts": time.time(),
                       "schema_json": df.schema.json(),
                       "partition_by": (partition_by

@@ -242,3 +242,28 @@ def test_restore_rolls_back_as_new_version(spark, table):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError, match="vacuumed"):
         table.restore(version=0)
+
+
+def test_overwrite_revalidates_after_concurrent_alter(spark, table):
+    """An ALTER landing between overwrite's read and publish must
+    re-validate the overwrite's rows (same hole append closes)."""
+    orig = table._try_publish
+    fired = {"n": 0}
+
+    def racing(version, commit):
+        if commit.get("op") == "overwrite" and fired["n"] == 0:
+            fired["n"] = 1
+            t2 = TxnTable(spark, table.path)
+            t2.add_check_constraint("amount_pos", "amount > 0")
+        return orig(version, commit)
+
+    table._try_publish = racing
+    try:
+        with pytest.raises(CheckViolationError, match="amount_pos"):
+            table.overwrite(_df(spark, [(9, -9.0)]))
+    finally:
+        table._try_publish = orig
+    assert fired["n"] == 1
+    # nothing replaced: original rows intact, constraint live
+    assert sorted(r["id"] for r in table.snapshot().collect()) == [1, 2]
+    assert table._replay().constraints == {"amount_pos": "amount > 0"}
