@@ -121,7 +121,12 @@ def forget_rows(spark: SparkSession, path: str, match_col: str,
     import pyspark.sql.functions as F
 
     df = spark.read.parquet(path)
-    hit = F.col(match_col).isin(*match_values)
+    # NULL-safe membership: isin() yields NULL (not False) for NULL
+    # keys, and `~NULL` is NULL, so a bare predicate would silently
+    # drop NULL-key rows from every rewritten partition without
+    # counting them as deleted. Coalesce to False so NULL-key rows
+    # are KEPT and the erasure audit counts stay truthful.
+    hit = F.coalesce(F.col(match_col).isin(*match_values), F.lit(False))
     parts = [r[0] for r in (df.where(hit)
                             .select(partition_col).distinct().collect())]
     if not parts:

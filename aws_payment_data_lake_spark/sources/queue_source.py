@@ -214,14 +214,23 @@ def trim_segments(queue_dir: str, topic: str, upto_offset: int) -> int:
     """Retention: drop every segment of `topic` that lies ENTIRELY
     below `upto_offset` (whole-segment granularity, like a broker's
     log cleaner — never splits a segment). Returns segments removed;
-    `earliest` moves forward for every consumer planning afterwards."""
+    `earliest` moves forward for every consumer planning afterwards.
+
+    The ACTIVE (last) segment is never removed, even when it lies
+    wholly below the cutoff — the same exclusion Kafka's cleaner makes.
+    This is not just conservatism: segment filenames are the only
+    durable record of each partition's log-end offset, so deleting ALL
+    segments would make _offset_bounds report (0, 0) and the next
+    produce would restart offsets at 0 — log-end moving BACKWARDS,
+    which breaks checkpointed consumers (replayed offset ranges would
+    no longer be byte-identical) and the exactly-once contract."""
     removed = 0
     topic_dir = os.path.join(queue_dir, topic)
     if not os.path.isdir(topic_dir):
         return 0
     for pdir in os.listdir(topic_dir):
         tp = os.path.join(topic_dir, pdir)
-        for start, count, path in _segments(tp):
+        for start, count, path in _segments(tp)[:-1]:
             if start + count <= upto_offset:
                 os.unlink(path)
                 removed += 1
@@ -387,14 +396,28 @@ class _QueueStreamReader(DataSourceStreamReader):
                                      self.starting, "earliest")
         return self._pos
 
+    def _lift(self, floor: dict) -> None:
+        """Raise _pos to at least `floor` per partition. Spark hands
+        the CHECKPOINTED start to partitions() on every batch; lifting
+        _pos to it there means a restarted, rate-limited stream resumes
+        from the true position instead of crawling up from
+        startingOffsets through empty batches (and lag spreading is
+        computed against the right base)."""
+        if self._pos is None:
+            self._pos = {}
+        for t, ps in floor.items():
+            for p, o in ps.items():
+                if o > self._pos.setdefault(t, {}).get(p, 0):
+                    self._pos[t][p] = o
+
     def latestOffset(self) -> dict:
         if self._pos is None:
             # restarted run (Spark skips initialOffset when a
-            # checkpoint exists): re-seed from startingOffsets. The
-            # checkpointed start still bounds WHAT the next batch
-            # reads (partitions() gets it), but the first post-restart
-            # batch may exceed maxOffsetsPerTrigger — the same
-            # documented catch-up behavior Kafka's option has.
+            # checkpoint exists): re-seed from startingOffsets for the
+            # FIRST call only — partitions() lifts _pos to the
+            # checkpointed start as soon as Spark plans a batch, so at
+            # most one degenerate (clipped-empty) batch is possible,
+            # after which rate limiting resumes from the true position.
             self._pos = _resolve_offsets(self.dir, self.topics,
                                          self.starting, "earliest")
         cur = _snapshot(self.dir, self.topics, "latest")
@@ -416,6 +439,7 @@ class _QueueStreamReader(DataSourceStreamReader):
         return self._pos
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        self._lift(start)       # checkpointed start = true floor
         return (_plan(self.dir, start, end)
                 or [_SegSlice("", "", -1, 0, 0)])
 

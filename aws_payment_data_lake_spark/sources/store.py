@@ -247,19 +247,41 @@ def write_store(store_dir: str, fingerprint: str,
         # the fingerprint is corpus-only). Skipping the write and
         # committing a meta that lists the missing table would wedge
         # the store: every later read crashes, every later build skips
-        # again (review r7 finding). Write exactly the MISSING tables
-        # into the existing dir — same-fingerprint content is
-        # deterministic, so this is the one place an in-place write is
-        # sound (and a crash mid-write leaves meta uncommitted, so the
-        # next consumer retries).
+        # again (review r7 finding). Write exactly the MISSING tables —
+        # same-fingerprint content is deterministic, so this addition
+        # is sound. Each table is staged under a writer-private name
+        # and RENAMED into the version dir: a crash mid-write leaves
+        # only an orphan staging dir, never a partial table inside the
+        # committed version dir (a partial table would pass the
+        # dir-presence shortcut in load_or_build and wedge every
+        # subsequent read — review r8/ADVICE finding).
         for name, df in frames.items():
-            if not os.path.isdir(os.path.join(vdir, name)):
-                tdir = os.path.join(vdir, name)
-                if isinstance(df, AppendFrom):
-                    df.delta.write.mode("overwrite").parquet(tdir)
-                    _link_prior_files(df.prior_table_dir, tdir)
-                else:
-                    df.write.mode("overwrite").parquet(tdir)
+            tdir = os.path.join(vdir, name)
+            if (os.path.isdir(tdir)
+                    and not os.path.exists(
+                        os.path.join(tdir, "_SUCCESS"))):
+                # torn table from a pre-staging crash: a complete
+                # table is only ever renamed in with _SUCCESS inside,
+                # so a marker-less dir is garbage — clear it so the
+                # staged replacement can land
+                shutil.rmtree(tdir, ignore_errors=True)
+            if not os.path.isdir(tdir):
+                stg = os.path.join(store_dir, f".tbl-{uuid.uuid4().hex}")
+                try:
+                    if isinstance(df, AppendFrom):
+                        df.delta.write.mode("overwrite").parquet(stg)
+                        _link_prior_files(df.prior_table_dir, stg)
+                    else:
+                        df.write.mode("overwrite").parquet(stg)
+                    try:
+                        os.rename(stg, os.path.join(vdir, name))
+                    except OSError:
+                        # concurrent same-fingerprint writer won the
+                        # rename; identical content, ours is discarded
+                        if not os.path.isdir(os.path.join(vdir, name)):
+                            raise
+                finally:
+                    shutil.rmtree(stg, ignore_errors=True)
     _commit_meta(store_dir, fingerprint, sorted(frames), extras)
 
 
@@ -344,7 +366,13 @@ def load_or_build(spark: SparkSession, store_dir: str, fingerprint: str,
 
     if not store_is_fresh(store_dir, fingerprint, tables):
         vdir = _version_dir(store_dir, fingerprint)
-        if all(os.path.isdir(os.path.join(vdir, t)) for t in tables):
+        # dir-presence shortcut requires each table to be COMPLETE
+        # (Spark's _SUCCESS marker), not merely present — a torn table
+        # left by a crashed writer must trigger a rebuild, not a
+        # meta commit that wedges every later read
+        if all(os.path.isdir(os.path.join(vdir, t))
+               and os.path.exists(os.path.join(vdir, t, "_SUCCESS"))
+               for t in tables):
             _commit_meta(store_dir, fingerprint, sorted(tables), _extras())
             return read_store(spark, store_dir, fingerprint, tables), False
         # "warehouse:" prefix keeps the durable build separable from a

@@ -147,6 +147,19 @@ def _json_safe(v: Any) -> Any:
     # sort the same way the values do, which is all pruning needs
     iso = getattr(v, "isoformat", None)
     if iso is not None:
+        # Canonicalize timestamps to naive-UTC before serializing:
+        # pyarrow footer stats for Spark's UTC-adjusted TIMESTAMP_MICROS
+        # come back tz-aware ('...+00:00') while driver-collected Spark
+        # values are naive ('...'), and the two ISO forms do NOT sort
+        # together ('2024-01-01T00:00:00+00:00' > '2024-01-01T00:00:00'
+        # lexically even though the instants are equal) — a pruning
+        # comparison across the two forms can skip a file that holds a
+        # matching key, turning a MERGE update into a duplicate insert.
+        tzinfo = getattr(v, "tzinfo", None)
+        if tzinfo is not None:
+            import datetime as _dt
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v.isoformat()
         return iso()
     if isinstance(v, bytes):
         try:
@@ -628,6 +641,7 @@ class TxnTable:
         filter the caller still applies. Files with no stats for the
         column are conservatively kept."""
         snap = self._replay()
+        lo, hi = _json_safe(lo), _json_safe(hi)   # same form as stats
         keep = [p for p, a in sorted(snap.live.items())
                 if self._overlaps(a.stats.get(col), lo, hi)]
         return self._read_files(snap, keep)
@@ -636,6 +650,7 @@ class TxnTable:
                         hi: Any = None) -> tuple[int, int]:
         """(files kept, files total) for a scan() — the pruning audit."""
         snap = self._replay()
+        lo, hi = _json_safe(lo), _json_safe(hi)   # same form as stats
         keep = sum(1 for a in snap.live.values()
                    if self._overlaps(a.stats.get(col), lo, hi))
         return keep, len(snap.live)

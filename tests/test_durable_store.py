@@ -290,3 +290,54 @@ def test_fingerprint_quotes_awkward_column_names(spark):
     df = spark.createDataFrame([(1, "a")], ["doc id", "select"])
     fp = corpus_fingerprint(df)
     assert fp.startswith("v2-1-")
+
+
+def test_torn_table_dir_recovers_not_wedges(spark, tmp_path):
+    """Crash-recovery (ADVICE r8): a partial table dir inside a
+    committed version dir (a writer died mid-write, leaving no
+    _SUCCESS) must trigger a rebuild of that table on the next
+    load_or_build — NOT a meta commit over the torn dir, which would
+    make every later read fail while no rebuild ever runs."""
+    import shutil as _sh
+
+    from aws_payment_data_lake_spark.sources.store import (
+        corpus_fingerprint,
+        load_or_build,
+    )
+
+    store = str(tmp_path / "tornstore")
+    c = spark.range(10).selectExpr("id", "id * 3 AS v")
+    fp = corpus_fingerprint(c)
+
+    frames, built = load_or_build(spark, store, fp, ("t",),
+                                  lambda: {"t": c})
+    assert built and frames["t"].count() == 10
+
+    # simulate a crashed writer adding a second table: dir present,
+    # no _SUCCESS, garbage content
+    torn = os.path.join(store, fp, "extra")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "w") as fh:
+        fh.write("not parquet")
+
+    builds = []
+
+    def build():
+        builds.append(1)
+        return {"t": c, "extra": spark.range(5).selectExpr(
+            "id", "id AS w")}
+
+    frames2, built2 = load_or_build(spark, store, fp, ("t", "extra"),
+                                    build)
+    # the torn dir must NOT satisfy the dir-presence shortcut
+    assert builds, "torn table dir was committed without a rebuild"
+    assert frames2["extra"].count() == 5
+    assert frames2["t"].count() == 10
+    assert os.path.exists(os.path.join(store, fp, "extra", "_SUCCESS"))
+
+    # replay: now complete, zero rebuilds
+    frames3, built3 = load_or_build(
+        spark, store, fp, ("t", "extra"),
+        lambda: (_ for _ in ()).throw(AssertionError("must not rebuild")))
+    assert frames3["extra"].count() == 5
+    _sh.rmtree(store)

@@ -102,3 +102,25 @@ def test_expire_partitions(spark, zone):
     assert survivors and all(after[p] == before[p] for p in survivors)
     assert expire_partitions(spark, zone, "d", "2026-01-03") \
         == {"partitions_dropped": 0}
+
+def test_forget_keeps_null_key_rows(spark, tmp_path):
+    """NULL match_col rows must SURVIVE the rewrite and not count as
+    deleted: isin() is NULL (not False) for NULL keys, and ~NULL is
+    NULL, so an un-coalesced predicate silently drops them from every
+    rewritten partition — unaudited data loss in an erasure tool."""
+    from aws_payment_data_lake_spark.sources.maintenance import forget_rows
+
+    rows = [(7, "2026-01-01", 70.0), (None, "2026-01-01", 1.0),
+            (2, "2026-01-01", 20.0), (None, "2026-01-02", 2.0),
+            (3, "2026-01-02", 30.0)]
+    df = spark.createDataFrame(rows, "user_id long, d string, v double")
+    out = str(tmp_path / "zone_null")
+    df.write.partitionBy("d").parquet(out)
+
+    res = forget_rows(spark, out, "user_id", [7], "d")
+    # only day 1 holds user 7; its NULL row is kept, not deleted
+    assert res == {"partitions_rewritten": 1, "rows_deleted": 1,
+                   "rows_kept_in_rewritten": 2}
+    back = spark.read.parquet(out)
+    assert back.where(F.col("user_id").isNull()).count() == 2
+    assert back.count() == 4

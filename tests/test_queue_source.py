@@ -297,3 +297,32 @@ def test_compacted_topic_replays_to_same_cdc_state(spark, tmp_path):
     compact_topic(qdir, "cdc")
     after = apply_to("after")
     assert before == after == [(1, 11.0), (2, 22.0), (3, 3.0)]
+
+
+def test_trim_never_removes_active_segment_offsets_monotonic(spark,
+                                                             tmp_path):
+    """Retention past the log end must not reset offsets: the active
+    (last) segment survives any cutoff — its filename is the durable
+    record of the partition's log-end offset — so a produce after an
+    aggressive trim continues offsets instead of restarting at 0
+    (checkpointed consumers would otherwise see log-end move backwards
+    and replayed ranges stop being byte-identical)."""
+    from aws_payment_data_lake_spark.sources.queue_source import (
+        _offset_bounds, _tp_dir,
+    )
+
+    qdir = str(tmp_path / "q")
+    produce(qdir, "pay", [{"partition": 0, "value": f"a-{i}"}
+                          for i in range(10)], num_partitions=1)
+    produce(qdir, "pay", [{"partition": 0, "value": f"b-{i}"}
+                          for i in range(10)], num_partitions=1)
+    # cutoff ABOVE the whole log: only the non-active segment goes
+    removed = trim_segments(qdir, "pay", upto_offset=10_000)
+    assert removed == 1
+    lo, nxt = _offset_bounds(_tp_dir(qdir, "pay", 0))
+    assert (lo, nxt) == (10, 20)          # log end did NOT move back
+    out = produce(qdir, "pay", [{"partition": 0, "value": "c"}],
+                  num_partitions=1)
+    assert out[0] == (20, 1)              # offsets continue, never reuse
+    got = read_queue(spark, qdir, "pay")
+    assert got.agg({"offset": "max"}).collect()[0][0] == 20

@@ -473,3 +473,41 @@ def test_changes_feed(spark, tmp_path):
                        .collect())}
     assert per_v == {1: 3, 2: 4}
     assert t.changes(2).count() == 0
+
+
+def test_merge_timestamp_key_stats_prune_no_duplicates(spark, tmp_path):
+    """Stats pruning on a TIMESTAMP merge key (ADVICE r8): parquet
+    footer stats for Spark's UTC-adjusted TIMESTAMP_MICROS come back
+    tz-aware while driver-collected source bounds are naive; comparing
+    the two ISO forms lexically can prune a file whose min EQUALS the
+    batch max — the merge then inserts a duplicate instead of
+    updating. Both sides must canonicalize to naive-UTC."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    t = _mk(spark, tmp_path, "ts_keyed")
+    base = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 0, i), f"v{i}") for i in range(5)],
+        "ts timestamp, v string")
+    t.create(base)
+
+    # merge batch whose key range boundary EQUALS stored instants
+    batch = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0, 0, 0), "UPDATED-0"),
+         (dt.datetime(2024, 1, 1, 0, 0, 4), "UPDATED-4")],
+        "ts timestamp, v string")
+    res = t.merge(batch, on=["ts"])
+    # pruning must have kept the file holding the matching instants
+    assert res["files_rewritten"] >= 1
+    got = t.snapshot()
+    assert got.count() == 5, "duplicate insert: stats pruned a match"
+    upd = {r["v"] for r in got.where(
+        F.col("ts").isin(dt.datetime(2024, 1, 1, 0, 0, 0),
+                         dt.datetime(2024, 1, 1, 0, 0, 4))).collect()}
+    assert upd == {"UPDATED-0", "UPDATED-4"}
+
+    # scan() shares the _overlaps contract — an equal-boundary range
+    # scan must include the file
+    assert t.scan("ts", lo=dt.datetime(2024, 1, 1, 0, 0, 4),
+                  hi=dt.datetime(2024, 1, 1, 0, 0, 4)).count() >= 1
