@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from aws_payment_data_lake_spark.sources import load
 from aws_payment_data_lake_spark.sources.txlog import TxnTable
+from aws_payment_data_lake_spark.telemetry import timed_phase
 
 
 def txn_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -32,36 +33,44 @@ def txn_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit: list[tuple[str, int, int]] = []
     try:
         t = TxnTable(spark, os.path.join(tmp, "orders_acid"))
+        FAM = "txn_table_lifecycle"
         # partition_files pins a realistic multi-file clustered layout
         # even where AQE would coalesce the slice into one file
-        t.create(orders.where(k % 4 == 0).select(*cols),
-                 partition_by=["o_orderdate"], partition_files=48)
+        with timed_phase(FAM, "create"):
+            t.create(orders.where(k % 4 == 0).select(*cols),
+                     partition_by=["o_orderdate"], partition_files=48)
         audit.append(("create", 0, len(t._replay().live)))
         b1 = orders.where(k % 4 == 1).select(*cols)
-        t.append(b1, txn_app="bench", txn_batch=1)   # inherits layout
-        replay = t.append(b1, txn_app="bench", txn_batch=1)
-        assert replay is None, "replayed append must be skipped"
-        t.append(orders.where(k % 4 == 2).select(*cols),
-                 txn_app="bench", txn_batch=2)
+        with timed_phase(FAM, "appends"):
+            t.append(b1, txn_app="bench", txn_batch=1)  # inherits layout
+            replay = t.append(b1, txn_app="bench", txn_batch=1)
+            assert replay is None, "replayed append must be skipped"
+            t.append(orders.where(k % 4 == 2).select(*cols),
+                     txn_app="bench", txn_batch=2)
         audit.append(("appends", t.latest_version(),
                       len(t._replay().live)))
         # id % 10 == 3 splits into updates (ids = 13 mod 20, already in
         # the table via the % 4 == 1 append) and inserts (3 mod 20)
         src = (orders.where(k % 10 == 3).select(*cols)
                .withColumn("o_orderstatus", F.lit("X")))
-        res = t.merge(src, on=["o_orderkey"])
+        with timed_phase(FAM, "merge"):
+            res = t.merge(src, on=["o_orderkey"])
         audit.append(("merge", res["version"], res["files_rewritten"]))
-        c = t.compact(max_files=24)
+        with timed_phase(FAM, "compact"):
+            c = t.compact(max_files=24)
         audit.append(("compact", c["version"], c["files_out"]))
-        kept, total = t.scan_file_count("o_orderdate",
-                                        "1996-01-01", "1997-01-01")
-        pruned_rows = (t.scan("o_orderdate", "1996-01-01", "1997-01-01")
-                       .where((F.col("o_orderdate") >= "1996-01-01")
-                              & (F.col("o_orderdate") < "1997-01-01"))
-                       .count())
+        with timed_phase(FAM, "pruned_scan"):
+            kept, total = t.scan_file_count("o_orderdate",
+                                            "1996-01-01", "1997-01-01")
+            pruned_rows = (t.scan("o_orderdate",
+                                  "1996-01-01", "1997-01-01")
+                           .where((F.col("o_orderdate") >= "1996-01-01")
+                                  & (F.col("o_orderdate") < "1997-01-01"))
+                           .count())
         audit.append(("pruned_scan", kept, pruned_rows))
-        audit.append(("final_rows", t.latest_version(),
-                      t.snapshot().count()))
+        with timed_phase(FAM, "final_read"):
+            audit.append(("final_rows", t.latest_version(),
+                          t.snapshot().count()))
         return spark.createDataFrame(
             audit, "op string, version long, n long").coalesce(1)
     finally:

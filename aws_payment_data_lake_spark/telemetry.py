@@ -43,3 +43,28 @@ def drain_store_builds() -> dict[str, float]:
     out = dict(_BUILDS)
     _BUILDS.clear()
     return out
+
+
+_PHASES: dict[str, dict[str, float]] = {}
+
+
+@contextmanager
+def timed_phase(family: str, phase: str):
+    """Per-phase wall seconds inside a multi-step benched entry (VERDICT
+    r7 #5: `txn_table_lifecycle` is six write jobs + maintenance
+    reported as one number — a commit-protocol regression averages
+    away without the breakdown). Drained as ``phase_sec`` in BENCH."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        fam = _PHASES.setdefault(family, {})
+        fam[phase] = round(
+            fam.get(phase, 0.0) + time.perf_counter() - t0, 3)
+
+
+def drain_phases() -> dict[str, dict[str, float]]:
+    """Return and clear the accumulated per-phase timings."""
+    out = {k: dict(v) for k, v in _PHASES.items()}
+    _PHASES.clear()
+    return out

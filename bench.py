@@ -11,6 +11,12 @@ so timing includes full execution on every partition but no driver-side
 collect. One warm-up query amortizes JVM/codegen startup so per-query
 numbers reflect steady-state throughput, which is what matters for the
 100 TB posture.
+
+Output is two-tier (round 8): stdout carries one COMPACT JSON line sized
+to the driver's ~2000-char tail-capture window (total, driver-registered
+query timings, extras aggregated), while the COMPLETE record — all
+queries, ``store_build_sec``, per-phase ``phase_sec`` breakdowns,
+errors — is written to ``BENCH_DETAIL.json`` at the repo root.
 """
 
 from __future__ import annotations
@@ -227,6 +233,11 @@ def main() -> int:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    phases: dict[str, dict[str, float]] = {}
+    from aws_payment_data_lake_spark.telemetry import (
+        drain_phases,
+        drain_store_builds,
+    )
     for name in names:
         # Per-query fault isolation: one throwing query must cost one row,
         # not the whole artifact (BENCH_r02 was nulled by a single
@@ -237,19 +248,28 @@ def main() -> int:
                 t0 = time.perf_counter()
                 materialize(fns[name](spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
+                # Per-phase sub-timings (timed_phase): keep the drain
+                # from this entry's fastest run so phase_sec sums track
+                # the best-of-N per-query number, not N runs' worth.
+                for fam, ph in drain_phases().items():
+                    if (fam not in phases
+                            or sum(ph.values()) < sum(
+                                phases[fam].values())):
+                        phases[fam] = ph
                 # Operators may persist() intermediates; drop them so no
                 # query's timing pays for (or benefits from) cached state.
                 spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
             spark.catalog.clearCache()
+            drain_phases()
             print(f"  {name}: ERR {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    full = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -260,13 +280,39 @@ def main() -> int:
     # (BASELINE.md); emit them separately so per-query numbers stay
     # comparable across rounds regardless of suite ordering. Eager
     # seconds only — see aws_payment_data_lake_spark/telemetry.py.
-    from aws_payment_data_lake_spark.telemetry import drain_store_builds
     builds = drain_store_builds()
     if builds:
-        out["store_build_sec"] = builds
+        full["store_build_sec"] = builds
+    if phases:
+        full["phase_sec"] = phases
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+
+    # The driver records only the last ~2000 chars of output, and the
+    # full 70-entry record outgrew that window in round 7 (the artifact
+    # came back tail-truncated with parsed=null). Two-tier emission:
+    # the COMPLETE record goes to BENCH_DETAIL.json next to this script
+    # (committed with the repo), and stdout gets ONE compact line that
+    # always fits the window — suite total, the driver-registered
+    # queries' timings, and an aggregate for the bench-only extras.
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    registered = set(specs)
+    line = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: t for n, t in timings.items() if n in registered},
+        "extra_queries_total_sec": round(
+            sum(t for n, t in timings.items() if n not in registered), 3),
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+        "sf": full["sf"],
+    }
+    if errors:
+        line["n_errors"] = len(errors)
+    print(json.dumps(line, separators=(",", ":")))
     return 0
 
 
