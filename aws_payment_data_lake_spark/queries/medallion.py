@@ -48,8 +48,15 @@ _VALID_EVENT_TYPES = ("click", "view", "purchase", "signup")
            CASE WHEN event_id % 50 = 0 THEN -value ELSE value END
     FROM events
     WHERE event_id % 30 IN (1, 2) OR event_id % 50 = 0
+    UNION ALL
+    SELECT 'txn_sql', user_id, event_type, event_id, ts, value * 2
+    FROM events
+    WHERE (event_id % 30 = 1 AND event_id % 2 = 0) OR event_id % 30 = 2
+    UNION ALL
+    SELECT 'txn_sql_restore', user_id, event_type, event_id, ts, value
+    FROM events WHERE event_id % 30 = 1
     """,
-    tags=("dedup", "window", "acid", "reference:W1,S5b"),
+    tags=("dedup", "window", "acid", "sql-endpoint", "reference:W1,S5b"),
 )
 def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-record-wins, in-engine AND at the storage layer:
@@ -70,9 +77,24 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                            rest). The oracle reconstructs the final
                            content relationally, so the hash pins the
                            whole commit protocol's row-level outcome.
+      variant='txn_sql'    the SAME lifecycle driven ENTIRELY through
+                           the SQL endpoint (sources/txsql.py, VERDICT
+                           r7 #1): CREATE TABLE..USING txlog AS,
+                           three-clause MERGE INTO (WHEN MATCHED AND
+                           s.kill THEN DELETE / UPDATE SET * / INSERT
+                           *), read back with spark.sql text. Odd base
+                           ids are deleted, surviving matches and
+                           inserts carry value*2.
+      variant='txn_sql_restore'  RESTORE TABLE..TO VERSION AS OF 0
+                           issued as SQL after the merge; rows must be
+                           byte-identical to the created base — pins
+                           restore's row-level outcome AND the
+                           VERSION AS OF read path (the restored
+                           content is read back via time travel over
+                           the post-restore history).
 
     The result is materialized (localCheckpoint) before the scratch
-    table is deleted."""
+    tables are deleted."""
     import os
     import shutil
     import tempfile
@@ -114,8 +136,42 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts").alias("last_ts"),
                 F.col("value").alias("last_value"))
 
+        # --- the same lifecycle through the SQL endpoint -----------------
+        from aws_payment_data_lake_spark.sources.txsql import (
+            LakehouseCatalog,
+        )
+
+        cat = LakehouseCatalog(spark)
+        cat.register("txq", os.path.join(tmp, "t_sql"))
+        ev.select(*cols).createOrReplaceTempView("__txq_events")
+        cat.sql("CREATE TABLE txq USING txlog AS "
+                "SELECT * FROM __txq_events WHERE event_id % 30 = 1")
+        cat.sql("""
+            MERGE INTO txq AS t
+            USING (SELECT event_id, user_id, event_type,
+                          value * 2 AS value, ts,
+                          event_id % 30 = 1 AND event_id % 2 = 1 AS kill
+                   FROM __txq_events WHERE event_id % 30 IN (1, 2)) AS s
+            ON t.event_id = s.event_id
+            WHEN MATCHED AND s.kill THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+        sql_merged = shape(cat.sql(
+            "SELECT user_id, event_type, event_id, ts, value FROM txq"),
+            "txn_sql")
+        cat.sql("RESTORE TABLE txq TO VERSION AS OF 0")
+        # read the restored content via TIME TRAVEL at the post-restore
+        # head version — pins VERSION AS OF through the SQL path too
+        head = cat.table("txq").latest_version()
+        sql_restored = shape(cat.sql(
+            f"SELECT user_id, event_type, event_id, ts, value "
+            f"FROM txq VERSION AS OF {head}"), "txn_sql_restore")
+
         out = (win.unionByName(shape(t.snapshot(0), "txn_v0"))
-               .unionByName(shape(t.snapshot(), "txn_merge")))
+               .unionByName(shape(t.snapshot(), "txn_merge"))
+               .unionByName(sql_merged)
+               .unionByName(sql_restored))
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

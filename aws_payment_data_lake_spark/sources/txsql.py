@@ -1,0 +1,355 @@
+"""SQL surface over the ACID table format (VERDICT r7 #1).
+
+The engine's declared query surface is SQL (SURVEY.md §2.1 S9 — the
+Athena stand-in, /root/reference/README.md:33,67,88-89), but the
+lakehouse layer's MERGE / time travel / RESTORE shipped as Python
+method calls on ``TxnTable``. This module binds them to ``spark.sql``
+the way Delta Lake binds its own (Armbrust et al., VLDB 2020): reads
+are PURE Catalyst — every registered table resolves to a temp view
+over the snapshot's pinned file list, so predicate pushdown, pruning
+and whole-stage codegen all apply untouched — while the transactional
+verbs (MERGE INTO, UPDATE, DELETE, RESTORE, OPTIMIZE, VACUUM) parse a
+Delta-shaped grammar subset and dispatch to the commit protocol in
+``sources/txlog.py``.
+
+Grammar subset (case-insensitive keywords):
+
+  SELECT/WITH ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
+  CREATE TABLE t USING txlog [PARTITIONED BY (c,..)] AS <select>
+  INSERT INTO t <select>
+  MERGE INTO t [AS a] USING (<select>) | view [AS b] ON a.k = b.k [AND ..]
+      [WHEN MATCHED AND <cond> THEN DELETE]
+      [WHEN MATCHED THEN UPDATE SET *]
+      [WHEN NOT MATCHED THEN INSERT *]
+  UPDATE t SET c = expr [, ...] [WHERE cond]
+  DELETE FROM t [WHERE cond]
+  RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
+  OPTIMIZE t [ZORDER BY (c [, ...])]
+  VACUUM t [RETAIN n VERSIONS]
+  DESCRIBE HISTORY t
+
+MERGE keeps txlog.merge's replace-by-source contract — hence
+``UPDATE SET *`` / ``INSERT *`` only (the whole matched row is replaced
+by the source row; extra source columns such as a delete flag are
+dropped on write). The ON clause must be an AND-conjunction of
+equalities on SAME-NAMED key columns, which is what a CDC key join is.
+DML verbs return a one-row metrics DataFrame (Delta returns operation
+metrics the same way).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_payment_data_lake_spark.sources.txlog import TxnTable
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _ts_to_epoch(ts: str) -> float:
+    """'2024-01-01 00:00:00[.ffffff]' (naive = UTC, matching the
+    session timezone pin) -> unix seconds."""
+    d = dt.datetime.fromisoformat(ts)
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=dt.timezone.utc)
+    return d.timestamp()
+
+
+class LakehouseCatalog:
+    """Name -> TxnTable registry + the ``sql()`` endpoint.
+
+    One catalog per application; registration is cheap (no I/O until a
+    statement touches the table). Unregistered names pass through to
+    the session catalog untouched, so lakehouse tables and ordinary
+    views mix freely in one statement.
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self._tables: dict[str, TxnTable] = {}
+        self._nview = 0
+
+    # ------------------------------------------------------------ registry
+    def register(self, name: str, path: str, **kw: Any) -> TxnTable:
+        t = TxnTable(self.spark, path, **kw)
+        self._tables[name] = t
+        return t
+
+    def table(self, name: str) -> TxnTable:
+        if name not in self._tables:
+            raise KeyError(f"'{name}' is not a registered lakehouse table; "
+                           f"registered: {sorted(self._tables)}")
+        return self._tables[name]
+
+    # ------------------------------------------------------------- endpoint
+    def sql(self, text: str) -> DataFrame:
+        s = text.strip().rstrip(";").strip()
+        head = s.split(None, 2)
+        verb = (head[0].upper() if head else "")
+        two = f"{verb} {head[1].upper()}" if len(head) > 1 else verb
+        if two == "MERGE INTO":
+            return self._merge(s)
+        if two == "RESTORE TABLE":
+            return self._restore(s)
+        if two == "DESCRIBE HISTORY":
+            return self._history(s)
+        if two == "CREATE TABLE":
+            return self._create(s)
+        if two == "INSERT INTO":
+            return self._insert(s)
+        if two == "DELETE FROM":
+            return self._delete(s)
+        if verb == "UPDATE" and self._is_lake_update(s):
+            return self._update(s)
+        if verb == "OPTIMIZE":
+            return self._optimize(s)
+        if verb == "VACUUM":
+            return self._vacuum(s)
+        # read path: rewrite time travel, bind snapshots, hand to Catalyst
+        return self.spark.sql(self._bind_reads(s))
+
+    # ---------------------------------------------------------- read binding
+    def _fresh_view(self, df: DataFrame, base: str) -> str:
+        self._nview += 1
+        name = f"__lake_{base}_{self._nview}"
+        df.createOrReplaceTempView(name)
+        return name
+
+    def _bind_reads(self, s: str) -> str:
+        """Substitute registered table references (with optional VERSION
+        / TIMESTAMP AS OF suffixes) by snapshot-bound temp views. The
+        rewritten text is ordinary Spark SQL: scans carry the pinned
+        parquet file list, everything else is Catalyst's business."""
+        for name, t in self._tables.items():
+            pat_v = re.compile(
+                rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+(\d+)",
+                re.IGNORECASE)
+            pat_t = re.compile(
+                rf"\b{re.escape(name)}\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+                re.IGNORECASE)
+
+            def sub_v(m: re.Match, t=t, name=name) -> str:
+                return self._fresh_view(
+                    t.snapshot(version=int(m.group(1))), name)
+
+            def sub_t(m: re.Match, t=t, name=name) -> str:
+                return self._fresh_view(
+                    t.snapshot(timestamp=_ts_to_epoch(m.group(1))), name)
+
+            s = pat_v.sub(sub_v, s)
+            s = pat_t.sub(sub_t, s)
+            if re.search(rf"\b{re.escape(name)}\b", s) and t.exists():
+                # bare reference -> latest snapshot under the table's
+                # own name (stable view name: repeated queries reuse it)
+                t.snapshot().createOrReplaceTempView(name)
+        return s
+
+    # ------------------------------------------------------------- DML verbs
+    def _metrics(self, op: str, m: dict[str, Any]) -> DataFrame:
+        rows = [(op, k, int(v)) for k, v in sorted(m.items())
+                if isinstance(v, (int, float))]
+        return self.spark.createDataFrame(
+            rows, "op string, metric string, value long").coalesce(1)
+
+    def _merge(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT})|\s+({_IDENT}))?"
+            rf"\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|{_IDENT})"
+            rf"(?:\s+AS\s+({_IDENT})|\s+({_IDENT}))?"
+            rf"\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
+            s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"unsupported MERGE shape: {s[:120]}")
+        tname, ta1, ta2, usrc, sa1, sa2, on, clauses = m.groups()
+        talias = ta1 or ta2 or tname
+        salias = sa1 or sa2 or (usrc if not usrc.startswith("(") else "src")
+        t = self.table(tname)
+
+        # source: subquery or existing view/table (lakehouse names bind)
+        if usrc.startswith("("):
+            source = self.spark.sql(self._bind_reads(usrc[1:-1]))
+        else:
+            source = self.spark.sql(self._bind_reads(f"SELECT * FROM {usrc}"))
+
+        # ON: AND-conjunction of same-named equalities
+        keys: list[str] = []
+        for part in re.split(r"\s+AND\s+", on.strip(), flags=re.IGNORECASE):
+            em = re.match(
+                rf"\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*$",
+                part)
+            if not em:
+                raise ValueError(f"MERGE ON must be alias.col = alias.col "
+                                 f"conjunctions, got: {part!r}")
+            q1, c1, q2, c2 = em.groups()
+            if {q1, q2} != {talias, salias} or c1 != c2:
+                raise ValueError(
+                    f"MERGE ON must equate the SAME key column across "
+                    f"target ({talias}) and source ({salias}); got {part!r}")
+            keys.append(c1)
+
+        # clauses: optional conditional DELETE, then the standard
+        # replace-by-source pair (both optional in text, semantics fixed)
+        delete_when = None
+        rest = clauses
+        dm = re.match(
+            r"WHEN\s+MATCHED\s+AND\s+(.*?)\s+THEN\s+DELETE\s*(.*)$",
+            rest, re.IGNORECASE | re.DOTALL)
+        if dm:
+            delete_when = dm.group(1)
+            rest = dm.group(2)
+        for legal in (
+                r"^\s*$",
+                r"^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s*"
+                r"(WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*$",
+                r"^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$"):
+            if re.match(legal, rest, re.IGNORECASE | re.DOTALL):
+                break
+        else:
+            raise ValueError(
+                "MERGE supports WHEN MATCHED [AND c] THEN DELETE, WHEN "
+                f"MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT *;"
+                f" got: {rest[:120]}")
+        if delete_when is not None:
+            # the condition references source columns, optionally
+            # alias-qualified; strip the qualifier (it runs on the
+            # source frame)
+            delete_when = re.sub(rf"\b{re.escape(salias)}\.", "",
+                                 delete_when)
+        res = t.merge(source, on=keys, delete_when=delete_when)
+        return self._metrics("merge", res)
+
+    def _create(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"CREATE\s+TABLE\s+({_IDENT})\s+USING\s+txlog\s*"
+            rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?AS\s+(.*)$",
+            s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"unsupported CREATE TABLE shape: {s[:120]}")
+        tname, parts, select = m.groups()
+        t = self.table(tname)
+        df = self.spark.sql(self._bind_reads(select))
+        pby = ([c.strip() for c in parts.split(",")] if parts else None)
+        v = t.create(df, partition_by=pby)
+        return self._metrics("create", {"version": v})
+
+    def _insert(self, s: str) -> DataFrame:
+        m = re.match(rf"INSERT\s+INTO\s+({_IDENT})\s+(.*)$",
+                     s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"unsupported INSERT shape: {s[:120]}")
+        tname, select = m.groups()
+        t = self.table(tname)
+        df = self.spark.sql(self._bind_reads(select))
+        # SQL INSERT is POSITIONAL: align the select list to the table
+        # schema by position (the ANSI rule), so expression columns
+        # with generated names land in the right slots
+        tcols = [f.name for f in t._replay().schema.fields]
+        if len(df.columns) != len(tcols):
+            raise ValueError(
+                f"INSERT INTO {tname}: {len(df.columns)} columns for a "
+                f"{len(tcols)}-column table")
+        v = t.append(df.toDF(*tcols))
+        return self._metrics("insert", {"version": v})
+
+    def _is_lake_update(self, s: str) -> bool:
+        m = re.match(rf"UPDATE\s+({_IDENT})\b", s, re.IGNORECASE)
+        return bool(m) and m.group(1) in self._tables
+
+    def _update(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+            s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"unsupported UPDATE shape: {s[:120]}")
+        tname, sets, where = m.groups()
+        assigns: dict[str, str] = {}
+        for part in self._split_top(sets):
+            am = re.match(rf"\s*({_IDENT})\s*=\s*(.*)$", part, re.DOTALL)
+            if not am:
+                raise ValueError(f"bad SET assignment: {part!r}")
+            assigns[am.group(1)] = am.group(2).strip()
+        res = self.table(tname).update(assigns, where or "true")
+        return self._metrics("update", res)
+
+    def _delete(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.*))?$",
+            s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"unsupported DELETE shape: {s[:120]}")
+        tname, where = m.groups()
+        res = self.table(tname).delete(where or "true")
+        return self._metrics("delete", res)
+
+    def _restore(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+"
+            rf"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
+            rf"\s*$", s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported RESTORE shape: {s[:120]}")
+        tname, ver, ts = m.groups()
+        t = self.table(tname)
+        v = (t.restore(version=int(ver)) if ver is not None
+             else t.restore(timestamp=_ts_to_epoch(ts)))
+        return self._metrics("restore", {"version": v})
+
+    def _optimize(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"OPTIMIZE\s+({_IDENT})"
+            rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+            s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported OPTIMIZE shape: {s[:120]}")
+        tname, zcols = m.groups()
+        t = self.table(tname)
+        if zcols:
+            res = t.optimize([c.strip() for c in zcols.split(",")])
+        else:
+            res = t.compact(max_files=16)
+        return self._metrics("optimize", res)
+
+    def _vacuum(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+            s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported VACUUM shape: {s[:120]}")
+        tname, keep = m.groups()
+        res = self.table(tname).vacuum(
+            retain_versions=int(keep) if keep else 2)
+        return self._metrics("vacuum", res)
+
+    def _history(self, s: str) -> DataFrame:
+        m = re.match(rf"DESCRIBE\s+HISTORY\s+({_IDENT})\s*$",
+                     s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported DESCRIBE HISTORY: {s[:120]}")
+        hist = self.table(m.group(1)).history()
+        return self.spark.createDataFrame(
+            [(h["version"], h["op"], float(h["ts"]), h["added"],
+              h["removed"]) for h in hist],
+            "version long, op string, ts double, added long, removed long",
+        ).coalesce(1)
+
+    @staticmethod
+    def _split_top(s: str) -> list[str]:
+        """Split on commas at parenthesis depth 0 (SET a=f(x,y), b=2)."""
+        out, depth, cur = [], 0, []
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return out

