@@ -797,9 +797,12 @@ class TxnTable:
         the same merge is idempotent. Copy-on-write at FILE
         granularity: only files containing a matching key are
         rewritten; every other file's bytes stay untouched (asserted
-        in tests). Strictly serialized: any concurrent commit between
-        our read and our publish aborts with ConcurrentWriteError
-        (even an append can carry matching keys)."""
+        in tests). Concurrency: a commit racing between our read and
+        publish is REBASED OVER when footer key stats prove it
+        commutes (it rewrote none of our input files and its added
+        files' key ranges are disjoint from the batch's); otherwise
+        ConcurrentWriteError (an overlapping append can carry matching
+        keys)."""
         snap = self._replay()
         source = source.localCheckpoint(eager=True)  # pin: read twice
         src_rows = source.count()
@@ -849,18 +852,83 @@ class TxnTable:
                   "read_version": snap.version,
                   "add": [a.to_json() for a in adds],
                   "remove": sorted(touched)}
-        if not self._try_publish(snap.version + 1, commit):
+        # Publish with KEY-DISJOINT rebase (Delta's conflict-detection
+        # posture): losing the version race no longer aborts
+        # unconditionally — the same per-file key bounds that prune
+        # MERGE discovery can PROVE an intervening commit commutes with
+        # this merge (it rewrote none of the files we read, and every
+        # file it added has footer stats on the key column strictly
+        # outside our batch's key range, so it cannot hold a matching
+        # key). Disjoint CDC writers then make progress concurrently;
+        # anything unprovable (overlapping/stats-less adds, layout or
+        # history rewrites, constraint changes) still aborts loudly.
+        read_v = snap.version
+        for _ in range(8):
+            if self._try_publish(read_v + 1, commit):
+                self._maybe_checkpoint(read_v + 1)
+                break
+            head_v = self.latest_version()
+            self._assert_merge_commutes(read_v, head_v, touched,
+                                        on[0], lo, hi)
+            read_v = head_v
+            commit["read_version"] = read_v
+        else:
             raise ConcurrentWriteError(
-                f"merge into {self.path} read version {snap.version} "
-                "but another commit won the next version; re-run the "
-                "merge (staged files are orphaned until vacuum)")
-        self._maybe_checkpoint(snap.version + 1)
-        return {"version": snap.version + 1,
+                f"merge into {self.path}: lost the publish race 8 "
+                "times; re-run the merge (staged files are orphaned "
+                "until vacuum)")
+        return {"version": read_v + 1,
                 "files_rewritten": len(touched),
                 "files_added": len(adds),
                 "files_scanned": len(cand),
                 "files_total": len(snap.live),
                 "rows_upserted": src_rows}
+
+    def _assert_merge_commutes(self, read_v: int, head_v: int,
+                               touched: set[str], key: str,
+                               lo: Any, hi: Any) -> None:
+        """Raise ConcurrentWriteError unless every commit in
+        (read_v, head_v] provably commutes with a merge that read
+        ``touched`` and upserts keys bounded by [lo, hi] on ``key``.
+
+        Provable commuting = a row-level op (append/merge/delete/
+        update) that (a) removed none of our input files — a rewrite
+        of a file we read is a lost update — and (b) only added files
+        whose footer [min,max] on the key column cannot overlap the
+        batch range, so they cannot contain a key this merge should
+        have matched. Stats-less adds, an all-NULL/empty batch range,
+        layout rewrites (compact/optimize), history rewrites
+        (restore/overwrite), and constraint changes are all
+        conservative aborts."""
+        for v in range(read_v + 1, head_v + 1):
+            with open(self._commit_path(v)) as f:
+                c = json.load(f)
+            op = c.get("op")
+            if op not in ("append", "merge", "delete", "update"):
+                raise ConcurrentWriteError(
+                    f"merge into {self.path} raced a concurrent "
+                    f"'{op}' at v{v}, which cannot be proven "
+                    "key-disjoint; re-run the merge")
+            hit = set(c.get("remove", [])) & touched
+            if hit:
+                raise ConcurrentWriteError(
+                    f"merge into {self.path} read {len(hit)} file(s) "
+                    f"that a concurrent '{op}' at v{v} rewrote; "
+                    "re-run the merge")
+            if lo is None:
+                raise ConcurrentWriteError(
+                    f"merge into {self.path} has no key bounds "
+                    "(empty/all-NULL batch) so a concurrent commit at "
+                    f"v{v} cannot be proven disjoint; re-run")
+            for a in c.get("add", []):
+                if not a.get("rows"):
+                    continue          # empty file: no keys, trivially ok
+                mm = (a.get("stats") or {}).get(key)
+                if not mm or self._overlaps(mm, lo, hi):
+                    raise ConcurrentWriteError(
+                        f"merge into {self.path}: a file added by a "
+                        f"concurrent '{op}' at v{v} may hold keys in "
+                        f"this merge's range on '{key}'; re-run")
 
     def _cow_rewrite(self, op: str, hit, rewrite) -> dict[str, int]:
         """Shared copy-on-write core for DELETE/UPDATE: find the files

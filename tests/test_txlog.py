@@ -125,30 +125,124 @@ def test_merge_upsert_and_file_granularity(spark, tmp_path):
         assert (os.path.getsize(full), os.path.getmtime(full)) == hi_disk[p]
 
 
-def test_merge_conflict_aborts(spark, tmp_path):
-    """A commit landing between merge's read and its publish aborts
-    the merge (strict serialization for read-modify-write)."""
+def test_merge_rebases_over_disjoint_append(spark, tmp_path):
+    """A key-disjoint append landing between merge's read and its
+    publish no longer aborts the merge (r8): footer stats prove the
+    appended file cannot hold a matching key, so the merge rebases and
+    both commits land."""
     t = _mk(spark, tmp_path)
     t.create(spark.range(10).selectExpr("id", "id as v"))
     intruder = _mk(spark, tmp_path)
     real_stage = TxnTable._stage
+    fired = []
 
     def stage_then_intrude(self, df, partition_by, max_files=None,
                            partition_files=None):
         adds = real_stage(self, df, partition_by, max_files,
                           partition_files)
-        if self is t:                  # race: intruder commits first
+        if self is t and not fired:    # race: intruder commits first
+            fired.append(1)
             intruder.append(spark.range(50, 55)
                             .selectExpr("id", "id as v"))
+        return adds
+
+    with mock.patch.object(TxnTable, "_stage", stage_then_intrude):
+        res = t.merge(spark.createDataFrame([(1, -1)], "id long, v long"),
+                      on=["id"])
+    # both the merge AND the concurrent append survived
+    assert res["version"] == t.latest_version()
+    assert t.snapshot().count() == 15
+    assert {r["v"] for r in t.snapshot().collect() if r["id"] == 1} == {-1}
+    assert t.snapshot().where("id >= 50").count() == 5
+
+
+def test_merge_aborts_on_overlapping_append(spark, tmp_path):
+    """An append whose key range overlaps the merge batch can carry a
+    matching key the merge should have updated — still a loud abort."""
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(10).selectExpr("id", "id as v"))
+    intruder = _mk(spark, tmp_path)
+    real_stage = TxnTable._stage
+    fired = []
+
+    def stage_then_intrude(self, df, partition_by, max_files=None,
+                           partition_files=None):
+        adds = real_stage(self, df, partition_by, max_files,
+                          partition_files)
+        if self is t and not fired:
+            fired.append(1)
+            intruder.append(spark.createDataFrame(
+                [(1, 111)], "id long, v long"))
         return adds
 
     with mock.patch.object(TxnTable, "_stage", stage_then_intrude):
         with pytest.raises(ConcurrentWriteError):
             t.merge(spark.createDataFrame([(1, -1)], "id long, v long"),
                     on=["id"])
-    # the intruder's append is intact; merge left no partial state
-    assert t.snapshot().count() == 15
-    assert {r["v"] for r in t.snapshot().collect() if r["id"] == 1} == {1}
+    # the intruder's append is intact; merge left no committed state
+    assert t.snapshot().count() == 11
+    assert {r["v"] for r in t.snapshot().collect() if r["id"] == 1} \
+        == {1, 111}
+
+
+def test_disjoint_merges_and_append_interleave_zero_aborts(spark,
+                                                           tmp_path):
+    """VERDICT r7 #3 model: two merges over provably disjoint key
+    ranges plus a disjoint append interleave with ZERO aborts, while
+    an overlapping merge racing the same way still aborts."""
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(100).selectExpr("id", "id as v"))
+    assert len(t._replay().live) >= 2  # distinct files for the ranges
+    intruder = _mk(spark, tmp_path)
+    real_stage = TxnTable._stage
+    fired = []
+
+    def stage_then_intrude(self, df, partition_by, max_files=None,
+                           partition_files=None):
+        adds = real_stage(self, df, partition_by, max_files,
+                          partition_files)
+        if self is t and not fired:
+            fired.append(1)
+            # a DISJOINT merge and a DISJOINT append both land while
+            # our merge is between read and publish
+            intruder.merge(
+                spark.createDataFrame([(i, -i) for i in range(90, 95)],
+                                      "id long, v long"), on=["id"])
+            intruder.append(spark.range(200, 210)
+                            .selectExpr("id", "id as v"))
+        return adds
+
+    with mock.patch.object(TxnTable, "_stage", stage_then_intrude):
+        res = t.merge(
+            spark.createDataFrame([(i, 1000 + i) for i in range(5)],
+                                  "id long, v long"), on=["id"])
+    assert res["version"] == t.latest_version()
+    got = {r["id"]: r["v"] for r in t.snapshot().collect()}
+    assert len(got) == 110
+    assert all(got[i] == 1000 + i for i in range(5))      # our merge
+    assert all(got[i] == -i for i in range(90, 95))       # theirs
+    assert all(got[i] == i for i in range(200, 210))      # the append
+
+    # same interleave with an OVERLAPPING intruder merge -> abort
+    fired2 = []
+
+    def stage_then_overlap(self, df, partition_by, max_files=None,
+                           partition_files=None):
+        adds = real_stage(self, df, partition_by, max_files,
+                          partition_files)
+        if self is t and not fired2:
+            fired2.append(1)
+            intruder.merge(
+                spark.createDataFrame([(3, -333)], "id long, v long"),
+                on=["id"])
+        return adds
+
+    with mock.patch.object(TxnTable, "_stage", stage_then_overlap):
+        with pytest.raises(ConcurrentWriteError):
+            t.merge(spark.createDataFrame([(3, 999)], "id long, v long"),
+                    on=["id"])
+    assert {r["v"] for r in t.snapshot().collect()
+            if r["id"] == 3} == {-333}  # the intruder's merge won
 
 
 def test_compact_commutes_with_concurrent_append(spark, tmp_path):
