@@ -605,3 +605,36 @@ def test_merge_timestamp_key_stats_prune_no_duplicates(spark, tmp_path):
     # scan must include the file
     assert t.scan("ts", lo=dt.datetime(2024, 1, 1, 0, 0, 4),
                   hi=dt.datetime(2024, 1, 1, 0, 0, 4)).count() >= 1
+
+
+def test_long_lived_reader_across_optimize_and_vacuum(spark, tmp_path):
+    """VERDICT r7 #7: MVCC snapshot reads pin a file LIST; vacuum has a
+    version-count retention horizon. A reader holding a snapshot stays
+    correct across OPTIMIZE + a vacuum that still retains its version,
+    and fails LOUDLY (FileNotFound at action time, not silent wrong
+    rows) once a later vacuum passes the horizon."""
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(100).selectExpr("id", "id as v"))      # v0
+    reader = t.snapshot(0)             # long-lived pinned file list
+    assert reader.count() == 100
+
+    t.append(spark.range(100, 120).selectExpr("id", "id as v"))  # v1
+    t.optimize(zorder_by=["id"], n_files=4)                      # v2
+    # retention horizon covers v0..v2: the pinned files must survive
+    res = t.vacuum(retain_versions=3, orphan_grace_s=0.0)
+    assert res["data_files_deleted"] == 0
+    assert reader.count() == 100       # documented contract: readable
+    assert sorted(r["id"] for r in reader.collect()) == list(range(100))
+
+    t.append(spark.range(200, 210).selectExpr("id", "id as v"))  # v3
+    # horizon now excludes v0; optimize at v2 removed v0's files, so
+    # this vacuum deletes them and the pinned reader must break LOUDLY
+    res2 = t.vacuum(retain_versions=2, orphan_grace_s=0.0)
+    assert res2["data_files_deleted"] >= 1
+    fresh = t.snapshot()               # current snapshot unaffected
+    assert fresh.count() == 130
+    with pytest.raises(Exception) as ei:
+        t.snapshot(0).count()          # replay works, files are gone
+    assert "FileNotFound" in type(ei.value).__name__ \
+        or "PATH_NOT_FOUND" in str(ei.value) \
+        or "FileNotFound" in str(ei.value)
