@@ -1,0 +1,274 @@
+"""sf1.0 oracle parity for ALL 50 registered queries (VERDICT r7 #4).
+
+Round 7 reached 48/50 at sf1.0: `dedup_minhash_lsh` and
+`embedding_neardup_pairs` were held out ONLY because their DuckDB
+oracles replay quadratic work (the all-pairs arms spill 79 GB / 24 GB
+RSS at 50k docs / 20k vectors) while the engine runs both in seconds.
+This script closes the gap with a documented stratified protocol —
+every check below is still the driver's exact hash comparator
+(pandas path, type-sensitive stringify), applied to slices whose
+oracle cost is feasible:
+
+  dedup_minhash_lsh (both variants are PAIRWISE — LSH candidacy,
+  Jaccard verify, and signature agreement are functions of the two
+  documents alone, so the full-corpus engine result restricted to
+  intra-stratum pairs must equal the oracle run on the stratum-
+  restricted corpus):
+    * two seeded strata of ~1k docs each (seeds 8, 9): the endpoints
+      of 150 uniformly-sampled ENGINE-reported pairs (false-POSITIVE
+      power: every sampled claim is re-derived by the oracle, and the
+      dup clusters those endpoints belong to are verified internally,
+      catching missed intra-cluster pairs) plus 700 uniformly random
+      doc ids (false-NEGATIVE power away from the clusters). Oracle
+      SQL UNMODIFIED over the stratum-restricted `documents` view vs
+      the engine's full-corpus result filtered to pairs with BOTH
+      endpoints in the stratum. Exact hash. (Residue/range strata are
+      vacuous here: dup partners have arbitrary id offsets, so a
+      blind 1% stratum contains zero intra-stratum pairs.)
+
+  embedding_neardup_pairs, per variant:
+    * 'pairs' (pairwise): same seeded-stratum construction on vec_id.
+      Exact hash.
+    * 'semdedup' assignment: cell assignment is verified CORPUS-WIDE —
+      the oracle's `asg` CTE is linear (n x 16 cosines) — against the
+      engine's (a, grp) for every vector. Exact hash, full set.
+    * 'semdedup' greedy: the per-cell greedy is replayed in full
+      fidelity (the registered recursive CTE) for the SMALLEST cell,
+      restricting `mem` to that cell — depth ~1.1k is the feasibility
+      limit (~9 min); the other cells run the identical code path on
+      the engine side and their memberships are pinned by the
+      assignment hash above. Exact hash on the sampled cell.
+    * 'xdecontam': linear in corpus x benchmark — verified in FULL.
+      Exact hash.
+
+Writes PARITY_sf1_r{N}.json:
+  {"protocol": ..., "full": {name: {...48 driver rows...}},
+   "stratified": {name: {check: {...}}}, "pass": bool}
+
+Usage: python scripts/sf1_parity.py [--sf-dir .localdata/sf1.0]
+       [--out PARITY_sf1_r08.json] [--skip-full] [--only-holdouts]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+from aws_payment_data_lake_spark.oracle import (  # noqa: E402
+    diff_results,
+    pandas_rows,
+)
+from aws_payment_data_lake_spark.session import get_spark  # noqa: E402
+from aws_payment_data_lake_spark.sources import TESTDATA_TABLES  # noqa: E402
+
+HOLDOUTS = ("dedup_minhash_lsh", "embedding_neardup_pairs")
+STRATUM_SEEDS = (8, 9)
+N_SEED_PAIRS = 150
+N_RANDOM = 700
+
+
+def _connect(sf_dir: str, restrict: dict[str, str] | None = None):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        where = f" WHERE {restrict[t]}" if restrict and t in restrict else ""
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet'){where}")
+    return con
+
+
+def _seeded_stratum(pairs_df, acol: str, bcol: str, id_min: int,
+                    id_max: int, seed: int) -> set[int]:
+    """Endpoints of N_SEED_PAIRS sampled engine pairs + N_RANDOM
+    uniform ids — deterministic under `seed`."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    take = min(N_SEED_PAIRS, len(pairs_df))
+    rows = pairs_df.sample(n=take, random_state=rng)
+    ids = set(rows[acol].astype(int)) | set(rows[bcol].astype(int))
+    ids |= set(rng.randint(id_min, id_max + 1, N_RANDOM).tolist())
+    return ids
+
+
+def _id_list_sql(ids: set[int]) -> str:
+    return ",".join(str(i) for i in sorted(ids))
+
+
+def _check(tag, spdf, con, sql, results):
+    t0 = time.time()
+    scols, srows = pandas_rows(spdf)
+    ocols, orows = pandas_rows(con.execute(sql).df())
+    status = diff_results(scols, srows, ocols, orows)
+    results[tag] = {"rows": len(srows), "oracle_rows": len(orows),
+                    "hash_match": not status,
+                    "mismatch": status or None,
+                    "sec": round(time.time() - t0, 1)}
+    mark = "✓" if not status else "✗"
+    print(f"  {mark} {tag}: {len(srows)} rows "
+          f"({results[tag]['sec']}s)" + ("" if not status
+                                         else f" :: {status}"))
+    return not status
+
+
+def verify_minhash(spark, sf_dir: str, oracle: str, results: dict) -> bool:
+    qs = entrymod.queries()
+    full = qs["dedup_minhash_lsh"](spark, sf_dir).toPandas()
+    nd = duckdb.sql(f"SELECT min(doc_id), max(doc_id) FROM read_parquet("
+                    f"'{sf_dir}/documents.parquet')").fetchone()
+    ok = True
+    for seed in STRATUM_SEEDS:
+        ids = _seeded_stratum(full, "doc_a", "doc_b", nd[0], nd[1], seed)
+        sub = full[full.doc_a.isin(ids) & full.doc_b.isin(ids)]
+        con = _connect(sf_dir, {"documents":
+                                f"doc_id IN ({_id_list_sql(ids)})"})
+        ok &= _check(f"stratum_seed{seed}_n{len(ids)}", sub, con,
+                     oracle, results)
+    results["full_counts"] = {
+        v: int(n) for v, n in full.groupby("variant").size().items()}
+    return ok
+
+
+def verify_embeddings(spark, sf_dir: str, oracle: str,
+                      results: dict) -> bool:
+    qs = entrymod.queries()
+    oracle = oracle.rstrip()
+    full = qs["embedding_neardup_pairs"](spark, sf_dir).toPandas()
+    ok = True
+
+    # -- 'pairs': pairwise, two seeded strata ---------------------------
+    pairs = full[full.variant == "pairs"]
+    nv = duckdb.sql(f"SELECT min(vec_id), max(vec_id) FROM read_parquet("
+                    f"'{sf_dir}/embeddings.parquet')").fetchone()
+    for seed in STRATUM_SEEDS:
+        ids = _seeded_stratum(pairs, "a", "b", nv[0], nv[1], seed)
+        sub = pairs[pairs.a.isin(ids) & pairs.b.isin(ids)]
+        con = _connect(sf_dir, {"embeddings":
+                                f"vec_id IN ({_id_list_sql(ids)})"})
+        ok &= _check(
+            f"pairs_stratum_seed{seed}_n{len(ids)}", sub, con,
+            f"SELECT * FROM ({oracle}) w WHERE variant = 'pairs'",
+            results)
+
+    con = _connect(sf_dir)
+
+    # -- 'semdedup' assignment: corpus-wide, linear oracle --------------
+    from aws_payment_data_lake_spark.queries.similarity import (
+        _SEMDEDUP_CTES,
+    )
+    asg_sql = (f"WITH RECURSIVE {_SEMDEDUP_CTES} "
+               "SELECT vec_id AS a, cent_id AS grp FROM asg "
+               "ORDER BY a")
+    sem = full[full.variant == "semdedup"]
+    ok &= _check("semdedup_assignment_full", sem[["a", "grp"]],
+                 con, asg_sql, results)
+
+    # -- 'semdedup' greedy: full-fidelity replay of the smallest cell --
+    sizes = sem.groupby("grp").size()
+    cell = int(sizes.idxmin())
+    marker = "FROM asg a JOIN embeddings e USING (vec_id)),"
+    assert oracle.count(marker) == 1, "semdedup oracle shape changed"
+    cell_sql = oracle.replace(
+        marker,
+        f"FROM asg a JOIN embeddings e USING (vec_id) "
+        f"WHERE a.cent_id = {cell}),")
+    ok &= _check(
+        f"semdedup_greedy_cell_{cell}", sem[sem.grp == cell], con,
+        f"SELECT * FROM ({cell_sql}) w WHERE variant = 'semdedup'",
+        results)
+
+    # -- 'xdecontam': full corpus, linear ------------------------------
+    ok &= _check(
+        "xdecontam_full", full[full.variant == "xdecontam"], con,
+        f"SELECT * FROM ({oracle}) w WHERE variant = 'xdecontam'",
+        results)
+    results["full_counts"] = {
+        v: int(n) for v, n in full.groupby("variant").size().items()}
+    return ok
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir",
+                    default=os.path.join(REPO, ".localdata/sf1.0"))
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "PARITY_sf1_r08.json"))
+    ap.add_argument("--skip-full", action="store_true",
+                    help="only run the two stratified holdouts")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="sf1-parity")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    out = {
+        "sf_dir": args.sf_dir,
+        "protocol": (
+            "48 queries: full driver comparator. Holdouts (quadratic "
+            "oracles): dedup_minhash_lsh via two SEEDED strata "
+            "(endpoints of 150 sampled engine pairs + 700 random ids; "
+            "pairwise semantics => full-corpus engine result "
+            "restricted to intra-stratum pairs == oracle over the "
+            "stratum-restricted corpus; sampled-pair endpoints give "
+            "false-positive power, random ids false-negative power); "
+            "embedding_neardup_pairs via the same strata for the "
+            "pairwise 'pairs' variant, CORPUS-WIDE cell-assignment "
+            "hash + smallest-cell full-fidelity greedy replay for "
+            "'semdedup', and a FULL exact hash for 'xdecontam'. All "
+            "checks use the driver's exact comparator."),
+        "full": {}, "stratified": {}, "pass": True}
+
+    if not args.skip_full:
+        con = _connect(args.sf_dir)
+        for name in qs:
+            if name in HOLDOUTS:
+                continue
+            t0 = time.time()
+            try:
+                spdf = qs[name](spark, args.sf_dir).toPandas()
+                scols, srows = pandas_rows(spdf)
+                dpdf = con.execute(oracles[name]).df()
+                ocols, orows = pandas_rows(dpdf)
+                status = diff_results(scols, srows, ocols, orows)
+                out["full"][name] = {
+                    "rows": len(srows), "hash_match": not status,
+                    "mismatch": status or None,
+                    "sec": round(time.time() - t0, 1)}
+                print(f"  {'✓' if not status else '✗'} {name}: "
+                      f"{len(srows)} rows ({out['full'][name]['sec']}s)")
+                if status:
+                    out["pass"] = False
+            except Exception as e:  # noqa: BLE001
+                out["full"][name] = {"error":
+                                     f"{type(e).__name__}: {str(e)[:200]}"}
+                out["pass"] = False
+                print(f"  ✗ {name}: EXCEPTION {e}")
+
+    print("holdout: dedup_minhash_lsh (stratified)")
+    res_mh: dict = {}
+    out["stratified"]["dedup_minhash_lsh"] = res_mh
+    if not verify_minhash(spark, args.sf_dir,
+                          oracles["dedup_minhash_lsh"], res_mh):
+        out["pass"] = False
+
+    print("holdout: embedding_neardup_pairs (stratified)")
+    res_emb: dict = {}
+    out["stratified"]["embedding_neardup_pairs"] = res_emb
+    if not verify_embeddings(spark, args.sf_dir,
+                             oracles["embedding_neardup_pairs"], res_emb):
+        out["pass"] = False
+
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {args.out}; pass={out['pass']}")
+    return 0 if out["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
