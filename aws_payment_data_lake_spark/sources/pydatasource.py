@@ -46,6 +46,8 @@ Spark-side fold in queries/jsonl_source.py, and the DuckDB oracle):
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 from collections.abc import Iterator
 
 from pyspark.sql import SparkSession
@@ -128,19 +130,44 @@ class _PaymentsBatchReader(DataSourceReader):
 class _PaymentsStreamReader(DataSourceStreamReader):
     """Micro-batch twin: offsets are row indexes, so a replayed batch
     regenerates byte-identical rows (exactly-once with an idempotent
-    sink). Advances `rowsPerBatch` per trigger, capped at `n`."""
+    sink).
+
+    Pacing needs DURABLE state: the reader object is pickled to a
+    Python runner and any call can land on a fresh unpickle of the
+    post-__init__ snapshot, so an in-memory cursor silently resets
+    mid-run — a paced latestOffset then returns an end BELOW an end
+    already in Spark's offset WAL, the WAL regresses, and the next
+    batch re-emits delivered rows. With ``hwmPath`` set, commit()
+    persists the max committed index there and pacing never starts
+    below it (`rowsPerBatch` per trigger, monotone across instance
+    churn and checkpointed restarts). Without it, pacing is DISABLED
+    and latestOffset returns the full log end `n` — always safe."""
 
     def __init__(self, options: dict) -> None:
         self.n = int(options.get("n", 10_000))
         self.parts = int(options.get("numPartitions", 8))
         self.rows_per_batch = int(options.get("rowsPerBatch", 2_000))
+        self.hwm_path = (options.get("hwmpath")
+                         or options.get("hwmPath"))
         self._cur = 0
+
+    def _floor(self) -> int:
+        if not self.hwm_path:
+            return 0
+        try:
+            with open(self.hwm_path) as f:
+                return int(json.load(f)["index"])
+        except (OSError, ValueError, KeyError):
+            return 0
 
     def initialOffset(self) -> dict:
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        self._cur = min(self._cur + self.rows_per_batch, self.n)
+        if not self.hwm_path:
+            return {"index": self.n}
+        self._cur = min(max(self._cur, self._floor())
+                        + self.rows_per_batch, self.n)
         return {"index": self._cur}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
@@ -150,7 +177,15 @@ class _PaymentsStreamReader(DataSourceStreamReader):
         yield from synth_batches(partition.start, partition.end)
 
     def commit(self, end: dict) -> None:
-        pass
+        if not self.hwm_path:
+            return
+        cur = self._floor()
+        idx = int(end["index"])
+        if idx > cur:
+            tmp = f"{self.hwm_path}.tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"index": idx}, f)
+            os.replace(tmp, self.hwm_path)
 
 
 class PaymentsSyntheticDataSource(DataSource):

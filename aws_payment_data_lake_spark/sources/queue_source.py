@@ -389,7 +389,43 @@ class _QueueStreamReader(DataSourceStreamReader):
         cap = (options.get("maxoffsetspertrigger")
                or options.get("maxOffsetsPerTrigger"))
         self.cap = int(cap) if cap else None
+        self.group = (options.get("consumergroup")
+                      or options.get("consumerGroup") or "default")
         self._pos: dict[str, dict[str, int]] | None = None
+
+    # Durable consumer position (Kafka's consumer-group offsets). The
+    # reader object is PICKLED to a Python runner and any call may land
+    # on a fresh unpickle of the post-__init__ snapshot, so in-memory
+    # pacing state can silently reset mid-run — a rate-limited
+    # latestOffset paced from the reset state then returns an end
+    # BELOW an end already recorded in Spark's offset WAL, the WAL
+    # regresses, and the next batch re-emits delivered rows (observed:
+    # 90-message drain delivered 156). commit() therefore persists the
+    # element-wise max of committed ends per (queue, group); pacing
+    # never starts below that floor, making returned ends monotone
+    # across instance churn AND checkpointed restarts.
+    def _floor_path(self) -> str:
+        return os.path.join(self.dir, ".consumers", f"{self.group}.json")
+
+    def _read_floor(self) -> dict[str, dict[str, int]]:
+        try:
+            with open(self._floor_path()) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def _merge_floor(self, end: dict) -> None:
+        path = self._floor_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        cur = self._read_floor()
+        for t, ps in end.items():
+            for p, o in ps.items():
+                if int(o) > cur.setdefault(t, {}).get(p, 0):
+                    cur[t][p] = int(o)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(cur, f)
+        os.replace(tmp, path)
 
     def initialOffset(self) -> dict:
         self._pos = _resolve_offsets(self.dir, self.topics,
@@ -411,21 +447,24 @@ class _QueueStreamReader(DataSourceStreamReader):
                     self._pos[t][p] = o
 
     def latestOffset(self) -> dict:
+        cur = _snapshot(self.dir, self.topics, "latest")
+        if self.cap is None:
+            self._pos = cur            # the true log end: always safe
+            return cur
         if self._pos is None:
-            # restarted run (Spark skips initialOffset when a
-            # checkpoint exists): re-seed from startingOffsets for the
-            # FIRST call only — partitions() lifts _pos to the
-            # checkpointed start as soon as Spark plans a batch, so at
-            # most one degenerate (clipped-empty) batch is possible,
-            # after which rate limiting resumes from the true position.
+            # fresh instance (start, restart, or mid-run unpickle):
+            # pace from startingOffsets lifted to the durable group
+            # floor — deterministic, so concurrent/successive
+            # instances return the SAME end until a commit moves the
+            # floor; never below any WAL-recorded end
             self._pos = _resolve_offsets(self.dir, self.topics,
                                          self.starting, "earliest")
-        cur = _snapshot(self.dir, self.topics, "latest")
+        self._lift(self._read_floor())
         lag = {(t, p): cur[t][p] - self._pos.get(t, {}).get(p, 0)
                for t in cur for p in cur[t]
                if cur[t][p] > self._pos.get(t, {}).get(p, 0)}
         total = sum(lag.values())
-        if self.cap is not None and total > self.cap:
+        if total > self.cap:
             # proportional-to-lag spread; every lagging partition gets
             # >= 1 so no partition starves (Kafka's behavior)
             nxt = {t: dict(ps) for t, ps in self._pos.items()}
@@ -449,7 +488,10 @@ class _QueueStreamReader(DataSourceStreamReader):
         yield from _read_slice(partition)
 
     def commit(self, end: dict) -> None:
-        pass                        # offsets live in the checkpoint
+        # batch-range truth stays in Spark's checkpoint; this persists
+        # only the PACING FLOOR (max committed end per group) so
+        # rate-limited ends stay monotone across instance churn
+        self._merge_floor(end)
 
 
 class PaymentsQueueDataSource(DataSource):
@@ -487,11 +529,18 @@ def read_queue(spark: SparkSession, queue_dir: str, topics: str,
 
 def stream_queue(spark: SparkSession, queue_dir: str, topics: str,
                  starting: str = "earliest",
-                 max_offsets_per_trigger: int | None = None):
+                 max_offsets_per_trigger: int | None = None,
+                 consumer_group: str = "default"):
+    """Rate limiting persists its pacing floor under the queue dir
+    keyed by ``consumer_group`` (a Kafka consumer-group position);
+    give each independent checkpointed query its own group, or a
+    faster query's floor makes a slower one skip pacing (correctness
+    is unaffected — ends only ever grow)."""
     register_queue_source(spark)
     r = (spark.readStream.format(SOURCE_NAME)
          .option("path", queue_dir).option("subscribe", topics)
-         .option("startingOffsets", starting))
+         .option("startingOffsets", starting)
+         .option("consumerGroup", consumer_group))
     if max_offsets_per_trigger is not None:
         r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return r.load()

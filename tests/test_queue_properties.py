@@ -117,8 +117,11 @@ def test_compaction_property(spark, tmp_path_factory, history):
 @given(history=_HISTORY, cut=st.integers(0, 6))
 def test_retention_property(spark, tmp_path_factory, history, cut):
     """After trim(upto=cut): surviving records are exactly those in
-    segments whose [start, end) reaches cut or beyond — whole-segment
-    granularity, offsets intact."""
+    segments whose [start, end) reaches cut or beyond, PLUS the active
+    (last) segment unconditionally — its filename is the durable
+    record of the partition's log-end offset, so retention never
+    removes it (r8; Kafka's cleaner has the same exclusion). Offsets
+    intact."""
     qdir = str(tmp_path_factory.mktemp("qprop"))
     import os
     for call in history:
@@ -138,7 +141,7 @@ def test_retention_property(spark, tmp_path_factory, history, cut):
     got = _spark_log(spark, qdir)
     for (p, o), rec in full.items():
         seg = next((s, e) for s, e in spans[p] if s <= o < e)
-        survives = seg[1] > cut
+        survives = seg[1] > cut or seg == spans[p][-1]
         assert ((p, o) in got) == survives
         if (p, o) in got:
             assert got[(p, o)] == rec

@@ -326,3 +326,47 @@ def test_trim_never_removes_active_segment_offsets_monotonic(spark,
     assert out[0] == (20, 1)              # offsets continue, never reuse
     got = read_queue(spark, qdir, "pay")
     assert got.agg({"offset": "max"}).collect()[0][0] == 20
+
+
+def test_rate_limited_restart_resumes_exactly_once(spark, tmp_path):
+    """ADVICE r8 restart contract: rate-limited pacing is floored by
+    the durable consumer-group position written at commit(), so a
+    checkpointed restart (or a mid-run reader re-instantiation — the
+    reader is pickled to a Python runner and can reset to its
+    post-init snapshot at any call) never returns an end below an
+    offset already in Spark's WAL. A regressed WAL end would replay
+    already-delivered ranges — duplicates in an append sink. Every
+    message lands exactly once across the restart."""
+    import time
+
+    qdir = str(tmp_path / "q")
+    _produce_n(qdir, "pay", 30, parts=3)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(expect):
+        q = (stream_queue(spark, qdir, "pay",
+                          max_offsets_per_trigger=10)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).start())
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= expect:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        q.stop()
+
+    drain(30)                       # leg 1: paced (>=3 micro-batches)
+    assert spark.read.parquet(out).count() == 30
+    # log grows while the consumer is down; restart must resume from
+    # the checkpoint, paced from the durable floor — not re-emit
+    produce(qdir, "pay", [{"partition": i % 3, "value": f"msg-{30 + i}"}
+                          for i in range(30)], num_partitions=3)
+    drain(60)                       # leg 2
+    got = spark.read.parquet(out)
+    assert got.count() == 60                       # no loss
+    assert _values(got) == sorted(f"msg-{i}" for i in range(60))
+    assert got.select("partition", "offset").distinct().count() == 60
