@@ -185,3 +185,51 @@ def pysource_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.approx_count_distinct("user_id").alias("n_users_approx"),
                  F.sum("amount_cents").alias("sum_cents"),
                  F.timestamp_micros(F.max("ts_us")).alias("last_ts")))
+
+
+def pysource_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unregistered bench entry (VERDICT r7 #8): the Python Data
+    Source's STREAMING twin run as a two-leg checkpointed resume —
+    leg 1 drains a prefix of the synthetic log into a parquet sink
+    (AvailableNow), leg 2 restarts from the same checkpoint with the
+    grown log and must deliver exactly the remainder. Times the
+    micro-batch planning + Arrow generation + sink-manifest path and
+    ASSERTS the exactly-once outcome (count and txn_id distinctness)
+    rather than trusting it. Rows ~ sf-proportional (200k/sf-0.1)."""
+    import shutil
+    import tempfile
+
+    from aws_payment_data_lake_spark.sources.pydatasource import (
+        SOURCE_NAME,
+        register_payments_source,
+    )
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    n = max(20_000, int(2_000_000 * sf))
+    register_payments_source(spark)
+    tmp = tempfile.mkdtemp(prefix="pysrc-resume-")
+    out, ckpt = os.path.join(tmp, "rows"), os.path.join(tmp, "ckpt")
+    try:
+        def leg(visible: int) -> None:
+            sdf = (spark.readStream.format(SOURCE_NAME)
+                   .option("n", str(visible))
+                   .option("numPartitions", "16").load())
+            (sdf.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start().awaitTermination(300))
+
+        leg(n // 2)
+        leg(n)
+        got = spark.read.parquet(out)
+        rows = got.count()
+        uniq = got.select("txn_id").distinct().count()
+        assert rows == n == uniq, (rows, uniq, n)
+        return spark.createDataFrame(
+            [("stream_resume_rows", rows), ("distinct_txn_ids", uniq)],
+            "metric string, value long").coalesce(1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

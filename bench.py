@@ -103,6 +103,7 @@ HEADLINE = [
     "streaming_windows_live",        # round 2: all 3 live streams merged
     "jsonl_events_roundtrip",        # r7: + ORC + Python DataSource variants
     "pysource_payments",             # unregistered sf-scaled source (EXTRA_FNS)
+    "pysource_stream_resume",        # checkpointed two-leg resume (EXTRA_FNS)
     "txn_table_lifecycle",           # r7: ACID format create/append/merge/compact (EXTRA_FNS)
     "queue_source_ingest",           # r7: Kafka-semantics queue consume path (EXTRA_FNS)
     "udtf_order_quarters",
@@ -152,6 +153,7 @@ def _extra_fns():
     )
     from aws_payment_data_lake_spark.queries.jsonl_source import (
         pysource_payments,
+        pysource_stream_resume,
     )
     from aws_payment_data_lake_spark.queries.acid import (
         txn_table_lifecycle,
@@ -173,6 +175,7 @@ def _extra_fns():
         "order_count_histogram": order_count_histogram,
         "slow_supplier_blame": slow_supplier_blame,
         "pysource_payments": pysource_payments,
+        "pysource_stream_resume": pysource_stream_resume,
         "txn_table_lifecycle": txn_table_lifecycle,
         "queue_source_ingest": queue_source_ingest,
         "quality_model_filter": quality_model_filter,

@@ -1,0 +1,133 @@
+"""Consumer-group semantics (sources/consumer_group.py): range
+assignment, rebalance-on-join/leave with generation fencing, committed
+positions surviving partition handover, and Kafka's assign/subscribe
+split. Pure coordination tests — no Spark session needed."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_payment_data_lake_spark.sources.consumer_group import (
+    ConsumerGroup,
+    IllegalGenerationError,
+    _range_assign,
+    assign,
+)
+from aws_payment_data_lake_spark.sources.queue_source import produce
+
+
+def _mk_queue(tmp_path, n=40, parts=4):
+    qdir = str(tmp_path / "q")
+    produce(qdir, "pay",
+            [{"partition": i % parts, "key": f"k{i}", "value": f"v{i}"}
+             for i in range(n)], num_partitions=parts)
+    return qdir
+
+
+def test_range_assignor_is_kafkas():
+    assert _range_assign(["b", "a"], [0, 1, 2, 3]) == {
+        "a": [0, 1], "b": [2, 3]}
+    assert _range_assign(["a", "b", "c"], [0, 1, 2, 3, 4]) == {
+        "a": [0, 1], "b": [2, 3], "c": [4]}
+    assert _range_assign([], [0, 1]) == {}
+    assert _range_assign(["x"], []) == {"x": []}
+
+
+def test_single_member_owns_everything(tmp_path):
+    qdir = _mk_queue(tmp_path)
+    g = ConsumerGroup(qdir, "g1", "pay")
+    m = g.join("c1")
+    assert m.partitions == [0, 1, 2, 3]
+    got = m.poll()
+    assert len(got) == 40
+    assert m.poll() == []            # committed: nothing re-delivered
+
+
+def test_rebalance_on_join_partitions_disjoint_cover(tmp_path):
+    qdir = _mk_queue(tmp_path)
+    g = ConsumerGroup(qdir, "g1", "pay")
+    m1 = g.join("c1")
+    gen1 = g.generation()
+    m2 = g.join("c2")                # membership change -> rebalance
+    assert g.generation() == gen1 + 1
+    # stale member is FENCED until it refreshes (Kafka's
+    # ILLEGAL_GENERATION -> rejoin protocol)
+    with pytest.raises(IllegalGenerationError):
+        m1.poll()
+    p1 = set(m1.refresh())
+    p2 = set(m2.partitions)
+    assert p1 | p2 == {0, 1, 2, 3}   # cover ...
+    assert p1 & p2 == set()          # ... exactly once
+    got = m1.poll() + m2.poll()
+    assert len(got) == 40
+    assert len({(r["partition"], r["offset"]) for r in got}) == 40
+
+
+def test_rebalance_on_leave(tmp_path):
+    qdir = _mk_queue(tmp_path)
+    g = ConsumerGroup(qdir, "g1", "pay")
+    m1, m2 = g.join("c1"), g.join("c2")
+    m1.refresh()
+    g.leave("c2")
+    with pytest.raises(IllegalGenerationError):
+        m1.poll()
+    assert m1.refresh() == [0, 1, 2, 3]   # survivor owns everything
+
+
+def test_committed_position_survives_handover(tmp_path):
+    """A partition moving between members in a rebalance resumes from
+    the group's committed offset — no re-delivery, no skip."""
+    qdir = _mk_queue(tmp_path, n=40, parts=4)
+    g = ConsumerGroup(qdir, "g1", "pay")
+    m1 = g.join("c1")
+    first = m1.poll(max_records=12)       # drains p0 (10) + 2 of p1
+    assert len(first) == 12
+    m2 = g.join("c2")                      # p1 may hand over to c2
+    m1.refresh()
+    rest = m1.poll() + m2.poll()
+    seen = first + rest
+    assert len(seen) == 40                 # no loss ...
+    assert len({(r["partition"], r["offset"]) for r in seen}) == 40  # no dup
+    assert sorted(r["value"] for r in seen) == sorted(
+        f"v{i}" for i in range(40))
+
+
+def test_uncommitted_records_redeliver_after_rebalance(tmp_path):
+    """Records read under a stale assignment without commit are
+    re-delivered to the new owner — at-least-once at the poll level,
+    exactly-once for committed work (Kafka's contract)."""
+    qdir = _mk_queue(tmp_path)
+    g = ConsumerGroup(qdir, "g1", "pay")
+    m1 = g.join("c1")
+    peek = m1.poll(max_records=5, auto_commit=False)
+    assert len(peek) == 5
+    m2 = g.join("c2")
+    m1.refresh()
+    got = m1.poll() + m2.poll()
+    assert len(got) == 40                  # the 5 uncommitted reappear
+
+
+def test_manual_assign_bypasses_group(tmp_path):
+    qdir = _mk_queue(tmp_path)
+    m = assign(qdir, "gm", "pay", [1, 3])
+    got = m.poll()
+    assert {r["partition"] for r in got} == {1, 3}
+    assert len(got) == 20
+    # a rebalance in the same group does not touch manual members
+    g = ConsumerGroup(qdir, "gm", "pay")
+    g.join("dynamic-1")
+    assert m.poll() == []                  # no fencing, no re-delivery
+    produce(qdir, "pay", [{"partition": 1, "value": "late"}],
+            num_partitions=4)
+    late = m.poll()
+    assert [r["value"] for r in late] == ["late"]
+
+
+def test_poll_budget_and_resume(tmp_path):
+    qdir = _mk_queue(tmp_path)
+    g = ConsumerGroup(qdir, "g1", "pay")
+    m = g.join("c1")
+    a = m.poll(max_records=7)
+    b = m.poll(max_records=1000)
+    assert len(a) == 7 and len(a) + len(b) == 40
+    assert len({(r["partition"], r["offset"]) for r in a + b}) == 40
