@@ -26,7 +26,13 @@ Grammar subset (case-insensitive keywords):
   RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
   OPTIMIZE t [ZORDER BY (c [, ...])]
   VACUUM t [RETAIN n VERSIONS]
-  DESCRIBE HISTORY t
+  DESCRIBE HISTORY t | DESCRIBE DETAIL t
+  ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
+  ALTER TABLE t DROP CONSTRAINT name
+
+``SELECT COUNT(*) FROM t [VERSION AS OF n]`` (exactly that shape, any
+alias) is answered from the LOG alone — the sum of live files' footer
+row counts, zero data files opened (Delta's metadata-only count).
 
 MERGE keeps txlog.merge's replace-by-source contract — hence
 ``UPDATE SET *`` / ``INSERT *`` only (the whole matched row is replaced
@@ -40,6 +46,7 @@ metrics the same way).
 from __future__ import annotations
 
 import datetime as dt
+import json
 import re
 from typing import Any
 
@@ -97,6 +104,10 @@ class LakehouseCatalog:
             return self._restore(s)
         if two == "DESCRIBE HISTORY":
             return self._history(s)
+        if two == "DESCRIBE DETAIL":
+            return self._detail(s)
+        if two == "ALTER TABLE":
+            return self._alter(s)
         if two == "CREATE TABLE":
             return self._create(s)
         if two == "INSERT INTO":
@@ -109,8 +120,31 @@ class LakehouseCatalog:
             return self._optimize(s)
         if verb == "VACUUM":
             return self._vacuum(s)
+        fast = self._metadata_count(s)
+        if fast is not None:
+            return fast
         # read path: rewrite time travel, bind snapshots, hand to Catalyst
         return self.spark.sql(self._bind_reads(s))
+
+    def _metadata_count(self, s: str) -> DataFrame | None:
+        """Delta's metadata-only COUNT(*): a bare full-table count is
+        the sum of live files' footer row counts — zero data files
+        opened. Anything beyond the exact shape falls through to the
+        ordinary scan (correct, just not metadata-speed)."""
+        m = re.match(
+            rf"SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+({_IDENT}))?"
+            rf"\s+FROM\s+({_IDENT})"
+            rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
+            s, re.IGNORECASE)
+        if not m or m.group(2) not in self._tables:
+            return None
+        alias, tname, ver = m.group(1), m.group(2), m.group(3)
+        n = self.table(tname).count_rows(
+            version=int(ver) if ver is not None else None)
+        # Spark's default name for COUNT(*) is `count(1)` — backtick it
+        # (parens are not bare-DDL-legal)
+        return self.spark.createDataFrame(
+            [(n,)], f"`{alias or 'count(1)'}` long").coalesce(1)
 
     # ---------------------------------------------------------- read binding
     def _fresh_view(self, df: DataFrame, base: str) -> str:
@@ -323,6 +357,37 @@ class LakehouseCatalog:
         res = self.table(tname).vacuum(
             retain_versions=int(keep) if keep else 2)
         return self._metrics("vacuum", res)
+
+    def _alter(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+"
+            rf"({_IDENT})\s+CHECK\s*\((.*)\)\s*$",
+            s, re.IGNORECASE | re.DOTALL)
+        if m:
+            v = self.table(m.group(1)).add_check_constraint(
+                m.group(2), m.group(3).strip())
+            return self._metrics("add_constraint", {"version": v})
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+"
+            rf"({_IDENT})\s*$", s, re.IGNORECASE)
+        if m:
+            v = self.table(m.group(1)).drop_check_constraint(m.group(2))
+            return self._metrics("drop_constraint", {"version": v})
+        raise ValueError(f"unsupported ALTER TABLE shape: {s[:120]}")
+
+    def _detail(self, s: str) -> DataFrame:
+        m = re.match(rf"DESCRIBE\s+DETAIL\s+({_IDENT})\s*$",
+                     s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported DESCRIBE DETAIL: {s[:120]}")
+        d = self.table(m.group(1)).describe_detail()
+        return self.spark.createDataFrame(
+            [(int(d["version"]), int(d["num_files"]), int(d["num_rows"]),
+              int(d["size_bytes"]), ",".join(d["partition_by"]),
+              json.dumps(d["constraints"], sort_keys=True))],
+            "version long, num_files long, num_rows long, "
+            "size_bytes long, partition_by string, constraints string",
+        ).coalesce(1)
 
     def _history(self, s: str) -> DataFrame:
         m = re.match(rf"DESCRIBE\s+HISTORY\s+({_IDENT})\s*$",

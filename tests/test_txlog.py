@@ -638,3 +638,39 @@ def test_long_lived_reader_across_optimize_and_vacuum(spark, tmp_path):
     assert "FileNotFound" in type(ei.value).__name__ \
         or "PATH_NOT_FOUND" in str(ei.value) \
         or "FileNotFound" in str(ei.value)
+
+
+def test_four_disjoint_merge_writers_race_zero_aborts(spark, tmp_path):
+    """Multi-writer CDC posture (r8): four writers merge provably
+    disjoint key ranges CONCURRENTLY (real thread races on the version
+    counter, no mocks). The stats-proven rebase must land all four
+    with zero ConcurrentWriteErrors and no lost update."""
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(1000).selectExpr("id", "id as v"))
+    ranges = [(0, 10), (250, 260), (500, 510), (750, 760)]
+    barrier = threading.Barrier(len(ranges))
+    errs: list[Exception] = []
+
+    def go(lo, hi):
+        try:
+            w = TxnTable(spark, t.path)
+            src = spark.createDataFrame(
+                [(i, -i) for i in range(lo, hi)], "id long, v long")
+            barrier.wait()
+            w.merge(src, on=["id"])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=go, args=r) for r in ranges]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs, errs
+    assert t.latest_version() == 4     # create + four merges
+    got = {r["id"]: r["v"] for r in t.snapshot().collect()}
+    assert len(got) == 1000
+    for lo, hi in ranges:
+        assert all(got[i] == -i for i in range(lo, hi)), (lo, hi)
+    # everything outside the four ranges untouched
+    assert got[100] == 100 and got[999] == 999

@@ -195,3 +195,46 @@ def test_ctas_partitioned(spark, lake, tmp_path):
     assert kept <= total  # pruning contract itself is txlog-tested
     assert cat.sql("SELECT count(*) AS n FROM byccy "
                    "WHERE ccy = 'EUR'").first()["n"] == 5
+
+
+def test_metadata_only_count(spark, lake, monkeypatch):
+    """SELECT COUNT(*) FROM t [VERSION AS OF n] is answered from the
+    log alone (sum of footer row counts) — no data file is opened."""
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    lake.sql("INSERT INTO pay SELECT id + 100, amount, ccy FROM seed")
+    t = lake.table("pay")
+
+    from aws_payment_data_lake_spark.sources.txlog import TxnTable
+
+    def boom(self, snap, rels):
+        raise AssertionError("metadata count opened data files")
+
+    import pytest as _pt
+    with monkeypatch.context() as m:
+        m.setattr(TxnTable, "_read_files", boom)
+        assert lake.sql(
+            "SELECT count(*) AS n FROM pay").first()["n"] == 20
+        assert lake.sql(
+            "SELECT COUNT(*) FROM pay VERSION AS OF 0"
+        ).first()["count(1)"] == 10
+        # anything beyond the exact shape must NOT take the fast path
+        with _pt.raises(AssertionError, match="opened data files"):
+            lake.sql("SELECT count(*) AS n FROM pay WHERE id < 5")
+    # ... and off-mock it returns the correct filtered count
+    assert lake.sql(
+        "SELECT count(*) AS n FROM pay WHERE id < 5").first()["n"] == 5
+
+
+def test_alter_constraint_and_detail(spark, lake):
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    lake.sql("ALTER TABLE pay ADD CONSTRAINT amount_nonneg "
+             "CHECK (amount >= 0)")
+    d = lake.sql("DESCRIBE DETAIL pay").first()
+    assert d["num_rows"] == 10 and "amount_nonneg" in d["constraints"]
+    with pytest.raises(Exception):      # violating insert rejected
+        lake.sql("INSERT INTO pay SELECT id, CAST(-1 AS BIGINT), ccy "
+                 "FROM seed")
+    lake.sql("ALTER TABLE pay DROP CONSTRAINT amount_nonneg")
+    lake.sql("INSERT INTO pay SELECT id + 50, CAST(-1 AS BIGINT), ccy "
+             "FROM seed")
+    assert lake.sql("SELECT count(*) AS n FROM pay").first()["n"] == 20
