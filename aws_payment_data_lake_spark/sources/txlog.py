@@ -87,7 +87,7 @@ from urllib.parse import unquote, urlparse
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LOG_DIR = "_txlog"
 _DATA_DIR = "data"
@@ -478,6 +478,38 @@ class TxnTable:
             if self._try_publish(v, commit):
                 self._maybe_checkpoint(v)
                 return v
+
+    def add_columns(self, columns: dict[str, str]) -> int:
+        """ALTER TABLE ADD COLUMNS: a metadata-only commit extending
+        the schema — no file is touched; existing files read the new
+        columns as NULL (parquet fills missing columns), which is
+        Delta's mapping-free column add. New names must not collide
+        (case-sensitively, matching the strict append check)."""
+        while True:
+            snap = self._replay()
+            cur = snap.schema
+            if cur is None:
+                raise ValueError(f"{self.path} has no schema to extend")
+            clash = [c for c in columns if c in {f.name
+                                                 for f in cur.fields}]
+            if clash:
+                raise ValueError(
+                    f"column(s) {clash} already exist on {self.path}")
+            from pyspark.sql.types import _parse_datatype_string
+
+            merged = StructType(
+                list(cur.fields)
+                + [StructField(n, _parse_datatype_string(t), True)
+                   for n, t in columns.items()])
+            commit = {"op": "set_schema", "ts": time.time(),
+                      "schema_json": merged.json(),
+                      "add": [], "remove": []}
+            v = snap.version + 1
+            if self._try_publish(v, commit):
+                self._maybe_checkpoint(v)
+                return v
+            # lost the race: re-replay (the winner may itself have
+            # evolved the schema) and retry against the new head
 
     def drop_check_constraint(self, name: str) -> int:
         """ALTER TABLE DROP CONSTRAINT."""

@@ -159,6 +159,13 @@ class LakehouseCatalog:
         rewritten text is ordinary Spark SQL: scans carry the pinned
         parquet file list, everything else is Catalyst's business."""
         for name, t in self._tables.items():
+            # Delta's CDF table-valued form: table_changes('t', since)
+            pat_c = re.compile(
+                rf"table_changes\(\s*'?{re.escape(name)}'?\s*,\s*(\d+)"
+                rf"\s*\)", re.IGNORECASE)
+            s = pat_c.sub(
+                lambda m, t=t, name=name: self._fresh_view(
+                    t.changes(int(m.group(1))), f"{name}_changes"), s)
             pat_v = re.compile(
                 rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+(\d+)",
                 re.IGNORECASE)
@@ -373,6 +380,19 @@ class LakehouseCatalog:
         if m:
             v = self.table(m.group(1)).drop_check_constraint(m.group(2))
             return self._metrics("drop_constraint", {"version": v})
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*"
+            rf"\(([^)]*)\)\s*$", s, re.IGNORECASE | re.DOTALL)
+        if m:
+            cols: dict[str, str] = {}
+            for part in self._split_top(m.group(2)):
+                cm = re.match(rf"\s*({_IDENT})\s+(.+?)\s*$", part,
+                              re.DOTALL)
+                if not cm:
+                    raise ValueError(f"bad column spec: {part!r}")
+                cols[cm.group(1)] = cm.group(2)
+            v = self.table(m.group(1)).add_columns(cols)
+            return self._metrics("add_columns", {"version": v})
         raise ValueError(f"unsupported ALTER TABLE shape: {s[:120]}")
 
     def _detail(self, s: str) -> DataFrame:

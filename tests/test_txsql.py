@@ -238,3 +238,47 @@ def test_alter_constraint_and_detail(spark, lake):
     lake.sql("INSERT INTO pay SELECT id + 50, CAST(-1 AS BIGINT), ccy "
              "FROM seed")
     assert lake.sql("SELECT count(*) AS n FROM pay").first()["n"] == 20
+
+
+def test_alter_add_columns_metadata_only(spark, lake):
+    """ADD COLUMNS is a metadata-only commit: existing files are
+    untouched and read NULL for the new columns; subsequent inserts
+    carry them."""
+    import glob as _glob
+    import os as _os
+
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    t = lake.table("pay")
+    before = {p: _os.path.getmtime(p) for p in _glob.glob(
+        _os.path.join(t.path, "data", "*", "*.parquet"))}
+    lake.sql("ALTER TABLE pay ADD COLUMNS (note string, score double)")
+    after = {p: _os.path.getmtime(p) for p in _glob.glob(
+        _os.path.join(t.path, "data", "*", "*.parquet"))}
+    assert after == before                      # zero files touched
+    got = lake.sql("SELECT * FROM pay")
+    assert got.columns == ["id", "amount", "ccy", "note", "score"]
+    assert got.where("note IS NULL AND score IS NULL").count() == 10
+    lake.sql("INSERT INTO pay SELECT id + 50, amount, ccy, 'x', "
+             "CAST(1.5 AS DOUBLE) FROM seed")
+    assert lake.sql("SELECT count(*) AS n FROM pay "
+                    "WHERE note = 'x'").first()["n"] == 10
+    with pytest.raises(ValueError, match="already exist"):
+        lake.sql("ALTER TABLE pay ADD COLUMNS (ccy string)")
+
+
+def test_table_changes_cdf_read(spark, lake):
+    """Delta's table_changes('t', since) form: rows ADDED by commits
+    after `since`, tagged _commit_version, layout-only commits
+    skipped — readable inside any SELECT."""
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")  # v0
+    lake.sql("INSERT INTO pay SELECT id + 100, amount, ccy FROM seed")
+    lake.sql("OPTIMIZE pay ZORDER BY (id)")                         # v2
+    lake.sql("INSERT INTO pay SELECT id + 200, amount, ccy FROM seed")
+    got = lake.sql("""
+        SELECT _commit_version, count(*) AS n
+        FROM table_changes('pay', 0)
+        GROUP BY 1 ORDER BY 1
+    """).collect()
+    # v1 and v3 inserts appear; v2 OPTIMIZE (layout-only) is skipped
+    assert [(r["_commit_version"], r["n"]) for r in got] \
+        == [(1, 10), (3, 10)]
