@@ -133,6 +133,12 @@ class Snapshot:
     txns: dict[str, int] = field(default_factory=dict)  # app -> last batch
     partition_by: list[str] = field(default_factory=list)
     constraints: dict[str, str] = field(default_factory=dict)  # name -> expr
+    # deletion vectors (merge-on-read deletes): live data path ->
+    # sidecar parquet rels holding its (target, pos) dead positions,
+    # and the dead-row count per path (metadata-only COUNT support).
+    # A path's DV state dies with the path (any rewrite materializes).
+    dvs: dict[str, list[str]] = field(default_factory=dict)
+    dv_dead: dict[str, int] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType | None:
@@ -280,7 +286,11 @@ class TxnTable:
             return Snapshot(v, meta["schema_json"], live,
                             dict(meta.get("txns", {})),
                             list(meta.get("partition_by", [])),
-                            dict(meta.get("constraints", {})))
+                            dict(meta.get("constraints", {})),
+                            {k: list(fs) for k, fs
+                             in meta.get("dvs", {}).items()},
+                            {k: int(n) for k, n
+                             in meta.get("dv_dead", {}).items()})
         except (OSError, KeyError, ValueError):
             return None   # corrupt/missing checkpoint -> full replay
 
@@ -309,9 +319,23 @@ class TxnTable:
                 snap.constraints = dict(c["constraints"])
             for rp in c.get("remove", []):
                 snap.live.pop(rp, None)
+                snap.dvs.pop(rp, None)       # rewrite materializes DVs
+                snap.dv_dead.pop(rp, None)
             for a in c.get("add", []):
                 af = AddFile.from_json(a)
                 snap.live[af.path] = af
+            dv = c.get("dv")
+            if dv:                           # merge-on-read delete
+                for path, n in dv["per_target"].items():
+                    if path in snap.live:
+                        snap.dvs.setdefault(path, []).extend(dv["files"])
+                        snap.dv_dead[path] = (snap.dv_dead.get(path, 0)
+                                              + int(n))
+            if "dv_state" in c:              # restore: replace outright
+                snap.dvs = {k: list(v)
+                            for k, v in c["dv_state"]["dvs"].items()}
+                snap.dv_dead = {k: int(v) for k, v
+                                in c["dv_state"]["dv_dead"].items()}
             txn = c.get("txn")
             if txn:
                 prev = snap.txns.get(txn["app"], -1)
@@ -354,7 +378,9 @@ class TxnTable:
         meta = json.dumps({"schema_json": snap.schema_json,
                            "txns": snap.txns,
                            "partition_by": snap.partition_by,
-                           "constraints": snap.constraints})
+                           "constraints": snap.constraints,
+                           "dvs": snap.dvs,
+                           "dv_dead": snap.dv_dead})
         t = t.replace_schema_metadata({b"txlog": meta.encode()})
         ck = self._ckpt_path(snap.version)
         pq.write_table(t, ck + ".tmp")
@@ -656,15 +682,67 @@ class TxnTable:
         snap = self._replay(version)
         return self._read_files(snap, sorted(snap.live))
 
+    def _base_uri_prefix(self) -> str:
+        """URI prefix Spark's `_metadata.file_path` carries for files
+        under this table root — used to strip file paths back to the
+        rel form the log stores. (Spark emits the compact single-slash
+        form: 'file:/abs/path', probed on 4.1.)"""
+        return "file:" + os.path.abspath(self.path) + "/"
+
+    def _plain_read(self, snap: Snapshot, rels: list[str]) -> DataFrame:
+        paths = [os.path.join(self.path, r) for r in rels]
+        reader = self.spark.read
+        if snap.schema is not None:
+            reader = reader.schema(snap.schema)
+        return reader.parquet(*paths)
+
+    def _dv_pairs(self, snap: Snapshot, rels: list[str]) -> DataFrame:
+        """(target, pos) dead positions for ``rels`` from their sidecar
+        files — small by construction (a delete's matches), broadcast
+        at the anti-join."""
+        files = sorted({f for r in rels for f in snap.dvs.get(r, [])})
+        dv = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files])
+        return dv.where(F.col("target").isin(rels)).select("target", "pos")
+
+    def _read_files_meta(self, snap: Snapshot,
+                         rels: list[str]) -> DataFrame:
+        """Like _read_files but every row carries ``__rel`` (log-rel
+        source file) and ``__pos`` (row index within it), with deletion
+        vectors APPLIED — the merge-on-read path. Row-group pruning and
+        filter pushdown survive (_metadata is scan-level)."""
+        schema = snap.schema
+        if not rels:
+            empty = self.spark.createDataFrame([], schema)
+            return (empty.withColumn("__rel", F.lit("").cast("string"))
+                    .withColumn("__pos", F.lit(0).cast("long")))
+        pre = len(self._base_uri_prefix()) + 1   # substring is 1-based
+        df = (self._plain_read(snap, rels)
+              .select("*",
+                      F.expr(f"substring(_metadata.file_path, {pre})")
+                      .alias("__rel"),
+                      F.col("_metadata.row_index").alias("__pos")))
+        dv_rels = [r for r in rels if snap.dvs.get(r)]
+        if dv_rels:
+            dead = self._dv_pairs(snap, dv_rels)
+            df = df.join(
+                F.broadcast(dead),
+                on=[df["__rel"] == dead["target"],
+                    df["__pos"] == dead["pos"]],
+                how="left_anti")
+        return df
+
     def _read_files(self, snap: Snapshot, rels: list[str]) -> DataFrame:
         schema = snap.schema
         if not rels:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, r) for r in rels]
-        reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(*paths)
+        dv_rels = [r for r in rels if snap.dvs.get(r)]
+        if not dv_rels:                     # fast path: zero overhead
+            return self._plain_read(snap, rels)
+        cols = ([f.name for f in schema.fields] if schema is not None
+                else None)
+        out = self._read_files_meta(snap, rels)
+        return out.select(*cols) if cols else out.drop("__rel", "__pos")
 
     def scan(self, col: str, lo: Any = None, hi: Any = None) -> DataFrame:
         """Snapshot restricted to files whose footer [min,max] for
@@ -717,7 +795,9 @@ class TxnTable:
         if version is None:
             raise ValueError("restore needs version or timestamp")
         target = self._replay(version)
-        missing = [p for p in target.live
+        needed = list(target.live) + [f for fs in target.dvs.values()
+                                      for f in fs]
+        missing = [p for p in needed
                    if not os.path.isfile(os.path.join(self.path, p))]
         if missing:
             raise FileNotFoundError(
@@ -730,6 +810,8 @@ class TxnTable:
                   "schema_json": target.schema_json,
                   "partition_by": target.partition_by,
                   "constraints": target.constraints,
+                  "dv_state": {"dvs": target.dvs,
+                               "dv_dead": target.dv_dead},
                   "add": [a.to_json() for p, a in sorted(target.live.items())
                           if p not in cur.live],
                   "remove": sorted(p for p in cur.live
@@ -753,7 +835,8 @@ class TxnTable:
                 raise ValueError("pass version OR timestamp, not both")
             version = self.version_at(timestamp)
         snap = self._replay(version)
-        return sum(a.rows for a in snap.live.values())
+        return (sum(a.rows for a in snap.live.values())
+                - sum(snap.dv_dead.values()))
 
     def describe_detail(self) -> dict[str, Any]:
         """DESCRIBE DETAIL: current table facts from metadata only."""
@@ -761,11 +844,15 @@ class TxnTable:
         return {
             "version": snap.version,
             "num_files": len(snap.live),
-            "num_rows": sum(a.rows for a in snap.live.values()),
+            "num_rows": (sum(a.rows for a in snap.live.values())
+                         - sum(snap.dv_dead.values())),
             "size_bytes": sum(a.bytes for a in snap.live.values()),
             "partition_by": list(snap.partition_by),
             "constraints": dict(snap.constraints),
             "txn_apps": dict(snap.txns),
+            "dv_files": len({f for fs in snap.dvs.values()
+                             for f in fs}),
+            "dv_dead_rows": sum(snap.dv_dead.values()),
         }
 
     def history(self) -> list[dict[str, Any]]:
@@ -861,13 +948,12 @@ class TxnTable:
         else:
             cand = sorted(p for p, a in snap.live.items()
                           if self._overlaps(a.stats.get(on[0]), lo, hi))
-        discovery = self._read_files(snap, cand)
-        touched_uris = [
+        discovery = self._read_files_meta(snap, cand)
+        touched = {
             r[0] for r in
             (discovery.join(F.broadcast(keys), on=on, how="leftsemi")
-             .select(F.input_file_name()).distinct().collect())
-        ]
-        touched = {self._rel_of(u) for u in touched_uris}
+             .select("__rel").distinct().collect())
+        }
         if touched:
             keep_frames = self._read_files(snap, sorted(touched))
             survivors = keep_frames.join(F.broadcast(keys), on=on,
@@ -969,11 +1055,10 @@ class TxnTable:
         remove+add. Strictly serialized like merge — any concurrent
         commit between read and publish aborts."""
         snap = self._replay()
-        target = self._read_files(snap, sorted(snap.live))
-        touched_uris = [r[0] for r in
-                        (target.where(hit).select(F.input_file_name())
-                         .distinct().collect())]
-        touched = sorted({self._rel_of(u) for u in touched_uris})
+        target = self._read_files_meta(snap, sorted(snap.live))
+        touched = sorted({r[0] for r in
+                          (target.where(hit).select("__rel")
+                           .distinct().collect())})
         if not touched:
             return {"version": snap.version, "files_rewritten": 0,
                     "rows_changed": 0}
@@ -997,15 +1082,73 @@ class TxnTable:
                 "files_rewritten": len(touched),
                 "rows_changed": rows_changed}
 
-    def delete(self, condition) -> dict[str, int]:
+    def delete(self, condition, mode: str = "cow") -> dict[str, int]:
         """DELETE WHERE, SQL semantics (rows where the predicate is
-        NULL survive), file-granular copy-on-write: files with no
-        matching row keep their bytes. ``condition`` is a Column or a
-        SQL string."""
+        NULL survive). ``condition`` is a Column or a SQL string.
+
+        mode='cow' (default): file-granular copy-on-write — files with
+        no matching row keep their bytes; files with any matching row
+        are rewritten.
+
+        mode='dv': DELETION VECTORS (merge-on-read, the Delta upgrade
+        for sparse deletes on huge tables): no data file is touched —
+        the matching (file, row-position) pairs are written to a small
+        parquet sidecar and logged; every read path applies them via a
+        broadcast anti-join on (__rel, __pos). At 100 TB a GDPR-sized
+        delete becomes metadata-sized I/O instead of rewriting
+        terabyte files for a few rows. Reads of DV'd files pay the
+        anti-join until any rewrite (MERGE/UPDATE/OPTIMIZE/compact)
+        MATERIALIZES the deletes — rewrites read through the DV path,
+        so their output files are born clean and the replayed log
+        drops the sidecars with the replaced files."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         hit = F.coalesce(cond, F.lit(False))
+        if mode == "dv":
+            return self._delete_dv(hit)
+        if mode != "cow":
+            raise ValueError(f"delete mode must be 'cow' or 'dv', "
+                             f"got {mode!r}")
         return self._cow_rewrite("delete", hit,
                                  lambda content: content.where(~hit))
+
+    def _delete_dv(self, hit) -> dict[str, int]:
+        snap = self._replay()
+        rels = sorted(snap.live)
+        if not rels:
+            return {"version": snap.version, "files_rewritten": 0,
+                    "rows_changed": 0, "dv_files": 0}
+        matches = (self._read_files_meta(snap, rels).where(hit)
+                   .select(F.col("__rel").alias("target"),
+                           F.col("__pos").alias("pos")))
+        wid = uuid.uuid4().hex
+        out_dir = os.path.join(self.path, _DATA_DIR, wid)
+        matches.write.mode("errorifexists").parquet(out_dir)
+        staged = self.spark.read.parquet(out_dir)
+        per_target = {r["target"]: r["n"] for r in
+                      (staged.groupBy("target")
+                       .agg(F.count(F.lit(1)).alias("n")).collect())}
+        if not per_target:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return {"version": snap.version, "files_rewritten": 0,
+                    "rows_changed": 0, "dv_files": 0}
+        dv_files = [os.path.join(_DATA_DIR, wid, n)
+                    for n in sorted(os.listdir(out_dir))
+                    if n.endswith(".parquet")]
+        commit = {"op": "delete_dv", "ts": time.time(),
+                  "read_version": snap.version,
+                  "add": [], "remove": [],
+                  "dv": {"files": dv_files,
+                         "per_target": {k: int(v) for k, v
+                                        in per_target.items()}}}
+        if not self._try_publish(snap.version + 1, commit):
+            raise ConcurrentWriteError(
+                f"dv-delete on {self.path} read version {snap.version} "
+                "but another commit won the next version; re-run "
+                "(staged sidecars are orphaned until vacuum)")
+        self._maybe_checkpoint(snap.version + 1)
+        return {"version": snap.version + 1, "files_rewritten": 0,
+                "rows_changed": int(sum(per_target.values())),
+                "dv_files": len(dv_files)}
 
     def update(self, assignments: dict[str, Any], condition) -> dict[str, int]:
         """UPDATE SET ... WHERE, copy-on-write like delete.
@@ -1187,12 +1330,15 @@ class TxnTable:
         keep_versions = vs[-retain_versions:] if retain_versions else vs[-1:]
         referenced: set[str] = set()
         for v in keep_versions:
-            referenced.update(self._replay(v).live)
+            ksnap = self._replay(v)
+            referenced.update(ksnap.live)
+            referenced.update(f for fs in ksnap.dvs.values() for f in fs)
         ever_logged: set[str] = set()
         for v in vs:
             with open(self._commit_path(v)) as f:
                 c = json.load(f)
             ever_logged.update(a["path"] for a in c.get("add", []))
+            ever_logged.update(c.get("dv", {}).get("files", []))
         data_root = os.path.join(self.path, _DATA_DIR)
         removed_files = removed_orphans = 0
         now = time.time()

@@ -1,0 +1,176 @@
+"""Deletion vectors (sources/txlog.py, delete(mode='dv')): merge-on-
+read row deletes — no data file touched, sidecar positions applied at
+every read path, materialized by any rewrite, time-travel/restore/
+vacuum/checkpoint aware."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from aws_payment_data_lake_spark.sources.txlog import TxnTable
+
+
+def _mk(spark, tmp_path, name="tbl", **kw):
+    return TxnTable(spark, str(tmp_path / name), **kw)
+
+
+def _data_state(t):
+    return {p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(os.path.join(t.path, "data", "*",
+                                            "*.parquet"))}
+
+
+def test_dv_delete_touches_no_data_file(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(100).selectExpr("id", "id as v"))
+    before = _data_state(t)
+    res = t.delete("id % 10 = 3", mode="dv")
+    assert res["rows_changed"] == 10
+    assert res["files_rewritten"] == 0
+    assert res["dv_files"] >= 1
+    after = _data_state(t)
+    # every pre-existing data file is byte- and mtime-identical
+    for p, st in before.items():
+        assert after[p] == st, p
+    got = t.snapshot()
+    assert got.count() == 90
+    assert got.where("id % 10 = 3").count() == 0
+    # metadata-only count agrees with the merge-on-read scan
+    assert t.count_rows() == 90
+    d = t.describe_detail()
+    assert d["num_rows"] == 90 and d["dv_dead_rows"] == 10
+
+
+def test_dv_deletes_accumulate_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(50).selectExpr("id", "id as v"))   # v0
+    t.delete("id < 10", mode="dv")                          # v1
+    t.delete("id >= 40", mode="dv")                         # v2
+    assert sorted(r["id"] for r in t.snapshot().collect()) \
+        == list(range(10, 40))
+    assert t.count_rows() == 30
+    # each version sees exactly its own dead set
+    assert t.snapshot(0).count() == 50
+    assert t.snapshot(1).count() == 40
+    assert t.count_rows(version=1) == 40
+    # NULL-predicate rows survive (SQL semantics)
+    t2 = _mk(spark, tmp_path, "nulls")
+    t2.create(spark.createDataFrame(
+        [(1, 5), (2, None), (3, 50)], "id long, v long"))
+    t2.delete("v > 10", mode="dv")
+    assert sorted(r["id"] for r in t2.snapshot().collect()) == [1, 2]
+
+
+def test_rewrites_materialize_dvs(spark, tmp_path):
+    """MERGE/OPTIMIZE read through the DV path, so their output files
+    are born clean and the replayed log drops the sidecars with the
+    replaced files — dead rows can never resurrect."""
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(100).selectExpr("id", "id as v"))
+    t.delete("id % 10 = 3", mode="dv")
+    # merge updates some survivors and inserts new ids; the dead ids
+    # in the touched files must NOT come back
+    src = spark.createDataFrame(
+        [(4, -4), (14, -14), (200, 1)], "id long, v long")
+    t.merge(src, on=["id"])
+    got = {r["id"]: r["v"] for r in t.snapshot().collect()}
+    assert got[4] == -4 and got[14] == -14 and got[200] == 1
+    assert 3 not in got and 13 not in got
+    assert len(got) == 91                      # 90 survivors + 1 insert
+    # full compaction: all DVs materialized, state empty
+    t.compact(max_files=2)
+    snap = t._replay()
+    assert snap.dvs == {} and snap.dv_dead == {}
+    assert t.count_rows() == 91
+    assert t.snapshot().count() == 91
+    assert 3 not in {r["id"] for r in t.snapshot().collect()}
+
+
+def test_dv_restore_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(30).selectExpr("id", "id as v"))   # v0
+    t.delete("id < 5", mode="dv")                           # v1
+    t.delete("id >= 25", mode="dv")                         # v2
+    assert t.count_rows() == 20
+    t.restore(version=1)                                    # v3
+    assert t.count_rows() == 25                             # v2 undone
+    assert sorted(r["id"] for r in t.snapshot().collect()) \
+        == list(range(5, 30))
+    t.restore(version=0)                                    # v4
+    assert t.count_rows() == 30
+    # pre-restore DV'd states remain time-travelable
+    assert t.snapshot(2).count() == 20
+
+
+def test_dv_vacuum_keeps_referenced_sidecars(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(40).selectExpr("id", "id as v"))   # v0
+    t.delete("id < 4", mode="dv")                           # v1
+    # sidecars referenced by retained versions survive vacuum
+    res = t.vacuum(retain_versions=2, orphan_grace_s=0.0)
+    assert t.snapshot().count() == 36
+    # rewrite everything (materializes), then vacuum past the DV era:
+    # the sidecar files become unreferenced and are removed
+    t.compact(max_files=1)                                  # v2
+    t.append(spark.range(100, 101).selectExpr("id", "id as v"))  # v3
+    res = t.vacuum(retain_versions=2, orphan_grace_s=0.0)
+    assert res["data_files_deleted"] >= 1
+    assert t.snapshot().count() == 37
+    assert t.snapshot().where("id < 4").count() == 0
+
+
+def test_dv_survives_checkpoint_and_fresh_handle(spark, tmp_path):
+    t = _mk(spark, tmp_path, checkpoint_every=2)
+    t.create(spark.range(20).selectExpr("id", "id as v"))   # v0
+    t.delete("id < 5", mode="dv")                           # v1
+    t.append(spark.range(100, 110).selectExpr("id", "id as v"))  # v2 -> ckpt
+    assert os.path.isfile(t._ckpt_path(2))
+    fresh = TxnTable(spark, t.path, checkpoint_every=2)
+    assert fresh.count_rows() == 25
+    assert fresh.snapshot().where("id < 5").count() == 0
+    snap = fresh._read_checkpoint(2)
+    assert snap is not None and snap.dv_dead and snap.dvs
+
+
+def test_dv_scan_pruning_still_applies_dvs(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(1000).selectExpr("id", "id as v"))
+    t.delete("id IN (10, 500, 990)", mode="dv")
+    pruned = t.scan("id", lo=0, hi=100)
+    assert pruned.where("id = 10").count() == 0
+    assert pruned.where("id = 11").count() == 1
+
+
+def test_dv_merge_conflict_still_aborts(spark, tmp_path):
+    """A dv-delete racing a merge is NOT provably disjoint (it removes
+    rows by position, possibly in the merge's range) — the merge must
+    abort, not silently drop the delete."""
+    from unittest import mock
+
+    from aws_payment_data_lake_spark.sources.txlog import (
+        ConcurrentWriteError,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(10).selectExpr("id", "id as v"))
+    intruder = TxnTable(spark, t.path)
+    real_stage = TxnTable._stage
+    fired = []
+
+    def stage_then_dv_delete(self, df, partition_by, max_files=None,
+                             partition_files=None):
+        adds = real_stage(self, df, partition_by, max_files,
+                          partition_files)
+        if self is t and not fired:
+            fired.append(1)
+            intruder.delete("id = 7", mode="dv")
+        return adds
+
+    with mock.patch.object(TxnTable, "_stage", stage_then_dv_delete):
+        with pytest.raises(ConcurrentWriteError):
+            t.merge(spark.createDataFrame([(1, -1)], "id long, v long"),
+                    on=["id"])
+    assert t.snapshot().count() == 9           # the dv delete won
