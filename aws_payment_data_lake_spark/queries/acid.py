@@ -59,6 +59,13 @@ def txn_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         with timed_phase(FAM, "compact"):
             c = t.compact(max_files=24)
         audit.append(("compact", c["version"], c["files_out"]))
+        # sparse GDPR-style delete via DELETION VECTORS (r8): position
+        # sidecars logged, zero data files rewritten — the per-phase
+        # number tracks the merge-on-read protocol cost per round
+        with timed_phase(FAM, "dv_delete"):
+            d = t.delete(k % 1000 == 7, mode="dv")
+            assert d["files_rewritten"] == 0
+        audit.append(("dv_delete", d["version"], d["rows_changed"]))
         with timed_phase(FAM, "pruned_scan"):
             kept, total = t.scan_file_count("o_orderdate",
                                             "1996-01-01", "1997-01-01")

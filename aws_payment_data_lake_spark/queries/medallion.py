@@ -53,6 +53,11 @@ _VALID_EVENT_TYPES = ("click", "view", "purchase", "signup")
     FROM events
     WHERE (event_id % 30 = 1 AND event_id % 2 = 0) OR event_id % 30 = 2
     UNION ALL
+    SELECT 'txn_dv', user_id, event_type, event_id, ts, value * 2
+    FROM events
+    WHERE ((event_id % 30 = 1 AND event_id % 2 = 0) OR event_id % 30 = 2)
+      AND event_id % 4 <> 0
+    UNION ALL
     SELECT 'txn_sql_restore', user_id, event_type, event_id, ts, value
     FROM events WHERE event_id % 30 = 1
     """,
@@ -85,6 +90,13 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                            *), read back with spark.sql text. Odd base
                            ids are deleted, surviving matches and
                            inserts carry value*2.
+      variant='txn_dv'     DELETION VECTORS through the same SQL
+                           endpoint: the table registers with
+                           delete_mode='dv' and `DELETE FROM txq WHERE
+                           event_id % 4 = 0` logs position sidecars —
+                           zero data files rewritten (asserted
+                           inline) — then the merge-on-read snapshot
+                           is hashed against the relational complement.
       variant='txn_sql_restore'  RESTORE TABLE..TO VERSION AS OF 0
                            issued as SQL after the merge; rows must be
                            byte-identical to the created base — pins
@@ -142,7 +154,7 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         cat = LakehouseCatalog(spark)
-        cat.register("txq", os.path.join(tmp, "t_sql"))
+        cat.register("txq", os.path.join(tmp, "t_sql"), delete_mode="dv")
         ev.select(*cols).createOrReplaceTempView("__txq_events")
         cat.sql("CREATE TABLE txq USING txlog AS "
                 "SELECT * FROM __txq_events WHERE event_id % 30 = 1")
@@ -160,6 +172,13 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sql_merged = shape(cat.sql(
             "SELECT user_id, event_type, event_id, ts, value FROM txq"),
             "txn_sql")
+        dv_res = {r["metric"]: r["value"] for r in cat.sql(
+            "DELETE FROM txq WHERE event_id % 4 = 0").collect()}
+        assert dv_res.get("files_rewritten", -1) == 0, \
+            "dv delete must touch no data file"
+        sql_dv = shape(cat.sql(
+            "SELECT user_id, event_type, event_id, ts, value FROM txq"),
+            "txn_dv")
         cat.sql("RESTORE TABLE txq TO VERSION AS OF 0")
         # read the restored content via TIME TRAVEL at the post-restore
         # head version — pins VERSION AS OF through the SQL path too
@@ -171,6 +190,7 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = (win.unionByName(shape(t.snapshot(0), "txn_v0"))
                .unionByName(shape(t.snapshot(), "txn_merge"))
                .unionByName(sql_merged)
+               .unionByName(sql_dv)
                .unionByName(sql_restored))
         return out.localCheckpoint(eager=True)
     finally:

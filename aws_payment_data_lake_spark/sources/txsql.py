@@ -78,12 +78,22 @@ class LakehouseCatalog:
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
         self._tables: dict[str, TxnTable] = {}
+        self._delete_mode: dict[str, str] = {}
         self._nview = 0
 
     # ------------------------------------------------------------ registry
-    def register(self, name: str, path: str, **kw: Any) -> TxnTable:
+    def register(self, name: str, path: str,
+                 delete_mode: str = "cow", **kw: Any) -> TxnTable:
+        """``delete_mode`` is the table's DELETE strategy (Delta models
+        this as a table property, not statement syntax): 'cow' rewrites
+        matching files; 'dv' logs deletion vectors — merge-on-read, no
+        data file touched."""
+        if delete_mode not in ("cow", "dv"):
+            raise ValueError(f"delete_mode must be 'cow' or 'dv', "
+                             f"got {delete_mode!r}")
         t = TxnTable(self.spark, path, **kw)
         self._tables[name] = t
+        self._delete_mode[name] = delete_mode
         return t
 
     def table(self, name: str) -> TxnTable:
@@ -323,7 +333,8 @@ class LakehouseCatalog:
         if not m:
             raise ValueError(f"unsupported DELETE shape: {s[:120]}")
         tname, where = m.groups()
-        res = self.table(tname).delete(where or "true")
+        res = self.table(tname).delete(
+            where or "true", mode=self._delete_mode.get(tname, "cow"))
         return self._metrics("delete", res)
 
     def _restore(self, s: str) -> DataFrame:
