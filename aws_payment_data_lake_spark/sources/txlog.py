@@ -1150,14 +1150,29 @@ class TxnTable:
                 "rows_changed": int(sum(per_target.values())),
                 "dv_files": len(dv_files)}
 
-    def update(self, assignments: dict[str, Any], condition) -> dict[str, int]:
-        """UPDATE SET ... WHERE, copy-on-write like delete.
-        ``assignments`` maps column name -> Column/SQL-string
-        expression, evaluated against the pre-update row."""
+    def update(self, assignments: dict[str, Any], condition,
+               mode: str = "cow") -> dict[str, int]:
+        """UPDATE SET ... WHERE. ``assignments`` maps column name ->
+        Column/SQL-string expression, evaluated against the pre-update
+        row.
+
+        mode='cow' (default): copy-on-write like delete — every file
+        holding a matching row is rewritten.
+
+        mode='dv': merge-on-read — the matched rows' OLD positions are
+        logged as a deletion vector and the UPDATED rows are appended
+        as a new file in the same commit. A sparse update of k rows
+        costs one k-row sidecar + one k-row data file, never a
+        terabyte rewrite; any later rewrite materializes."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         hit = F.coalesce(cond, F.lit(False))
         sets = {k: (F.expr(v) if isinstance(v, str) else v)
                 for k, v in assignments.items()}
+        if mode == "dv":
+            return self._update_dv(hit, sets)
+        if mode != "cow":
+            raise ValueError(f"update mode must be 'cow' or 'dv', "
+                             f"got {mode!r}")
 
         def rewrite(content: DataFrame) -> DataFrame:
             return content.select(*[
@@ -1166,6 +1181,53 @@ class TxnTable:
                 for c in content.columns])
 
         return self._cow_rewrite("update", hit, rewrite)
+
+    def _update_dv(self, hit, sets) -> dict[str, int]:
+        snap = self._replay()
+        rels = sorted(snap.live)
+        if not rels:
+            return {"version": snap.version, "files_rewritten": 0,
+                    "rows_changed": 0, "dv_files": 0}
+        tcols = [f.name for f in snap.schema.fields]
+        matched = (self._read_files_meta(snap, rels).where(hit)
+                   .localCheckpoint(eager=True))  # pin: read twice
+        updated = matched.select(*[
+            (sets[c].alias(c) if c in sets else F.col(c))
+            for c in tcols])
+        self._enforce(updated, snap.constraints)
+        wid = uuid.uuid4().hex
+        out_dir = os.path.join(self.path, _DATA_DIR, wid)
+        (matched.select(F.col("__rel").alias("target"),
+                        F.col("__pos").alias("pos"))
+         .write.mode("errorifexists").parquet(out_dir))
+        staged = self.spark.read.parquet(out_dir)
+        per_target = {r["target"]: r["n"] for r in
+                      (staged.groupBy("target")
+                       .agg(F.count(F.lit(1)).alias("n")).collect())}
+        if not per_target:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return {"version": snap.version, "files_rewritten": 0,
+                    "rows_changed": 0, "dv_files": 0}
+        dv_files = [os.path.join(_DATA_DIR, wid, n)
+                    for n in sorted(os.listdir(out_dir))
+                    if n.endswith(".parquet")]
+        adds = self._stage(updated, snap.partition_by or None)
+        commit = {"op": "update_dv", "ts": time.time(),
+                  "read_version": snap.version,
+                  "add": [a.to_json() for a in adds], "remove": [],
+                  "dv": {"files": dv_files,
+                         "per_target": {k: int(v) for k, v
+                                        in per_target.items()}}}
+        if not self._try_publish(snap.version + 1, commit):
+            raise ConcurrentWriteError(
+                f"dv-update on {self.path} read version {snap.version} "
+                "but another commit won the next version; re-run "
+                "(staged files are orphaned until vacuum)")
+        self._maybe_checkpoint(snap.version + 1)
+        return {"version": snap.version + 1, "files_rewritten": 0,
+                "rows_changed": int(sum(per_target.values())),
+                "dv_files": len(dv_files),
+                "files_added": len(adds)}
 
     def optimize(self, zorder_by: list[str], n_files: int = 16,
                  bits: int = 8, quantile: bool = True) -> dict[str, int]:
@@ -1288,8 +1350,9 @@ class TxnTable:
         ever_logged: set[str] = set()
         for v in vs:
             with open(self._commit_path(v)) as f:
-                ever_logged.update(a["path"]
-                                   for a in json.load(f).get("add", []))
+                c = json.load(f)
+            ever_logged.update(a["path"] for a in c.get("add", []))
+            ever_logged.update(c.get("dv", {}).get("files", []))
         missing, size_drift, row_drift = [], [], []
         for rel, add in sorted(snap.live.items()):
             local = os.path.join(self.path, rel)
@@ -1302,6 +1365,11 @@ class TxnTable:
                 nrows, _ = _footer_stats(local)
                 if nrows != add.rows:
                     row_drift.append(rel)
+        # live DV sidecars are load-bearing (a lost one silently
+        # RESURRECTS deleted rows) — check their presence like data
+        for rel in sorted({f for fs in snap.dvs.values() for f in fs}):
+            if not os.path.isfile(os.path.join(self.path, rel)):
+                missing.append(rel)
         orphans = []
         data_root = os.path.join(self.path, _DATA_DIR)
         for wid in sorted(os.listdir(data_root)

@@ -323,7 +323,12 @@ class LakehouseCatalog:
             if not am:
                 raise ValueError(f"bad SET assignment: {part!r}")
             assigns[am.group(1)] = am.group(2).strip()
-        res = self.table(tname).update(assigns, where or "true")
+        # the table's delete_mode property governs UPDATE too (Delta's
+        # DV property enables both): dv = old positions masked + the
+        # updated rows appended, no file rewritten
+        res = self.table(tname).update(
+            assigns, where or "true",
+            mode=self._delete_mode.get(tname, "cow"))
         return self._metrics("update", res)
 
     def _delete(self, s: str) -> DataFrame:

@@ -174,3 +174,51 @@ def test_dv_merge_conflict_still_aborts(spark, tmp_path):
             t.merge(spark.createDataFrame([(1, -1)], "id long, v long"),
                     on=["id"])
     assert t.snapshot().count() == 9           # the dv delete won
+
+
+def test_dv_update_appends_and_masks(spark, tmp_path):
+    """update(mode='dv'): matched rows' old positions get a DV and the
+    updated rows land as a NEW file in the same commit — no existing
+    file rewritten; reads see exactly the post-update table."""
+    import pyspark.sql.functions as F
+
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(100).selectExpr("id", "id as v",
+                                         "'a' as tag"))
+    before = _data_state(t)
+    res = t.update({"v": F.col("v") * 100, "tag": F.lit("hot")},
+                   "id >= 95", mode="dv")
+    assert res["rows_changed"] == 5
+    assert res["files_rewritten"] == 0
+    for p, st in before.items():            # old files byte-identical
+        assert _data_state(t)[p] == st, p
+    got = {r["id"]: (r["v"], r["tag"]) for r in t.snapshot().collect()}
+    assert len(got) == 100                  # no dup, no loss
+    assert all(got[i] == (i * 100, "hot") for i in range(95, 100))
+    assert all(got[i] == (i, "a") for i in range(0, 95))
+    assert t.count_rows() == 100            # metadata count balanced
+    # constraint enforcement applies to the UPDATED rows
+    t.add_check_constraint("v_cap", "v < 100000")
+    with pytest.raises(Exception):
+        t.update({"v": F.lit(10_000_000)}, "id = 1", mode="dv")
+    # time travel: pre-update version intact
+    assert {r["v"] for r in t.snapshot(0).where("id = 99").collect()} \
+        == {99}
+    # a later update of the SAME rows works (positions chain correctly)
+    t.update({"v": F.col("v") + 1}, "id = 99", mode="dv")
+    assert t.snapshot().where("id = 99").first()["v"] == 9901
+    assert t.count_rows() == 100
+
+
+def test_dv_fsck_flags_lost_sidecar(spark, tmp_path):
+    """A deleted DV sidecar silently RESURRECTS dead rows — fsck must
+    flag it as missing."""
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(20).selectExpr("id", "id as v"))
+    t.delete("id < 3", mode="dv")
+    assert t.fsck()["clean"]
+    snap = t._replay()
+    dv_rel = next(iter(next(iter(snap.dvs.values()))))
+    os.unlink(os.path.join(t.path, dv_rel))
+    rep = t.fsck()
+    assert not rep["clean"] and dv_rel in rep["missing"]
