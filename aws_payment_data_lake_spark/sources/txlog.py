@@ -873,13 +873,23 @@ class TxnTable:
     # whole table after every OPTIMIZE
     _LAYOUT_OPS = ("compact", "optimize")
 
-    def changes(self, since_version: int) -> DataFrame:
+    def changes(self, since_version: int,
+                include_deletes: bool = False) -> DataFrame:
         """Change feed: rows ADDED by commits > since_version, tagged
         with _commit_version — the table-format twin of the audit
         sink's fromBatch reader. Layout-only commits (compact,
-        optimize) are skipped. (Removed-file rows from merge/delete
-        are rewrites; consumers wanting row-level deletes diff
-        snapshots.)"""
+        optimize) are skipped.
+
+        ``include_deletes=True`` adds a ``_change_type`` column
+        ('insert'/'delete') and emits DELETION-VECTOR dead rows as
+        'delete' events — the rows are recovered by an inner join of
+        the commit's sidecar positions against the RAW target files
+        (positions index raw file rows), so a CDC consumer sees the
+        full pre-image of every merge-on-read delete (Delta CDF's
+        posture). A dv-UPDATE therefore emits its post-image as
+        'insert' and its pre-image as 'delete' in the same commit.
+        Copy-on-write removes stay out of the feed either way
+        (rewrites; consumers wanting those diff snapshots)."""
         snap = self._replay()
         frames = []
         for v in self._versions_on_disk():
@@ -891,12 +901,41 @@ class TxnTable:
                 continue
             rels = [a["path"] for a in c.get("add", [])]
             if rels:
-                frames.append(self._read_files(snap, rels)
-                              .withColumn("_commit_version", F.lit(v)))
+                ins = (self._read_files(snap, rels)
+                       .withColumn("_commit_version", F.lit(v)))
+                if include_deletes:
+                    ins = ins.withColumn("_change_type",
+                                         F.lit("insert"))
+                frames.append(ins)
+            dv = c.get("dv")
+            if include_deletes and dv:
+                pre = len(self._base_uri_prefix()) + 1
+                raw = (self._plain_read(snap,
+                                        sorted(dv["per_target"]))
+                       .select("*",
+                               F.expr("substring(_metadata.file_path, "
+                                      f"{pre})").alias("__rel"),
+                               F.col("_metadata.row_index")
+                               .alias("__pos")))
+                pairs = self.spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in dv["files"]])
+                dead = (raw.join(
+                    F.broadcast(pairs.select("target", "pos")),
+                    on=[raw["__rel"] == pairs["target"],
+                        raw["__pos"] == pairs["pos"]],
+                    how="inner").drop("__rel", "__pos", "target", "pos")
+                    .withColumn("_commit_version", F.lit(v))
+                    .withColumn("_change_type", F.lit("delete")))
+                frames.append(dead)
         if not frames:
             schema = snap.schema
             empty = self.spark.createDataFrame([], schema)
-            return empty.withColumn("_commit_version", F.lit(0).cast("int"))
+            out = empty.withColumn("_commit_version",
+                                   F.lit(0).cast("int"))
+            if include_deletes:
+                out = out.withColumn("_change_type",
+                                     F.lit("").cast("string"))
+            return out
         out = frames[0]
         for f2 in frames[1:]:
             out = out.unionByName(f2)

@@ -222,3 +222,29 @@ def test_dv_fsck_flags_lost_sidecar(spark, tmp_path):
     os.unlink(os.path.join(t.path, dv_rel))
     rep = t.fsck()
     assert not rep["clean"] and dv_rel in rep["missing"]
+
+
+def test_changes_with_deletes_cdf(spark, tmp_path):
+    """changes(include_deletes=True): DV dead rows surface as
+    _change_type='delete' with their full pre-image; a dv-update emits
+    post-image insert + pre-image delete in the same commit."""
+    import pyspark.sql.functions as F
+
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(10).selectExpr("id", "id as v"))   # v0
+    t.delete("id IN (2, 5)", mode="dv")                     # v1
+    t.update({"v": F.col("v") * 100}, "id = 7", mode="dv")  # v2
+
+    feed = t.changes(0, include_deletes=True).collect()
+    by = {}
+    for r in feed:
+        by.setdefault((r["_commit_version"], r["_change_type"]),
+                      []).append((r["id"], r["v"]))
+    assert sorted(by[(1, "delete")]) == [(2, 2), (5, 5)]    # pre-images
+    assert by[(2, "insert")] == [(7, 700)]                  # post-image
+    assert by[(2, "delete")] == [(7, 7)]                    # pre-image
+    assert (1, "insert") not in by
+    # default shape unchanged (no _change_type, adds only)
+    plain = t.changes(0)
+    assert "_change_type" not in plain.columns
+    assert [tuple(r) for r in plain.collect()] == [(7, 700, 2)]
