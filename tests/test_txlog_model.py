@@ -99,7 +99,8 @@ def test_model_based_op_sequence(spark, tmp_path, seed):
 
     for step in range(12):
         op = rng.choice(["append", "merge", "cdc_merge", "delete",
-                         "update", "compact", "optimize", "restore"])
+                         "update", "compact", "optimize", "restore",
+                         "dv_delete", "dv_update"])
         if op == "append":
             ks = fresh_keys(rng.randint(1, 5))
             batch = {k: k * 2 for k in ks}
@@ -150,6 +151,27 @@ def test_model_based_op_sequence(spark, tmp_path, seed):
                 model[k] += 1000
             assert res["rows_changed"] == len(hit)
             if res["files_rewritten"]:
+                history[res["version"]] = dict(model)
+        elif op == "dv_delete":
+            lo = rng.randint(0, next_key)
+            res = t.delete(f"id >= {lo} and id < {lo + 30}", mode="dv")
+            removed = [k for k in model if lo <= k < lo + 30]
+            for k in removed:
+                del model[k]
+            assert res["rows_changed"] == len(removed)
+            assert res["files_rewritten"] == 0
+            if res["rows_changed"]:
+                history[res["version"]] = dict(model)
+        elif op == "dv_update":
+            lo = rng.randint(0, next_key)
+            res = t.update({"v": "v + 7"}, f"id >= {lo} and id < {lo + 15}",
+                           mode="dv")
+            hit = [k for k in model if lo <= k < lo + 15]
+            for k in hit:
+                model[k] += 7
+            assert res["rows_changed"] == len(hit)
+            assert res["files_rewritten"] == 0
+            if res["rows_changed"]:
                 history[res["version"]] = dict(model)
         elif op == "restore":
             tv = rng.choice(sorted(history))
