@@ -152,9 +152,8 @@ class LakehouseCatalog:
         n = self.table(tname).count_rows(
             version=int(ver) if ver is not None else None)
         # Spark's default name for COUNT(*) is `count(1)` — backtick it
-        # (parens are not bare-DDL-legal)
-        return self.spark.createDataFrame(
-            [(n,)], f"`{alias or 'count(1)'}` long").coalesce(1)
+        return self._lit_frame(
+            [f"SELECT CAST({n} AS BIGINT) AS `{alias or 'count(1)'}`"])
 
     # ---------------------------------------------------------- read binding
     def _fresh_view(self, df: DataFrame, base: str) -> str:
@@ -200,11 +199,24 @@ class LakehouseCatalog:
         return s
 
     # ------------------------------------------------------------- DML verbs
+    def _lit_frame(self, selects: list[str]) -> DataFrame:
+        """Small literal result sets as pure-SQL UNION ALL — a
+        createDataFrame from a Python list takes the Python-RDD path,
+        and the FIRST such job in a session pays seconds of Python
+        worker spin-up (measured 4.8 s for a 4-row metrics frame);
+        literal selects stay entirely JVM-side."""
+        if not selects:
+            return self.spark.sql(
+                "SELECT '' AS op, '' AS metric, "
+                "CAST(0 AS BIGINT) AS value WHERE false")
+        return self.spark.sql(" UNION ALL ".join(selects))
+
     def _metrics(self, op: str, m: dict[str, Any]) -> DataFrame:
-        rows = [(op, k, int(v)) for k, v in sorted(m.items())
-                if isinstance(v, (int, float))]
-        return self.spark.createDataFrame(
-            rows, "op string, metric string, value long").coalesce(1)
+        sel = [f"SELECT '{op}' AS op, '{k}' AS metric, "
+               f"CAST({int(v)} AS BIGINT) AS value"
+               for k, v in sorted(m.items())
+               if isinstance(v, (int, float))]
+        return self._lit_frame(sel)
 
     def _merge(self, s: str) -> DataFrame:
         m = re.match(
@@ -284,8 +296,8 @@ class LakehouseCatalog:
         t = self.table(tname)
         df = self.spark.sql(self._bind_reads(select))
         pby = ([c.strip() for c in parts.split(",")] if parts else None)
-        v = t.create(df, partition_by=pby)
-        return self._metrics("create", {"version": v})
+        t.create(df, partition_by=pby)
+        return self._metrics("create", {"version": t.latest_version()})
 
     def _insert(self, s: str) -> DataFrame:
         m = re.match(rf"INSERT\s+INTO\s+({_IDENT})\s+(.*)$",
@@ -417,13 +429,15 @@ class LakehouseCatalog:
         if not m:
             raise ValueError(f"unsupported DESCRIBE DETAIL: {s[:120]}")
         d = self.table(m.group(1)).describe_detail()
-        return self.spark.createDataFrame(
-            [(int(d["version"]), int(d["num_files"]), int(d["num_rows"]),
-              int(d["size_bytes"]), ",".join(d["partition_by"]),
-              json.dumps(d["constraints"], sort_keys=True))],
-            "version long, num_files long, num_rows long, "
-            "size_bytes long, partition_by string, constraints string",
-        ).coalesce(1)
+        cons = json.dumps(d["constraints"], sort_keys=True
+                          ).replace("'", "''")
+        return self._lit_frame([
+            f"SELECT CAST({int(d['version'])} AS BIGINT) AS version, "
+            f"CAST({int(d['num_files'])} AS BIGINT) AS num_files, "
+            f"CAST({int(d['num_rows'])} AS BIGINT) AS num_rows, "
+            f"CAST({int(d['size_bytes'])} AS BIGINT) AS size_bytes, "
+            f"'{','.join(d['partition_by'])}' AS partition_by, "
+            f"'{cons}' AS constraints"])
 
     def _history(self, s: str) -> DataFrame:
         m = re.match(rf"DESCRIBE\s+HISTORY\s+({_IDENT})\s*$",
@@ -431,11 +445,12 @@ class LakehouseCatalog:
         if not m:
             raise ValueError(f"unsupported DESCRIBE HISTORY: {s[:120]}")
         hist = self.table(m.group(1)).history()
-        return self.spark.createDataFrame(
-            [(h["version"], h["op"], float(h["ts"]), h["added"],
-              h["removed"]) for h in hist],
-            "version long, op string, ts double, added long, removed long",
-        ).coalesce(1)
+        return self._lit_frame([
+            f"SELECT CAST({h['version']} AS BIGINT) AS version, "
+            f"'{h['op']}' AS op, CAST({float(h['ts'])!r} AS DOUBLE) AS ts, "
+            f"CAST({h['added']} AS BIGINT) AS added, "
+            f"CAST({h['removed']} AS BIGINT) AS removed"
+            for h in hist])
 
     @staticmethod
     def _split_top(s: str) -> list[str]:
