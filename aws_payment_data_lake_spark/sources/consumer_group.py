@@ -225,6 +225,24 @@ class GroupMember:
         return out
 
 
+def consumer_lag(queue_dir: str, group: str,
+                 topic: str) -> dict[int, dict[str, int]]:
+    """Per-partition lag for a group (Kafka's `kafka-consumer-groups
+    --describe`): {partition: {committed, log_end, lag}}. Metadata-only
+    — committed positions from the group's offsets file, log ends from
+    segment filenames; no record is read. The number an autoscaler or
+    alert reads to size the consumer fleet."""
+    g = ConsumerGroup(queue_dir, group, topic)
+    committed = g.committed()
+    out: dict[int, dict[str, int]] = {}
+    for p in _partitions_of(queue_dir, topic):
+        _, hi = _offset_bounds(_tp_dir(queue_dir, topic, p))
+        lo = committed.get(str(p), 0)
+        out[p] = {"committed": lo, "log_end": hi,
+                  "lag": max(0, hi - lo)}
+    return out
+
+
 def assign(queue_dir: str, group: str, topic: str,
            partitions: list[int]) -> GroupMember:
     """Kafka's MANUAL assignment: a consumer that names its partitions
