@@ -725,8 +725,16 @@ class TxnTable:
         dv_rels = [r for r in rels if snap.dvs.get(r)]
         if dv_rels:
             dead = self._dv_pairs(snap, dv_rels)
+            # broadcast while the sidecars are sparse (their design
+            # point); a table whose accumulated dead positions have
+            # grown past broadcast size joins un-hinted and AQE picks
+            # the strategy — correctness never depends on the hint.
+            # (Dead counts come from the LOG, not a scan.)
+            dead_n = sum(snap.dv_dead.get(r, 0) for r in dv_rels)
+            if dead_n <= 5_000_000:
+                dead = F.broadcast(dead)
             df = df.join(
-                F.broadcast(dead),
+                dead,
                 on=[df["__rel"] == dead["target"],
                     df["__pos"] == dead["pos"]],
                 how="left_anti")
