@@ -81,11 +81,15 @@ def test_generation_is_retry_pure():
 def test_stream_equals_batch(spark):
     """Micro-batch reader drains to exactly the batch table: offsets are
     row indexes, so the union of all micro-batches is the full range with
-    no gaps or dup rows (exactly-once with an idempotent sink)."""
+    no gaps or dup rows (exactly-once with an idempotent sink). hwmPath
+    enables PACED multi-batch draining (without it the source returns
+    the full log end in one batch — r8 pacing redesign)."""
     register_payments_source(spark)
     ckpt = tempfile.mkdtemp(prefix="pysrc_ckpt_")
+    hwm = tempfile.mktemp(prefix="pysrc_hwm_")
     sdf = (spark.readStream.format(SOURCE_NAME)
            .option("n", "6000").option("rowsPerBatch", "1700")
+           .option("hwmPath", hwm)
            .option("numPartitions", "3").load())
     q = (sdf.writeStream.format("memory").queryName("pysrc_stream_eq")
          .option("checkpointLocation", ckpt).start())
