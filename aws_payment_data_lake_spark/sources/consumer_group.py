@@ -133,28 +133,56 @@ class ConsumerGroup:
                              _partitions_of(self.dir, self.topic))
 
     # -------------------------------------------------------- positions
-    def _pos_path(self) -> str:
+    # One file per partition (plus the legacy shared offsets.json read
+    # for back-compat): two members committing DIFFERENT partitions
+    # touch different files, so neither can overwrite the other's
+    # committed offset — the non-atomic read-modify-write of a single
+    # shared map lost one side's commit and re-delivered its records
+    # (ADVICE r8). Same-partition writes are additionally serialized
+    # under a lock, though the group contract already gives each
+    # partition exactly one owner per generation.
+    def _legacy_pos_path(self) -> str:
         return os.path.join(self.gdir, "offsets.json")
 
+    def _pos_dir(self) -> str:
+        return os.path.join(self.gdir, "offsets")
+
     def committed(self) -> dict[str, int]:
+        out: dict[str, int] = {}
         try:
-            with open(self._pos_path()) as f:
-                return json.load(f)
-        except (OSError, json.JSONDecodeError):
-            return {}
+            with open(self._legacy_pos_path()) as f:
+                out.update({k: int(v) for k, v in json.load(f).items()})
+        except (OSError, json.JSONDecodeError, ValueError):
+            pass
+        d = self._pos_dir()
+        if os.path.isdir(d):
+            for n in os.listdir(d):
+                if not n.endswith(".json") or n.startswith("."):
+                    continue
+                try:
+                    with open(os.path.join(d, n)) as f:
+                        o = int(json.load(f)["offset"])
+                except (OSError, json.JSONDecodeError, KeyError,
+                        ValueError):
+                    continue
+                key = n[:-len(".json")]
+                out[key] = max(out.get(key, 0), o)
+        return out
 
     def commit(self, partition: int, offset: int) -> None:
         """Monotone per-partition commit (a stale commit is a no-op,
         like OffsetCommit with an older offset)."""
-        cur = self.committed()
-        key = str(partition)
-        if offset > cur.get(key, 0):
-            cur[key] = offset
-            tmp = self._pos_path() + f".tmp-{uuid.uuid4().hex}"
-            os.makedirs(self.gdir, exist_ok=True)
-            with open(tmp, "w") as f:
-                json.dump(cur, f)
-            os.replace(tmp, self._pos_path())
+        from aws_payment_data_lake_spark.sources.queue_source import (
+            locked_json_update,
+        )
+        floor = self.committed().get(str(partition), 0)
+        if offset <= floor:
+            return
+        path = os.path.join(self._pos_dir(), f"{partition}.json")
+        locked_json_update(
+            path,
+            lambda cur: ({"offset": offset}
+                         if offset > int(cur.get("offset", 0)) else None))
 
 
 class GroupMember:

@@ -179,13 +179,18 @@ class _PaymentsStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         if not self.hwm_path:
             return
-        cur = self._floor()
+        from aws_payment_data_lake_spark.sources.queue_source import (
+            locked_json_update,
+        )
         idx = int(end["index"])
-        if idx > cur:
-            tmp = f"{self.hwm_path}.tmp-{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump({"index": idx}, f)
-            os.replace(tmp, self.hwm_path)
+        # monotone max under the lock: a concurrent committer of a
+        # LOWER index can no longer overwrite a higher one between our
+        # read and rename (same last-writer-wins race as the queue
+        # source's floor merge, ADVICE r8)
+        locked_json_update(
+            self.hwm_path,
+            lambda cur: ({"index": idx}
+                         if idx > int(cur.get("index", 0)) else None))
 
 
 class PaymentsSyntheticDataSource(DataSource):

@@ -50,6 +50,7 @@ import base64
 import hashlib
 import json
 import os
+import time
 import uuid
 from collections.abc import Iterator
 from typing import Any
@@ -92,6 +93,61 @@ def _partition_for(key: bytes | str | None, idx: int, parts: int) -> int:
         return idx % parts
     k = key.encode() if isinstance(key, str) else key
     return int(hashlib.md5(k).hexdigest()[:15], 16) % parts
+
+
+def locked_json_update(path: str, update, timeout_s: float = 10.0,
+                       stale_s: float = 30.0):
+    """Serialize a read-modify-write of a shared JSON file with an
+    O_CREAT|O_EXCL lock file — the fix for the last-writer-wins race
+    an unlocked read/merge/rename pattern has when two writers update
+    DIFFERENT keys concurrently (ADVICE r8: consumer-group offset
+    commits; pacing-floor merges shared by two queries in one group).
+
+    ``update(cur: dict) -> dict | None`` receives the current JSON
+    (``{}`` if absent/corrupt) and returns the new content, or None to
+    skip the write (stale monotone commit). The write itself stays
+    tmp+rename, so READERS never need the lock — they see either the
+    old or the new complete file. Locks older than ``stale_s`` are
+    presumed crashed and stolen. At broker scale this whole file is an
+    OffsetCommit RPC; the lock is the filesystem stand-in for the
+    coordinator's serialization."""
+    lock = path + ".lock"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > stale_s:
+                    os.unlink(lock)      # crashed holder: steal
+                    continue
+            except OSError:
+                continue                 # holder released mid-check
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"gave up acquiring {lock} after "
+                                   f"{timeout_s}s")
+            time.sleep(0.01)
+    try:
+        try:
+            with open(path) as f:
+                cur = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            cur = {}
+        new = update(cur)
+        if new is not None:
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(new, f)
+            os.replace(tmp, path)
+        return new
+    finally:
+        os.close(fd)
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def _tp_dir(queue_dir: str, topic: str, p: int) -> str:
@@ -415,17 +471,21 @@ class _QueueStreamReader(DataSourceStreamReader):
             return {}
 
     def _merge_floor(self, end: dict) -> None:
-        path = self._floor_path()
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        cur = self._read_floor()
-        for t, ps in end.items():
-            for p, o in ps.items():
-                if int(o) > cur.setdefault(t, {}).get(p, 0):
-                    cur[t][p] = int(o)
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(cur, f)
-        os.replace(tmp, path)
+        # element-wise-max merge under the group lock: two queries
+        # sharing a consumer_group (docstring-permitted) commit
+        # concurrently without one regressing the other's pacing
+        # floor — an unlocked read-merge-rename loses the slower
+        # writer's partitions (ADVICE r8)
+        def merge(cur: dict) -> dict | None:
+            changed = False
+            for t, ps in end.items():
+                for p, o in ps.items():
+                    if int(o) > cur.setdefault(t, {}).get(p, 0):
+                        cur[t][p] = int(o)
+                        changed = True
+            return cur if changed else None
+
+        locked_json_update(self._floor_path(), merge)
 
     def initialOffset(self) -> dict:
         self._pos = _resolve_offsets(self.dir, self.topics,

@@ -686,8 +686,19 @@ class TxnTable:
         """URI prefix Spark's `_metadata.file_path` carries for files
         under this table root — used to strip file paths back to the
         rel form the log stores. (Spark emits the compact single-slash
-        form: 'file:/abs/path', probed on 4.1.)"""
-        return "file:" + os.path.abspath(self.path) + "/"
+        form: 'file:/abs/path', probed on 4.1.) `file_path` is a URI,
+        so reserved characters in the TABLE PATH (spaces, '%', '#')
+        arrive percent-encoded; the prefix must be encoded the same
+        way or the substring strip silently misses (ADVICE r8). The
+        safe set below is java.net.URI's path grammar (RFC 2396
+        unreserved + path punctuation), which is what Hadoop
+        Path.toUri emits. The REMAINDER (data/<hex>/part-*.parquet,
+        Spark-generated names) never needs encoding."""
+        from urllib.parse import quote
+        return ("file:"
+                + quote(os.path.abspath(self.path),
+                        safe="/:@&=+$,-_.!~*'()")
+                + "/")
 
     def _plain_read(self, snap: Snapshot, rels: list[str]) -> DataFrame:
         paths = [os.path.join(self.path, r) for r in rels]
@@ -909,7 +920,13 @@ class TxnTable:
                 continue
             rels = [a["path"] for a in c.get("add", [])]
             if rels:
-                ins = (self._read_files(snap, rels)
+                # historical adds are read RAW (_plain_read), not through
+                # the current head's DV filter: a deletion vector logged
+                # AFTER commit v must not retroactively erase v's
+                # 'insert' rows — Delta CDF emits inserts as committed at
+                # their version, and the later dv commit contributes the
+                # explicit 'delete' events below. (ADVICE r8.)
+                ins = (self._plain_read(snap, rels)
                        .withColumn("_commit_version", F.lit(v)))
                 if include_deletes:
                     ins = ins.withColumn("_change_type",
@@ -1178,6 +1195,7 @@ class TxnTable:
             shutil.rmtree(out_dir, ignore_errors=True)
             return {"version": snap.version, "files_rewritten": 0,
                     "rows_changed": 0, "dv_files": 0}
+        self._assert_dv_targets_live(per_target, snap)
         dv_files = [os.path.join(_DATA_DIR, wid, n)
                     for n in sorted(os.listdir(out_dir))
                     if n.endswith(".parquet")]
@@ -1196,6 +1214,21 @@ class TxnTable:
         return {"version": snap.version + 1, "files_rewritten": 0,
                 "rows_changed": int(sum(per_target.values())),
                 "dv_files": len(dv_files)}
+
+    def _assert_dv_targets_live(self, per_target: dict[str, int],
+                                snap: Snapshot) -> None:
+        """Defense in depth for the __rel derivation: every DV target
+        must be a live log path, or replay would silently ignore the
+        sidecar (the dv entry only attaches to paths in snap.live) and
+        a 'successful' delete would delete nothing. A mismatch means
+        the file_path -> rel strip diverged (URI encoding drift)."""
+        bad = sorted(k for k in per_target if k not in snap.live)
+        if bad:
+            raise RuntimeError(
+                f"dv commit on {self.path}: {len(bad)} target path(s) "
+                f"not in the live set (first: {bad[0]!r}) — the "
+                "_metadata.file_path -> rel mapping diverged; refusing "
+                "to publish a no-op deletion vector")
 
     def update(self, assignments: dict[str, Any], condition,
                mode: str = "cow") -> dict[str, int]:
@@ -1255,6 +1288,7 @@ class TxnTable:
             shutil.rmtree(out_dir, ignore_errors=True)
             return {"version": snap.version, "files_rewritten": 0,
                     "rows_changed": 0, "dv_files": 0}
+        self._assert_dv_targets_live(per_target, snap)
         dv_files = [os.path.join(_DATA_DIR, wid, n)
                     for n in sorted(os.listdir(out_dir))
                     if n.endswith(".parquet")]
@@ -1315,6 +1349,12 @@ class TxnTable:
                 raise ConcurrentWriteError(
                     f"optimize of {self.path}: an input file was "
                     "removed by a concurrent commit")
+            if self._dv_state_changed(snap, head, inputs):
+                continue   # a concurrent delete_dv/update_dv/restore
+                # changed rows our staged rewrite already materialized
+                # WITHOUT — republishing it would resurrect DV-deleted
+                # rows (lost update). Re-read under the new head; the
+                # staged files are orphaned until vacuum.
             commit["read_version"] = head.version
             if self._try_publish(head.version + 1, commit):
                 self._maybe_checkpoint(head.version + 1)
@@ -1358,6 +1398,10 @@ class TxnTable:
                 raise ConcurrentWriteError(
                     f"compact of {self.path}: an input file was removed "
                     "by a concurrent commit")
+            if self._dv_state_changed(snap, head, inputs):
+                continue   # concurrent DV op on an input: the staged
+                # rewrite predates the sidecar and would resurrect its
+                # dead rows — loop and re-read through the new DV state
             # concurrent append: our rewrite is still valid, retry
             # (the staged output is reused only if inputs unchanged;
             # otherwise re-read — here inputs are unchanged by check)
@@ -1368,6 +1412,22 @@ class TxnTable:
                         "files_in": len(inputs),
                         "files_out": len(adds), "noop": 0}
             # lost twice: loop from scratch (orphans vacuumed later)
+
+    @staticmethod
+    def _dv_state_changed(snap: Snapshot, head: Snapshot,
+                          inputs: list[str]) -> bool:
+        """True iff any input file's deletion-vector state differs
+        between the snapshot a rewrite READ and the current head — the
+        signal that a concurrent delete_dv/update_dv (or a restore
+        replacing dv_state) invalidated staged rewrite output. The
+        rewrite's files were materialized through the OLD DV state, so
+        publishing them (and removing the inputs, whose DV entries die
+        with them in replay) would silently resurrect the newly-dead
+        rows."""
+        return any(
+            (head.dvs.get(p) or []) != (snap.dvs.get(p) or [])
+            or head.dv_dead.get(p, 0) != snap.dv_dead.get(p, 0)
+            for p in inputs)
 
     # ---------------------------------------------------- maintenance
     def fsck(self, verify_footers: bool = False) -> dict[str, Any]:

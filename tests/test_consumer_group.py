@@ -152,3 +152,71 @@ def test_consumer_lag_describe(tmp_path):
     m.poll()
     assert sum(v["lag"] for v in
                consumer_lag(qdir, "g1", "pay").values()) == 0
+
+
+# --------------------------------------------------------------- ADVICE r8
+def test_concurrent_commits_of_different_partitions_never_lost(tmp_path):
+    """Two members committing DIFFERENT partitions concurrently must
+    both land (the shared-map read-modify-write lost one side). Offsets
+    are now one file per partition + a commit lock."""
+    import threading
+
+    qdir = _mk_queue(tmp_path)
+    g = ConsumerGroup(qdir, "g_race", "pay")
+    errs = []
+
+    def worker(p):
+        try:
+            for off in range(1, 11):
+                g.commit(p, off)
+        except Exception as e:          # pragma: no cover
+            errs.append(e)
+
+    ts = [__import__("threading").Thread(target=worker, args=(p,))
+          for p in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert g.committed() == {str(p): 10 for p in range(4)}
+
+
+def test_commit_monotone_and_legacy_offsets_compat(tmp_path):
+    import json as _json
+    import os as _os
+
+    qdir = _mk_queue(tmp_path)
+    g = ConsumerGroup(qdir, "g_legacy", "pay")
+    _os.makedirs(g.gdir, exist_ok=True)
+    with open(_os.path.join(g.gdir, "offsets.json"), "w") as f:
+        _json.dump({"0": 5}, f)          # pre-upgrade layout
+    assert g.committed() == {"0": 5}
+    g.commit(1, 7)
+    assert g.committed() == {"0": 5, "1": 7}
+    g.commit(0, 3)                       # stale: no-op
+    assert g.committed()["0"] == 5
+    g.commit(0, 9)                       # newer than legacy: wins
+    assert g.committed()["0"] == 9
+
+
+def test_hwm_floor_concurrent_commits_take_max(tmp_path):
+    """The pydatasource pacing floor twin: concurrent committers of
+    mixed indexes must leave the MAX, not the last writer."""
+    import threading
+
+    from aws_payment_data_lake_spark.sources.pydatasource import (
+        _PaymentsStreamReader,
+    )
+
+    hwm = str(tmp_path / "hwm.json")
+    idxs = [3, 8, 5, 1, 7, 2]
+    rs = [_PaymentsStreamReader({"hwmPath": hwm}) for _ in idxs]
+    ts = [threading.Thread(target=rs[i].commit,
+                           args=({"index": idxs[i]},))
+          for i in range(len(idxs))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert rs[0]._floor() == max(idxs)

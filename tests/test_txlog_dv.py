@@ -248,3 +248,87 @@ def test_changes_with_deletes_cdf(spark, tmp_path):
     plain = t.changes(0)
     assert "_change_type" not in plain.columns
     assert [tuple(r) for r in plain.collect()] == [(7, 700, 2)]
+
+
+# --------------------------------------------------------------- ADVICE r8
+def _race_dv_into_first_publish(monkeypatch, table_path, spark,
+                                ops=("compact", "optimize")):
+    """Patch _try_publish so the FIRST compact/optimize publish loses
+    the version race to a concurrent dv-delete of id%10=3 — the lost-
+    update window: the rewrite's staged files were read BEFORE the DV
+    existed, so republishing them must be refused."""
+    t2 = TxnTable(spark, table_path)
+    orig = TxnTable._try_publish
+    state = {"raced": False}
+
+    def racy(self, version, commit):
+        if commit.get("op") in ops and not state["raced"]:
+            state["raced"] = True
+            t2.delete("id % 10 = 3", mode="dv")   # claims `version`
+        return orig(self, version, commit)
+
+    monkeypatch.setattr(TxnTable, "_try_publish", racy)
+    return state
+
+
+def test_compact_retry_rereads_after_concurrent_dv(spark, tmp_path,
+                                                   monkeypatch):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(0, 40).selectExpr("id", "id as v"))
+    t.append(spark.range(40, 80).selectExpr("id", "id as v"))
+    state = _race_dv_into_first_publish(monkeypatch, t.path, spark)
+    res = t.compact(max_files=1)
+    assert state["raced"] and res["noop"] == 0
+    got = t.snapshot()
+    assert got.where("id % 10 = 3").count() == 0   # no resurrection
+    assert got.count() == 72
+    # the compaction materialized the DV: no sidecars survive
+    assert t._replay().dv_dead == {}
+    assert t.count_rows() == 72
+
+
+def test_optimize_retry_rereads_after_concurrent_dv(spark, tmp_path,
+                                                    monkeypatch):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(0, 40).selectExpr("id", "id as v"))
+    t.append(spark.range(40, 80).selectExpr("id", "id as v"))
+    state = _race_dv_into_first_publish(monkeypatch, t.path, spark)
+    res = t.optimize(["v"], n_files=2)
+    assert state["raced"] and res["noop"] == 0
+    got = t.snapshot()
+    assert got.where("id % 10 = 3").count() == 0
+    assert got.count() == 72
+    assert t._replay().dv_dead == {}
+
+
+def test_cdf_inserts_not_retro_filtered_by_later_dvs(spark, tmp_path):
+    """A deletion vector logged at v1 must NOT erase v0's 'insert'
+    rows from the change feed: a from-scratch consumer applies the
+    insert and then the explicit delete pre-image (Delta CDF emits
+    inserts as committed at their version)."""
+    t = _mk(spark, tmp_path, "cdf_raw")
+    t.create(spark.range(10).selectExpr("id", "id as v"))   # v0
+    t.delete("id IN (2, 5)", mode="dv")                     # v1
+    feed = t.changes(-1, include_deletes=True).collect()
+    ins = sorted(r["id"] for r in feed if r["_change_type"] == "insert")
+    dels = sorted(r["id"] for r in feed if r["_change_type"] == "delete")
+    assert ins == list(range(10))        # ALL ten inserts, 2 and 5 too
+    assert dels == [2, 5]
+    # strict apply: inserts minus deletes == live snapshot
+    live = {r["id"] for r in feed if r["_change_type"] == "insert"} \
+        - {r["id"] for r in feed if r["_change_type"] == "delete"}
+    assert live == {r["id"] for r in t.snapshot().collect()}
+
+
+def test_dv_on_percent_encoded_table_path(spark, tmp_path):
+    """Table roots with URI-reserved characters (space, '%'):
+    _metadata.file_path arrives percent-encoded, and the rel-strip
+    must still land on log paths — a miss would 'succeed' while
+    deleting nothing (guarded loudly by _assert_dv_targets_live)."""
+    t = TxnTable(spark, str(tmp_path / "sp ace %tbl"))
+    t.create(spark.range(20).selectExpr("id", "id as v"))
+    res = t.delete("id < 5", mode="dv")
+    assert res["rows_changed"] == 5
+    assert t.snapshot().count() == 15
+    assert t.count_rows() == 15
+    assert {r["id"] for r in t.snapshot().collect()} == set(range(5, 20))
