@@ -195,12 +195,27 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str,
     # double-rounded Spark value on the ~5e-7-wide band where the two
     # roundings differ (review r7 finding). With both engines double-
     # rounding, a flip needs the unrounded mean within ulps of a 6-dp
-    # boundary. The production operator
-    # (operators/lm_quality.perplexity_gate) uses the exact-quantile
-    # threshold instead — one extra corpus-row-sized pass, no global
-    # sort; the global row_number here is the oracle-facing form (the
-    # score table is corpus-ROW-sized, and the driver runs at sf0.01).
-    from pyspark.sql import Window
+    # boundary.
+    #
+    # PLAN (VERDICT r8 #1 — no global window): the rank contract is
+    # computed as a row-local threshold predicate instead of a
+    # partitionless row_number over the corpus-row-sized score table.
+    #   1. histogram the DISTINCT 4-dp scores (one hash agg; the
+    #      domain is the 4-dp grid of avg-logprob values — bounded by
+    #      the score RANGE, ~1e5 cells, not the corpus) and find, on
+    #      the driver, the cut score s* where the descending cumulative
+    #      count first reaches k = ceil(0.9 * N), plus n_above = docs
+    #      strictly better than s*;
+    #   2. resolve the tie GROUP at s* with orderBy+limit(k - n_above)
+    #      on doc_id — TakeOrderedAndProject over only the rows at the
+    #      cut score — and take the max kept doc_id;
+    #   3. lm_keep := s > s* OR (s = s* AND doc_id <= that boundary).
+    # Identical keep set to the rank form (the oracle is unchanged),
+    # zero sorts over corpus-sized input, zero WindowExec. The same
+    # contract the production operator reaches via exact quantile
+    # (operators/lm_quality.perplexity_gate), here with the doc_id
+    # tiebreak made explicit so the decision stays hashable.
+    import math
 
     from aws_payment_data_lake_spark.operators.lm_quality import (
         lm_perplexity,
@@ -209,12 +224,32 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str,
 
     scores = lm_perplexity(
         docs, lm=shared_lm_tables(spark, sf_dir)).select(
-        "doc_id", F.round("avg_logprob", 4).alias("s"))
-    rn = F.row_number().over(Window.orderBy(F.desc("s"), "doc_id"))
-    total = F.count(F.lit(1)).over(Window.partitionBy())
-    lm = scores.select(
-        "doc_id",
-        (rn <= F.ceil(LM_KEEP_FRAC * total)).alias("lm_keep"))
+        "doc_id", F.round("avg_logprob", 4).alias("s")) \
+        .localCheckpoint(eager=True)     # read 2-3x below: pin once
+    hist = sorted(
+        ((r["s"], r["c"]) for r in
+         scores.groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()),
+        key=lambda sc: (sc[0] is not None, sc[0]), reverse=True)
+    n = sum(c for _, c in hist)
+    k = math.ceil(LM_KEEP_FRAC * n)
+    cum = 0
+    s_cut, n_above = None, 0
+    for s_val, c in hist:
+        if cum + c >= k:
+            s_cut, n_above = s_val, cum
+            break
+        cum += c
+    if s_cut is None:                    # empty corpus: nothing kept
+        lm = scores.select("doc_id", F.lit(False).alias("lm_keep"))
+    else:
+        boundary = (scores.where(F.col("s") == F.lit(s_cut))
+                    .orderBy("doc_id").limit(k - n_above)
+                    .agg(F.max("doc_id")).first()[0])
+        lm = scores.select(
+            "doc_id",
+            ((F.col("s") > F.lit(s_cut))
+             | ((F.col("s") == F.lit(s_cut))
+                & (F.col("doc_id") <= F.lit(boundary)))).alias("lm_keep"))
     return (
         feat.join(lm, "doc_id", "left")
         .select(

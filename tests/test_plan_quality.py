@@ -199,3 +199,18 @@ def test_span_dedup_detection_single_wide_shuffle(spark):
     n_exchanges = len(_re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges <= 3, plan  # spread + gh window + doc merge
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "text_vocab_topk",
+    "corpus_curation_decisions",
+])
+def test_no_partitionless_window_in_registered_plans(spark, name):
+    """VERDICT r8 #1/#2: neither query may rank corpus-sized input
+    through a partitionless WindowExec (single-task global sort at
+    100x). vocab's top-25 must be TakeOrderedAndProject; curation's
+    lm gate is a threshold predicate + a tie-group TakeOrdered."""
+    plan = plan_of(spark, name)
+    assert "Window" not in plan, plan
+    if name == "text_vocab_topk":
+        assert "TakeOrderedAndProject" in plan
