@@ -60,6 +60,22 @@ _VALID_EVENT_TYPES = ("click", "view", "purchase", "signup")
     UNION ALL
     SELECT 'txn_sql_restore', user_id, event_type, event_id, ts, value
     FROM events WHERE event_id % 30 = 1
+    UNION ALL
+    SELECT 'txn_scd', user_id,
+           CASE WHEN value < 5 THEN event_type ELSE 'archived' END,
+           event_id, ts,
+           CASE WHEN value < 5 THEN value + 1000 ELSE value END
+    FROM events WHERE event_id % 30 = 1 AND event_id % 7 <> 0
+    UNION ALL
+    SELECT 'txn_scd', user_id, event_type, event_id, ts,
+           CAST(-1 AS DOUBLE)
+    FROM events
+    WHERE event_id % 30 = 1 AND event_id % 7 = 0
+      AND (user_id % 2 <> 0 OR user_id IS NULL)
+    UNION ALL
+    SELECT 'txn_scd', user_id, 'new', event_id, ts, value
+    FROM events
+    WHERE event_id % 30 = 3 AND event_id % 7 <> 0 AND event_id % 2 = 0
     """,
     tags=("dedup", "window", "acid", "sql-endpoint", "reference:W1,S5b"),
 )
@@ -104,6 +120,20 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                            VERSION AS OF read path (the restored
                            content is read back via time travel over
                            the post-restore history).
+      variant='txn_scd'    the FULL Delta MERGE grammar (round 9,
+                           VERDICT r8 #3) on the restored table, via
+                           spark.sql: two conditional WHEN MATCHED
+                           clauses with column-targeted UPDATE SET
+                           col = expr over both aliases (value bump vs
+                           archive flag, first-true-wins), a
+                           conditional WHEN NOT MATCHED INSERT with an
+                           explicit column list, and WHEN NOT MATCHED
+                           BY SOURCE (DELETE even user_ids, flag the
+                           rest with value = -1) — the SCD-style full
+                           sync shape. Dispatches to
+                           txlog.merge_clauses; the oracle
+                           reconstructs all three row populations
+                           relationally.
 
     The result is materialized (localCheckpoint) before the scratch
     tables are deleted."""
@@ -186,12 +216,34 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sql_restored = shape(cat.sql(
             f"SELECT user_id, event_type, event_id, ts, value "
             f"FROM txq VERSION AS OF {head}"), "txn_sql_restore")
+        # --- full Delta MERGE grammar on the restored base (r9) ----------
+        cat.sql("""
+            MERGE INTO txq AS t
+            USING (SELECT event_id, user_id, event_type, value, ts
+                   FROM __txq_events
+                   WHERE event_id % 30 IN (1, 3)
+                     AND event_id % 7 <> 0) AS s
+            ON t.event_id = s.event_id
+            WHEN MATCHED AND t.value < 5
+                THEN UPDATE SET value = t.value + 1000
+            WHEN MATCHED THEN UPDATE SET event_type = 'archived'
+            WHEN NOT MATCHED AND s.event_id % 2 = 0
+                THEN INSERT (event_id, user_id, event_type, value, ts)
+                     VALUES (s.event_id, s.user_id, 'new', s.value, s.ts)
+            WHEN NOT MATCHED BY SOURCE AND t.user_id % 2 = 0 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE
+                THEN UPDATE SET value = CAST(-1 AS DOUBLE)
+        """)
+        sql_scd = shape(cat.sql(
+            "SELECT user_id, event_type, event_id, ts, value FROM txq"),
+            "txn_scd")
 
         out = (win.unionByName(shape(t.snapshot(0), "txn_v0"))
                .unionByName(shape(t.snapshot(), "txn_merge"))
                .unionByName(sql_merged)
                .unionByName(sql_dv)
-               .unionByName(sql_restored))
+               .unionByName(sql_restored)
+               .unionByName(sql_scd))
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

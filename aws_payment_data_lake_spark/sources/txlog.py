@@ -1066,6 +1066,262 @@ class TxnTable:
                 "files_total": len(snap.live),
                 "rows_upserted": src_rows}
 
+    def merge_clauses(self, source: DataFrame, on: list[str],
+                      matched: list[dict[str, Any]] | None = None,
+                      not_matched: list[dict[str, Any]] | None = None,
+                      not_matched_by_source: list[dict[str, Any]] | None
+                      = None,
+                      talias: str = "t", salias: str = "s",
+                      ) -> dict[str, int]:
+        """Full Delta MERGE semantics (VERDICT r8 #3) — the general
+        form behind ``WHEN MATCHED [AND c] THEN UPDATE SET col = expr``,
+        multiple conditional MATCHED clauses, and
+        ``WHEN NOT MATCHED BY SOURCE``, which the replace-by-source
+        ``merge()`` cannot express.
+
+        Each clause is ``{"cond": sql|None, "action": ..., "set":
+        {col: sql}}``; conditions and SET/VALUES expressions may
+        reference both sides through ``talias``/``salias``. Actions:
+        matched -> 'delete' | 'update' | 'update_star';
+        not_matched -> 'insert' | 'insert_star';
+        not_matched_by_source -> 'delete' | 'update'.
+        Per row, the FIRST clause whose condition holds (NULL = false)
+        applies; with none: matched/nmbs rows keep, unmatched source
+        rows drop (the SQL:2003 / Delta rule).
+
+        Plan shape: one full-outer join of the TOUCHED target files
+        against the (broadcast-sized, checkpointed) source, every
+        disposition a single CASE chain — no per-clause passes. File
+        granularity stays copy-on-write: without NOT MATCHED BY SOURCE
+        clauses only key-matching files rewrite (footer-stats-pruned
+        discovery, like merge()); with them every row must be
+        examined, so the whole live set is input — exactly Delta's
+        cost model for that clause. A merge whose source keys are
+        non-unique raises (Delta's 'multiple source rows matched').
+
+        Concurrency: key-disjoint rebase like merge() when the clause
+        set doesn't read the whole table; NOT MATCHED BY SOURCE merges
+        read everything, so ANY concurrent commit aborts
+        (serializable)."""
+        matched = list(matched or [])
+        not_matched = list(not_matched or [])
+        nmbs = list(not_matched_by_source or [])
+        if not (matched or not_matched or nmbs):
+            raise ValueError("MERGE needs at least one WHEN clause")
+        if talias == salias:
+            raise ValueError(
+                f"MERGE target and source aliases must differ "
+                f"(both {talias!r})")
+        snap = self._replay()
+        tcols = [f.name for f in snap.schema.fields]
+        types = {f.name: f.dataType for f in snap.schema.fields}
+        for cl in matched + not_matched + nmbs:
+            bad = sorted(set(cl.get("set") or {}) - set(tcols))
+            if bad:
+                raise ValueError(f"MERGE assigns unknown column(s) "
+                                 f"{bad}; table has {tcols}")
+        source = source.localCheckpoint(eager=True)   # read 3x below
+        keys = source.select(*on).distinct()
+        if (matched or nmbs) and source.count() != keys.count():
+            raise ValueError(
+                "MERGE source has duplicate key rows on "
+                f"{on} — a target row would match multiple source "
+                "rows (Delta raises the same); de-duplicate the "
+                "source first (e.g. max_by latest per key)")
+        b = source.agg(F.min(on[0]).alias("lo"),
+                       F.max(on[0]).alias("hi")).first()
+        lo, hi = _json_safe(b["lo"]), _json_safe(b["hi"])
+        if nmbs:
+            cand = sorted(snap.live)        # every row is examined
+            touched = set(cand)
+        elif not matched:
+            # insert-only merge: matched files need no rewrite at all
+            # — matched target rows keep their bytes; only the
+            # anti-joined inserts stage (Delta's insert-only fast
+            # path, zero files removed). The anti join runs against
+            # the stats-pruned candidates' KEY PROJECTION only
+            # (column-pruned scan).
+            cand = (sorted(snap.live) if lo is None else
+                    sorted(p for p, a in snap.live.items()
+                           if self._overlaps(a.stats.get(on[0]), lo, hi)))
+            existing = self._read_files(snap, cand).select(*on)
+            s_only = (source.alias(salias)
+                      .join(existing, on=on, how="left_anti")
+                      .withColumn("__code",
+                                  self._clause_code(not_matched, 200, -1)))
+            new_content = (s_only.where(F.col("__code") != -1)
+                           .select(*[self._insert_value(cl_list=not_matched,
+                                                        c=c, types=types,
+                                                        salias=salias)
+                                     for c in tcols]))
+            hist = {r["__code"]: r["n"] for r in
+                    s_only.groupBy("__code")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+            self._enforce(new_content, snap.constraints)
+            adds = self._stage(new_content, snap.partition_by or None)
+            commit = {"op": "merge", "ts": time.time(),
+                      "read_version": snap.version,
+                      "add": [a.to_json() for a in adds], "remove": []}
+            read_v = snap.version
+            for _ in range(8):
+                if self._try_publish(read_v + 1, commit):
+                    self._maybe_checkpoint(read_v + 1)
+                    break
+                head_v = self.latest_version()
+                self._assert_merge_commutes(read_v, head_v, set(),
+                                            on[0], lo, hi)
+                read_v = head_v
+                commit["read_version"] = read_v
+            else:
+                raise ConcurrentWriteError(
+                    f"merge into {self.path}: lost the publish race 8 "
+                    "times; re-run (staged files orphan until vacuum)")
+            return {"version": read_v + 1, "files_rewritten": 0,
+                    "files_added": len(adds),
+                    "files_scanned": len(cand), "rows_updated": 0,
+                    "rows_deleted": 0,
+                    "rows_inserted": int(sum(
+                        n for c2, n in hist.items() if c2 != -1))}
+        else:
+            cand = (sorted(snap.live) if lo is None else
+                    sorted(p for p, a in snap.live.items()
+                           if self._overlaps(a.stats.get(on[0]), lo, hi)))
+            discovery = self._read_files_meta(snap, cand)
+            touched = {
+                r[0] for r in
+                (discovery.join(F.broadcast(keys), on=on, how="leftsemi")
+                 .select("__rel").distinct().collect())}
+        t_frame = (self._read_files(snap, sorted(touched))
+                   .withColumn("__t", F.lit(1)))
+        s_frame = source.withColumn("__s", F.lit(1))
+        j = t_frame.alias(talias).join(
+            s_frame.alias(salias),
+            on=[F.col(f"{talias}.{k}") == F.col(f"{salias}.{k}")
+                for k in on],
+            how="full_outer")
+        has_t = F.col(f"{talias}.__t").isNotNull()
+        has_s = F.col(f"{salias}.__s").isNotNull()
+        _KEEP, _DROP = 0, -1
+        code = (F.when(has_t & has_s,
+                       self._clause_code(matched, 100, _KEEP))
+                .when(has_s, self._clause_code(not_matched, 200, _DROP))
+                .otherwise(self._clause_code(nmbs, 300, _KEEP)))
+        j = j.withColumn("__code", code)
+        drop_codes = [_DROP]
+        drop_codes += [100 + i for i, cl in enumerate(matched)
+                       if cl["action"] == "delete"]
+        drop_codes += [300 + i for i, cl in enumerate(nmbs)
+                       if cl["action"] == "delete"]
+
+        def col_value(c: str):
+            v = F.col(f"{talias}.{c}")        # keep codes default here
+            branches: list[tuple[int, Any]] = []
+            for i, cl in enumerate(matched):
+                if cl["action"] == "update_star":
+                    branches.append((100 + i, F.col(f"{salias}.{c}")))
+                elif cl["action"] == "update" and c in cl["set"]:
+                    branches.append((100 + i, F.expr(cl["set"][c])))
+            for i, cl in enumerate(not_matched):
+                if cl["action"] == "insert_star":
+                    branches.append((200 + i, F.col(f"{salias}.{c}")))
+                elif cl["action"] == "insert":
+                    branches.append((200 + i,
+                                     F.expr(cl["set"][c]) if c in cl["set"]
+                                     else F.lit(None)))
+            for i, cl in enumerate(nmbs):
+                if cl["action"] == "update" and c in cl["set"]:
+                    branches.append((300 + i, F.expr(cl["set"][c])))
+            out = None
+            for bc, e in branches:
+                out = (F.when(F.col("__code") == bc, e) if out is None
+                       else out.when(F.col("__code") == bc, e))
+            out = v if out is None else out.otherwise(v)
+            return out.cast(types[c]).alias(c)
+
+        # one histogram pass gives the operation metrics (bounded: one
+        # row per clause code) before the staging write re-runs the join
+        hist = {r["__code"]: r["n"] for r in
+                j.groupBy("__code").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+        new_content = (j.where(~F.col("__code").isin(drop_codes))
+                       .select(*[col_value(c) for c in tcols]))
+        self._enforce(new_content, snap.constraints)
+        adds = self._stage(new_content, snap.partition_by or None)
+        commit = {"op": "merge", "ts": time.time(),
+                  "read_version": snap.version,
+                  "add": [a.to_json() for a in adds],
+                  "remove": sorted(touched)}
+        read_v = snap.version
+        if nmbs:
+            if not self._try_publish(read_v + 1, commit):
+                raise ConcurrentWriteError(
+                    f"merge (NOT MATCHED BY SOURCE) into {self.path} "
+                    f"read version {read_v} but another commit won; "
+                    "this clause reads the whole table, so re-run")
+            self._maybe_checkpoint(read_v + 1)
+        else:
+            for _ in range(8):
+                if self._try_publish(read_v + 1, commit):
+                    self._maybe_checkpoint(read_v + 1)
+                    break
+                head_v = self.latest_version()
+                self._assert_merge_commutes(read_v, head_v, touched,
+                                            on[0], lo, hi)
+                read_v = head_v
+                commit["read_version"] = read_v
+            else:
+                raise ConcurrentWriteError(
+                    f"merge into {self.path}: lost the publish race 8 "
+                    "times; re-run (staged files orphan until vacuum)")
+        n_upd = sum(n for c2, n in hist.items()
+                    if 100 <= c2 < 200
+                    and matched[c2 - 100]["action"] != "delete")
+        n_del = sum(n for c2, n in hist.items()
+                    if (100 <= c2 < 200
+                        and matched[c2 - 100]["action"] == "delete")
+                    or (c2 >= 300 and nmbs[c2 - 300]["action"]
+                        == "delete"))
+        n_ins = sum(n for c2, n in hist.items() if 200 <= c2 < 300)
+        n_nmbs_upd = sum(n for c2, n in hist.items()
+                         if c2 >= 300
+                         and nmbs[c2 - 300]["action"] == "update")
+        return {"version": read_v + 1,
+                "files_rewritten": len(touched),
+                "files_added": len(adds),
+                "files_scanned": len(cand),
+                "rows_updated": int(n_upd + n_nmbs_upd),
+                "rows_deleted": int(n_del),
+                "rows_inserted": int(n_ins)}
+
+    @staticmethod
+    def _clause_code(clauses: list[dict[str, Any]], base: int,
+                     default: int):
+        """First-true-clause disposition as ONE CASE chain:
+        base+i for clause i, ``default`` when none fires (NULL
+        conditions are false, the SQL MERGE rule)."""
+        expr = None
+        for i, cl in enumerate(clauses):
+            cond = (F.lit(True) if cl.get("cond") is None
+                    else F.coalesce(F.expr(cl["cond"]), F.lit(False)))
+            expr = (F.when(cond, F.lit(base + i)) if expr is None
+                    else expr.when(cond, F.lit(base + i)))
+        return (expr.otherwise(F.lit(default))
+                if expr is not None else F.lit(default))
+
+    @staticmethod
+    def _insert_value(cl_list: list[dict[str, Any]], c: str,
+                      types: dict[str, Any], salias: str):
+        """Column ``c`` for insert-only rows: per fired clause, the
+        star source column / the SET expression / NULL."""
+        out = None
+        for i, cl in enumerate(cl_list):
+            e = (F.col(f"{salias}.{c}") if cl["action"] == "insert_star"
+                 else (F.expr(cl["set"][c]) if c in (cl.get("set") or {})
+                       else F.lit(None)))
+            out = (F.when(F.col("__code") == 200 + i, e) if out is None
+                   else out.when(F.col("__code") == 200 + i, e))
+        return out.cast(types[c]).alias(c)
+
     def _assert_merge_commutes(self, read_v: int, head_v: int,
                                touched: set[str], key: str,
                                lo: Any, hi: Any) -> None:

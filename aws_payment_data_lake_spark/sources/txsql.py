@@ -18,9 +18,13 @@ Grammar subset (case-insensitive keywords):
   CREATE TABLE t USING txlog [PARTITIONED BY (c,..)] AS <select>
   INSERT INTO t <select>
   MERGE INTO t [AS a] USING (<select>) | view [AS b] ON a.k = b.k [AND ..]
-      [WHEN MATCHED AND <cond> THEN DELETE]
-      [WHEN MATCHED THEN UPDATE SET *]
-      [WHEN NOT MATCHED THEN INSERT *]
+      [WHEN MATCHED [AND <cond>] THEN DELETE
+                                    | UPDATE SET *
+                                    | UPDATE SET c = expr [, ...]] ...
+      [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT *
+                                    | INSERT (c,..) VALUES (e,..)] ...
+      [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
+                                    | UPDATE SET c = expr [, ...]] ...
   UPDATE t SET c = expr [, ...] [WHERE cond]
   DELETE FROM t [WHERE cond]
   RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
@@ -34,13 +38,18 @@ Grammar subset (case-insensitive keywords):
 alias) is answered from the LOG alone — the sum of live files' footer
 row counts, zero data files opened (Delta's metadata-only count).
 
-MERGE keeps txlog.merge's replace-by-source contract — hence
-``UPDATE SET *`` / ``INSERT *`` only (the whole matched row is replaced
-by the source row; extra source columns such as a delete flag are
-dropped on write). The ON clause must be an AND-conjunction of
-equalities on SAME-NAMED key columns, which is what a CDC key join is.
-DML verbs return a one-row metrics DataFrame (Delta returns operation
-metrics the same way).
+MERGE carries the full Delta clause set (VERDICT r8 #3): multiple
+conditional WHEN MATCHED clauses (first-true-wins), column-targeted
+``UPDATE SET c = expr`` referencing both aliases, conditional inserts
+with explicit column lists, and ``WHEN NOT MATCHED BY SOURCE`` —
+dispatched to ``txlog.merge_clauses``. The exact replace-by-source
+shape ([source-conditional DELETE +] UPDATE SET * + INSERT *) keeps
+the leaner ``txlog.merge`` plan and its key-disjoint concurrent
+rebase. Extra source columns such as a delete flag are dropped on
+write. The ON clause must be an AND-conjunction of equalities on
+SAME-NAMED key columns, which is what a CDC key join is. DML verbs
+return a one-row metrics DataFrame (Delta returns operation metrics
+the same way).
 """
 
 from __future__ import annotations
@@ -254,36 +263,161 @@ class LakehouseCatalog:
                     f"target ({talias}) and source ({salias}); got {part!r}")
             keys.append(c1)
 
-        # clauses: optional conditional DELETE, then the standard
-        # replace-by-source pair (both optional in text, semantics fixed)
-        delete_when = None
-        rest = clauses
-        dm = re.match(
-            r"WHEN\s+MATCHED\s+AND\s+(.*?)\s+THEN\s+DELETE\s*(.*)$",
-            rest, re.IGNORECASE | re.DOTALL)
-        if dm:
-            delete_when = dm.group(1)
-            rest = dm.group(2)
-        for legal in (
-                r"^\s*$",
-                r"^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s*"
-                r"(WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*$",
-                r"^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$"):
-            if re.match(legal, rest, re.IGNORECASE | re.DOTALL):
-                break
+        matched, not_matched, nmbs = self._parse_merge_clauses(clauses)
+
+        # Fast path: the exact replace-by-source shape (optional
+        # source-conditional DELETE + unconditional UPDATE SET * +
+        # unconditional INSERT *) keeps txlog.merge's leaner plan
+        # (broadcast anti-join + union instead of a full-outer join)
+        # and its benched key-disjoint rebase. Everything else — column
+        # -targeted SET, multiple conditional MATCHED clauses, NOT
+        # MATCHED BY SOURCE, conditional inserts — runs the general
+        # clause engine (txlog.merge_clauses).
+        legacy = (
+            not nmbs
+            and len(not_matched) == 1
+            and not_matched[0] == {"cond": None, "action": "insert_star",
+                                   "set": None}
+            and 1 <= len(matched) <= 2
+            and matched[-1] == {"cond": None, "action": "update_star",
+                                "set": None}
+            and all(cl["action"] == "delete" and cl["cond"] is not None
+                    and f"{talias}." not in cl["cond"]
+                    for cl in matched[:-1]))
+        if legacy:
+            delete_when = None
+            if len(matched) == 2:
+                # the condition references source columns, optionally
+                # alias-qualified; strip the qualifier (it runs on the
+                # source frame)
+                delete_when = re.sub(rf"\b{re.escape(salias)}\.", "",
+                                     matched[0]["cond"])
+            res = t.merge(source, on=keys, delete_when=delete_when)
         else:
-            raise ValueError(
-                "MERGE supports WHEN MATCHED [AND c] THEN DELETE, WHEN "
-                f"MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT *;"
-                f" got: {rest[:120]}")
-        if delete_when is not None:
-            # the condition references source columns, optionally
-            # alias-qualified; strip the qualifier (it runs on the
-            # source frame)
-            delete_when = re.sub(rf"\b{re.escape(salias)}\.", "",
-                                 delete_when)
-        res = t.merge(source, on=keys, delete_when=delete_when)
+            res = t.merge_clauses(source, on=keys, matched=matched,
+                                  not_matched=not_matched,
+                                  not_matched_by_source=nmbs,
+                                  talias=talias, salias=salias)
         return self._metrics("merge", res)
+
+    def _parse_merge_clauses(self, text: str) -> tuple[
+            list[dict], list[dict], list[dict]]:
+        """Parse the WHEN-clause tail of a MERGE into (matched,
+        not_matched, not_matched_by_source) clause dicts for
+        txlog.merge_clauses. Clause conditions may not contain a
+        top-level bare CASE WHEN (parenthesize it) — the splitter
+        treats every depth-0 WHEN as a clause boundary and unparsable
+        remainders fail loudly."""
+        bodies = self._split_when(text)
+        matched: list[dict] = []
+        not_matched: list[dict] = []
+        nmbs: list[dict] = []
+        for body in bodies:
+            b = body.strip().rstrip(";").strip()
+            m = re.match(r"NOT\s+MATCHED\s+BY\s+SOURCE"
+                         r"(?:\s+AND\s+(.*?))?\s+THEN\s+(.*)$",
+                         b, re.IGNORECASE | re.DOTALL)
+            if m:
+                nmbs.append(self._merge_action(
+                    m.group(1), m.group(2), allow=("delete", "update")))
+                continue
+            m = re.match(r"NOT\s+MATCHED(?:\s+BY\s+TARGET)?"
+                         r"(?:\s+AND\s+(.*?))?\s+THEN\s+(.*)$",
+                         b, re.IGNORECASE | re.DOTALL)
+            if m:
+                not_matched.append(self._merge_action(
+                    m.group(1), m.group(2), allow=("insert",)))
+                continue
+            m = re.match(r"MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+(.*)$",
+                         b, re.IGNORECASE | re.DOTALL)
+            if m:
+                matched.append(self._merge_action(
+                    m.group(1), m.group(2), allow=("delete", "update")))
+                continue
+            raise ValueError(f"unsupported MERGE clause: WHEN {b[:80]}")
+        return matched, not_matched, nmbs
+
+    @staticmethod
+    def _merge_action(cond: str | None, action: str,
+                      allow: tuple[str, ...]) -> dict:
+        a = action.strip()
+        cl: dict = {"cond": cond.strip() if cond else None,
+                    "action": None, "set": None}
+        if re.match(r"DELETE\s*$", a, re.IGNORECASE):
+            cl["action"] = "delete"
+        elif re.match(r"UPDATE\s+SET\s+\*\s*$", a, re.IGNORECASE):
+            cl["action"] = "update_star"
+        elif (m := re.match(r"UPDATE\s+SET\s+(.*)$", a,
+                            re.IGNORECASE | re.DOTALL)):
+            cl["action"] = "update"
+            cl["set"] = LakehouseCatalog._parse_assignments(m.group(1))
+        elif re.match(r"INSERT\s+\*\s*$", a, re.IGNORECASE):
+            cl["action"] = "insert_star"
+        elif (m := re.match(r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$",
+                            a, re.IGNORECASE | re.DOTALL)):
+            cl["action"] = "insert"
+            cols = [c.strip() for c in m.group(1).split(",")]
+            exprs = LakehouseCatalog._split_top(m.group(2))
+            if len(cols) != len(exprs):
+                raise ValueError(
+                    f"MERGE INSERT: {len(cols)} columns but "
+                    f"{len(exprs)} VALUES")
+            cl["set"] = {c: e.strip() for c, e in zip(cols, exprs)}
+        else:
+            raise ValueError(f"unsupported MERGE action: {a[:80]}")
+        base = cl["action"].split("_")[0]
+        if base not in allow:
+            raise ValueError(
+                f"MERGE action {cl['action']!r} not valid in this "
+                f"clause (allowed: {allow})")
+        return cl
+
+    @staticmethod
+    def _parse_assignments(text: str) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for part in LakehouseCatalog._split_top(text):
+            am = re.match(rf"\s*(?:{_IDENT}\.)?({_IDENT})\s*=\s*(.*)$",
+                          part, re.DOTALL)
+            if not am:
+                raise ValueError(f"bad SET assignment: {part!r}")
+            out[am.group(1)] = am.group(2).strip()
+        return out
+
+    @staticmethod
+    def _split_when(text: str) -> list[str]:
+        """Split a MERGE clause tail on depth-0, non-quoted WHEN
+        keywords; returns the clause bodies (text after each WHEN)."""
+        starts: list[int] = []
+        depth = 0
+        in_str = False
+        i = 0
+        n = len(text)
+        while i < n:
+            ch = text[i]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (depth == 0 and text[i:i + 4].upper() == "WHEN"
+                  and (i == 0 or not (text[i - 1].isalnum()
+                                      or text[i - 1] == "_"))
+                  and (i + 4 >= n or not (text[i + 4].isalnum()
+                                          or text[i + 4] == "_"))):
+                starts.append(i)
+                i += 4
+                continue
+            i += 1
+        if not starts or text[:starts[0]].strip():
+            raise ValueError(f"MERGE clauses must start with WHEN; "
+                             f"got: {text[:80]}")
+        bounds = starts + [n]
+        return [text[bounds[k] + 4:bounds[k + 1]]
+                for k in range(len(starts))]
 
     def _create(self, s: str) -> DataFrame:
         m = re.match(
