@@ -61,11 +61,27 @@ def txn_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit.append(("compact", c["version"], c["files_out"]))
         # sparse GDPR-style delete via DELETION VECTORS (r8): position
         # sidecars logged, zero data files rewritten — the per-phase
-        # number tracks the merge-on-read protocol cost per round
+        # number tracks the merge-on-read protocol cost per round.
+        # keys ≡ 12 (mod 500) are ≡ 0 (mod 4), so they EXIST in the
+        # table (the old % 1000 == 7 predicate was ≡ 3 mod 4 — never
+        # present — making the benched phase a zero-row delete, r9 fix)
         with timed_phase(FAM, "dv_delete"):
-            d = t.delete(k % 1000 == 7, mode="dv")
+            d = t.delete(k % 500 == 12, mode="dv")
             assert d["files_rewritten"] == 0
         audit.append(("dv_delete", d["version"], d["rows_changed"]))
+        # materialize the sparse DVs back out (REORG APPLY PURGE, r9):
+        # dead files rewritten through the DV read path, sidecar state
+        # cleared, history truthful — the closing half of merge-on-read
+        with timed_phase(FAM, "dv_materialize"):
+            mres = t.materialize_dvs()
+            assert mres["rows_dropped"] == d["rows_changed"]
+            snap_after = t._replay()
+            assert not snap_after.dvs and not snap_after.dv_dead
+            if d["rows_changed"]:       # tiny SFs may match no key
+                assert mres["files_purged"] >= 1
+                assert t.history()[-1]["op"] == "reorg"
+        audit.append(("dv_materialize", mres["version"],
+                      mres["files_purged"]))
         with timed_phase(FAM, "pruned_scan"):
             kept, total = t.scan_file_count("o_orderdate",
                                             "1996-01-01", "1997-01-01")

@@ -890,7 +890,7 @@ class TxnTable:
     # changing content (Delta's dataChange=false) — the change feed
     # and the streaming source skip them or they would re-emit the
     # whole table after every OPTIMIZE
-    _LAYOUT_OPS = ("compact", "optimize")
+    _LAYOUT_OPS = ("compact", "optimize", "reorg")
 
     def changes(self, since_version: int,
                 include_deletes: bool = False) -> DataFrame:
@@ -1669,6 +1669,74 @@ class TxnTable:
                         "files_out": len(adds), "noop": 0}
             # lost twice: loop from scratch (orphans vacuumed later)
 
+    def materialize_dvs(self, min_dead_frac: float = 0.0,
+                        max_files: int | None = None) -> dict[str, int]:
+        """REORG TABLE ... APPLY (PURGE): rewrite the files whose
+        deletion-vector dead-row fraction exceeds ``min_dead_frac``,
+        reading THROUGH the DV path so the replacement files are born
+        clean — the missing half of the merge-on-read lifecycle
+        (VERDICT r8 #4). The sidecars die with the replaced files in
+        replay and their bytes fall to vacuum.
+
+        The policy threshold is the production knob: DVs make deletes
+        metadata-cheap, but every read of a DV'd file pays the
+        anti-join; once a file's dead fraction is high, rewriting it
+        costs little more than reading it. ``min_dead_frac=0.2``
+        purges files >20% dead and leaves sparse ones alone. Dead
+        fractions come from the LOG alone (dv_dead vs AddFile.rows) —
+        selection opens zero files. Visible row content is UNCHANGED,
+        so the commit is a layout op ('reorg'): the change feed and
+        the table stream skip it like compact/optimize.
+
+        Concurrency: commutes with concurrent appends; retries abort
+        if an input was removed; a concurrent DV op on an input
+        re-loops from scratch (same posture as compact)."""
+        while True:
+            snap = self._replay()
+            inputs = sorted(
+                p for p in snap.dvs
+                if p in snap.live and snap.live[p].rows > 0
+                and (snap.dv_dead.get(p, 0) / snap.live[p].rows)
+                > min_dead_frac)
+            if max_files is not None:
+                # worst files first: bounded-work incremental purge
+                inputs = sorted(
+                    inputs,
+                    key=lambda p: -(snap.dv_dead.get(p, 0)
+                                    / snap.live[p].rows))[:max_files]
+            if not inputs:
+                return {"version": snap.version, "files_purged": 0,
+                        "rows_dropped": 0, "noop": 1}
+            content = self._read_files(snap, inputs)   # DV-applied
+            pb = snap.partition_by or None
+            adds = self._stage(content, pb,
+                               max_files=None if pb else len(inputs))
+            dropped = sum(snap.dv_dead.get(p, 0) for p in inputs)
+            commit = {"op": "reorg", "ts": time.time(),
+                      "read_version": snap.version,
+                      "add": [a.to_json() for a in adds],
+                      "remove": inputs}
+            if self._try_publish(snap.version + 1, commit):
+                self._maybe_checkpoint(snap.version + 1)
+                return {"version": snap.version + 1,
+                        "files_purged": len(inputs),
+                        "files_out": len(adds),
+                        "rows_dropped": int(dropped), "noop": 0}
+            head = self._replay()
+            if not all(p in head.live for p in inputs):
+                raise ConcurrentWriteError(
+                    f"reorg of {self.path}: an input file was removed "
+                    "by a concurrent commit")
+            if self._dv_state_changed(snap, head, inputs):
+                continue    # new dead rows on an input: re-read
+            commit["read_version"] = head.version
+            if self._try_publish(head.version + 1, commit):
+                self._maybe_checkpoint(head.version + 1)
+                return {"version": head.version + 1,
+                        "files_purged": len(inputs),
+                        "files_out": len(adds),
+                        "rows_dropped": int(dropped), "noop": 0}
+
     @staticmethod
     def _dv_state_changed(snap: Snapshot, head: Snapshot,
                           inputs: list[str]) -> bool:
@@ -1750,15 +1818,37 @@ class TxnTable:
         return report
 
     def vacuum(self, retain_versions: int = 2,
-               orphan_grace_s: float = 3600.0) -> dict[str, int]:
-        """Delete data files no snapshot within the last
-        ``retain_versions`` versions references (bounding time travel
-        and freeing removed files), plus ORPHAN write dirs older than
-        ``orphan_grace_s`` (crashed/aborted stages; the grace window
-        protects an in-flight writer that has staged but not yet
-        published)."""
+               orphan_grace_s: float = 3600.0,
+               retain_hours: float | None = None) -> dict[str, int]:
+        """Delete data files no retained snapshot references (bounding
+        time travel and freeing removed files), plus ORPHAN write dirs
+        older than ``orphan_grace_s`` (crashed/aborted stages; the
+        grace window protects an in-flight writer that has staged but
+        not yet published).
+
+        Retention horizon: ``retain_hours`` (Delta's ``RETAIN n HOURS``
+        contract — keep every version COMMITTED within the window,
+        plus always the latest) wins over ``retain_versions`` when
+        given. Wall-clock retention is what ops teams actually
+        configure: version count is a poor proxy when commit rate
+        varies — 48 versions is a day on an hourly pipeline and two
+        minutes under a streaming writer (VERDICT r8 #4). Commit ts is
+        not strictly monotone (a retried append republishes its
+        original ts), so the window test is per version, not a binary
+        search."""
         vs = self._versions_on_disk()
-        keep_versions = vs[-retain_versions:] if retain_versions else vs[-1:]
+        if retain_hours is not None:
+            cutoff = time.time() - 3600.0 * retain_hours
+            keep_versions = []
+            for v in vs:
+                with open(self._commit_path(v)) as f:
+                    if json.load(f).get("ts", 0.0) >= cutoff:
+                        keep_versions.append(v)
+            if not keep_versions or keep_versions[-1] != vs[-1]:
+                keep_versions.append(vs[-1])   # latest always readable
+        else:
+            keep_versions = (vs[-retain_versions:] if retain_versions
+                             else vs[-1:])
         referenced: set[str] = set()
         for v in keep_versions:
             ksnap = self._replay(v)

@@ -29,7 +29,8 @@ Grammar subset (case-insensitive keywords):
   DELETE FROM t [WHERE cond]
   RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
   OPTIMIZE t [ZORDER BY (c [, ...])]
-  VACUUM t [RETAIN n VERSIONS]
+  REORG TABLE t APPLY (PURGE [WHERE DEAD_FRAC > x])
+  VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS]
   DESCRIBE HISTORY t | DESCRIBE DETAIL t
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
   ALTER TABLE t DROP CONSTRAINT name
@@ -137,6 +138,8 @@ class LakehouseCatalog:
             return self._update(s)
         if verb == "OPTIMIZE":
             return self._optimize(s)
+        if two == "REORG TABLE":
+            return self._reorg(s)
         if verb == "VACUUM":
             return self._vacuum(s)
         fast = self._metadata_count(s)
@@ -518,14 +521,33 @@ class LakehouseCatalog:
 
     def _vacuum(self, s: str) -> DataFrame:
         m = re.match(
-            rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+            rf"VACUUM\s+({_IDENT})"
+            rf"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?\s*$",
             s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported VACUUM shape: {s[:120]}")
-        tname, keep = m.groups()
-        res = self.table(tname).vacuum(
-            retain_versions=int(keep) if keep else 2)
+        tname, n, unit = m.groups()
+        t = self.table(tname)
+        if unit and unit.upper() == "HOURS":
+            res = t.vacuum(retain_hours=float(n))
+        else:
+            res = t.vacuum(retain_versions=int(float(n)) if n else 2)
         return self._metrics("vacuum", res)
+
+    def _reorg(self, s: str) -> DataFrame:
+        """REORG TABLE t APPLY (PURGE [WHERE DEAD_FRAC > x]) — Delta's
+        purge syntax, with the dead-fraction policy threshold as the
+        one extension (Delta buries it in a table property)."""
+        m = re.match(
+            rf"REORG\s+TABLE\s+({_IDENT})\s+APPLY\s*\(\s*PURGE"
+            rf"(?:\s+WHERE\s+DEAD_FRAC\s*>\s*(\d+(?:\.\d+)?))?\s*\)\s*$",
+            s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported REORG shape: {s[:120]}")
+        tname, frac = m.groups()
+        res = self.table(tname).materialize_dvs(
+            min_dead_frac=float(frac) if frac else 0.0)
+        return self._metrics("reorg", res)
 
     def _alter(self, s: str) -> DataFrame:
         m = re.match(

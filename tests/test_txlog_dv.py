@@ -332,3 +332,83 @@ def test_dv_on_percent_encoded_table_path(spark, tmp_path):
     assert t.snapshot().count() == 15
     assert t.count_rows() == 15
     assert {r["id"] for r in t.snapshot().collect()} == set(range(5, 20))
+
+
+# ----------------------------------------------- REORG APPLY (PURGE) (r9)
+def test_materialize_dvs_policy_threshold(spark, tmp_path):
+    """materialize_dvs rewrites only files whose dead fraction beats
+    the threshold (selection from the LOG alone), born clean through
+    the DV read path; sparse files keep their bytes and sidecars."""
+    t = _mk(spark, tmp_path, "purge")
+    t.create(spark.range(100).selectExpr("id", "id as v"),
+             partition_by=["id"], partition_files=2)
+    t.delete("id < 20", mode="dv")       # dense: ~40% of file 1
+    t.delete("id = 90", mode="dv")       # sparse: 1 row of file 2
+    assert t.describe_detail()["dv_dead_rows"] == 21
+    res = t.materialize_dvs(min_dead_frac=0.1)
+    assert res["files_purged"] == 1 and res["rows_dropped"] == 20
+    d = t.describe_detail()
+    assert d["dv_dead_rows"] == 1        # sparse file untouched
+    assert t.count_rows() == 79 and t.snapshot().count() == 79
+    # full purge (threshold 0): the sparse file too
+    res2 = t.materialize_dvs()
+    assert res2["files_purged"] == 1 and res2["rows_dropped"] == 1
+    assert t.describe_detail()["dv_dead_rows"] == 0
+    assert t.describe_detail()["dv_files"] == 0
+    assert t.snapshot().count() == 79
+    # idempotent: nothing left to purge
+    assert t.materialize_dvs()["noop"] == 1
+
+
+def test_reorg_is_layout_only_and_vacuumable(spark, tmp_path):
+    """The purge commit must not re-emit rows through the change feed
+    (visible content unchanged), history stays truthful, and vacuum
+    reclaims both the replaced data files and the dead sidecars."""
+    import glob as _glob
+
+    t = _mk(spark, tmp_path, "gc")
+    t.create(spark.range(50).selectExpr("id", "id as v"))      # v0
+    t.delete("id % 5 = 0", mode="dv")                          # v1
+    t.materialize_dvs()                                        # v2
+    assert [h["op"] for h in t.history()] == \
+        ["create", "delete_dv", "reorg"]
+    # change feed after the dv delete: the reorg adds are SKIPPED
+    assert t.changes(1).count() == 0
+    rep = t.vacuum(retain_versions=1, orphan_grace_s=0.0)
+    assert rep["data_files_deleted"] >= 2   # replaced file + sidecar
+    assert t.fsck()["clean"]
+    assert t.snapshot().count() == 40
+    # no sidecar parquet remains anywhere under data/
+    live = set(t._replay().live)
+    on_disk = {p for p in _glob.glob(
+        os.path.join(t.path, "data", "*", "*.parquet"))}
+    rels = {os.path.relpath(p, t.path) for p in on_disk}
+    assert rels == live
+
+
+def test_vacuum_retain_hours(spark, tmp_path):
+    """Wall-clock retention: versions committed inside the window (plus
+    the latest) survive; older snapshots' exclusive files are
+    reclaimed. Backdates commit ts directly (the log is the clock)."""
+    import json as _json
+
+    t = _mk(spark, tmp_path, "hours")
+    t.create(spark.range(10).selectExpr("id", "id as v"))      # v0
+    t.overwrite(spark.range(10, 30).selectExpr("id", "id as v"))  # v1
+    t.overwrite(spark.range(30, 35).selectExpr("id", "id as v"))  # v2
+    # a window covering everything deletes nothing
+    assert t.vacuum(retain_hours=24.0)["data_files_deleted"] == 0
+    assert t.snapshot(0).count() == 10          # time travel intact
+    # backdate v0/v1 two hours; retain 1 hour
+    for v in (0, 1):
+        p = t._commit_path(v)
+        with open(p) as f:
+            c = _json.load(f)
+        c["ts"] -= 7200
+        with open(p, "w") as f:
+            _json.dump(c, f)
+    rep = t.vacuum(retain_hours=1.0)
+    assert rep["data_files_deleted"] >= 2       # v0 + v1 exclusive files
+    assert t.snapshot().count() == 5            # latest always readable
+    with pytest.raises(Exception):
+        t.snapshot(0).collect()                 # beyond the horizon

@@ -416,3 +416,25 @@ def test_merge_untouched_files_keep_bytes_in_clause_engine(spark, lake,
                  if _os.path.exists(p) and _os.path.getmtime(p) == mt]
     assert len(untouched) >= 3
     assert cat.sql("SELECT v FROM kv WHERE id = 3").first()["v"] == 999
+
+
+def test_reorg_purge_and_vacuum_hours_sql(spark, lake, tmp_path):
+    cat = lake
+    cat.register("pdv", str(tmp_path / "pdv"), delete_mode="dv")
+    cat.sql("CREATE TABLE pdv USING txlog AS SELECT * FROM seed")
+    res = {r["metric"]: r["value"] for r in
+           cat.sql("DELETE FROM pdv WHERE id < 5").collect()}
+    assert res["files_rewritten"] == 0 and res["rows_changed"] == 5
+    # below the policy threshold (no file can beat >1.0): noop
+    noop = {r["metric"]: r["value"] for r in cat.sql(
+        "REORG TABLE pdv APPLY (PURGE WHERE DEAD_FRAC > 1.0)").collect()}
+    assert noop["noop"] == 1
+    purged = {r["metric"]: r["value"] for r in cat.sql(
+        "REORG TABLE pdv APPLY (PURGE)").collect()}
+    assert purged["files_purged"] >= 1 and purged["rows_dropped"] == 5
+    assert cat.sql("SELECT count(*) AS n FROM pdv").first()["n"] == 5
+    # wall-clock vacuum through SQL: a wide window reclaims nothing
+    v = {r["metric"]: r["value"] for r in
+         cat.sql("VACUUM pdv RETAIN 24 HOURS").collect()}
+    assert v["data_files_deleted"] == 0
+    assert cat.sql("SELECT count(*) AS n FROM pdv").first()["n"] == 5
