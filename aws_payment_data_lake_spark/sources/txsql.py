@@ -34,6 +34,9 @@ Grammar subset (case-insensitive keywords):
   DESCRIBE HISTORY t | DESCRIBE DETAIL t
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
   ALTER TABLE t DROP CONSTRAINT name
+  ALTER TABLE t ADD COLUMNS (c type [, ...])
+  ALTER TABLE t RENAME COLUMN a TO b       -- metadata-only (mapping)
+  ALTER TABLE t DROP COLUMN c | DROP COLUMNS (a, b)
 
 ``SELECT COUNT(*) FROM t [VERSION AS OF n]`` (exactly that shape, any
 alias) is answered from the LOG alone — the sum of live files' footer
@@ -577,6 +580,24 @@ class LakehouseCatalog:
                 cols[cm.group(1)] = cm.group(2)
             v = self.table(m.group(1)).add_columns(cols)
             return self._metrics("add_columns", {"version": v})
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+"
+            rf"({_IDENT})\s+TO\s+({_IDENT})\s*$", s, re.IGNORECASE)
+        if m:
+            v = self.table(m.group(1)).rename_column(m.group(2),
+                                                     m.group(3))
+            return self._metrics("rename_column", {"version": v})
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s*"
+            rf"(?:\(([^)]*)\)|({_IDENT}))\s*$", s, re.IGNORECASE)
+        if m:
+            t = self.table(m.group(1))
+            names = ([c.strip() for c in m.group(2).split(",")]
+                     if m.group(2) else [m.group(3)])
+            v = -1
+            for n in names:
+                v = t.drop_column(n)
+            return self._metrics("drop_column", {"version": v})
         raise ValueError(f"unsupported ALTER TABLE shape: {s[:120]}")
 
     def _detail(self, s: str) -> DataFrame:
@@ -587,13 +608,16 @@ class LakehouseCatalog:
         d = self.table(m.group(1)).describe_detail()
         cons = json.dumps(d["constraints"], sort_keys=True
                           ).replace("'", "''")
+        cmap = json.dumps(d["column_mapping"], sort_keys=True
+                          ).replace("'", "''")
         return self._lit_frame([
             f"SELECT CAST({int(d['version'])} AS BIGINT) AS version, "
             f"CAST({int(d['num_files'])} AS BIGINT) AS num_files, "
             f"CAST({int(d['num_rows'])} AS BIGINT) AS num_rows, "
             f"CAST({int(d['size_bytes'])} AS BIGINT) AS size_bytes, "
             f"'{','.join(d['partition_by'])}' AS partition_by, "
-            f"'{cons}' AS constraints"])
+            f"'{cons}' AS constraints, "
+            f"'{cmap}' AS column_mapping"])
 
     def _history(self, s: str) -> DataFrame:
         m = re.match(rf"DESCRIBE\s+HISTORY\s+({_IDENT})\s*$",

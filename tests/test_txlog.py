@@ -137,9 +137,9 @@ def test_merge_rebases_over_disjoint_append(spark, tmp_path):
     fired = []
 
     def stage_then_intrude(self, df, partition_by, max_files=None,
-                           partition_files=None):
+                           partition_files=None, **kw):
         adds = real_stage(self, df, partition_by, max_files,
-                          partition_files)
+                          partition_files, **kw)
         if self is t and not fired:    # race: intruder commits first
             fired.append(1)
             intruder.append(spark.range(50, 55)
@@ -166,9 +166,9 @@ def test_merge_aborts_on_overlapping_append(spark, tmp_path):
     fired = []
 
     def stage_then_intrude(self, df, partition_by, max_files=None,
-                           partition_files=None):
+                           partition_files=None, **kw):
         adds = real_stage(self, df, partition_by, max_files,
-                          partition_files)
+                          partition_files, **kw)
         if self is t and not fired:
             fired.append(1)
             intruder.append(spark.createDataFrame(
@@ -198,9 +198,9 @@ def test_disjoint_merges_and_append_interleave_zero_aborts(spark,
     fired = []
 
     def stage_then_intrude(self, df, partition_by, max_files=None,
-                           partition_files=None):
+                           partition_files=None, **kw):
         adds = real_stage(self, df, partition_by, max_files,
-                          partition_files)
+                          partition_files, **kw)
         if self is t and not fired:
             fired.append(1)
             # a DISJOINT merge and a DISJOINT append both land while
@@ -227,9 +227,9 @@ def test_disjoint_merges_and_append_interleave_zero_aborts(spark,
     fired2 = []
 
     def stage_then_overlap(self, df, partition_by, max_files=None,
-                           partition_files=None):
+                           partition_files=None, **kw):
         adds = real_stage(self, df, partition_by, max_files,
-                          partition_files)
+                          partition_files, **kw)
         if self is t and not fired2:
             fired2.append(1)
             intruder.merge(
@@ -254,9 +254,9 @@ def test_compact_commutes_with_concurrent_append(spark, tmp_path):
     fired = []
 
     def stage_then_append(self, df, partition_by, max_files=None,
-                          partition_files=None):
+                          partition_files=None, **kw):
         adds = real_stage(self, df, partition_by, max_files,
-                          partition_files)
+                          partition_files, **kw)
         if self is t and not fired:
             fired.append(1)
             intruder.append(spark.range(100, 110)
@@ -280,9 +280,9 @@ def test_compact_aborts_when_input_removed(spark, tmp_path):
     fired = []
 
     def stage_then_overwrite(self, df, partition_by, max_files=None,
-                             partition_files=None):
+                             partition_files=None, **kw):
         adds = real_stage(self, df, partition_by, max_files,
-                          partition_files)
+                          partition_files, **kw)
         if self is t and not fired:
             fired.append(1)
             intruder.overwrite(spark.range(5).selectExpr("id", "id as v"))
@@ -511,9 +511,9 @@ def test_delete_conflict_aborts(spark, tmp_path):
     real_stage = TxnTable._stage
 
     def stage_then_intrude(self, df, partition_by, max_files=None,
-                           partition_files=None):
+                           partition_files=None, **kw):
         adds = real_stage(self, df, partition_by, max_files,
-                          partition_files)
+                          partition_files, **kw)
         if self is t:
             intruder.append(spark.range(50, 52)
                             .selectExpr("id", "id as v"))

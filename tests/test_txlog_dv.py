@@ -161,9 +161,9 @@ def test_dv_merge_conflict_still_aborts(spark, tmp_path):
     fired = []
 
     def stage_then_dv_delete(self, df, partition_by, max_files=None,
-                             partition_files=None):
+                             partition_files=None, **kw):
         adds = real_stage(self, df, partition_by, max_files,
-                          partition_files)
+                          partition_files, **kw)
         if self is t and not fired:
             fired.append(1)
             intruder.delete("id = 7", mode="dv")
