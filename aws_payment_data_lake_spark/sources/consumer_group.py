@@ -66,14 +66,57 @@ def _range_assign(members: list[str], partitions: list[int]
     return out
 
 
+def _sticky_assign(members: list[str], partitions: list[int],
+                   prev: dict[str, list[int]]) -> dict[str, list[int]]:
+    """Kafka's sticky/cooperative assignor contract: balanced (sizes
+    differ by at most one) while moving the MINIMUM number of
+    partitions off their previous owners — a joining member steals
+    only the overflow above each survivor's fair share, a leaver's
+    partitions spread to the members with the most slack. Pure
+    function of (members, partitions, prev) with sorted tie-breaks, so
+    every member computes the identical answer with no coordinator."""
+    members = sorted(members)
+    if not members:
+        return {}
+    parts = sorted(partitions)
+    per, extra = divmod(len(parts), len(members))
+    cap = {m: per + (1 if k < extra else 0)
+           for k, m in enumerate(members)}
+    out: dict[str, list[int]] = {m: [] for m in members}
+    owned: set[int] = set()
+    valid = set(parts)
+    for m in members:                       # retain, oldest-first order
+        for p in prev.get(m, []):
+            if p in valid and p not in owned and len(out[m]) < cap[m]:
+                out[m].append(p)
+                owned.add(p)
+    for p in parts:                         # place the displaced
+        if p in owned:
+            continue
+        m = min(members, key=lambda x: (len(out[x]) - cap[x], x))
+        out[m].append(p)
+    return {m: sorted(ps) for m, ps in out.items()}
+
+
 class ConsumerGroup:
     """Group membership + assignment + committed positions for one
     (queue_dir, group, topic)."""
 
-    def __init__(self, queue_dir: str, group: str, topic: str) -> None:
+    def __init__(self, queue_dir: str, group: str, topic: str,
+                 assignor: str = "range") -> None:
+        """``assignor``: 'range' (Kafka's default) or 'sticky' (the
+        cooperative protocol — rebalances move the minimum number of
+        partitions, so surviving members keep polling their retained
+        partitions across the epoch bump instead of a stop-the-world
+        reshuffle). Like Kafka's group protocol negotiation, every
+        member of a group must use the same assignor."""
+        if assignor not in ("range", "sticky"):
+            raise ValueError(f"assignor must be 'range' or 'sticky', "
+                             f"got {assignor!r}")
         self.dir = queue_dir
         self.group = group
         self.topic = topic
+        self.assignor = assignor
         self.gdir = os.path.join(queue_dir, ".groups", group, topic)
 
     # ------------------------------------------------------------ state
@@ -129,8 +172,34 @@ class ConsumerGroup:
 
     # ------------------------------------------------------- assignment
     def assignment(self) -> dict[str, list[int]]:
-        return _range_assign(self.members(),
-                             _partitions_of(self.dir, self.topic))
+        members = self.members()
+        parts = _partitions_of(self.dir, self.topic)
+        if self.assignor == "range":
+            return _range_assign(members, parts)
+        # sticky: the previous epoch's MATERIALIZED assignment seeds
+        # retention. Every member computes the same pure function of
+        # (members, parts, stored prev), and the result is a fixed
+        # point of itself, so concurrent writers at one generation
+        # write identical content — the lock only serializes the file.
+        path = os.path.join(self.gdir, "assignment.json")
+        try:
+            with open(path) as f:
+                state = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            state = {}
+        prev = {m: [int(p) for p in ps]
+                for m, ps in state.get("assignment", {}).items()}
+        cur = _sticky_assign(members, parts, prev)
+        gen = self.generation()
+        if state.get("generation") != gen \
+                or state.get("assignment") != cur:
+            from aws_payment_data_lake_spark.sources.queue_source \
+                import locked_json_update
+            locked_json_update(
+                path,
+                lambda c: ({"generation": gen, "assignment": cur}
+                           if c.get("generation", -1) <= gen else None))
+        return cur
 
     # -------------------------------------------------------- positions
     # One file per partition (plus the legacy shared offsets.json read

@@ -220,3 +220,75 @@ def test_hwm_floor_concurrent_commits_take_max(tmp_path):
     for t in ts:
         t.join()
     assert rs[0]._floor() == max(idxs)
+
+
+# --------------------------------------------- sticky assignor (r9 stretch)
+def test_sticky_assignor_moves_minimum_on_join(tmp_path):
+    from aws_payment_data_lake_spark.sources.consumer_group import (
+        _sticky_assign,
+    )
+
+    qdir = _mk_queue(tmp_path, n=80, parts=8)
+    g = ConsumerGroup(qdir, "gs", "pay", assignor="sticky")
+    g.join("a")
+    g.join("b")
+    before = g.assignment()
+    assert sorted(len(v) for v in before.values()) == [4, 4]
+    g.join("c")
+    after = g.assignment()
+    # balanced: 3/3/2, disjoint cover of all 8
+    assert sorted(len(v) for v in after.values()) == [2, 3, 3]
+    got = sorted(p for ps in after.values() for p in ps)
+    assert got == list(range(8))
+    # MINIMUM movement: a and b each keep 3 of their previous 4 —
+    # exactly 2 partitions moved (the theoretical floor)
+    moved = sum(len(set(before[m]) - set(after.get(m, [])))
+                for m in before)
+    assert moved == 2
+    assert set(after["a"]) <= set(before["a"])
+    assert set(after["b"]) <= set(before["b"])
+    # pure-function determinism: recompute is a fixed point
+    assert _sticky_assign(["a", "b", "c"], list(range(8)), after) \
+        == after
+    # leave: c's partitions spread back, survivors keep everything
+    g.leave("c")
+    final = g.assignment()
+    assert set(final["a"]) >= set(after["a"])
+    assert set(final["b"]) >= set(after["b"])
+    assert sorted(len(v) for v in final.values()) == [4, 4]
+
+
+def test_sticky_rebalance_during_inflight_polls_no_double_delivery(
+        tmp_path):
+    """The r9 stretch scenario: a member paces through its partitions
+    (small max_records, like maxOffsetsPerTrigger), a rebalance lands
+    mid-stream, the generation fence fires, and after refresh the
+    union of all deliveries across both members covers every record
+    EXACTLY once (committed positions hand over; sticky retention
+    keeps the survivor's remaining partitions in place)."""
+    qdir = _mk_queue(tmp_path, n=40, parts=4)
+    g = ConsumerGroup(qdir, "gi", "pay", assignor="sticky")
+    a = g.join("a")
+    delivered: list[tuple[int, int]] = []
+
+    def drain(member, budget):
+        got = member.poll(max_records=budget)
+        delivered.extend((r["partition"], r["offset"]) for r in got)
+        return got
+
+    drain(a, 7)                      # partial: a owns everything
+    drain(a, 7)
+    b = g.join("b")                  # rebalance mid-stream
+    with pytest.raises(IllegalGenerationError):
+        a.poll(max_records=7)
+    retained = set(a.partitions)
+    a.refresh()
+    # cooperative contract: a keeps a subset of what it had
+    assert set(a.partitions) <= retained
+    assert len(a.partitions) == 2 and len(b.partitions) == 2
+    for _ in range(10):
+        if not drain(a, 7) and not drain(b, 7):
+            break
+    assert len(delivered) == 40
+    assert len(set(delivered)) == 40          # exactly once
+    assert sorted(set(p for p, _ in delivered)) == [0, 1, 2, 3]
