@@ -76,6 +76,10 @@ _VALID_EVENT_TYPES = ("click", "view", "purchase", "signup")
     SELECT 'txn_scd', user_id, 'new', event_id, ts, value
     FROM events
     WHERE event_id % 30 = 3 AND event_id % 7 <> 0 AND event_id % 2 = 0
+    UNION ALL
+    SELECT 'txn_cdc', user_id, event_type, event_id, ts, value
+    FROM events
+    WHERE event_id % 30 IN (1, 2) AND event_id % 60 <> 31
     """,
     tags=("dedup", "window", "acid", "sql-endpoint", "reference:W1,S5b"),
 )
@@ -134,6 +138,22 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                            txlog.merge_clauses; the oracle
                            reconstructs all three row populations
                            relationally.
+      variant='txn_cdc'    the FULL STREAMING-LAKEHOUSE LOOP (round 9,
+                           VERDICT r8 #9) under the driver's hash:
+                           events serialize as keyed JSON CDC records
+                           into the Kafka-semantics queue (upserts for
+                           event_id % 30 IN (1,2), then deletes for
+                           % 60 == 31), a checkpointed Structured
+                           Streaming query reads them back through the
+                           Python Data Source and folds them into a
+                           fresh ACID table via cdc_foreach_batch
+                           (per-key last-event reduction -> one MERGE
+                           with WHEN-MATCHED-DELETE per micro-batch),
+                           and the table's snapshot is hashed against
+                           the relational complement. ts travels as
+                           epoch micros (timestamp_micros round-trip
+                           is lossless; JSON timestamp parsing is
+                           format-fragile).
 
     The result is materialized (localCheckpoint) before the scratch
     tables are deleted."""
@@ -238,12 +258,68 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT user_id, event_type, event_id, ts, value FROM txq"),
             "txn_scd")
 
+        # --- streaming ingest -> ACID, end to end (r9) --------------------
+        # The queue's produce() is the BROKER stand-in (a leader
+        # serializes the same way); the collect here feeds it the CDC
+        # slice only (~7% of events), bounded like the other driver
+        # literals. Everything Spark-side — stream read, deserialize,
+        # last-event reduction, MERGE — is the engine under test.
+        import json as _json
+
+        from aws_payment_data_lake_spark.sources.queue_source import (
+            produce,
+            stream_queue,
+        )
+        from aws_payment_data_lake_spark.streaming.cdc import (
+            cdc_foreach_batch,
+        )
+
+        cdc_rows = (ev.where((mod % 30 == 1) | (mod % 30 == 2))
+                    .select("event_id", "user_id", "event_type",
+                            "value", "ts")
+                    .orderBy("event_id").collect())
+
+        import datetime as _dt
+
+        def _rec(r, op):
+            ts = r["ts"]
+            if ts is not None:          # session-UTC naive -> micros
+                ts = int(ts.replace(tzinfo=_dt.timezone.utc)
+                         .timestamp() * 1_000_000)
+            return {"key": str(r["event_id"]), "value": _json.dumps({
+                "event_id": r["event_id"], "user_id": r["user_id"],
+                "event_type": r["event_type"], "value": r["value"],
+                "ts_us": ts, "_op": op})}
+
+        events_log = ([_rec(r, "u") for r in cdc_rows]
+                      + [_rec(r, "d") for r in cdc_rows
+                         if r["event_id"] % 60 == 31])
+        qdir = os.path.join(tmp, "queue")
+        produce(qdir, "cdc_events", events_log)
+        cdc_ddl = ("event_id bigint, user_id bigint, "
+                   "event_type string, value double, ts_us bigint")
+        t_cdc = TxnTable(spark, os.path.join(tmp, "t_cdc"))
+        t_cdc.create(spark.createDataFrame([], cdc_ddl))
+        q = (stream_queue(spark, qdir, "cdc_events")
+             .writeStream
+             .foreachBatch(cdc_foreach_batch(t_cdc, ["event_id"],
+                                             cdc_ddl))
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        cdc_out = t_cdc.snapshot().select(
+            F.lit("txn_cdc").alias("variant"), "user_id", "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.timestamp_micros("ts_us").alias("last_ts"),
+            F.col("value").alias("last_value"))
+
         out = (win.unionByName(shape(t.snapshot(0), "txn_v0"))
                .unionByName(shape(t.snapshot(), "txn_merge"))
                .unionByName(sql_merged)
                .unionByName(sql_dv)
                .unionByName(sql_restored)
-               .unionByName(sql_scd))
+               .unionByName(sql_scd)
+               .unionByName(cdc_out))
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
