@@ -16,7 +16,7 @@ Grammar subset (case-insensitive keywords):
 
   SELECT/WITH ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
   CREATE TABLE t USING txlog [PARTITIONED BY (c,..)] AS <select>
-  INSERT INTO t <select>
+  INSERT INTO t [(c, ...)] <select> | VALUES (v, ...) [, ...]
   MERGE INTO t [AS a] USING (<select>) | view [AS b] ON a.k = b.k [AND ..]
       [WHEN MATCHED [AND <cond>] THEN DELETE
                                     | UPDATE SET *
@@ -440,22 +440,52 @@ class LakehouseCatalog:
         return self._metrics("create", {"version": t.latest_version()})
 
     def _insert(self, s: str) -> DataFrame:
-        m = re.match(rf"INSERT\s+INTO\s+({_IDENT})\s+(.*)$",
+        m = re.match(rf"INSERT\s+INTO\s+({_IDENT})\s*"
+                     rf"(?:\(([^)]*)\)\s*)?(.+)$",
                      s, re.IGNORECASE | re.DOTALL)
         if not m:
             raise ValueError(f"unsupported INSERT shape: {s[:120]}")
-        tname, select = m.groups()
+        tname, collist, body = m.groups()
         t = self.table(tname)
-        df = self.spark.sql(self._bind_reads(select))
-        # SQL INSERT is POSITIONAL: align the select list to the table
-        # schema by position (the ANSI rule), so expression columns
-        # with generated names land in the right slots
-        tcols = [f.name for f in t._replay().schema.fields]
-        if len(df.columns) != len(tcols):
-            raise ValueError(
-                f"INSERT INTO {tname}: {len(df.columns)} columns for a "
-                f"{len(tcols)}-column table")
-        v = t.append(df.toDF(*tcols))
+        body = body.strip()
+        if re.match(r"VALUES\b", body, re.IGNORECASE):
+            # row literals: VALUES is Spark's inline-table form
+            df = self.spark.sql(f"SELECT * FROM {body}")
+        else:
+            df = self.spark.sql(self._bind_reads(body))
+        fields = t._replay().schema.fields
+        types = {f.name: f.dataType for f in fields}
+        tcols = [f.name for f in fields]
+        if collist:
+            # column-targeted: named slots fill in statement order,
+            # unnamed table columns fill NULL (the ANSI rule)
+            named = [c.strip() for c in collist.split(",")]
+            bad = sorted(set(named) - set(tcols))
+            if bad:
+                raise ValueError(
+                    f"INSERT INTO {tname}: unknown column(s) {bad}; "
+                    f"table has {tcols}")
+            if len(df.columns) != len(named):
+                raise ValueError(
+                    f"INSERT INTO {tname}: {len(df.columns)} values "
+                    f"for {len(named)} named columns")
+            df = df.toDF(*named)
+            from pyspark.sql import functions as F
+            df = df.select(*[
+                (F.col(c) if c in named else F.lit(None))
+                .cast(types[c]).alias(c) for c in tcols])
+        else:
+            # POSITIONAL: align the select list to the table schema by
+            # position, casting each slot to the target column type
+            # (ANSI store assignment — a bad cast throws, never nulls)
+            if len(df.columns) != len(tcols):
+                raise ValueError(
+                    f"INSERT INTO {tname}: {len(df.columns)} columns "
+                    f"for a {len(tcols)}-column table")
+            from pyspark.sql import functions as F
+            df = df.toDF(*tcols).select(*[
+                F.col(c).cast(types[c]).alias(c) for c in tcols])
+        v = t.append(df)
         return self._metrics("insert", {"version": v})
 
     def _is_lake_update(self, s: str) -> bool:

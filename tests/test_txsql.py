@@ -468,3 +468,25 @@ def test_rename_drop_column_sql(spark, lake):
     # time travel reads version 0 under ITS schema
     assert cat.sql("SELECT amount FROM pay VERSION AS OF 0"
                    ).count() == 10
+
+
+def test_insert_values_and_column_targeted(spark, lake):
+    cat = lake
+    cat.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    # row literals, positional (ANSI store-assignment casts: int -> bigint)
+    cat.sql("INSERT INTO pay VALUES (100, 1000, 'CHF'), (101, 1010, 'CHF')")
+    got = _rows(cat.sql("SELECT id, amount, ccy FROM pay WHERE id >= 100"))
+    assert got == [(100, 1000, "CHF"), (101, 1010, "CHF")]
+    # column-targeted with a partial list: missing column -> NULL
+    cat.sql("INSERT INTO pay (id, ccy) VALUES (200, 'NOK')")
+    r = cat.sql("SELECT amount, ccy FROM pay WHERE id = 200").first()
+    assert r["amount"] is None and r["ccy"] == "NOK"
+    # column-targeted SELECT, statement order != table order
+    cat.sql("INSERT INTO pay (ccy, id, amount) "
+            "SELECT 'SEK', id + 300, amount FROM seed WHERE id < 2")
+    got = _rows(cat.sql("SELECT id, amount, ccy FROM pay WHERE id >= 300"))
+    assert got == [(300, 0, "SEK"), (301, 10, "SEK")]
+    with pytest.raises(ValueError, match="unknown column"):
+        cat.sql("INSERT INTO pay (nope) VALUES (1)")
+    with pytest.raises(ValueError, match="values"):
+        cat.sql("INSERT INTO pay (id, ccy) VALUES (1)")
