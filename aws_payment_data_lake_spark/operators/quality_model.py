@@ -77,15 +77,26 @@ def weak_labels(docs: DataFrame, band: float = 0.3,
     fraction -> label 1, bottom `band` -> label 0, middle excluded (it
     would only add label noise). `stride` subsamples deterministically
     (doc_id % stride == 0) so training stays sample-sized while the
-    corpus grows. One window over the SAMPLE (not the corpus) computes
-    the percent rank with a doc_id tiebreak, so the banding is total."""
-    from pyspark.sql import Window
+    corpus grows.
 
+    The percent rank over the SAMPLE (doc_id tiebreak -> total order)
+    is computed as an EXPLICIT one-partition sort + monotonic row id
+    ((rank-1)/(n-1), float-identical to percent_rank since the
+    tiebreak makes rank == row_number) instead of
+    ``Window.orderBy(...)`` — the same physical work on the same
+    bounded sample, minus the partitionless WindowExec the optimizer
+    would warn about. At corpus scale the caller passes ``stride`` to
+    keep the sample bounded; the sort cost is the sample's, never the
+    corpus's."""
     h = heuristic_quality(docs)
     if stride > 1:
         h = h.where(F.col("doc_id") % stride == 0)
-    w = Window.orderBy("heur_score", "doc_id")
-    ranked = h.withColumn("pr", F.percent_rank().over(w))
+    n = h.count()
+    denom = float(max(n - 1, 1))
+    ranked = (h.repartition(1)
+              .sortWithinPartitions("heur_score", "doc_id")
+              .withColumn("pr",
+                          F.monotonically_increasing_id() / denom))
     return (ranked
             .where((F.col("pr") >= 1.0 - band) | (F.col("pr") <= band))
             .select("doc_id", "text", "heur_score",

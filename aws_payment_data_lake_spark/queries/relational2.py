@@ -138,15 +138,23 @@ def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.sum(rev).alias("brand_rev_dec"))
     )
-    total = Window.partitionBy()
+    # share-of-total via a broadcast one-row total instead of an empty
+    # window: Window.partitionBy() is a partitionless WindowExec (all
+    # 25 brand rows to one task + the "No Partition Defined" warning);
+    # the re-aggregated total is the same exact decimal (decimal sums
+    # are associative), broadcast-joined back — no single-partition
+    # exchange anywhere in the plan.
+    total = brand_rev.agg(
+        F.sum("brand_rev_dec").alias("total_rev_dec"))
     # both operands of the share quotient are single decimal->double casts
     # of exact sums — bit-identical across engines, so no rounding needed
     return (
-        brand_rev.select(
+        brand_rev.crossJoin(F.broadcast(total))
+        .select(
             "p_brand",
             F.col("brand_rev_dec").cast("double").alias("brand_rev"),
             (F.col("brand_rev_dec").cast("double")
-             / F.sum("brand_rev_dec").over(total).cast("double"))
+             / F.col("total_rev_dec").cast("double"))
             .alias("rev_share"))
         .orderBy("p_brand")
     )

@@ -35,15 +35,25 @@ ORDER BY day
 """
 
 _STATUS_FUNNEL = """
-SELECT o_orderstatus,
-       count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value,
-       round(CAST(100 AS DOUBLE) * count(*) / sum(count(*)) OVER (), 6)
-         AS pct_orders
-FROM orders
-GROUP BY o_orderstatus
+WITH s AS (
+  SELECT o_orderstatus,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS value
+  FROM orders
+  GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n_orders, value,
+       round(CAST(100 AS DOUBLE) * n_orders / t.total, 6) AS pct_orders
+FROM s CROSS JOIN
+     (SELECT CAST(sum(n_orders) AS DOUBLE) AS total FROM s) t
 ORDER BY o_orderstatus
 """
+# share-of-total through a re-aggregated one-row CROSS JOIN, not
+# `sum(count(*)) OVER ()` — the empty window compiles to a
+# partitionless WindowExec (single-task exchange + warning); the SQL
+# stays verbatim-shared with the oracle, and the quotient is the same
+# exact integer-count ratio.
 
 
 @register(

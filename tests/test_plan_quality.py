@@ -204,6 +204,7 @@ def test_span_dedup_detection_single_wide_shuffle(spark):
 @pytest.mark.parametrize("name", [
     "text_vocab_topk",
     "corpus_curation_decisions",
+    "brand_market_share",
 ])
 def test_no_partitionless_window_in_registered_plans(spark, name):
     """VERDICT r8 #1/#2: neither query may rank corpus-sized input
