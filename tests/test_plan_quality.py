@@ -113,7 +113,10 @@ def test_returned_revenue_never_broadcasts_facts(spark):
     ("q3_shipping_priority", 0),        # customer is O(SF): no hint
     ("q5_local_supplier_volume", 2),    # nation + filtered region only
     ("trade_flows_by_nation_year", 1),  # nation only; supplier is O(SF)
-    ("brand_market_share", 0),          # part is O(SF): no hint
+    ("brand_market_share", 1),          # part is O(SF): no hint; the
+                                        # ONE hint is the one-row
+                                        # share-of-total aggregate
+                                        # (bounded at any SF, r9)
 ])
 def test_only_fixed_dims_hint_broadcast(spark, name, hinted):
     # Simulate "every table is big" (threshold -1 kills size-based
