@@ -183,13 +183,18 @@ class LakehouseCatalog:
         rewritten text is ordinary Spark SQL: scans carry the pinned
         parquet file list, everything else is Catalyst's business."""
         for name, t in self._tables.items():
-            # Delta's CDF table-valued form: table_changes('t', since)
+            # Delta's CDF table-valued form: table_changes('t', since
+            # [, true]) — the optional third literal adds _change_type
+            # and the deletion-vector 'delete' pre-image events
             pat_c = re.compile(
                 rf"table_changes\(\s*'?{re.escape(name)}'?\s*,\s*(\d+)"
-                rf"\s*\)", re.IGNORECASE)
+                rf"(?:\s*,\s*(true|false))?\s*\)", re.IGNORECASE)
             s = pat_c.sub(
                 lambda m, t=t, name=name: self._fresh_view(
-                    t.changes(int(m.group(1))), f"{name}_changes"), s)
+                    t.changes(int(m.group(1)),
+                              include_deletes=(m.group(2) or ""
+                                               ).lower() == "true"),
+                    f"{name}_changes"), s)
             pat_v = re.compile(
                 rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+(\d+)",
                 re.IGNORECASE)
@@ -647,7 +652,9 @@ class LakehouseCatalog:
             f"CAST({int(d['size_bytes'])} AS BIGINT) AS size_bytes, "
             f"'{','.join(d['partition_by'])}' AS partition_by, "
             f"'{cons}' AS constraints, "
-            f"'{cmap}' AS column_mapping"])
+            f"'{cmap}' AS column_mapping, "
+            f"CAST({int(d['dv_files'])} AS BIGINT) AS dv_files, "
+            f"CAST({int(d['dv_dead_rows'])} AS BIGINT) AS dv_dead_rows"])
 
     def _history(self, s: str) -> DataFrame:
         m = re.match(rf"DESCRIBE\s+HISTORY\s+({_IDENT})\s*$",

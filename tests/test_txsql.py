@@ -490,3 +490,24 @@ def test_insert_values_and_column_targeted(spark, lake):
         cat.sql("INSERT INTO pay (nope) VALUES (1)")
     with pytest.raises(ValueError, match="values"):
         cat.sql("INSERT INTO pay (id, ccy) VALUES (1)")
+
+
+def test_table_changes_with_deletes_sql(spark, lake, tmp_path):
+    """table_changes('t', since, true): the CDF form with _change_type
+    and deletion-vector 'delete' pre-images, through pure SQL."""
+    cat = lake
+    cat.register("cdf", str(tmp_path / "cdf"), delete_mode="dv")
+    cat.sql("CREATE TABLE cdf USING txlog AS SELECT * FROM seed")
+    cat.sql("INSERT INTO cdf VALUES (100, 1, 'EUR')")          # v1
+    cat.sql("DELETE FROM cdf WHERE id IN (2, 100)")            # v2 (dv)
+    got = _rows(cat.sql(
+        "SELECT _commit_version, _change_type, id "
+        "FROM table_changes('cdf', 0, true) ORDER BY 1, 2, 3"))
+    assert got == [(1, "insert", 100),
+                   (2, "delete", 2), (2, "delete", 100)]
+    # without the flag: adds only, no _change_type column (back-compat)
+    plain = cat.sql("SELECT * FROM table_changes('cdf', 0)")
+    assert "_change_type" not in plain.columns
+    # detail exposes the dv facts
+    det = cat.sql("DESCRIBE DETAIL cdf").first()
+    assert det["dv_dead_rows"] == 2 and det["dv_files"] >= 1
