@@ -15,6 +15,8 @@ Delta-shaped grammar subset and dispatch to the commit protocol in
 Grammar subset (case-insensitive keywords):
 
   SELECT/WITH ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
+  SELECT ... FROM table_changes('t', since[, true])  -- CDF; true adds
+                                   -- _change_type + DV delete events
   CREATE TABLE t USING txlog [PARTITIONED BY (c,..)] AS <select>
   INSERT INTO t [(c, ...)] <select> | VALUES (v, ...) [, ...]
   MERGE INTO t [AS a] USING (<select>) | view [AS b] ON a.k = b.k [AND ..]
