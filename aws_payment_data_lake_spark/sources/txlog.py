@@ -733,6 +733,60 @@ class TxnTable:
                 "orphaned (vacuum cleans them)")
         return self
 
+    def convert_from_parquet(self) -> "TxnTable":
+        """CONVERT TO TXLOG (Delta's CONVERT TO DELTA): adopt an
+        existing plain-parquet directory as version 0 WITHOUT
+        rewriting a byte — the migration path that matters at 100 TB,
+        where re-staging the corpus to gain ACID would cost a full
+        copy. Every *.parquet under the table root (any nesting except
+        the engine's own dirs) becomes an AddFile with footer-harvested
+        row counts and min/max stats, so scan()/MERGE pruning works on
+        the adopted files immediately; the schema comes from Spark's
+        reader over the directory.
+
+        Hive-partitioned layouts (`col=value` directories) are
+        REJECTED loudly: their partition values live in directory
+        names, not in the files, and the log's explicit-file-list
+        reads would silently drop those columns. Flatten (or read via
+        basePath and CTAS) instead."""
+        if self.exists():
+            raise FileExistsError(f"txlog table already at {self.path}")
+        rels: list[str] = []
+        for dirpath, dirnames, filenames in os.walk(self.path):
+            dirnames[:] = [d for d in dirnames
+                           if d not in (_LOG_DIR, _DATA_DIR) and
+                           not d.startswith(".")]
+            for d in dirnames:
+                if "=" in d:
+                    raise ValueError(
+                        f"CONVERT on {self.path}: hive-partitioned "
+                        f"directory {d!r} found — partition values "
+                        "live in dir names, which explicit-file-list "
+                        "reads cannot recover; flatten or CTAS via a "
+                        "basePath read instead")
+            for n in filenames:
+                if n.endswith(".parquet") and not n.startswith("."):
+                    rels.append(os.path.relpath(
+                        os.path.join(dirpath, n), self.path))
+        if not rels:
+            raise FileNotFoundError(
+                f"CONVERT on {self.path}: no parquet files found")
+        schema = self.spark.read.parquet(self.path).schema
+        adds = []
+        for rel in sorted(rels):
+            local = os.path.join(self.path, rel)
+            nrows, stats = _footer_stats(local)
+            adds.append(AddFile(rel, nrows, os.path.getsize(local),
+                                stats))
+        commit = {"op": "convert", "ts": time.time(),
+                  "schema_json": schema.json(),
+                  "partition_by": [],
+                  "add": [a.to_json() for a in adds], "remove": []}
+        if not self._try_publish(0, commit):
+            raise FileExistsError(
+                f"concurrent create at {self.path}")
+        return self
+
     def append(self, df: DataFrame, txn_app: str | None = None,
                txn_batch: int | None = None,
                partition_by: list[str] | None = None,
@@ -2088,6 +2142,19 @@ class TxnTable:
                         pass
             if not os.listdir(wdir):
                 shutil.rmtree(wdir, ignore_errors=True)
+        # adopted files (CONVERT TO TXLOG) live OUTSIDE data/ — reclaim
+        # the RETIRED ones (a rewrite replaced them) under the same
+        # retention rules; never-logged foreign files are left alone
+        for rel in sorted(ever_logged):
+            if rel.startswith(_DATA_DIR + os.sep) or rel in referenced:
+                continue
+            local = os.path.join(self.path, rel)
+            if os.path.isfile(local):
+                try:
+                    os.unlink(local)
+                    removed_files += 1
+                except OSError:
+                    pass
         return {"data_files_deleted": removed_files,
                 "orphan_dirs_deleted": removed_orphans}
 

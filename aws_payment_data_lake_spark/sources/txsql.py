@@ -18,7 +18,10 @@ Grammar subset (case-insensitive keywords):
   SELECT ... FROM table_changes('t', since[, true])  -- CDF; true adds
                                    -- _change_type + DV delete events
   CREATE TABLE t USING txlog [PARTITIONED BY (c,..)] AS <select>
+  CREATE TABLE t (c type, ...) USING txlog [PARTITIONED BY (c,..)]
+  CONVERT TO TXLOG t                -- adopt existing parquet, zero copy
   INSERT INTO t [(c, ...)] <select> | VALUES (v, ...) [, ...]
+  INSERT OVERWRITE t <select>
   MERGE INTO t [AS a] USING (<select>) | view [AS b] ON a.k = b.k [AND ..]
       [WHEN MATCHED [AND <cond>] THEN DELETE
                                     | UPDATE SET *
@@ -135,8 +138,12 @@ class LakehouseCatalog:
             return self._alter(s)
         if two == "CREATE TABLE":
             return self._create(s)
+        if two == "CONVERT TO":
+            return self._convert(s)
         if two == "INSERT INTO":
             return self._insert(s)
+        if two == "INSERT OVERWRITE":
+            return self._insert_overwrite(s)
         if two == "DELETE FROM":
             return self._delete(s)
         if verb == "UPDATE" and self._is_lake_update(s):
@@ -437,14 +444,59 @@ class LakehouseCatalog:
             rf"CREATE\s+TABLE\s+({_IDENT})\s+USING\s+txlog\s*"
             rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?AS\s+(.*)$",
             s, re.IGNORECASE | re.DOTALL)
+        if m:
+            tname, parts, select = m.groups()
+            t = self.table(tname)
+            df = self.spark.sql(self._bind_reads(select))
+            pby = ([c.strip() for c in parts.split(",")]
+                   if parts else None)
+            t.create(df, partition_by=pby)
+            return self._metrics("create",
+                                 {"version": t.latest_version()})
+        # empty table with an explicit schema (Delta's plain DDL form)
+        m = re.match(
+            rf"CREATE\s+TABLE\s+({_IDENT})\s*\(([^)]*)\)\s*"
+            rf"USING\s+txlog\s*"
+            rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?$",
+            s, re.IGNORECASE | re.DOTALL)
+        if m:
+            tname, cols, parts = m.groups()
+            t = self.table(tname)
+            ddl = ", ".join(p.strip() for p in self._split_top(cols))
+            pby = ([c.strip() for c in parts.split(",")]
+                   if parts else None)
+            t.create(self.spark.createDataFrame([], ddl),
+                     partition_by=pby)
+            return self._metrics("create", {"version": 0})
+        raise ValueError(f"unsupported CREATE TABLE shape: {s[:120]}")
+
+    def _convert(self, s: str) -> DataFrame:
+        """CONVERT TO TXLOG t: adopt the registered path's existing
+        parquet files as version 0 — zero bytes rewritten (Delta's
+        CONVERT TO DELTA)."""
+        m = re.match(rf"CONVERT\s+TO\s+TXLOG\s+({_IDENT})\s*$",
+                     s, re.IGNORECASE)
         if not m:
-            raise ValueError(f"unsupported CREATE TABLE shape: {s[:120]}")
-        tname, parts, select = m.groups()
+            raise ValueError(f"unsupported CONVERT shape: {s[:120]}")
+        t = self.table(m.group(1))
+        t.convert_from_parquet()
+        d = t.describe_detail()
+        return self._metrics("convert", {"version": d["version"],
+                                         "num_files": d["num_files"],
+                                         "num_rows": d["num_rows"]})
+
+    def _insert_overwrite(self, s: str) -> DataFrame:
+        """INSERT OVERWRITE t <select>: replace content (and schema if
+        different) — txlog.overwrite's last-writer-wins contract."""
+        m = re.match(rf"INSERT\s+OVERWRITE\s+({_IDENT})\s+(.*)$",
+                     s, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"unsupported INSERT OVERWRITE: {s[:120]}")
+        tname, select = m.groups()
         t = self.table(tname)
         df = self.spark.sql(self._bind_reads(select))
-        pby = ([c.strip() for c in parts.split(",")] if parts else None)
-        t.create(df, partition_by=pby)
-        return self._metrics("create", {"version": t.latest_version()})
+        v = t.overwrite(df)
+        return self._metrics("insert_overwrite", {"version": v})
 
     def _insert(self, s: str) -> DataFrame:
         m = re.match(rf"INSERT\s+INTO\s+({_IDENT})\s*"

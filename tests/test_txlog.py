@@ -674,3 +674,55 @@ def test_four_disjoint_merge_writers_race_zero_aborts(spark, tmp_path):
         assert all(got[i] == -i for i in range(lo, hi)), (lo, hi)
     # everything outside the four ranges untouched
     assert got[100] == 100 and got[999] == 999
+
+
+# ------------------------------------------------ CONVERT TO TXLOG (r9)
+def test_convert_adopts_parquet_zero_copy(spark, tmp_path):
+    """An existing plain-parquet directory becomes version 0 without a
+    byte rewritten; footer stats prune scans immediately; the full DML
+    surface then works on top."""
+    import glob
+    import os
+
+    root = str(tmp_path / "legacy")
+    (spark.range(100).selectExpr("id", "id * 2 AS v")
+     .repartitionByRange(4, "id").sortWithinPartitions("id")
+     .write.parquet(root))
+    before = {p: (os.path.getsize(p), os.path.getmtime(p))
+              for p in glob.glob(os.path.join(root, "*.parquet"))}
+    t = TxnTable(spark, root).convert_from_parquet()
+    after = {p: (os.path.getsize(p), os.path.getmtime(p))
+             for p in glob.glob(os.path.join(root, "*.parquet"))}
+    assert after == before                      # zero copy
+    assert t.count_rows() == 100                # metadata-only count
+    assert sorted(r["id"] for r in t.snapshot().collect()) \
+        == list(range(100))
+    kept, total = t.scan_file_count("id", 0, 10)
+    assert total == 4 and kept < total          # harvested stats prune
+    # DML on top of adopted files: merge updates, time travel works
+    t.merge(spark.createDataFrame([(5, -1)], "id long, v long"),
+            on=["id"])
+    assert t.snapshot().where("id = 5").first()["v"] == -1
+    assert t.snapshot(0).where("id = 5").first()["v"] == 10
+    # vacuum reclaims RETIRED adopted files once retention passes
+    t.overwrite(spark.range(3).selectExpr("id", "id AS v"))
+    rep = t.vacuum(retain_versions=1, orphan_grace_s=0.0)
+    assert rep["data_files_deleted"] >= 4       # the adopted originals
+    assert t.snapshot().count() == 3
+    assert t.fsck()["clean"]
+
+
+def test_convert_rejects_hive_layout_and_double_convert(spark,
+                                                        tmp_path):
+    import pytest as _pytest
+
+    root = str(tmp_path / "hive")
+    (spark.range(10).selectExpr("id", "id % 2 AS p")
+     .write.partitionBy("p").parquet(root))
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        TxnTable(spark, root).convert_from_parquet()
+    flat = str(tmp_path / "flat")
+    spark.range(5).selectExpr("id", "id AS v").write.parquet(flat)
+    t = TxnTable(spark, flat).convert_from_parquet()
+    with _pytest.raises(FileExistsError):
+        t.convert_from_parquet()

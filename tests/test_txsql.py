@@ -511,3 +511,25 @@ def test_table_changes_with_deletes_sql(spark, lake, tmp_path):
     # detail exposes the dv facts
     det = cat.sql("DESCRIBE DETAIL cdf").first()
     assert det["dv_dead_rows"] == 2 and det["dv_files"] >= 1
+
+
+def test_convert_empty_create_insert_overwrite_sql(spark, lake,
+                                                   tmp_path):
+    cat = lake
+    # empty table with explicit DDL schema
+    cat.register("empty", str(tmp_path / "empty"))
+    cat.sql("CREATE TABLE empty (id BIGINT, v DOUBLE) USING txlog")
+    assert cat.sql("SELECT count(*) AS n FROM empty").first()["n"] == 0
+    cat.sql("INSERT INTO empty VALUES (1, 1.5)")
+    assert cat.sql("SELECT v FROM empty").first()["v"] == 1.5
+    # INSERT OVERWRITE replaces content
+    cat.sql("INSERT OVERWRITE empty SELECT id, id * 1.0 FROM seed")
+    assert cat.sql("SELECT count(*) AS n FROM empty").first()["n"] == 10
+    # CONVERT TO TXLOG adopts a legacy dir registered at that path
+    legacy = str(tmp_path / "legacy")
+    spark.range(7).selectExpr("id", "id AS v").write.parquet(legacy)
+    cat.register("legacy", legacy)
+    res = {r["metric"]: r["value"]
+           for r in cat.sql("CONVERT TO TXLOG legacy").collect()}
+    assert res["num_rows"] == 7 and res["version"] == 0
+    assert cat.sql("SELECT count(*) AS n FROM legacy").first()["n"] == 7
