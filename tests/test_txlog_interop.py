@@ -119,3 +119,19 @@ def test_independent_reader_checkpoint_equals_full_replay(spark,
               "w") as f:
         f.write("{not json")
     assert _indep_rows(reader, t) == slow
+
+
+def test_independent_reader_on_converted_table(spark, tmp_path):
+    """CONVERT TO TXLOG adoption (v0 referencing files outside data/)
+    replays identically in the independent reader, through follow-on
+    DML."""
+    root = str(tmp_path / "legacy")
+    (spark.range(30).selectExpr("id", "id * 1.5 AS v")
+     .repartition(3).write.parquet(root))
+    t = TxnTable(spark, root).convert_from_parquet()
+    t.delete("id % 3 = 0", mode="dv")
+    t.append(spark.range(30, 40).selectExpr("id", "id * 1.5 AS v"))
+    reader = IndependentTxlogReader(t.path)
+    for v in t._versions_on_disk():
+        assert _indep_rows(reader, t, v) == _spark_rows(t, v), v
+        assert reader.count_rows(v) == t.snapshot(v).count()
