@@ -1824,19 +1824,30 @@ class TxnTable:
                 "files_added": len(adds)}
 
     def optimize(self, zorder_by: list[str], n_files: int = 16,
-                 bits: int = 8, quantile: bool = True) -> dict[str, int]:
-        """OPTIMIZE ZORDER BY: rewrite the whole table clustered on the
-        interleaved z-value of ``zorder_by`` (operators/layout.py), so
-        footer min/max stay tight on EVERY participating column and
-        scan() prunes on any of them — the multi-column upgrade of the
-        single-column range clustering ``partition_by`` gives. Same
-        concurrency posture as compact: commutes with concurrent
-        appends, aborts if an input was removed."""
+                 bits: int = 8, quantile: bool = True,
+                 scope: tuple[str, Any, Any] | None = None,
+                 ) -> dict[str, int]:
+        """OPTIMIZE ZORDER BY: rewrite the table (or the ``scope``
+        slice) clustered on the interleaved z-value of ``zorder_by``
+        (operators/layout.py), so footer min/max stay tight on EVERY
+        participating column and scan() prunes on any of them — the
+        multi-column upgrade of the single-column range clustering
+        ``partition_by`` gives. Same concurrency posture as compact:
+        commutes with concurrent appends, aborts if an input was
+        removed.
+
+        ``scope=(col, lo, hi)`` limits the rewrite to files whose
+        footer [min,max] on ``col`` overlaps [lo, hi] — Delta's
+        ``OPTIMIZE ... WHERE``: at 100 TB nobody re-clusters the whole
+        table, they optimize the partitions a day's ingest touched.
+        Selection is log-metadata-only (stats keys are physical under
+        column mapping); stats-less files are conservatively
+        INCLUDED."""
         from aws_payment_data_lake_spark.operators.layout import zorder_key
 
         while True:
             snap = self._replay()
-            inputs = sorted(snap.live)
+            inputs = sorted(self._scoped(snap, snap.live, scope))
             if not inputs:
                 return {"version": snap.version, "files_in": 0,
                         "files_out": 0, "noop": 1}
@@ -1877,15 +1888,20 @@ class TxnTable:
                         "files_out": len(adds), "noop": 0}
 
     def compact(self, max_files: int = 1,
-                small_file_rows: int | None = None) -> dict[str, int]:
+                small_file_rows: int | None = None,
+                scope: tuple[str, Any, Any] | None = None,
+                ) -> dict[str, int]:
         """Bin small files into ``max_files`` (OPTIMIZE). Inputs are
-        all live files, or only those under ``small_file_rows``.
-        Commutes with concurrent APPENDS (retry keeps them); a
-        concurrent removal of an input aborts."""
+        all live files, optionally only those under
+        ``small_file_rows`` and/or inside ``scope=(col, lo, hi)``
+        (footer-stats overlap — the OPTIMIZE ... WHERE slice; see
+        optimize()). Commutes with concurrent APPENDS (retry keeps
+        them); a concurrent removal of an input aborts."""
         while True:
             snap = self._replay()
             inputs = sorted(
-                p for p, a in snap.live.items()
+                p for p, a in self._scoped(snap, snap.live,
+                                           scope).items()
                 if small_file_rows is None or a.rows < small_file_rows)
             if len(inputs) <= max_files:
                 return {"version": snap.version, "files_in": len(inputs),
@@ -1996,6 +2012,20 @@ class TxnTable:
                         "files_purged": len(inputs),
                         "files_out": len(adds),
                         "rows_dropped": int(dropped), "noop": 0}
+
+    def _scoped(self, snap: Snapshot, live: dict[str, AddFile],
+                scope: tuple[str, Any, Any] | None
+                ) -> dict[str, AddFile]:
+        """live filtered to files whose footer stats on scope[0]
+        overlap [scope[1], scope[2]] — the OPTIMIZE ... WHERE file
+        selection, from the log alone."""
+        if scope is None:
+            return dict(live)
+        col, lo, hi = scope
+        pcol = snap.phys(col)
+        lo, hi = _json_safe(lo), _json_safe(hi)
+        return {p: a for p, a in live.items()
+                if self._overlaps(a.stats.get(pcol), lo, hi)}
 
     @staticmethod
     def _dv_state_changed(snap: Snapshot, head: Snapshot,

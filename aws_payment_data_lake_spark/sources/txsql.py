@@ -33,7 +33,7 @@ Grammar subset (case-insensitive keywords):
   UPDATE t SET c = expr [, ...] [WHERE cond]
   DELETE FROM t [WHERE cond]
   RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
-  OPTIMIZE t [ZORDER BY (c [, ...])]
+  OPTIMIZE t [WHERE c BETWEEN lo AND hi] [ZORDER BY (c [, ...])]
   REORG TABLE t APPLY (PURGE [WHERE DEAD_FRAC > x])
   VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS]
   DESCRIBE HISTORY t | DESCRIBE DETAIL t
@@ -597,19 +597,39 @@ class LakehouseCatalog:
         return self._metrics("restore", {"version": v})
 
     def _optimize(self, s: str) -> DataFrame:
+        lit = r"(?:'[^']*'|[\w.\-]+)"
         m = re.match(
             rf"OPTIMIZE\s+({_IDENT})"
+            rf"(?:\s+WHERE\s+({_IDENT})\s+BETWEEN\s+({lit})"
+            rf"\s+AND\s+({lit}))?"
             rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
             s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported OPTIMIZE shape: {s[:120]}")
-        tname, zcols = m.groups()
+        tname, wcol, wlo, whi, zcols = m.groups()
         t = self.table(tname)
+        scope = ((wcol, self._sql_lit(wlo), self._sql_lit(whi))
+                 if wcol else None)
         if zcols:
-            res = t.optimize([c.strip() for c in zcols.split(",")])
+            res = t.optimize([c.strip() for c in zcols.split(",")],
+                             scope=scope)
         else:
-            res = t.compact(max_files=16)
+            res = t.compact(max_files=16, scope=scope)
         return self._metrics("optimize", res)
+
+    @staticmethod
+    def _sql_lit(text: str):
+        """'abc' -> str; 12 -> int; 1.5 -> float (the OPTIMIZE WHERE
+        bound grammar — stats comparisons take the JSON-safe form)."""
+        if text.startswith("'"):
+            return text[1:-1]
+        try:
+            return int(text)
+        except ValueError:
+            try:
+                return float(text)
+            except ValueError:
+                return text
 
     def _vacuum(self, s: str) -> DataFrame:
         m = re.match(
