@@ -1146,11 +1146,14 @@ class TxnTable:
     _LAYOUT_OPS = ("compact", "optimize", "reorg")
 
     def changes(self, since_version: int,
-                include_deletes: bool = False) -> DataFrame:
-        """Change feed: rows ADDED by commits > since_version, tagged
-        with _commit_version — the table-format twin of the audit
-        sink's fromBatch reader. Layout-only commits (compact,
-        optimize) are skipped.
+                include_deletes: bool = False,
+                end_version: int | None = None) -> DataFrame:
+        """Change feed: rows ADDED by commits > since_version (and
+        <= end_version when given — Delta's bounded
+        ``table_changes(t, start, end)`` form), tagged with
+        _commit_version — the table-format twin of the audit sink's
+        fromBatch reader. Layout-only commits (compact, optimize,
+        reorg) are skipped.
 
         ``include_deletes=True`` adds a ``_change_type`` column
         ('insert'/'delete') and emits DELETION-VECTOR dead rows as
@@ -1166,6 +1169,8 @@ class TxnTable:
         frames = []
         for v in self._versions_on_disk():
             if v <= since_version:
+                continue
+            if end_version is not None and v > end_version:
                 continue
             with open(self._commit_path(v)) as f:
                 c = json.load(f)

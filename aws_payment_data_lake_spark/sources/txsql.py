@@ -15,8 +15,9 @@ Delta-shaped grammar subset and dispatch to the commit protocol in
 Grammar subset (case-insensitive keywords):
 
   SELECT/WITH ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
-  SELECT ... FROM table_changes('t', since[, true])  -- CDF; true adds
-                                   -- _change_type + DV delete events
+  SELECT ... FROM table_changes('t', start [, end] [, true])
+                  -- CDF; end bounds the version range, true adds
+                  -- _change_type + DV delete pre-image events
   CREATE TABLE t USING txlog [PARTITIONED BY (c,..)] AS <select>
   CREATE TABLE t (c type, ...) USING txlog [PARTITIONED BY (c,..)]
   CONVERT TO TXLOG t                -- adopt existing parquet, zero copy
@@ -192,17 +193,22 @@ class LakehouseCatalog:
         rewritten text is ordinary Spark SQL: scans carry the pinned
         parquet file list, everything else is Catalyst's business."""
         for name, t in self._tables.items():
-            # Delta's CDF table-valued form: table_changes('t', since
-            # [, true]) — the optional third literal adds _change_type
-            # and the deletion-vector 'delete' pre-image events
+            # Delta's CDF table-valued form:
+            # table_changes('t', start [, end] [, true]) — the numeric
+            # third arg bounds the version range (Delta's signature);
+            # the boolean adds _change_type and the deletion-vector
+            # 'delete' pre-image events
             pat_c = re.compile(
                 rf"table_changes\(\s*'?{re.escape(name)}'?\s*,\s*(\d+)"
-                rf"(?:\s*,\s*(true|false))?\s*\)", re.IGNORECASE)
+                rf"(?:\s*,\s*(\d+))?(?:\s*,\s*(true|false))?\s*\)",
+                re.IGNORECASE)
             s = pat_c.sub(
                 lambda m, t=t, name=name: self._fresh_view(
                     t.changes(int(m.group(1)),
-                              include_deletes=(m.group(2) or ""
-                                               ).lower() == "true"),
+                              include_deletes=(m.group(3) or ""
+                                               ).lower() == "true",
+                              end_version=(int(m.group(2))
+                                           if m.group(2) else None)),
                     f"{name}_changes"), s)
             pat_v = re.compile(
                 rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+(\d+)",

@@ -533,3 +533,17 @@ def test_convert_empty_create_insert_overwrite_sql(spark, lake,
            for r in cat.sql("CONVERT TO TXLOG legacy").collect()}
     assert res["num_rows"] == 7 and res["version"] == 0
     assert cat.sql("SELECT count(*) AS n FROM legacy").first()["n"] == 7
+
+
+def test_table_changes_bounded_version_range(spark, lake, tmp_path):
+    cat = lake
+    cat.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")  # v0
+    cat.sql("INSERT INTO pay VALUES (100, 1, 'EUR')")              # v1
+    cat.sql("INSERT INTO pay VALUES (101, 1, 'EUR')")              # v2
+    cat.sql("INSERT INTO pay VALUES (102, 1, 'EUR')")              # v3
+    got = _rows(cat.sql(
+        "SELECT id FROM table_changes('pay', 0, 2)"))
+    assert got == [(100,), (101,)]
+    got = _rows(cat.sql(
+        "SELECT _change_type, id FROM table_changes('pay', 1, 2, true)"))
+    assert got == [("insert", 101)]
