@@ -1401,21 +1401,24 @@ class TxnTable:
                                a.stats.get(snap.phys(on[0])),
                                lo, hi)))
             existing = self._read_files(snap, cand).select(*on)
+            from pyspark.sql import Observation
+
+            obs = Observation()
             s_only = (source.alias(salias)
                       .join(existing, on=on, how="left_anti")
                       .withColumn("__code",
-                                  self._clause_code(not_matched, 200, -1)))
+                                  self._clause_code(not_matched, 200, -1))
+                      .observe(obs, F.sum(F.when(F.col("__code") != -1,
+                                                 1).otherwise(0))
+                               .cast("long").alias("n_ins")))
             new_content = (s_only.where(F.col("__code") != -1)
                            .select(*[self._insert_value(cl_list=not_matched,
                                                         c=c, types=types,
                                                         salias=salias)
                                      for c in tcols]))
-            hist = {r["__code"]: r["n"] for r in
-                    s_only.groupBy("__code")
-                    .agg(F.count(F.lit(1)).alias("n")).collect()}
-            self._enforce(new_content, snap.constraints)
             adds = self._stage(new_content, snap.partition_by or None,
                                mapping=snap.column_mapping)
+            self._enforce_staged(snap, adds)
             commit = {"op": "merge", "ts": time.time(),
                       "read_version": snap.version,
                       "add": [a.to_json() for a in adds], "remove": []}
@@ -1437,8 +1440,7 @@ class TxnTable:
                     "files_added": len(adds),
                     "files_scanned": len(cand), "rows_updated": 0,
                     "rows_deleted": 0,
-                    "rows_inserted": int(sum(
-                        n for c2, n in hist.items() if c2 != -1))}
+                    "rows_inserted": int(obs.get["n_ins"] or 0)}
         else:
             cand = (sorted(snap.live) if lo is None else
                     sorted(p for p, a in snap.live.items()
@@ -1497,16 +1499,40 @@ class TxnTable:
             out = v if out is None else out.otherwise(v)
             return out.cast(types[c]).alias(c)
 
-        # one histogram pass gives the operation metrics (bounded: one
-        # row per clause code) before the staging write re-runs the join
-        hist = {r["__code"]: r["n"] for r in
-                j.groupBy("__code").agg(F.count(F.lit(1)).alias("n"))
-                .collect()}
+        # operation metrics ride the STAGING JOB itself (CollectMetrics
+        # via Observation, placed above the drop filter so every joined
+        # row is counted) — the join runs ONCE, not once more for a
+        # histogram pass. Constraints are then enforced on the staged
+        # bytes (column-pruned re-read of the output, far cheaper than
+        # re-running the join); a violation leaves orphans for vacuum,
+        # the same posture as a lost publish race.
+        upd_codes = [100 + i for i, cl in enumerate(matched)
+                     if cl["action"] != "delete"]
+        del_codes = ([100 + i for i, cl in enumerate(matched)
+                      if cl["action"] == "delete"]
+                     + [300 + i for i, cl in enumerate(nmbs)
+                        if cl["action"] == "delete"])
+        ins_codes = [200 + i for i in range(len(not_matched))]
+        nmbs_upd_codes = [300 + i for i, cl in enumerate(nmbs)
+                          if cl["action"] == "update"]
+
+        def _cnt(codes, name):
+            e = (F.sum(F.when(F.col("__code").isin(codes), 1)
+                       .otherwise(0)) if codes else F.lit(0))
+            return e.cast("long").alias(name)
+
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        j = j.observe(obs, _cnt(upd_codes, "n_upd"),
+                      _cnt(del_codes, "n_del"),
+                      _cnt(ins_codes, "n_ins"),
+                      _cnt(nmbs_upd_codes, "n_nmbs_upd"))
         new_content = (j.where(~F.col("__code").isin(drop_codes))
                        .select(*[col_value(c) for c in tcols]))
-        self._enforce(new_content, snap.constraints)
         adds = self._stage(new_content, snap.partition_by or None,
                            mapping=snap.column_mapping)
+        self._enforce_staged(snap, adds)
         commit = {"op": "merge", "ts": time.time(),
                   "read_version": snap.version,
                   "add": [a.to_json() for a in adds],
@@ -1533,25 +1559,27 @@ class TxnTable:
                 raise ConcurrentWriteError(
                     f"merge into {self.path}: lost the publish race 8 "
                     "times; re-run (staged files orphan until vacuum)")
-        n_upd = sum(n for c2, n in hist.items()
-                    if 100 <= c2 < 200
-                    and matched[c2 - 100]["action"] != "delete")
-        n_del = sum(n for c2, n in hist.items()
-                    if (100 <= c2 < 200
-                        and matched[c2 - 100]["action"] == "delete")
-                    or (c2 >= 300 and nmbs[c2 - 300]["action"]
-                        == "delete"))
-        n_ins = sum(n for c2, n in hist.items() if 200 <= c2 < 300)
-        n_nmbs_upd = sum(n for c2, n in hist.items()
-                         if c2 >= 300
-                         and nmbs[c2 - 300]["action"] == "update")
+        m = obs.get
         return {"version": read_v + 1,
                 "files_rewritten": len(touched),
                 "files_added": len(adds),
                 "files_scanned": len(cand),
-                "rows_updated": int(n_upd + n_nmbs_upd),
-                "rows_deleted": int(n_del),
-                "rows_inserted": int(n_ins)}
+                "rows_updated": int((m["n_upd"] or 0)
+                                    + (m["n_nmbs_upd"] or 0)),
+                "rows_deleted": int(m["n_del"] or 0),
+                "rows_inserted": int(m["n_ins"] or 0)}
+
+    def _enforce_staged(self, snap: Snapshot,
+                        adds: list["AddFile"]) -> None:
+        """CHECK enforcement against freshly STAGED files (merge paths
+        whose metrics ride the staging job — re-running the source
+        plan for a pre-write check would double the merge's read). A
+        violation leaves the staged files orphaned until vacuum, the
+        same posture as a lost publish race; nothing was published."""
+        if not snap.constraints or not adds:
+            return
+        self._enforce(self._plain_read(snap, [a.path for a in adds]),
+                      snap.constraints)
 
     @staticmethod
     def _clause_code(clauses: list[dict[str, Any]], base: int,

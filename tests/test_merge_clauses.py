@@ -152,3 +152,32 @@ def test_update_star_clause_engine_matches_legacy_merge(spark,
                     not_matched=[{"cond": None, "action": "insert_star",
                                   "set": None}])
     assert _state(a) == _state(b)
+
+
+def test_clause_merge_enforces_constraints_on_staged_output(spark,
+                                                            tmp_path):
+    """CHECK enforcement moved to the staged bytes (metrics ride the
+    staging job): a violating clause result must still raise and leave
+    the table unchanged (orphans fall to vacuum)."""
+    from aws_payment_data_lake_spark.sources.txlog import (
+        CheckViolationError,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(10).selectExpr("id", "id as v"))
+    t.add_check_constraint("v_small", "v < 1000")
+    with pytest.raises(CheckViolationError, match="v_small"):
+        t.merge_clauses(
+            spark.createDataFrame([(1, 1)], "id long, k long"),
+            on=["id"],
+            matched=[{"cond": None, "action": "update",
+                      "set": {"v": "t.v + 5000"}}])
+    assert t.latest_version() == 1          # nothing published
+    assert t.snapshot().where("v >= 1000").count() == 0
+    # the compliant merge passes
+    t.merge_clauses(
+        spark.createDataFrame([(1, 1)], "id long, k long"),
+        on=["id"],
+        matched=[{"cond": None, "action": "update",
+                  "set": {"v": "t.v + 500"}}])
+    assert t.snapshot().where("id = 1").first()["v"] == 501
