@@ -1670,13 +1670,20 @@ class TxnTable:
         if not touched:
             return {"version": snap.version, "files_rewritten": 0,
                     "rows_changed": 0}
-        content = self._read_files(snap, touched)
-        rows_changed = content.where(hit).count()
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        # rows_changed rides the staging job (CollectMetrics above the
+        # rewrite, so dropped rows still count) — no extra pass over
+        # the touched files just to count matches
+        content = (self._read_files(snap, touched)
+                   .observe(obs, F.sum(hit.cast("long")).alias("n")))
         rewritten = rewrite(content)
-        if op == "update":            # deletes only drop rows — they
-            self._enforce(rewritten, snap.constraints)  # can't violate
         adds = self._stage(rewritten, snap.partition_by or None,
                            mapping=snap.column_mapping)
+        if op == "update":            # deletes only drop rows — they
+            self._enforce_staged(snap, adds)   # can't violate
+        rows_changed = int(obs.get["n"] or 0)
         commit = {"op": op, "ts": time.time(),
                   "read_version": snap.version,
                   "add": [a.to_json() for a in adds],
