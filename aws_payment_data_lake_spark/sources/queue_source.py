@@ -121,7 +121,16 @@ def locked_json_update(path: str, update, timeout_s: float = 10.0,
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(lock) > stale_s:
-                    os.unlink(lock)      # crashed holder: steal
+                    # crashed holder: steal by RENAME, not unlink —
+                    # rename moves exactly ONE inode, so of two
+                    # concurrent stealers only one succeeds and
+                    # neither can ever remove a FRESH lock another
+                    # stealer just created (the unlink variant could:
+                    # A checks stale, B steals + re-locks, A unlinks
+                    # B's new lock -> two holders)
+                    grave = lock + f".stale-{uuid.uuid4().hex}"
+                    os.rename(lock, grave)   # we own the old inode now
+                    os.unlink(grave)
                     continue
             except OSError:
                 continue                 # holder released mid-check

@@ -292,3 +292,30 @@ def test_sticky_rebalance_during_inflight_polls_no_double_delivery(
     assert len(delivered) == 40
     assert len(set(delivered)) == 40          # exactly once
     assert sorted(set(p for p, _ in delivered)) == [0, 1, 2, 3]
+
+
+def test_locked_update_steals_stale_lock(tmp_path):
+    """A crashed holder's lock (mtime past stale_s) is stolen by
+    RENAME — exactly one stealer can win — and the update proceeds."""
+    import os
+    import time as _time
+
+    from aws_payment_data_lake_spark.sources.queue_source import (
+        locked_json_update,
+    )
+
+    path = str(tmp_path / "state.json")
+    lock = path + ".lock"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(lock, "w"):
+        pass
+    old = _time.time() - 120
+    os.utime(lock, (old, old))           # crashed 2 minutes ago
+    out = locked_json_update(path, lambda cur: {"x": 1}, stale_s=30.0)
+    assert out == {"x": 1}
+    import json as _json
+    with open(path) as f:
+        assert _json.load(f) == {"x": 1}
+    assert not os.path.exists(lock)      # released
+    assert not [n for n in os.listdir(str(tmp_path))
+                if ".stale-" in n]       # no grave litter
