@@ -771,7 +771,13 @@ class TxnTable:
         if not rels:
             raise FileNotFoundError(
                 f"CONVERT on {self.path}: no parquet files found")
-        schema = self.spark.read.parquet(self.path).schema
+        # mergeSchema: adopted directories often hold several file
+        # generations; the table schema is the UNION of their columns
+        # (files missing a column read NULL, same as post-evolution
+        # reads), and genuine type conflicts fail here, loudly, not on
+        # first read
+        schema = (self.spark.read.option("mergeSchema", "true")
+                  .parquet(self.path).schema)
         adds = []
         for rel in sorted(rels):
             local = os.path.join(self.path, rel)

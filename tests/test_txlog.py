@@ -726,3 +726,18 @@ def test_convert_rejects_hive_layout_and_double_convert(spark,
     t = TxnTable(spark, flat).convert_from_parquet()
     with _pytest.raises(FileExistsError):
         t.convert_from_parquet()
+
+
+def test_convert_merges_heterogeneous_file_schemas(spark, tmp_path):
+    """Adopted directories often hold several writer generations: the
+    converted schema is the UNION of their columns, older files read
+    NULL for the columns they predate."""
+    root = str(tmp_path / "mixed")
+    spark.range(5).selectExpr("id").write.parquet(root)
+    (spark.range(5, 10).selectExpr("id", "id * 2 AS v")
+     .write.mode("append").parquet(root))
+    t = TxnTable(spark, root).convert_from_parquet()
+    got = t.snapshot()
+    assert set(got.columns) == {"id", "v"}
+    rows = {r["id"]: r["v"] for r in got.collect()}
+    assert rows[2] is None and rows[7] == 14 and len(rows) == 10
