@@ -778,12 +778,19 @@ class TxnTable:
         # first read
         schema = (self.spark.read.option("mergeSchema", "true")
                   .parquet(self.path).schema)
-        adds = []
-        for rel in sorted(rels):
+        # footer harvest is IO-bound metadata (one footer read per
+        # file, no data pages) — a driver thread pool keeps a
+        # million-file conversion at listing speed without touching
+        # the RDD API
+        from concurrent.futures import ThreadPoolExecutor
+
+        def harvest(rel: str) -> AddFile:
             local = os.path.join(self.path, rel)
             nrows, stats = _footer_stats(local)
-            adds.append(AddFile(rel, nrows, os.path.getsize(local),
-                                stats))
+            return AddFile(rel, nrows, os.path.getsize(local), stats)
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            adds = list(pool.map(harvest, sorted(rels)))
         commit = {"op": "convert", "ts": time.time(),
                   "schema_json": schema.json(),
                   "partition_by": [],
