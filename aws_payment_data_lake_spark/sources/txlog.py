@@ -1414,21 +1414,23 @@ class TxnTable:
                                a.stats.get(snap.phys(on[0])),
                                lo, hi)))
             existing = self._read_files(snap, cand).select(*on)
-            from pyspark.sql import Observation
-
-            obs = Observation()
             s_only = (source.alias(salias)
                       .join(existing, on=on, how="left_anti")
                       .withColumn("__code",
-                                  self._clause_code(not_matched, 200, -1))
-                      .observe(obs, F.sum(F.when(F.col("__code") != -1,
-                                                 1).otherwise(0))
-                               .cast("long").alias("n_ins")))
+                                  self._clause_code(not_matched, 200, -1)))
             new_content = (s_only.where(F.col("__code") != -1)
                            .select(*[self._insert_value(cl_list=not_matched,
                                                         c=c, types=types,
                                                         salias=salias)
                                      for c in tcols]))
+            # metrics are a second pass over the (source-sized,
+            # checkpointed) anti join — NOT CollectMetrics/Observation:
+            # in Spark 4.1 even a fully-consumed Observation leaves the
+            # session's ObservationManager captured in later RDD-path
+            # closures, and every subsequent MLlib job dies with
+            # "Task not serializable: ObservationManager" (probed in
+            # isolation; the shared test session reproduced it)
+            n_ins = s_only.where(F.col("__code") != -1).count()
             adds = self._stage(new_content, snap.partition_by or None,
                                mapping=snap.column_mapping)
             self._enforce_staged(snap, adds)
@@ -1452,8 +1454,7 @@ class TxnTable:
             return {"version": read_v + 1, "files_rewritten": 0,
                     "files_added": len(adds),
                     "files_scanned": len(cand), "rows_updated": 0,
-                    "rows_deleted": 0,
-                    "rows_inserted": int(obs.get["n_ins"] or 0)}
+                    "rows_deleted": 0, "rows_inserted": int(n_ins)}
         else:
             cand = (sorted(snap.live) if lo is None else
                     sorted(p for p, a in snap.live.items()
@@ -1512,35 +1513,20 @@ class TxnTable:
             out = v if out is None else out.otherwise(v)
             return out.cast(types[c]).alias(c)
 
-        # operation metrics ride the STAGING JOB itself (CollectMetrics
-        # via Observation, placed above the drop filter so every joined
-        # row is counted) — the join runs ONCE, not once more for a
-        # histogram pass. Constraints are then enforced on the staged
-        # bytes (column-pruned re-read of the output, far cheaper than
-        # re-running the join); a violation leaves orphans for vacuum,
-        # the same posture as a lost publish race.
-        upd_codes = [100 + i for i, cl in enumerate(matched)
-                     if cl["action"] != "delete"]
-        del_codes = ([100 + i for i, cl in enumerate(matched)
-                      if cl["action"] == "delete"]
-                     + [300 + i for i, cl in enumerate(nmbs)
-                        if cl["action"] == "delete"])
-        ins_codes = [200 + i for i in range(len(not_matched))]
-        nmbs_upd_codes = [300 + i for i, cl in enumerate(nmbs)
-                          if cl["action"] == "update"]
-
-        def _cnt(codes, name):
-            e = (F.sum(F.when(F.col("__code").isin(codes), 1)
-                       .otherwise(0)) if codes else F.lit(0))
-            return e.cast("long").alias(name)
-
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        j = j.observe(obs, _cnt(upd_codes, "n_upd"),
-                      _cnt(del_codes, "n_del"),
-                      _cnt(ins_codes, "n_ins"),
-                      _cnt(nmbs_upd_codes, "n_nmbs_upd"))
+        # one bounded histogram pass (one output row per clause code)
+        # gives the operation metrics before the staging write re-runs
+        # the join. Deliberately NOT CollectMetrics/Observation, which
+        # would make the metrics ride the staging job: in Spark 4.1
+        # even a fully-consumed Observation leaves the session's
+        # ObservationManager captured in later RDD-path closures, and
+        # every subsequent MLlib job dies with "Task not serializable:
+        # ObservationManager" (probed in isolation). Constraints are
+        # enforced on the staged bytes (column-pruned re-read of the
+        # OUTPUT, cheaper than a third join run); a violation leaves
+        # orphans for vacuum, the same posture as a lost publish race.
+        hist = {r["__code"]: r["n"] for r in
+                j.groupBy("__code").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
         new_content = (j.where(~F.col("__code").isin(drop_codes))
                        .select(*[col_value(c) for c in tcols]))
         adds = self._stage(new_content, snap.partition_by or None,
@@ -1572,15 +1558,25 @@ class TxnTable:
                 raise ConcurrentWriteError(
                     f"merge into {self.path}: lost the publish race 8 "
                     "times; re-run (staged files orphan until vacuum)")
-        m = obs.get
+        n_upd = sum(n for c2, n in hist.items()
+                    if 100 <= c2 < 200
+                    and matched[c2 - 100]["action"] != "delete")
+        n_del = sum(n for c2, n in hist.items()
+                    if (100 <= c2 < 200
+                        and matched[c2 - 100]["action"] == "delete")
+                    or (c2 >= 300 and nmbs[c2 - 300]["action"]
+                        == "delete"))
+        n_ins = sum(n for c2, n in hist.items() if 200 <= c2 < 300)
+        n_nmbs_upd = sum(n for c2, n in hist.items()
+                         if c2 >= 300
+                         and nmbs[c2 - 300]["action"] == "update")
         return {"version": read_v + 1,
                 "files_rewritten": len(touched),
                 "files_added": len(adds),
                 "files_scanned": len(cand),
-                "rows_updated": int((m["n_upd"] or 0)
-                                    + (m["n_nmbs_upd"] or 0)),
-                "rows_deleted": int(m["n_del"] or 0),
-                "rows_inserted": int(m["n_ins"] or 0)}
+                "rows_updated": int(n_upd + n_nmbs_upd),
+                "rows_deleted": int(n_del),
+                "rows_inserted": int(n_ins)}
 
     def _enforce_staged(self, snap: Snapshot,
                         adds: list["AddFile"]) -> None:
@@ -1683,20 +1679,15 @@ class TxnTable:
         if not touched:
             return {"version": snap.version, "files_rewritten": 0,
                     "rows_changed": 0}
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        # rows_changed rides the staging job (CollectMetrics above the
-        # rewrite, so dropped rows still count) — no extra pass over
-        # the touched files just to count matches
-        content = (self._read_files(snap, touched)
-                   .observe(obs, F.sum(hit.cast("long")).alias("n")))
+        content = self._read_files(snap, touched)
+        # the match count is a dedicated pass over the touched files
+        # (see merge_clauses for why NOT Observation in Spark 4.1)
+        rows_changed = content.where(hit).count()
         rewritten = rewrite(content)
         adds = self._stage(rewritten, snap.partition_by or None,
                            mapping=snap.column_mapping)
         if op == "update":            # deletes only drop rows — they
             self._enforce_staged(snap, adds)   # can't violate
-        rows_changed = int(obs.get["n"] or 0)
         commit = {"op": op, "ts": time.time(),
                   "read_version": snap.version,
                   "add": [a.to_json() for a in adds],
