@@ -129,6 +129,61 @@ ORDER BY doc_id
 """
 
 
+def lm_threshold_keep(scores: DataFrame, keep_frac: float) -> DataFrame:
+    """Top-``ceil(keep_frac * N)`` keep decision over ``scores``
+    (columns ``doc_id``, ``s``) with doc_id tiebreak — the rank
+    contract as a row-local threshold predicate, no corpus-sized sort
+    (VERDICT r8 #1):
+
+      1. histogram the DISTINCT scores (one hash agg, bounded by the
+         score grid, not the corpus) and find on the driver the cut
+         score s* where the descending cumulative count first reaches
+         k, plus n_above = rows strictly better;
+      2. resolve the tie GROUP at s* with orderBy+limit(k - n_above)
+         on doc_id (TakeOrderedAndProject over only the cut-score
+         rows);
+      3. keep := s > s* OR (s = s* AND doc_id <= boundary).
+
+    NULL scores rank LAST with doc_id tiebreak, matching the old
+    percent-rank form's desc_nulls_last: when the cut lands inside the
+    NULL group every non-NULL row is kept and the NULL rows fill the
+    remaining slots by doc_id — distinct from the empty-corpus case,
+    which keeps nothing (ADVICE r9)."""
+    import math
+
+    hist = sorted(
+        ((r["s"], r["c"]) for r in
+         scores.groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()),
+        key=lambda sc: (sc[0] is not None, sc[0]), reverse=True)
+    n = sum(c for _, c in hist)
+    k = math.ceil(keep_frac * n)
+    cum = 0
+    s_cut, n_above, cut_found = None, 0, False
+    for s_val, c in hist:
+        if cum + c >= k:
+            s_cut, n_above, cut_found = s_val, cum, True
+            break
+        cum += c
+    if not cut_found:                    # empty corpus: nothing kept
+        return scores.select("doc_id", F.lit(False).alias("lm_keep"))
+    if s_cut is None:
+        boundary = (scores.where(F.col("s").isNull())
+                    .orderBy("doc_id").limit(k - n_above)
+                    .agg(F.max("doc_id")).first()[0])
+        return scores.select(
+            "doc_id",
+            (F.col("s").isNotNull()
+             | (F.col("doc_id") <= F.lit(boundary))).alias("lm_keep"))
+    boundary = (scores.where(F.col("s") == F.lit(s_cut))
+                .orderBy("doc_id").limit(k - n_above)
+                .agg(F.max("doc_id")).first()[0])
+    return scores.select(
+        "doc_id",
+        ((F.col("s") > F.lit(s_cut))
+         | ((F.col("s") == F.lit(s_cut))
+            & (F.col("doc_id") <= F.lit(boundary)))).alias("lm_keep"))
+
+
 @register(
     "corpus_curation_decisions",
     oracle=_ORACLE,
@@ -215,8 +270,6 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str,
     # contract the production operator reaches via exact quantile
     # (operators/lm_quality.perplexity_gate), here with the doc_id
     # tiebreak made explicit so the decision stays hashable.
-    import math
-
     from aws_payment_data_lake_spark.operators.lm_quality import (
         lm_perplexity,
     )
@@ -226,30 +279,7 @@ def corpus_curation_decisions(spark: SparkSession, sf_dir: str,
         docs, lm=shared_lm_tables(spark, sf_dir)).select(
         "doc_id", F.round("avg_logprob", 4).alias("s")) \
         .localCheckpoint(eager=True)     # read 2-3x below: pin once
-    hist = sorted(
-        ((r["s"], r["c"]) for r in
-         scores.groupBy("s").agg(F.count(F.lit(1)).alias("c")).collect()),
-        key=lambda sc: (sc[0] is not None, sc[0]), reverse=True)
-    n = sum(c for _, c in hist)
-    k = math.ceil(LM_KEEP_FRAC * n)
-    cum = 0
-    s_cut, n_above = None, 0
-    for s_val, c in hist:
-        if cum + c >= k:
-            s_cut, n_above = s_val, cum
-            break
-        cum += c
-    if s_cut is None:                    # empty corpus: nothing kept
-        lm = scores.select("doc_id", F.lit(False).alias("lm_keep"))
-    else:
-        boundary = (scores.where(F.col("s") == F.lit(s_cut))
-                    .orderBy("doc_id").limit(k - n_above)
-                    .agg(F.max("doc_id")).first()[0])
-        lm = scores.select(
-            "doc_id",
-            ((F.col("s") > F.lit(s_cut))
-             | ((F.col("s") == F.lit(s_cut))
-                & (F.col("doc_id") <= F.lit(boundary)))).alias("lm_keep"))
+    lm = lm_threshold_keep(scores, LM_KEEP_FRAC)
     return (
         feat.join(lm, "doc_id", "left")
         .select(

@@ -110,53 +110,90 @@ def locked_json_update(path: str, update, timeout_s: float = 10.0,
     old or the new complete file. Locks older than ``stale_s`` are
     presumed crashed and stolen. At broker scale this whole file is an
     OffsetCommit RPC; the lock is the filesystem stand-in for the
-    coordinator's serialization."""
+    coordinator's serialization.
+
+    Steal safety (ADVICE r9): a LIVE holder merely paused past
+    stale_s (GC, NFS stall) must not interleave with the stealer and
+    clobber its commit. Each holder writes a unique token into the
+    lock at acquisition and RE-VERIFIES ownership immediately before
+    the final os.replace; finding the token gone (stolen) discards
+    the computed update and re-runs the whole read-modify-write under
+    a fresh lock — monotone updates then see the stealer's commit in
+    ``cur`` and return None. Verification also refreshes the lock
+    mtime, so after a successful check the replace runs with a full
+    fresh stale_s of protection; release unlinks only a lock that
+    still holds our token."""
     lock = path + ".lock"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     deadline = time.monotonic() + timeout_s
     while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
+        token = uuid.uuid4().hex
+        while True:
             try:
-                if time.time() - os.path.getmtime(lock) > stale_s:
-                    # crashed holder: steal by RENAME, not unlink —
-                    # rename moves exactly ONE inode, so of two
-                    # concurrent stealers only one succeeds and
-                    # neither can ever remove a FRESH lock another
-                    # stealer just created (the unlink variant could:
-                    # A checks stale, B steals + re-locks, A unlinks
-                    # B's new lock -> two holders)
-                    grave = lock + f".stale-{uuid.uuid4().hex}"
-                    os.rename(lock, grave)   # we own the old inode now
-                    os.unlink(grave)
-                    continue
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, token.encode())
+                os.fsync(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_s:
+                        # crashed holder: steal by RENAME, not unlink —
+                        # rename moves exactly ONE inode, so of two
+                        # concurrent stealers only one succeeds and
+                        # neither can ever remove a FRESH lock another
+                        # stealer just created (the unlink variant
+                        # could: A checks stale, B steals + re-locks,
+                        # A unlinks B's new lock -> two holders)
+                        grave = lock + f".stale-{uuid.uuid4().hex}"
+                        os.rename(lock, grave)  # own the old inode now
+                        os.unlink(grave)
+                        continue
+                except OSError:
+                    continue             # holder released mid-check
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"gave up acquiring {lock} "
+                                       f"after {timeout_s}s")
+                time.sleep(0.01)
+
+        def _owns() -> bool:
+            try:
+                with open(lock) as lf:
+                    return lf.read() == token
             except OSError:
-                continue                 # holder released mid-check
-            if time.monotonic() > deadline:
-                raise TimeoutError(f"gave up acquiring {lock} after "
-                                   f"{timeout_s}s")
-            time.sleep(0.01)
-    try:
+                return False
+
+        stolen = False
         try:
-            with open(path) as f:
-                cur = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            cur = {}
-        new = update(cur)
-        if new is not None:
-            tmp = path + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(new, f)
-            os.replace(tmp, path)
-        return new
-    finally:
-        os.close(fd)
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+            try:
+                with open(path) as f:
+                    cur = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                cur = {}
+            new = update(cur)
+            if new is not None:
+                tmp = path + f".tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    json.dump(new, f)
+                if _owns():
+                    os.utime(lock)       # fresh stale_s for the swap
+                    os.replace(tmp, path)
+                else:                    # paused past stale_s: stolen
+                    stolen = True
+                    os.unlink(tmp)
+        finally:
+            os.close(fd)
+            if _owns():
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+        if not stolen:
+            return new
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"lock {lock} stolen mid-update and re-acquire "
+                f"deadline passed ({timeout_s}s)")
+        # loop: re-acquire and re-run update against the stealer's state
 
 
 def _tp_dir(queue_dir: str, topic: str, p: int) -> str:

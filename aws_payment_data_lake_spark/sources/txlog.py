@@ -775,8 +775,13 @@ class TxnTable:
         # generations; the table schema is the UNION of their columns
         # (files missing a column read NULL, same as post-evolution
         # reads), and genuine type conflicts fail here, loudly, not on
-        # first read
+        # first read. recursiveFileLookup matches the os.walk above —
+        # without it Spark's directory listing stops at the root, so a
+        # column living only in a NESTED file would be silently absent
+        # from the union (and its type conflicts undetected) even
+        # though the walk adopted the file (ADVICE r9, high).
         schema = (self.spark.read.option("mergeSchema", "true")
+                  .option("recursiveFileLookup", "true")
                   .parquet(self.path).schema)
         # footer harvest is IO-bound metadata (one footer read per
         # file, no data pages) — a driver thread pool keeps a
@@ -1380,6 +1385,8 @@ class TxnTable:
                 f"MERGE target and source aliases must differ "
                 f"(both {talias!r})")
         snap = self._replay()
+        if snap.schema is None:
+            raise FileNotFoundError(f"no txlog table at {self.path}")
         tcols = [f.name for f in snap.schema.fields]
         types = {f.name: f.dataType for f in snap.schema.fields}
         for cl in matched + not_matched + nmbs:
@@ -1389,7 +1396,14 @@ class TxnTable:
                                  f"{bad}; table has {tcols}")
         source = source.localCheckpoint(eager=True)   # read 3x below
         keys = source.select(*on).distinct()
-        if (matched or nmbs) and source.count() != keys.count():
+        # duplicate-source guard over NON-NULL key rows only: a NULL
+        # key never equi-joins a target row, so several NULL-key
+        # source rows cannot make one target row match twice — Delta
+        # likewise raises only when a target row actually multi-
+        # matches (ADVICE r9)
+        nn = source.na.drop(subset=list(on))
+        if (matched or nmbs) and nn.count() != nn.select(*on
+                                                        ).distinct().count():
             raise ValueError(
                 "MERGE source has duplicate key rows on "
                 f"{on} — a target row would match multiple source "

@@ -319,3 +319,46 @@ def test_locked_update_steals_stale_lock(tmp_path):
     assert not os.path.exists(lock)      # released
     assert not [n for n in os.listdir(str(tmp_path))
                 if ".stale-" in n]       # no grave litter
+
+
+def test_locked_update_paused_holder_does_not_clobber_stealer(tmp_path):
+    """ADVICE r9: a LIVE holder paused past stale_s whose lock was
+    stolen must discard its computed write (ownership token gone) and
+    re-run the update against the stealer's committed state — the
+    stealer's commit survives and the monotone merge sees it."""
+    import json as _json
+    import os
+
+    from aws_payment_data_lake_spark.sources.queue_source import (
+        locked_json_update,
+    )
+
+    path = str(tmp_path / "state.json")
+    lock = path + ".lock"
+    calls = []
+
+    def update(cur):
+        calls.append(dict(cur))
+        if len(calls) == 1:
+            # simulate the pause + steal while the holder computes:
+            # another writer rename-steals the lock, takes its own
+            # lock (different token), commits, and releases
+            os.unlink(lock)
+            with open(lock, "w") as f:
+                f.write("someone-else")
+            with open(path + ".tmp-steal", "w") as f:
+                _json.dump({"stealer": 7}, f)
+            os.replace(path + ".tmp-steal", path)
+            os.unlink(lock)              # stealer released
+            return {"mine": 1}           # would clobber {"stealer": 7}
+        # second run: merge with what the stealer wrote
+        out = dict(cur)
+        out["mine"] = 1
+        return out
+
+    out = locked_json_update(path, update, stale_s=30.0)
+    assert out == {"stealer": 7, "mine": 1}
+    with open(path) as f:
+        assert _json.load(f) == {"stealer": 7, "mine": 1}
+    assert calls == [{}, {"stealer": 7}]     # re-ran with fresh state
+    assert not os.path.exists(lock)

@@ -158,3 +158,34 @@ def test_shared_and_durable_lm_store(spark, tmp_path, monkeypatch):
               for r in lm_perplexity(docs, lm=(uni, big, totals))
               .collect()}
     assert stored == base
+
+
+def test_threshold_keep_null_scores_rank_last(spark):
+    """ADVICE r9 (curation NULL branch): NULL scores rank after every
+    non-NULL score with doc_id tiebreak, exactly like the old
+    percent-rank form's desc_nulls_last — a cut landing inside the
+    NULL group keeps all non-NULL rows plus the smallest-doc_id NULL
+    rows, NOT nothing."""
+    from aws_payment_data_lake_spark.queries.curation import (
+        lm_threshold_keep,
+    )
+
+    # 10 rows, keep_frac 0.9 -> k=9; 6 non-null + 4 null scores: the
+    # cut falls inside the NULL group (n_above=6, 3 of 4 nulls kept)
+    rows = [(i, float(-i)) for i in range(6)] + \
+           [(i, None) for i in range(6, 10)]
+    scores = spark.createDataFrame(rows, "doc_id long, s double")
+    got = {r["doc_id"]: r["lm_keep"]
+           for r in lm_threshold_keep(scores, 0.9).collect()}
+    assert all(got[i] for i in range(6))         # every non-NULL kept
+    assert got[6] and got[7] and got[8]          # nulls fill by doc_id
+    assert got[9] is False or got[9] == False    # noqa: E712
+    # all-NULL corpus: cut in NULL group from row one
+    allnull = spark.createDataFrame(
+        [(i, None) for i in range(4)], "doc_id long, s double")
+    got2 = {r["doc_id"]: r["lm_keep"]
+            for r in lm_threshold_keep(allnull, 0.5).collect()}
+    assert got2 == {0: True, 1: True, 2: False, 3: False}
+    # empty corpus still keeps nothing (and does not raise)
+    empty = spark.createDataFrame([], "doc_id long, s double")
+    assert lm_threshold_keep(empty, 0.9).count() == 0

@@ -181,3 +181,43 @@ def test_clause_merge_enforces_constraints_on_staged_output(spark,
         matched=[{"cond": None, "action": "update",
                   "set": {"v": "t.v + 500"}}])
     assert t.snapshot().where("id = 1").first()["v"] == 501
+
+
+def test_null_key_source_rows_are_not_duplicates(spark, tmp_path):
+    """ADVICE r9: a NULL key never equi-joins a target row, so several
+    NULL-key source rows cannot multi-match anything — the duplicate-
+    source guard must not fire on them (Delta raises only when a
+    target row actually matches twice). NULL-key rows still flow to
+    the NOT MATCHED clause (they match nothing)."""
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(5).selectExpr("id", "id as v"))
+    src = spark.createDataFrame(
+        [(None, 91), (None, 92), (1, 100)], "id long, v long")
+    res = t.merge_clauses(
+        src, on=["id"],
+        matched=[{"cond": None, "action": "update_star", "set": None}],
+        not_matched=[{"cond": None, "action": "insert_star",
+                      "set": None}])
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 2
+    got = {tuple(r) for r in t.snapshot().collect()}
+    assert (1, 100) in got and (None, 91) in got and (None, 92) in got
+    # a GENUINE duplicate (non-null key twice) still raises
+    with pytest.raises(ValueError, match="duplicate key"):
+        t.merge_clauses(
+            spark.createDataFrame([(2, 1), (2, 2)], "id long, v long"),
+            on=["id"],
+            matched=[{"cond": None, "action": "update_star",
+                      "set": None}])
+
+
+def test_clause_merge_into_missing_table_raises_file_not_found(
+        spark, tmp_path):
+    """ADVICE r9: merging into a nonexistent table gives the standard
+    no-table error, not an AttributeError on snap.schema."""
+    t = _mk(spark, tmp_path, "ghost")
+    with pytest.raises(FileNotFoundError, match="no txlog table"):
+        t.merge_clauses(
+            spark.createDataFrame([(1, 1)], "id long, v long"),
+            on=["id"],
+            matched=[{"cond": None, "action": "update_star",
+                      "set": None}])

@@ -728,6 +728,21 @@ def test_convert_rejects_hive_layout_and_double_convert(spark,
         t.convert_from_parquet()
 
 
+def test_convert_schema_union_reaches_nested_files(spark, tmp_path):
+    """ADVICE r9 (high): the os.walk adopts *.parquet at any nesting
+    depth, so the schema-union read must recurse too — a column that
+    exists only in a nested generation's files must land in the table
+    schema and its values must be readable (not silently NULL)."""
+    root = str(tmp_path / "nested")
+    spark.range(5).selectExpr("id").write.parquet(root)
+    (spark.range(5, 10).selectExpr("id", "id * 3 AS v")
+     .write.parquet(os.path.join(root, "gen2")))
+    t = TxnTable(spark, root).convert_from_parquet()
+    assert set(f.name for f in t.snapshot().schema.fields) == {"id", "v"}
+    rows = {r["id"]: r["v"] for r in t.snapshot().collect()}
+    assert len(rows) == 10 and rows[7] == 21 and rows[2] is None
+
+
 def test_convert_merges_heterogeneous_file_schemas(spark, tmp_path):
     """Adopted directories often hold several writer generations: the
     converted schema is the UNION of their columns, older files read
