@@ -77,7 +77,10 @@ _VALID_EVENT_TYPES = ("click", "view", "purchase", "signup")
     FROM events
     WHERE event_id % 30 = 3 AND event_id % 7 <> 0 AND event_id % 2 = 0
     UNION ALL
-    SELECT 'txn_cdc', user_id, event_type, event_id, ts, value
+    SELECT 'txn_cdc', user_id,
+           CASE WHEN event_id % 30 = 2 THEN event_type || '+cdc2'
+                ELSE event_type END,
+           event_id, ts, value
     FROM events
     WHERE event_id % 30 IN (1, 2) AND event_id % 60 <> 31
     """,
@@ -153,7 +156,15 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                            the relational complement. ts travels as
                            epoch micros (timestamp_micros round-trip
                            is lossless; JSON timestamp parsing is
-                           format-fragile).
+                           format-fragile). Round 10: the slice GROWS
+                           a `src` column mid-stream — phase 1 applies
+                           the narrow contract, phase 2 redeploys the
+                           sink with the wider value_ddl over the same
+                           checkpoint and schema_mode='merge'
+                           auto-widens the table inside the merge
+                           commit (asserted inline); the evolved
+                           column is folded into the hashed
+                           event_type as 'type+src'.
 
     The result is materialized (localCheckpoint) before the scratch
     tables are deleted."""
@@ -281,21 +292,26 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import datetime as _dt
 
-        def _rec(r, op):
+        def _rec(r, op, src=None):
             ts = r["ts"]
             if ts is not None:          # session-UTC naive -> micros
                 ts = int(ts.replace(tzinfo=_dt.timezone.utc)
                          .timestamp() * 1_000_000)
-            return {"key": str(r["event_id"]), "value": _json.dumps({
-                "event_id": r["event_id"], "user_id": r["user_id"],
-                "event_type": r["event_type"], "value": r["value"],
-                "ts_us": ts, "_op": op})}
+            val = {"event_id": r["event_id"], "user_id": r["user_id"],
+                   "event_type": r["event_type"], "value": r["value"],
+                   "ts_us": ts, "_op": op}
+            if src is not None:
+                val["src"] = src
+            return {"key": str(r["event_id"]),
+                    "value": _json.dumps(val)}
 
-        events_log = ([_rec(r, "u") for r in cdc_rows]
-                      + [_rec(r, "d") for r in cdc_rows
-                         if r["event_id"] % 60 == 31])
+        # PHASE 1 — the narrow contract: upserts for the % 30 == 1
+        # slice, applied by a checkpointed stream with the narrow ddl
         qdir = os.path.join(tmp, "queue")
-        produce(qdir, "cdc_events", events_log)
+        ckpt = os.path.join(tmp, "ckpt")
+        produce(qdir, "cdc_events",
+                [_rec(r, "u") for r in cdc_rows
+                 if r["event_id"] % 30 == 1])
         cdc_ddl = ("event_id bigint, user_id bigint, "
                    "event_type string, value double, ts_us bigint")
         t_cdc = TxnTable(spark, os.path.join(tmp, "t_cdc"))
@@ -303,12 +319,42 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (stream_queue(spark, qdir, "cdc_events")
              .writeStream
              .foreachBatch(cdc_foreach_batch(t_cdc, ["event_id"],
-                                             cdc_ddl))
-             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                                             cdc_ddl,
+                                             schema_mode="merge"))
+             .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         q.awaitTermination(300)
+        assert [f.name for f in t_cdc._replay().schema.fields] \
+            == ["event_id", "user_id", "event_type", "value",
+                "ts_us"], "phase 1 must not widen"
+        # PHASE 2 — SOURCE-SCHEMA DRIFT mid-stream (VERDICT r9 #1):
+        # the producer grows a `src` column; the sink redeploys with
+        # the wider ddl over the SAME checkpoint and the first merge
+        # carrying the column auto-widens the table (no ADD COLUMNS).
+        # Phase-1 rows read NULL for it; the % 60 == 31 deletes (their
+        # records predate the column) still land through the same
+        # merge.
+        produce(qdir, "cdc_events",
+                [_rec(r, "u", src="cdc2") for r in cdc_rows
+                 if r["event_id"] % 30 == 2]
+                + [_rec(r, "d") for r in cdc_rows
+                   if r["event_id"] % 60 == 31])
+        q = (stream_queue(spark, qdir, "cdc_events")
+             .writeStream
+             .foreachBatch(cdc_foreach_batch(
+                 t_cdc, ["event_id"], cdc_ddl + ", src string",
+                 schema_mode="merge"))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        assert [f.name for f in t_cdc._replay().schema.fields] \
+            == ["event_id", "user_id", "event_type", "value",
+                "ts_us", "src"], "phase 2 must auto-widen"
         cdc_out = t_cdc.snapshot().select(
-            F.lit("txn_cdc").alias("variant"), "user_id", "event_type",
+            F.lit("txn_cdc").alias("variant"), "user_id",
+            F.when(F.col("src").isNull(), F.col("event_type"))
+            .otherwise(F.concat_ws("+", "event_type", "src"))
+            .alias("event_type"),
             F.col("event_id").alias("last_event_id"),
             F.timestamp_micros("ts_us").alias("last_ts"),
             F.col("value").alias("last_value"))

@@ -1238,7 +1238,9 @@ class TxnTable:
 
     # --------------------------------------------------- read-modify-write
     def merge(self, source: DataFrame, on: list[str],
-              delete_when: Any = None) -> dict[str, int]:
+              delete_when: Any = None,
+              schema_mode: str = "strict",
+              helper_cols: tuple[str, ...] = ()) -> dict[str, int]:
         """Upsert (MERGE INTO): target rows matching ``source`` on the
         key columns are replaced by the source row; unmatched source
         rows are inserted. ``delete_when`` (Column or SQL string over
@@ -1255,10 +1257,35 @@ class TxnTable:
         commutes (it rewrote none of our input files and its added
         files' key ranges are disjoint from the batch's); otherwise
         ConcurrentWriteError (an overlapping append can carry matching
-        keys)."""
+        keys).
+
+        ``schema_mode='merge'`` (Delta's autoMerge, VERDICT r9 #1):
+        NEW source columns auto-widen the table — the commit carries
+        the schema union and every pre-existing file reads NULL for
+        them through the pinned-schema read path; a source MISSING
+        table columns keeps the target's values on matched rows
+        (each matched target row is updated in place rather than
+        replaced wholesale — Delta's updateAll-under-autoMerge
+        posture) and inserts NULL for them on unmatched rows. In
+        'strict' (default) any schema difference fails exactly as
+        before. ``helper_cols`` names source columns that are
+        EXPRESSION INPUTS ONLY (the CDC ``_op`` delete flag): they
+        never land in the table and never participate in evolution —
+        without the escape, autoMerge would widen the table with the
+        flag column itself."""
         snap = self._replay()
         source = source.localCheckpoint(eager=True)  # pin: read twice
         src_rows = source.count()
+        eff_src = source.drop(*helper_cols) if helper_cols else source
+        evolved = (self._check_schema(eff_src, snap, "merge")
+                   if schema_mode == "merge" and snap.schema is not None
+                   else None)
+        new_fields: list[Any] = []
+        if evolved:
+            have = {f.name for f in snap.schema.fields}
+            new_fields = [f for f in
+                          StructType.fromJson(json.loads(evolved)).fields
+                          if f.name not in have]
         if delete_when is not None:
             dcond = (F.expr(delete_when)
                      if isinstance(delete_when, str) else delete_when)
@@ -1289,16 +1316,38 @@ class TxnTable:
             (discovery.join(F.broadcast(keys), on=on, how="leftsemi")
              .select("__rel").distinct().collect())
         }
+        old_cols = ([f.name for f in snap.schema.fields]
+                    if snap.schema else source.columns)
+        old_types = ({f.name: f.dataType for f in snap.schema.fields}
+                     if snap.schema else {})
+        src_cols = set(source.columns) - set(helper_cols)
+        missing = ([c for c in old_cols if c not in src_cols]
+                   if schema_mode == "merge" else [])
         if touched:
             keep_frames = self._read_files(snap, sorted(touched))
+            for f in new_fields:
+                keep_frames = keep_frames.withColumn(
+                    f.name, F.lit(None).cast(f.dataType))
             survivors = keep_frames.join(F.broadcast(keys), on=on,
                                          how="left_anti")
+            up = upserts
+            if missing:
+                # keep-target for columns the source lacks: matched
+                # target rows supply them (one output row per matched
+                # target row); unmatched source rows insert NULL
+                matched_vals = (self._read_files(snap, sorted(touched))
+                                .join(F.broadcast(keys), on=on,
+                                      how="leftsemi")
+                                .select(*on, *missing))
+                up = up.join(matched_vals, on=on, how="left")
             new_content = survivors.unionByName(
-                upserts.select(*keep_frames.columns))
+                up.select(*keep_frames.columns))
         else:
-            cols = ([f.name for f in snap.schema.fields]
-                    if snap.schema else source.columns)
-            new_content = upserts.select(*cols)
+            up = upserts
+            for c in missing:               # inserts only: NULL-fill
+                up = up.withColumn(c, F.lit(None).cast(old_types[c]))
+            cols = old_cols + [f.name for f in new_fields]
+            new_content = up.select(*cols)
         self._enforce(new_content, snap.constraints)
         adds = self._stage(new_content, snap.partition_by or None,
                            mapping=snap.column_mapping)
@@ -1306,6 +1355,8 @@ class TxnTable:
                   "read_version": snap.version,
                   "add": [a.to_json() for a in adds],
                   "remove": sorted(touched)}
+        if evolved:
+            commit["schema_json"] = evolved
         # Publish with KEY-DISJOINT rebase (Delta's conflict-detection
         # posture): losing the version race no longer aborts
         # unconditionally — the same per-file key bounds that prune
@@ -1326,6 +1377,17 @@ class TxnTable:
                                         snap.phys(on[0]), lo, hi)
             read_v = head_v
             commit["read_version"] = read_v
+            if schema_mode == "merge":
+                # the winner may itself have evolved the schema:
+                # re-derive the union against the new head so our
+                # republished commit can't drop their columns (same
+                # rebase rule as append's)
+                ev2 = self._check_schema(eff_src, self._replay(),
+                                         "merge")
+                if ev2:
+                    commit["schema_json"] = ev2
+                else:
+                    commit.pop("schema_json", None)
         else:
             raise ConcurrentWriteError(
                 f"merge into {self.path}: lost the publish race 8 "
@@ -1344,6 +1406,7 @@ class TxnTable:
                       not_matched_by_source: list[dict[str, Any]] | None
                       = None,
                       talias: str = "t", salias: str = "s",
+                      schema_mode: str = "strict",
                       ) -> dict[str, int]:
         """Full Delta MERGE semantics (VERDICT r8 #3) — the general
         form behind ``WHEN MATCHED [AND c] THEN UPDATE SET col = expr``,
@@ -1374,7 +1437,18 @@ class TxnTable:
         Concurrency: key-disjoint rebase like merge() when the clause
         set doesn't read the whole table; NOT MATCHED BY SOURCE merges
         read everything, so ANY concurrent commit aborts
-        (serializable)."""
+        (serializable).
+
+        ``schema_mode='merge'`` (Delta's autoMerge, VERDICT r9 #1),
+        active when a star clause is present: NEW source columns
+        auto-widen the table (the commit carries the schema union,
+        old files read NULL through the pinned-schema path), SET may
+        then assign them, and a source MISSING a table column means
+        update_star keeps the target's value / insert_star inserts
+        NULL — Delta's exact autoMerge contract. Without a star
+        clause, extra source columns stay what they are today:
+        expression inputs, never schema (nothing assigns them).
+        'strict' (default) behaves exactly as before."""
         matched = list(matched or [])
         not_matched = list(not_matched or [])
         nmbs = list(not_matched_by_source or [])
@@ -1389,6 +1463,20 @@ class TxnTable:
             raise FileNotFoundError(f"no txlog table at {self.path}")
         tcols = [f.name for f in snap.schema.fields]
         types = {f.name: f.dataType for f in snap.schema.fields}
+        star = any(cl.get("action") in ("update_star", "insert_star")
+                   for cl in matched + not_matched)
+        src_cols = set(source.columns)
+        evolved = None
+        new_fields: list[Any] = []
+        if schema_mode == "merge" and star:
+            evolved = self._check_schema(source, snap, "merge")
+            if evolved:
+                new_fields = [
+                    f for f in
+                    StructType.fromJson(json.loads(evolved)).fields
+                    if f.name not in set(tcols)]
+                tcols += [f.name for f in new_fields]
+                types.update({f.name: f.dataType for f in new_fields})
         for cl in matched + not_matched + nmbs:
             bad = sorted(set(cl.get("set") or {}) - set(tcols))
             if bad:
@@ -1433,9 +1521,11 @@ class TxnTable:
                       .withColumn("__code",
                                   self._clause_code(not_matched, 200, -1)))
             new_content = (s_only.where(F.col("__code") != -1)
-                           .select(*[self._insert_value(cl_list=not_matched,
-                                                        c=c, types=types,
-                                                        salias=salias)
+                           .select(*[self._insert_value(
+                               cl_list=not_matched, c=c, types=types,
+                               salias=salias,
+                               src_cols=src_cols if schema_mode == "merge"
+                               else None)
                                      for c in tcols]))
             # metrics are a second pass over the (source-sized,
             # checkpointed) anti join — NOT CollectMetrics/Observation:
@@ -1451,6 +1541,8 @@ class TxnTable:
             commit = {"op": "merge", "ts": time.time(),
                       "read_version": snap.version,
                       "add": [a.to_json() for a in adds], "remove": []}
+            if evolved:
+                commit["schema_json"] = evolved
             read_v = snap.version
             for _ in range(8):
                 if self._try_publish(read_v + 1, commit):
@@ -1461,6 +1553,13 @@ class TxnTable:
                                             snap.phys(on[0]), lo, hi)
                 read_v = head_v
                 commit["read_version"] = read_v
+                if schema_mode == "merge" and star:
+                    ev2 = self._check_schema(source, self._replay(),
+                                             "merge")
+                    if ev2:
+                        commit["schema_json"] = ev2
+                    else:
+                        commit.pop("schema_json", None)
             else:
                 raise ConcurrentWriteError(
                     f"merge into {self.path}: lost the publish race 8 "
@@ -1480,8 +1579,11 @@ class TxnTable:
                 r[0] for r in
                 (discovery.join(F.broadcast(keys), on=on, how="leftsemi")
                  .select("__rel").distinct().collect())}
-        t_frame = (self._read_files(snap, sorted(touched))
-                   .withColumn("__t", F.lit(1)))
+        t_base = self._read_files(snap, sorted(touched))
+        for nf in new_fields:           # evolved cols: NULL on target
+            t_base = t_base.withColumn(nf.name,
+                                       F.lit(None).cast(nf.dataType))
+        t_frame = t_base.withColumn("__t", F.lit(1))
         s_frame = source.withColumn("__s", F.lit(1))
         j = t_frame.alias(talias).join(
             s_frame.alias(salias),
@@ -1502,17 +1604,24 @@ class TxnTable:
         drop_codes += [300 + i for i, cl in enumerate(nmbs)
                        if cl["action"] == "delete"]
 
+        tolerant = schema_mode == "merge"   # autoMerge star handling
+
         def col_value(c: str):
             v = F.col(f"{talias}.{c}")        # keep codes default here
             branches: list[tuple[int, Any]] = []
             for i, cl in enumerate(matched):
                 if cl["action"] == "update_star":
+                    if tolerant and c not in src_cols:
+                        continue              # keep the target's value
                     branches.append((100 + i, F.col(f"{salias}.{c}")))
                 elif cl["action"] == "update" and c in cl["set"]:
                     branches.append((100 + i, F.expr(cl["set"][c])))
             for i, cl in enumerate(not_matched):
                 if cl["action"] == "insert_star":
-                    branches.append((200 + i, F.col(f"{salias}.{c}")))
+                    branches.append(
+                        (200 + i,
+                         F.lit(None) if tolerant and c not in src_cols
+                         else F.col(f"{salias}.{c}")))
                 elif cl["action"] == "insert":
                     branches.append((200 + i,
                                      F.expr(cl["set"][c]) if c in cl["set"]
@@ -1550,6 +1659,8 @@ class TxnTable:
                   "read_version": snap.version,
                   "add": [a.to_json() for a in adds],
                   "remove": sorted(touched)}
+        if evolved:
+            commit["schema_json"] = evolved
         read_v = snap.version
         if nmbs:
             if not self._try_publish(read_v + 1, commit):
@@ -1568,6 +1679,13 @@ class TxnTable:
                                             snap.phys(on[0]), lo, hi)
                 read_v = head_v
                 commit["read_version"] = read_v
+                if schema_mode == "merge" and star:
+                    ev2 = self._check_schema(source, self._replay(),
+                                             "merge")
+                    if ev2:
+                        commit["schema_json"] = ev2
+                    else:
+                        commit.pop("schema_json", None)
             else:
                 raise ConcurrentWriteError(
                     f"merge into {self.path}: lost the publish race 8 "
@@ -1621,14 +1739,21 @@ class TxnTable:
 
     @staticmethod
     def _insert_value(cl_list: list[dict[str, Any]], c: str,
-                      types: dict[str, Any], salias: str):
+                      types: dict[str, Any], salias: str,
+                      src_cols: set[str] | None = None):
         """Column ``c`` for insert-only rows: per fired clause, the
-        star source column / the SET expression / NULL."""
+        star source column / the SET expression / NULL. With
+        ``src_cols`` (autoMerge mode) an insert_star of a column the
+        source lacks inserts NULL instead of failing to resolve."""
         out = None
         for i, cl in enumerate(cl_list):
-            e = (F.col(f"{salias}.{c}") if cl["action"] == "insert_star"
-                 else (F.expr(cl["set"][c]) if c in (cl.get("set") or {})
-                       else F.lit(None)))
+            if cl["action"] == "insert_star":
+                e = (F.lit(None)
+                     if src_cols is not None and c not in src_cols
+                     else F.col(f"{salias}.{c}"))
+            else:
+                e = (F.expr(cl["set"][c]) if c in (cl.get("set") or {})
+                     else F.lit(None))
             out = (F.when(F.col("__code") == 200 + i, e) if out is None
                    else out.when(F.col("__code") == 200 + i, e))
         return out.cast(types[c]).alias(c)

@@ -23,7 +23,8 @@ Grammar subset (case-insensitive keywords):
   CONVERT TO TXLOG t                -- adopt existing parquet, zero copy
   INSERT INTO t [(c, ...)] <select> | VALUES (v, ...) [, ...]
   INSERT OVERWRITE t <select>
-  MERGE INTO t [AS a] USING (<select>) | view [AS b] ON a.k = b.k [AND ..]
+  MERGE [WITH SCHEMA EVOLUTION] INTO t [AS a]
+      USING (<select>) | view [AS b] ON a.k = b.k [AND ..]
       [WHEN MATCHED [AND <cond>] THEN DELETE
                                     | UPDATE SET *
                                     | UPDATE SET c = expr [, ...]] ...
@@ -56,7 +57,12 @@ dispatched to ``txlog.merge_clauses``. The exact replace-by-source
 shape ([source-conditional DELETE +] UPDATE SET * + INSERT *) keeps
 the leaner ``txlog.merge`` plan and its key-disjoint concurrent
 rebase. Extra source columns such as a delete flag are dropped on
-write. The ON clause must be an AND-conjunction of equalities on
+write — unless ``WITH SCHEMA EVOLUTION`` (Delta's statement-scoped
+autoMerge, round 10) is given, in which case new source columns widen
+the target inside the merge commit, old files read NULL for them, and
+a source missing a table column keeps the target's value on
+update_star / inserts NULL on insert_star.
+The ON clause must be an AND-conjunction of equalities on
 SAME-NAMED key columns, which is what a CDC key join is. DML verbs
 return a one-row metrics DataFrame (Delta returns operation metrics
 the same way).
@@ -127,7 +133,7 @@ class LakehouseCatalog:
         head = s.split(None, 2)
         verb = (head[0].upper() if head else "")
         two = f"{verb} {head[1].upper()}" if len(head) > 1 else verb
-        if two == "MERGE INTO":
+        if two == "MERGE INTO" or two == "MERGE WITH":
             return self._merge(s)
         if two == "RESTORE TABLE":
             return self._restore(s)
@@ -255,14 +261,18 @@ class LakehouseCatalog:
 
     def _merge(self, s: str) -> DataFrame:
         m = re.match(
-            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT})|\s+({_IDENT}))?"
+            rf"MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+            rf"INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT})|\s+({_IDENT}))?"
             rf"\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|{_IDENT})"
             rf"(?:\s+AS\s+({_IDENT})|\s+({_IDENT}))?"
             rf"\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
             s, re.IGNORECASE | re.DOTALL)
         if not m:
             raise ValueError(f"unsupported MERGE shape: {s[:120]}")
-        tname, ta1, ta2, usrc, sa1, sa2, on, clauses = m.groups()
+        evo, tname, ta1, ta2, usrc, sa1, sa2, on, clauses = m.groups()
+        # Delta's `MERGE WITH SCHEMA EVOLUTION INTO` (autoMerge scoped
+        # to one statement): new source columns widen the target
+        schema_mode = "merge" if evo else "strict"
         talias = ta1 or ta2 or tname
         salias = sa1 or sa2 or (usrc if not usrc.startswith("(") else "src")
         t = self.table(tname)
@@ -318,12 +328,14 @@ class LakehouseCatalog:
                 # source frame)
                 delete_when = re.sub(rf"\b{re.escape(salias)}\.", "",
                                      matched[0]["cond"])
-            res = t.merge(source, on=keys, delete_when=delete_when)
+            res = t.merge(source, on=keys, delete_when=delete_when,
+                          schema_mode=schema_mode)
         else:
             res = t.merge_clauses(source, on=keys, matched=matched,
                                   not_matched=not_matched,
                                   not_matched_by_source=nmbs,
-                                  talias=talias, salias=salias)
+                                  talias=talias, salias=salias,
+                                  schema_mode=schema_mode)
         return self._metrics("merge", res)
 
     def _parse_merge_clauses(self, text: str) -> tuple[

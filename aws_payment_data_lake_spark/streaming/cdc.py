@@ -50,7 +50,7 @@ def last_event_per_key(parsed: DataFrame,
 
 
 def cdc_foreach_batch(table: TxnTable, key_cols: list[str],
-                      value_ddl: str):
+                      value_ddl: str, schema_mode: str = "strict"):
     """``foreachBatch`` sink applying CDC events to ``table``.
 
     ``value_ddl`` describes the table columns inside the JSON value
@@ -60,7 +60,14 @@ def cdc_foreach_batch(table: TxnTable, key_cols: list[str],
         q = (stream.writeStream
              .foreachBatch(cdc_foreach_batch(t, ["id"], "id bigint, v double"))
              .option("checkpointLocation", ckpt).start())
-    """
+
+    ``schema_mode='merge'`` (VERDICT r9 #1): source-schema drift no
+    longer needs a manual ``ADD COLUMNS`` — redeploy the sink with a
+    wider ``value_ddl`` and the first merge carrying the new column
+    auto-widens the table (old rows read NULL); a ``value_ddl``
+    narrower than the table keeps the target's values for the absent
+    columns. The ``_op`` flag rides as a merge ``helper_col`` so
+    autoMerge never evolves the flag itself into the table."""
     full_ddl = f"{value_ddl}, {OP_COL} string"
     table_cols: list[str] | None = None
 
@@ -70,12 +77,17 @@ def cdc_foreach_batch(table: TxnTable, key_cols: list[str],
             return          # don't publish an empty merge per trigger
         parsed = parse_json_values(batch_df, full_ddl)
         last = last_event_per_key(parsed, key_cols)
-        if table_cols is None:
+        vcols = [c for c in last.columns
+                 if c not in ("topic", "partition", "offset",
+                              "timestamp", OP_COL)]
+        if schema_mode == "merge":
+            # evolution: send every parsed value column; merge widens
+            # the table with the new ones and keep-targets the absent
+            table_cols = vcols
+        elif table_cols is None:
             schema = table._replay().schema
             table_cols = [f.name for f in schema.fields] if schema \
-                else [c for c in last.columns
-                      if c not in ("topic", "partition", "offset",
-                                   "timestamp", OP_COL)]
+                else vcols
         src = last.select(*table_cols, OP_COL)
         # one merge applies the whole batch: _op='d' rows delete,
         # everything else upserts (the extra _op column never lands —
@@ -92,7 +104,9 @@ def cdc_foreach_batch(table: TxnTable, key_cols: list[str],
         for attempt in range(5):
             try:
                 table.merge(src, on=key_cols,
-                            delete_when=F.col(OP_COL) == "d")
+                            delete_when=F.col(OP_COL) == "d",
+                            schema_mode=schema_mode,
+                            helper_cols=(OP_COL,))
                 return
             except ConcurrentWriteError:
                 if attempt == 4:

@@ -547,3 +547,62 @@ def test_table_changes_bounded_version_range(spark, lake, tmp_path):
     got = _rows(cat.sql(
         "SELECT _change_type, id FROM table_changes('pay', 1, 2, true)"))
     assert got == [("insert", 101)]
+
+
+def test_merge_with_schema_evolution_sql(spark, lake):
+    """Delta's `MERGE WITH SCHEMA EVOLUTION INTO`: new source columns
+    widen the target inside the merge commit; without the modifier the
+    same statement leaves the schema alone (star projection drops the
+    extra column on the legacy path)."""
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    spark.sql(
+        "SELECT id, id * 99 AS amount, 'GBP' AS ccy, 'web' AS channel "
+        "FROM range(8, 12)").createOrReplaceTempView("cdc_src")
+    out = lake.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO pay t USING cdc_src s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *")
+    m = {r["metric"]: r["value"] for r in out.collect()}
+    assert m["rows_upserted"] == 4
+    head = lake.sql("SELECT * FROM pay")
+    assert head.columns == ["id", "amount", "ccy", "channel"]
+    got = {r["id"]: (r["amount"], r["ccy"], r["channel"])
+           for r in head.collect()}
+    assert got[9] == (891, "GBP", "web")
+    assert got[3] == (30, "USD", None)     # old file NULL-fills
+    # plain MERGE (no modifier) does not widen
+    spark.sql(
+        "SELECT id, id AS amount, 'JPY' AS ccy, 'app' AS channel, "
+        "9 AS extra FROM range(0, 1)").createOrReplaceTempView("cdc_src2")
+    lake.sql(
+        "MERGE INTO pay t USING cdc_src2 s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *")
+    assert lake.sql("SELECT * FROM pay").columns \
+        == ["id", "amount", "ccy", "channel"]
+
+
+def test_merge_with_schema_evolution_clause_engine_sql(spark, lake):
+    """WITH SCHEMA EVOLUTION through the general clause engine
+    (column-subset source + NOT MATCHED BY SOURCE forces it off the
+    legacy fast path): update_star keeps target values for columns the
+    source lacks."""
+    lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")
+    spark.sql(
+        "SELECT id, CAST(id * 7 AS BIGINT) AS amount, "
+        "'mobile' AS channel FROM range(0, 3)"
+    ).createOrReplaceTempView("sub_src")
+    lake.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO pay t USING sub_src s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.id >= 8 THEN DELETE")
+    head = lake.sql("SELECT * FROM pay")
+    assert head.columns == ["id", "amount", "ccy", "channel"]
+    got = {r["id"]: (r["amount"], r["ccy"], r["channel"])
+           for r in head.collect()}
+    assert got[1] == (7, "USD", "mobile")   # ccy kept from target
+    assert 8 not in got and 9 not in got    # nmbs delete applied
+    assert got[5] == (50, "USD", None)
