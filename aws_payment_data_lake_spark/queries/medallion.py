@@ -83,6 +83,9 @@ _VALID_EVENT_TYPES = ("click", "view", "purchase", "signup")
            event_id, ts, value
     FROM events
     WHERE event_id % 30 IN (1, 2) AND event_id % 60 <> 31
+    UNION ALL
+    SELECT 'txn_stream', user_id, event_type, event_id, ts, value
+    FROM events WHERE event_id % 30 = 4
     """,
     tags=("dedup", "window", "acid", "sql-endpoint", "reference:W1,S5b"),
 )
@@ -165,6 +168,16 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                            commit (asserted inline); the evolved
                            column is folded into the hashed
                            event_type as 'type+src'.
+      variant='txn_stream' the NATIVE `writeStream.format("txlog")`
+                           sink (round 10, VERDICT r9 #2): the
+                           % 30 == 4 slice streams in multi-batch
+                           through sources/txlog_sink.py — each
+                           micro-batch id riding the commit as the
+                           (app, batch) txn marker — then the
+                           table-committed-but-checkpoint-uncommitted
+                           crash window is simulated and the replayed
+                           batch's SKIP is asserted inline before the
+                           snapshot is hashed.
 
     The result is materialized (localCheckpoint) before the scratch
     tables are deleted."""
@@ -359,13 +372,67 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros("ts_us").alias("last_ts"),
             F.col("value").alias("last_value"))
 
+        # --- native writeStream.format("txlog") sink (r10, VERDICT
+        # r9 #2): exactly-once ingest with the batch id as the log's
+        # txn marker. The % 30 == 4 slice streams in through the
+        # file source (multi-batch), then the crash window between
+        # table-commit and stream-checkpoint-commit is simulated by
+        # deleting the stream's last commit marker and restarting —
+        # the replayed batch MUST be skipped by the sink (asserted:
+        # row count and table version unchanged), and the final
+        # snapshot rides the driver hash.
+        from aws_payment_data_lake_spark.sources.txlog_sink import (
+            write_stream_txlog,
+        )
+
+        sink_in = os.path.join(tmp, "sink_in")
+        (ev.where(mod % 30 == 4)
+         .select("event_id", "user_id", "event_type", "value",
+                 F.unix_micros("ts").alias("ts_us"))
+         .coalesce(4).write.json(sink_in))
+        sink_ddl = ("event_id bigint, user_id bigint, "
+                    "event_type string, value double, ts_us bigint")
+        t_sink = TxnTable(spark, os.path.join(tmp, "t_sink"))
+        t_sink.create(spark.createDataFrame([], sink_ddl))
+        sck = os.path.join(tmp, "sink_ckpt")
+
+        def _run_sink():
+            sdf = (spark.readStream.schema(sink_ddl)
+                   .option("maxFilesPerTrigger", "2").json(sink_in))
+            sq = (write_stream_txlog(sdf, t_sink.path, sck,
+                                     txn_app_id="medallion")
+                  .trigger(availableNow=True).start())
+            sq.awaitTermination(300)
+
+        _run_sink()
+        n_sunk = t_sink.count_rows()
+        v_sunk = t_sink.latest_version()
+        commits = os.path.join(sck, "commits")
+        last_b = max(n for n in os.listdir(commits) if n.isdigit())
+        os.remove(os.path.join(commits, last_b))
+        try:
+            os.remove(os.path.join(commits, f".{last_b}.crc"))
+        except OSError:
+            pass
+        _run_sink()                      # replays the last batch
+        assert t_sink.count_rows() == n_sunk \
+            and t_sink.latest_version() == v_sunk, \
+            "native sink must skip the replayed batch"
+        sink_out = t_sink.snapshot().select(
+            F.lit("txn_stream").alias("variant"), "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.timestamp_micros("ts_us").alias("last_ts"),
+            F.col("value").alias("last_value"))
+
         out = (win.unionByName(shape(t.snapshot(0), "txn_v0"))
                .unionByName(shape(t.snapshot(), "txn_merge"))
                .unionByName(sql_merged)
                .unionByName(sql_dv)
                .unionByName(sql_restored)
                .unionByName(sql_scd)
-               .unionByName(cdc_out))
+               .unionByName(cdc_out)
+               .unionByName(sink_out))
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

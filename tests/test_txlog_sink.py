@@ -1,0 +1,175 @@
+"""Native `writeStream.format("txlog")` sink (VERDICT r9 #2):
+exactly-once appends by default — the micro-batch id is the log's
+(app, batch) txn marker, so a batch replayed by streaming recovery is
+skipped by the commit protocol itself, with nothing user-assembled."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from aws_payment_data_lake_spark.sources.txlog import (
+    CheckViolationError,
+    TxnTable,
+)
+from aws_payment_data_lake_spark.sources.txlog_sink import (
+    write_stream_txlog,
+)
+
+DDL = "id bigint, v double, tag string"
+
+
+def _feed(dirpath: str, rows: list[tuple]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    name = os.path.join(dirpath, f"f{len(os.listdir(dirpath))}.jsonl")
+    with open(name + ".tmp", "w") as f:
+        for i, v, tag in rows:
+            f.write(json.dumps({"id": i, "v": v, "tag": tag}) + "\n")
+    os.replace(name + ".tmp", name)
+
+
+def _stream(spark, src_dir, table_path, ckpt, **kw):
+    df = (spark.readStream.schema(DDL)
+          .option("maxFilesPerTrigger", "1").json(src_dir))
+    q = (write_stream_txlog(df, table_path, ckpt, **kw)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return q
+
+
+def _state(t):
+    return sorted((r["id"], r["v"], r["tag"])
+                  for r in t.snapshot().collect())
+
+
+def test_stream_equals_batch_and_restart_resumes(spark, tmp_path):
+    """Streamed content == the same rows appended in batch; a second
+    run over new input resumes from the checkpoint and appends only
+    the new rows, in new txn-marked commits."""
+    src = str(tmp_path / "in")
+    tpath = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxnTable(spark, tpath)
+    t.create(spark.createDataFrame([], DDL))
+    rows1 = [(i, float(i), f"a{i % 3}") for i in range(20)]
+    _feed(src, rows1)
+    _stream(spark, src, tpath, ckpt, txn_app_id="ing")
+    # batch twin
+    tb = TxnTable(spark, str(tmp_path / "tb"))
+    tb.create(spark.createDataFrame([], DDL))
+    tb.append(spark.createDataFrame(rows1, DDL))
+    assert _state(t) == _state(tb)
+    # restart over NEW input: only the delta lands
+    rows2 = [(i, float(i), "b") for i in range(100, 105)]
+    _feed(src, rows2)
+    _stream(spark, src, tpath, ckpt, txn_app_id="ing")
+    assert _state(t) == sorted(rows1 + rows2)
+    assert t._replay().txns["ing"] >= 1     # batch ids recorded
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    """The at-least-once crash window: streaming committed batch 0 to
+    the TABLE but died before recording it in the STREAM checkpoint
+    (simulated by deleting the checkpoint's commit marker). On restart
+    the batch re-executes — the sink must skip it via the txn
+    high-water mark: no doubled rows, no new table version beyond the
+    re-run's no-op."""
+    src = str(tmp_path / "in")
+    tpath = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    t = TxnTable(spark, tpath)
+    t.create(spark.createDataFrame([], DDL))
+    _feed(src, [(1, 1.0, "x"), (2, 2.0, "y")])
+    _stream(spark, src, tpath, ckpt, txn_app_id="ing")
+    n1 = len(_state(t))
+    v1 = t.latest_version()
+    commits = os.path.join(ckpt, "commits")
+    latest = sorted(os.listdir(commits),
+                    key=lambda n: int(n) if n.isdigit() else -1)[-1]
+    os.remove(os.path.join(commits, latest))   # crash before ckpt commit
+    try:
+        os.remove(os.path.join(commits, f".{latest}.crc"))
+    except OSError:
+        pass
+    _stream(spark, src, tpath, ckpt, txn_app_id="ing")  # replays batch
+    assert len(_state(t)) == n1                # skipped, not doubled
+    assert t.latest_version() == v1            # and published nothing
+
+
+def test_check_constraints_enforced_at_commit(spark, tmp_path):
+    """CHECK semantics through the sink's DuckDB evaluation: violating
+    batch fails the query and publishes nothing; NULL passes (ANSI)."""
+    src = str(tmp_path / "in")
+    tpath = str(tmp_path / "t")
+    t = TxnTable(spark, tpath)
+    t.create(spark.createDataFrame([], DDL))
+    t.add_check_constraint("v_pos", "v >= 0")
+    _feed(src, [(1, -5.0, "bad"), (2, 2.0, "ok")])
+    with pytest.raises(Exception) as ei:
+        _stream(spark, src, tpath, str(tmp_path / "c1"))
+    assert "v_pos" in str(ei.value)
+    assert t.snapshot().count() == 0
+    # NULL passes, valid rows land
+    src2 = str(tmp_path / "in2")
+    _feed(src2, [(3, None, "n"), (4, 4.0, "ok")])
+    _stream(spark, src2, tpath, str(tmp_path / "c2"))
+    assert t.snapshot().count() == 2
+
+
+def test_schema_mode_merge_widens_mid_stream(spark, tmp_path):
+    """schemaMode=merge: a stream carrying a NEW column widens the
+    table inside the sink's commit; pre-stream rows read NULL."""
+    tpath = str(tmp_path / "t")
+    t = TxnTable(spark, tpath)
+    t.create(spark.createDataFrame([(0, 0.0, "seed")], DDL))
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "f0.jsonl"), "w") as f:
+        f.write(json.dumps({"id": 1, "v": 1.0, "tag": "s",
+                            "region": "eu"}) + "\n")
+    df = (spark.readStream.schema(DDL + ", region string")
+          .json(src))
+    q = (write_stream_txlog(df, tpath, str(tmp_path / "ck"),
+                            schema_mode="merge")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = t.snapshot()
+    assert got.columns == ["id", "v", "tag", "region"]
+    rows = {r["id"]: r["region"] for r in got.collect()}
+    assert rows[0] is None and rows[1] == "eu"
+
+
+def test_streamed_files_carry_pruning_stats(spark, tmp_path):
+    """Executor-written files harvest footer stats like batch-staged
+    ones: a narrow scan prunes streamed files by log metadata alone."""
+    src = str(tmp_path / "in")
+    tpath = str(tmp_path / "t")
+    t = TxnTable(spark, tpath)
+    t.create(spark.createDataFrame([], DDL))
+    for lo in (0, 100, 200, 300):
+        _feed(src, [(lo + i, float(i), "s") for i in range(10)])
+    df = (spark.readStream.schema(DDL)
+          .option("maxFilesPerTrigger", "1").json(src))
+    q = (write_stream_txlog(df, tpath, str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert t.snapshot().count() == 40
+    kept, total = t.scan_file_count("id", 100, 105)
+    assert total >= 4 and kept < total
+
+
+def test_sink_on_column_mapped_table_writes_physical(spark, tmp_path):
+    """A renamed table streams correctly: files spell the PHYSICAL
+    name, reads alias back to the logical one."""
+    src = str(tmp_path / "in")
+    tpath = str(tmp_path / "t")
+    t = TxnTable(spark, tpath)
+    t.create(spark.createDataFrame([(0, 0.0, "seed")],
+                                   "id bigint, v double, label string"))
+    t.rename_column("label", "tag")     # logical tag -> physical label
+    _feed(src, [(1, 1.0, "streamed")])
+    _stream(spark, src, tpath, str(tmp_path / "ck"))
+    rows = {r["id"]: r["tag"] for r in t.snapshot().collect()}
+    assert rows == {0: "seed", 1: "streamed"}
