@@ -102,3 +102,43 @@ def test_scoring_plan_is_shuffle_free(spark, model):
         scored.explain("formatted")
     plan = buf.getvalue()
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+
+def test_weak_labels_match_window_percent_rank(spark):
+    """VERDICT r9 #3: the distributed two-pass rank must produce
+    EXACTLY the labels of the reference percent-rank form (window over
+    (heur_score, doc_id)) — including at band boundaries — and its
+    plan must contain no single-partition exchange."""
+    from pyspark.sql import Window
+
+    (docs,) = load(spark, SF_DIR, "documents")
+    got = Q.weak_labels(docs, band=0.3)
+    # reference: the window form (test-only; the source guard bans it
+    # from the package, not from tests)
+    h = Q.heuristic_quality(docs)
+    w = Window.orderBy("heur_score", "doc_id")
+    ref = (h.withColumn("pr", F.percent_rank().over(w))
+           .where((F.col("pr") >= 0.7) | (F.col("pr") <= 0.3))
+           .select("doc_id",
+                   (F.col("pr") >= 0.7).cast("double").alias("label")))
+    got_map = {r["doc_id"]: r["label"] for r in got.collect()}
+    ref_map = {r["doc_id"]: r["label"] for r in ref.collect()}
+    assert got_map == ref_map
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "coalesce(1" not in plan.lower()
+
+
+def test_weak_labels_stride_and_tiny_inputs(spark):
+    """Stride subsampling composes with the distributed rank; 0/1/2-row
+    inputs neither divide by zero nor mis-rank."""
+    rows = [(i, f"w{i} " * (i + 1)) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lab = Q.weak_labels(docs, band=0.5, stride=2)
+    ids = {r["doc_id"] for r in lab.collect()}
+    assert ids <= {0, 2, 4, 6, 8}       # only the stride sample
+    one = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = Q.weak_labels(one, band=0.3).collect()
+    assert len(out) == 1                # pr = 0 <= band
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert Q.weak_labels(empty, band=0.3).count() == 0
