@@ -283,48 +283,41 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "txn_scd")
 
         # --- streaming ingest -> ACID, end to end (r9) --------------------
-        # The queue's produce() is the BROKER stand-in (a leader
-        # serializes the same way); the collect here feeds it the CDC
-        # slice only (~7% of events), bounded like the other driver
-        # literals. Everything Spark-side — stream read, deserialize,
+        # Production is PARTITION-PARALLEL (r10, VERDICT r9 #6): the
+        # CDC slice serializes to keyed JSON entirely JVM-side
+        # (to_json over a struct; nulls drop, parse reads them back
+        # null) and produce_distributed writes each queue partition's
+        # segment from an executor task through the audit-sink 2PC
+        # shape — no corpus-proportional collect anywhere in the
+        # variant. Everything downstream — stream read, deserialize,
         # last-event reduction, MERGE — is the engine under test.
-        import json as _json
-
         from aws_payment_data_lake_spark.sources.queue_source import (
-            produce,
+            produce_distributed,
             stream_queue,
         )
         from aws_payment_data_lake_spark.streaming.cdc import (
             cdc_foreach_batch,
         )
 
-        cdc_rows = (ev.where((mod % 30 == 1) | (mod % 30 == 2))
-                    .select("event_id", "user_id", "event_type",
-                            "value", "ts")
-                    .orderBy("event_id").collect())
-
-        import datetime as _dt
-
-        def _rec(r, op, src=None):
-            ts = r["ts"]
-            if ts is not None:          # session-UTC naive -> micros
-                ts = int(ts.replace(tzinfo=_dt.timezone.utc)
-                         .timestamp() * 1_000_000)
-            val = {"event_id": r["event_id"], "user_id": r["user_id"],
-                   "event_type": r["event_type"], "value": r["value"],
-                   "ts_us": ts, "_op": op}
+        def _cdc_frame(pred, op, src=None):
+            fields = [F.col("event_id"), F.col("user_id"),
+                      F.col("event_type"), F.col("value"),
+                      F.unix_micros("ts").alias("ts_us"),
+                      F.lit(op).alias("_op")]
             if src is not None:
-                val["src"] = src
-            return {"key": str(r["event_id"]),
-                    "value": _json.dumps(val)}
+                fields.append(F.lit(src).alias("src"))
+            return (ev.where(pred)
+                    .select(F.col("event_id").cast("string")
+                            .alias("key"),
+                            F.to_json(F.struct(*fields))
+                            .alias("value")))
 
         # PHASE 1 — the narrow contract: upserts for the % 30 == 1
         # slice, applied by a checkpointed stream with the narrow ddl
         qdir = os.path.join(tmp, "queue")
         ckpt = os.path.join(tmp, "ckpt")
-        produce(qdir, "cdc_events",
-                [_rec(r, "u") for r in cdc_rows
-                 if r["event_id"] % 30 == 1])
+        produce_distributed(_cdc_frame(mod % 30 == 1, "u"),
+                            qdir, "cdc_events")
         cdc_ddl = ("event_id bigint, user_id bigint, "
                    "event_type string, value double, ts_us bigint")
         t_cdc = TxnTable(spark, os.path.join(tmp, "t_cdc"))
@@ -347,11 +340,10 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Phase-1 rows read NULL for it; the % 60 == 31 deletes (their
         # records predate the column) still land through the same
         # merge.
-        produce(qdir, "cdc_events",
-                [_rec(r, "u", src="cdc2") for r in cdc_rows
-                 if r["event_id"] % 30 == 2]
-                + [_rec(r, "d") for r in cdc_rows
-                   if r["event_id"] % 60 == 31])
+        produce_distributed(
+            _cdc_frame(mod % 30 == 2, "u", src="cdc2")
+            .unionByName(_cdc_frame(mod % 60 == 31, "d")),
+            qdir, "cdc_events")
         q = (stream_queue(spark, qdir, "cdc_events")
              .writeStream
              .foreachBatch(cdc_foreach_batch(

@@ -255,6 +255,100 @@ def produce(queue_dir: str, topic: str, records: list[dict],
     return out
 
 
+def produce_distributed(df, queue_dir: str, topic: str,
+                        num_partitions: int = 4) -> dict[int, int]:
+    """Partition-parallel producer (VERDICT r9 #6): publish a
+    DataFrame of keyed records into the queue WITHOUT collecting them
+    to the driver — the broker stand-in itself now scales with the
+    slice. ``df`` columns: ``key`` (string, required non-null — CDC
+    records are keyed by contract), ``value`` (string).
+
+    Shape = the audit sink's 2PC:
+
+      * the driver reads each queue partition's next offset ONCE
+        (single-producer-per-topic contract, same as ``produce``);
+      * executors — one task per queue partition, via the same md5
+        keyed routing computed JVM-side — write their partition's
+        segment CONTENT (final offsets, deterministic key order) to a
+        hidden staged name and return (qpart, staged, n) through
+        ``mapInPandas`` (no RDD API, no row UDFs);
+      * the driver COMMITS by renaming exactly the staged files the
+        successful attempt reported — a retried task's abandoned
+        stage is invisible to readers (dot-file) and swept here.
+
+    A crash between per-partition renames leaves a prefix committed;
+    re-producing may then duplicate those rows — the same posture as
+    ``produce`` (the CDC apply is last-event-per-key, so replays
+    converge). Returns {partition: records_published}."""
+    import pyspark.sql.functions as F
+
+    base: dict[int, int] = {}
+    for p in range(num_partitions):
+        base[p] = _offset_bounds(_tp_dir(queue_dir, topic, p))[1]
+
+    qpart = (F.conv(F.substring(F.md5("key"), 1, 15), 16, 10)
+             .cast("long") % num_partitions).cast("int")
+    routed = (df.select(qpart.alias("qpart"),
+                        F.col("key").cast("string").alias("key"),
+                        F.col("value").cast("string").alias("value"))
+              .repartition(num_partitions, "qpart"))
+
+    qdir, tpc, bases, epoch = queue_dir, topic, dict(base), _EPOCH_2024_MS
+
+    def _write(batches):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = _pd.concat(parts, ignore_index=True)
+        if pdf.empty:
+            return
+        if pdf["key"].isna().any():
+            raise ValueError("produce_distributed requires non-null "
+                             "keys (keyed CDC contract)")
+        for p, grp in pdf.groupby("qpart", sort=True):
+            grp = grp.sort_values("key", kind="mergesort")
+            tp = _tp_dir(qdir, tpc, int(p))
+            _os.makedirs(tp, exist_ok=True)
+            nxt = bases[int(p)]
+            lines = []
+            for j, (k, v) in enumerate(zip(grp["key"], grp["value"])):
+                lines.append(_json.dumps({
+                    "o": nxt + j, "t": epoch + nxt + j,
+                    "k": _b64(k), "v": _b64(v)}))
+            staged = _os.path.join(tp, f".staged-{_uuid.uuid4().hex}")
+            with open(staged, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            yield _pd.DataFrame({"qpart": [int(p)],
+                                 "n": [len(lines)],
+                                 "staged": [staged]})
+
+    staged = (routed.mapInPandas(
+        _write, schema="qpart int, n long, staged string").collect())
+    out: dict[int, int] = {}
+    for r in staged:
+        p, n = int(r["qpart"]), int(r["n"])
+        final = os.path.join(_tp_dir(queue_dir, topic, p),
+                             f"{base[p]:020d}-{n:08d}.jsonl")
+        os.replace(r["staged"], final)      # the commit point
+        out[p] = n
+    for p in range(num_partitions):         # sweep abandoned stages
+        tp = _tp_dir(queue_dir, topic, p)
+        if os.path.isdir(tp):
+            for name in os.listdir(tp):
+                if name.startswith(".staged-"):
+                    try:
+                        os.remove(os.path.join(tp, name))
+                    except OSError:
+                        pass
+    return out
+
+
 def compact_topic(queue_dir: str, topic: str) -> dict[str, int]:
     """Kafka log compaction: within each partition, keep only the
     LATEST record per key (keyless records are kept — they have no

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from aws_payment_data_lake_spark.sources.queue_source import (
     parse_json_values,
     produce,
@@ -370,3 +372,68 @@ def test_rate_limited_restart_resumes_exactly_once(spark, tmp_path):
     assert got.count() == 60                       # no loss
     assert _values(got) == sorted(f"msg-{i}" for i in range(60))
     assert got.select("partition", "offset").distinct().count() == 60
+
+
+def test_produce_distributed_matches_serial_producer(spark, tmp_path):
+    """VERDICT r9 #6: the partition-parallel producer routes keys to
+    the SAME partitions as the serial broker stand-in (md5 contract,
+    computed JVM-side), publishes contiguous offsets, continues them
+    across calls, and leaves no staged litter."""
+    import base64
+    import json as _json
+
+    from aws_payment_data_lake_spark.sources.queue_source import (
+        _segments,
+        _tp_dir,
+        produce,
+        produce_distributed,
+    )
+
+    recs = [{"key": str(i), "value": f"v{i}"} for i in range(60)]
+    q_serial = str(tmp_path / "qs")
+    q_dist = str(tmp_path / "qd")
+    produce(q_serial, "t", recs, num_partitions=4)
+    df = spark.createDataFrame([(r["key"], r["value"]) for r in recs],
+                               "key string, value string")
+    out = produce_distributed(df, q_dist, "t", num_partitions=4)
+    assert sum(out.values()) == 60
+
+    def _read(qdir, p):
+        rows = []
+        for _, _, path in _segments(_tp_dir(qdir, "t", p)):
+            with open(path) as f:
+                for line in f:
+                    r = _json.loads(line)
+                    rows.append((base64.b64decode(r["k"]).decode(),
+                                 base64.b64decode(r["v"]).decode(),
+                                 r["o"]))
+        return rows
+
+    for p in range(4):
+        s = _read(q_serial, p)
+        d = _read(q_dist, p)
+        assert sorted((k, v) for k, v, _ in s) \
+            == sorted((k, v) for k, v, _ in d), f"partition {p} content"
+        offs = [o for _, _, o in d]
+        assert offs == list(range(len(offs))), f"partition {p} offsets"
+    # second call continues offsets per partition
+    produce_distributed(df, q_dist, "t", num_partitions=4)
+    for p in range(4):
+        offs = [o for _, _, o in _read(q_dist, p)]
+        assert offs == list(range(len(offs)))
+    # no staged litter anywhere
+    import os as _os
+    for p in range(4):
+        tp = _tp_dir(q_dist, "t", p)
+        assert not [n for n in _os.listdir(tp)
+                    if n.startswith(".staged-")]
+
+
+def test_produce_distributed_rejects_null_keys(spark, tmp_path):
+    from aws_payment_data_lake_spark.sources.queue_source import (
+        produce_distributed,
+    )
+
+    df = spark.createDataFrame([(None, "v")], "key string, value string")
+    with pytest.raises(Exception, match="non-null"):
+        produce_distributed(df, str(tmp_path / "q"), "t")
