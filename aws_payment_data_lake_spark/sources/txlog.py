@@ -150,6 +150,12 @@ class Snapshot:
     # never resurrect dropped data from old files.
     column_mapping: dict[str, str] = field(default_factory=dict)
     dropped_physical: list[str] = field(default_factory=list)
+    # generated columns (Delta's GENERATED ALWAYS AS, round 10):
+    # column -> SQL expression over the other columns. Write paths
+    # DERIVE the column when the incoming frame lacks it; when the
+    # frame supplies it, the auto-registered __gen_<col> CHECK
+    # constraint enforces value==expression. Full-map replace.
+    generated: dict[str, str] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType | None:
@@ -316,7 +322,8 @@ class TxnTable:
                             {k: int(n) for k, n
                              in meta.get("dv_dead", {}).items()},
                             dict(meta.get("column_mapping", {})),
-                            list(meta.get("dropped_physical", [])))
+                            list(meta.get("dropped_physical", [])),
+                            dict(meta.get("generated", {})))
         except (OSError, KeyError, ValueError):
             return None   # corrupt/missing checkpoint -> full replay
 
@@ -347,6 +354,8 @@ class TxnTable:
                 snap.column_mapping = dict(c["column_mapping"])
             if "dropped_physical" in c:
                 snap.dropped_physical = list(c["dropped_physical"])
+            if "generated" in c:          # full-map replace semantics
+                snap.generated = dict(c["generated"])
             for rp in c.get("remove", []):
                 snap.live.pop(rp, None)
                 snap.dvs.pop(rp, None)       # rewrite materializes DVs
@@ -412,7 +421,8 @@ class TxnTable:
                            "dvs": snap.dvs,
                            "dv_dead": snap.dv_dead,
                            "column_mapping": snap.column_mapping,
-                           "dropped_physical": snap.dropped_physical})
+                           "dropped_physical": snap.dropped_physical,
+                           "generated": snap.generated})
         t = t.replace_schema_metadata({b"txlog": meta.encode()})
         ck = self._ckpt_path(snap.version)
         pq.write_table(t, ck + ".tmp")
@@ -716,17 +726,71 @@ class TxnTable:
                 self._maybe_checkpoint(v)
                 return v
 
+    @staticmethod
+    def _derive_generated(df: DataFrame,
+                          generated: dict[str, str]) -> DataFrame:
+        """Compute missing GENERATED ALWAYS AS columns on a write's
+        input; supplied ones pass through (the auto-registered
+        __gen_<col> CHECK enforces value==expression)."""
+        for c, e in sorted(generated.items()):
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(e))
+        return df
+
+    @staticmethod
+    def _auto_constraints(generated: dict[str, str],
+                          not_null: list[str]) -> dict[str, str]:
+        """Column-level invariants as ordinary CHECK constraints —
+        one enforcement path for every writer, including the native
+        streaming sink's DuckDB evaluation (expressions kept
+        engine-portable: no null-safe-equality operator)."""
+        cons = {f"__nn_{c}": f"{c} IS NOT NULL" for c in not_null}
+        for c, e in generated.items():
+            # coalesce, not OR: a NULL supplied value against a
+            # non-NULL expression must read FALSE (violation), and a
+            # bare `(NULL = e) OR ...` reads NULL, which CHECK
+            # semantics would wave through
+            cons[f"__gen_{c}"] = (f"coalesce(({c} = ({e})), "
+                                  f"({c} IS NULL AND ({e}) IS NULL))")
+        return cons
+
     def create(self, df: DataFrame,
                partition_by: list[str] | None = None,
-               partition_files: int | None = None) -> "TxnTable":
+               partition_files: int | None = None,
+               generated: dict[str, str] | None = None,
+               not_null: list[str] | None = None) -> "TxnTable":
+        """Create the table from ``df``. ``generated`` declares
+        Delta-style GENERATED ALWAYS AS columns ({col: sql_expr} over
+        the other columns — derived on every write that omits them, so
+        e.g. the medallion partition date can live inside the format);
+        ``not_null`` declares NOT NULL columns. Both enforce through
+        auto-registered CHECK constraints (__gen_/__nn_ prefixes) on
+        every write path."""
         if self.exists():
             raise FileExistsError(f"txlog table already at {self.path}")
+        generated = dict(generated or {})
+        not_null = list(not_null or [])
+        if generated:
+            df = self._derive_generated(df, generated)
+        cons = self._auto_constraints(generated, not_null)
+        bad = sorted((set(generated) | set(not_null))
+                     - {f.name for f in df.schema.fields})
+        if bad:
+            raise ValueError(
+                f"generated/NOT NULL column(s) {bad} not in the "
+                f"schema {[f.name for f in df.schema.fields]}")
+        if cons:
+            self._enforce(df, cons)
         adds = self._stage(df, partition_by,
                            partition_files=partition_files)
         commit = {"op": "create", "ts": time.time(),
                   "schema_json": df.schema.json(),
                   "partition_by": partition_by or [],
                   "add": [a.to_json() for a in adds], "remove": []}
+        if cons:
+            commit["constraints"] = cons
+        if generated:
+            commit["generated"] = generated
         if not self._try_publish(0, commit):
             raise FileExistsError(
                 f"concurrent create at {self.path}; staged files "
@@ -821,6 +885,8 @@ class TxnTable:
         if (txn_app is not None
                 and snap.txns.get(txn_app, -1) >= (txn_batch or 0)):
             return None
+        if snap.generated:
+            df = self._derive_generated(df, snap.generated)
         evolved = self._check_schema(df, snap, schema_mode)
         validated = dict(snap.constraints)
         self._enforce(df, validated)
@@ -861,7 +927,10 @@ class TxnTable:
         """Replace the table content (and, if different, the schema).
         Last-writer-wins under concurrency: losing the version race
         recomputes the removes against the new head and retries."""
-        validated = dict(self._replay().constraints)
+        pre = self._replay()
+        if pre.generated:
+            df = self._derive_generated(df, pre.generated)
+        validated = dict(pre.constraints)
         self._enforce(df, validated)
         adds = self._stage(df, partition_by)
         while True:
@@ -1274,6 +1343,8 @@ class TxnTable:
         without the escape, autoMerge would widen the table with the
         flag column itself."""
         snap = self._replay()
+        if snap.generated:              # derive absent generated cols
+            source = self._derive_generated(source, snap.generated)
         source = source.localCheckpoint(eager=True)  # pin: read twice
         src_rows = source.count()
         eff_src = source.drop(*helper_cols) if helper_cols else source
@@ -1461,6 +1532,8 @@ class TxnTable:
         snap = self._replay()
         if snap.schema is None:
             raise FileNotFoundError(f"no txlog table at {self.path}")
+        if snap.generated:              # derive absent generated cols
+            source = self._derive_generated(source, snap.generated)
         tcols = [f.name for f in snap.schema.fields]
         types = {f.name: f.dataType for f in snap.schema.fields}
         star = any(cl.get("action") in ("update_star", "insert_star")

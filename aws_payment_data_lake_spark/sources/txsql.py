@@ -19,7 +19,9 @@ Grammar subset (case-insensitive keywords):
                   -- CDF; end bounds the version range, true adds
                   -- _change_type + DV delete pre-image events
   CREATE TABLE t USING txlog [PARTITIONED BY (c,..)] AS <select>
-  CREATE TABLE t (c type, ...) USING txlog [PARTITIONED BY (c,..)]
+  CREATE TABLE t (c type [NOT NULL]
+                  [GENERATED ALWAYS AS (expr)], ...) USING txlog
+      [PARTITIONED BY (c,..)]        -- partition col may be generated
   CONVERT TO TXLOG t                -- adopt existing parquet, zero copy
   INSERT INTO t [(c, ...)] <select> | VALUES (v, ...) [, ...]
   INSERT OVERWRITE t <select>
@@ -471,20 +473,44 @@ class LakehouseCatalog:
             t.create(df, partition_by=pby)
             return self._metrics("create",
                                  {"version": t.latest_version()})
-        # empty table with an explicit schema (Delta's plain DDL form)
+        # empty table with an explicit schema (Delta's plain DDL form),
+        # incl. column-level NOT NULL and GENERATED ALWAYS AS (expr)
+        # (round 10 — the medallion partition date can derive inside
+        # the format instead of in every writer)
         m = re.match(
-            rf"CREATE\s+TABLE\s+({_IDENT})\s*\(([^)]*)\)\s*"
+            rf"CREATE\s+TABLE\s+({_IDENT})\s*\((.*)\)\s*"
             rf"USING\s+txlog\s*"
             rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?$",
             s, re.IGNORECASE | re.DOTALL)
         if m:
             tname, cols, parts = m.groups()
             t = self.table(tname)
-            ddl = ", ".join(p.strip() for p in self._split_top(cols))
+            not_null: list[str] = []
+            generated: dict[str, str] = {}
+            col_ddls: list[str] = []
+            for p in self._split_top(cols):
+                p = p.strip()
+                gm = re.match(r"(.*?)\s+GENERATED\s+ALWAYS\s+AS\s*"
+                              r"\((.*)\)\s*$",
+                              p, re.IGNORECASE | re.DOTALL)
+                gexpr = None
+                if gm:
+                    p, gexpr = gm.group(1).strip(), gm.group(2).strip()
+                nn = re.search(r"\s+NOT\s+NULL\s*$", p, re.IGNORECASE)
+                if nn:
+                    p = p[:nn.start()].strip()
+                name = p.split(None, 1)[0]
+                if gexpr is not None:
+                    generated[name] = gexpr
+                if nn:
+                    not_null.append(name)
+                col_ddls.append(p)
             pby = ([c.strip() for c in parts.split(",")]
                    if parts else None)
-            t.create(self.spark.createDataFrame([], ddl),
-                     partition_by=pby)
+            t.create(self.spark.createDataFrame([], ", ".join(col_ddls)),
+                     partition_by=pby,
+                     generated=generated or None,
+                     not_null=not_null or None)
             return self._metrics("create", {"version": 0})
         raise ValueError(f"unsupported CREATE TABLE shape: {s[:120]}")
 
@@ -535,7 +561,9 @@ class LakehouseCatalog:
         tcols = [f.name for f in fields]
         if collist:
             # column-targeted: named slots fill in statement order,
-            # unnamed table columns fill NULL (the ANSI rule)
+            # unnamed table columns fill NULL (the ANSI rule) — except
+            # GENERATED columns, which are left ABSENT so the write
+            # path derives them (NULL-filling would defeat derivation)
             named = [c.strip() for c in collist.split(",")]
             bad = sorted(set(named) - set(tcols))
             if bad:
@@ -546,11 +574,13 @@ class LakehouseCatalog:
                 raise ValueError(
                     f"INSERT INTO {tname}: {len(df.columns)} values "
                     f"for {len(named)} named columns")
+            gen = set(t._replay().generated)
             df = df.toDF(*named)
             from pyspark.sql import functions as F
             df = df.select(*[
                 (F.col(c) if c in named else F.lit(None))
-                .cast(types[c]).alias(c) for c in tcols])
+                .cast(types[c]).alias(c) for c in tcols
+                if c in named or c not in gen])
         else:
             # POSITIONAL: align the select list to the table schema by
             # position, casting each slot to the target column type
