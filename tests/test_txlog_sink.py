@@ -173,3 +173,63 @@ def test_sink_on_column_mapped_table_writes_physical(spark, tmp_path):
     _stream(spark, src, tpath, str(tmp_path / "ck"))
     rows = {r["id"]: r["tag"] for r in t.snapshot().collect()}
     assert rows == {0: "seed", 1: "streamed"}
+
+
+def test_sink_handles_array_and_nested_types(spark, tmp_path):
+    """Embedding-style columns survive the executor-side pyarrow
+    write: array<double> and struct round-trip through the sink with
+    values intact (the 100 TB training-data case — vectors stream into
+    the lakehouse)."""
+    ddl = ("id bigint, emb array<double>, "
+           "meta struct<lang:string,score:double>")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "f.jsonl"), "w") as f:
+        f.write(json.dumps({"id": 1, "emb": [0.1, 0.2, 0.3],
+                            "meta": {"lang": "en", "score": 0.9}})
+                + "\n")
+        f.write(json.dumps({"id": 2, "emb": None,
+                            "meta": None}) + "\n")
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([], ddl))
+    df = spark.readStream.schema(ddl).json(src)
+    q = (write_stream_txlog(df, t.path, str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["id"]: r for r in t.snapshot().collect()}
+    assert list(rows[1]["emb"]) == [0.1, 0.2, 0.3]
+    assert rows[1]["meta"]["lang"] == "en"
+    assert rows[2]["emb"] is None and rows[2]["meta"] is None
+
+
+def test_sink_timestamp_roundtrip_matches_batch(spark, tmp_path):
+    """TIMESTAMP columns through the executor-side pyarrow write land
+    as the SAME instants a batch append produces (UTC-adjusted micros,
+    naive session-UTC values — the footer-stats canonicalization and
+    the pinned-schema read agree across both writers)."""
+    ddl = "id bigint, ts timestamp"
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "f.jsonl"), "w") as f:
+        f.write(json.dumps({"id": 1,
+                            "ts": "2024-03-01T10:30:00.123456"}) + "\n")
+        f.write(json.dumps({"id": 2, "ts": None}) + "\n")
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([], ddl))
+    df = spark.readStream.schema(ddl).json(src)
+    q = (write_stream_txlog(df, t.path, str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    tb = TxnTable(spark, str(tmp_path / "tb"))
+    tb.create(spark.createDataFrame([], ddl))
+    tb.append(spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS id, "
+        "timestamp'2024-03-01 10:30:00.123456' AS ts "
+        "UNION ALL SELECT 2, CAST(NULL AS TIMESTAMP)"))
+    got = sorted((r["id"], r["ts"]) for r in t.snapshot().collect())
+    want = sorted((r["id"], r["ts"]) for r in tb.snapshot().collect())
+    assert got == want
+    # and the streamed file's ts stats prune (canonical naive-UTC ISO)
+    streamed = [a for a in t._replay().live.values() if a.rows > 0]
+    stats = streamed[0].stats
+    assert "ts" in stats and stats["ts"][0].startswith("2024-03-01T")
