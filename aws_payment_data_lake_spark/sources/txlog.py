@@ -475,15 +475,32 @@ class TxnTable:
             adds.append(AddFile(rel, nrows, os.path.getsize(local), stats))
         return adds
 
+    # safe widenings the parquet vectorized reader performs at scan
+    # time (probed on Spark 4.1: a narrower file column reads cleanly
+    # under the wider pinned schema) — Delta's "type widening" set for
+    # integral/floating types. Keys widen to any member of their set.
+    _WIDENS_TO = {
+        "tinyint": {"smallint", "int", "bigint"},
+        "smallint": {"int", "bigint"},
+        "int": {"bigint"},
+        "float": {"double"},
+    }
+
     def _check_schema(self, df: DataFrame, snap: Snapshot,
                       schema_mode: str = "strict") -> str | None:
         """Validate ``df`` against the table schema. strict: exact
-        name->type equality. merge: common columns must type-match
-        exactly (no silent widening); NEW columns extend the table
-        schema (old files read as NULL for them — parquet fills
+        name->type equality. merge (autoMerge): NEW columns extend the
+        table schema (old files read as NULL for them — parquet fills
         missing columns); columns absent from ``df`` stay in the
-        schema (the new file reads as NULL for them). Returns the
-        updated schema JSON when the table schema grew, else None."""
+        schema (the new file reads as NULL for them); common columns
+        must type-match OR differ by a SAFE WIDENING (_WIDENS_TO —
+        int->bigint, float->double, ...): a frame WIDER than the table
+        widens the table schema (old narrow files upcast at scan, no
+        rewrite — Delta's type widening), a frame NARROWER than the
+        table stages as-is and upcasts under the pinned read. Anything
+        else (string->int, double->float, ...) still fails loudly.
+        Returns the updated schema JSON when the table schema changed,
+        else None."""
         cur = snap.schema
         if cur is None:
             return None
@@ -497,16 +514,26 @@ class TxnTable:
                 f"{sorted(want.items())}, frame has {sorted(got.items())}; "
                 "pass schema_mode='merge' to evolve (new columns) or "
                 "overwrite() to replace the schema")
-        clash = {c: (want[c], got[c]) for c in want.keys() & got.keys()
-                 if want[c] != got[c]}
+        widen: dict[str, Any] = {}      # col -> wider frame DataType
+        clash: dict[str, tuple[str, str]] = {}
+        dft = {f.name: f.dataType for f in df.schema.fields}
+        for c in want.keys() & got.keys():
+            if want[c] == got[c]:
+                continue
+            if got[c] in self._WIDENS_TO.get(want[c], ()):
+                widen[c] = dft[c]       # table widens to the frame's
+            elif want[c] in self._WIDENS_TO.get(got[c], ()):
+                pass                    # narrower frame: upcast at scan
+            else:
+                clash[c] = (want[c], got[c])
         if clash:
             raise ValueError(
                 f"schema merge rejected for {self.path}: column types "
-                f"differ {clash} — changing a column's type needs "
-                "overwrite()")
+                f"differ {clash} (not a safe widening) — changing a "
+                "column's type needs overwrite()")
         new_fields = [f for f in df.schema.fields if f.name not in want]
-        if not new_fields:
-            return None                 # df is a column subset: fine
+        if not new_fields and not widen:
+            return None                 # subset / narrower frame: fine
         taken_physical = ({snap.phys(f.name) for f in cur.fields}
                           | set(snap.dropped_physical))
         bad = [f.name for f in new_fields if f.name in taken_physical]
@@ -516,7 +543,10 @@ class TxnTable:
                 f"{bad} collide with a retired or mapped PHYSICAL "
                 "column name — use add_columns(), which assigns a "
                 "fresh physical id via the column mapping")
-        merged = StructType(list(cur.fields) + new_fields)
+        kept = [StructField(f.name, widen.get(f.name, f.dataType),
+                            f.nullable) if f.name in widen else f
+                for f in cur.fields]
+        merged = StructType(kept + new_fields)
         return merged.json()
 
     def _enforce(self, df: DataFrame,
@@ -1544,12 +1574,13 @@ class TxnTable:
         if schema_mode == "merge" and star:
             evolved = self._check_schema(source, snap, "merge")
             if evolved:
-                new_fields = [
-                    f for f in
-                    StructType.fromJson(json.loads(evolved)).fields
-                    if f.name not in set(tcols)]
-                tcols += [f.name for f in new_fields]
-                types.update({f.name: f.dataType for f in new_fields})
+                allf = StructType.fromJson(json.loads(evolved)).fields
+                new_fields = [f for f in allf
+                              if f.name not in set(tcols)]
+                tcols = [f.name for f in allf]
+                # widened common columns (int->bigint etc.) must cast
+                # UP to the merged type, so types comes from the union
+                types = {f.name: f.dataType for f in allf}
         for cl in matched + not_matched + nmbs:
             bad = sorted(set(cl.get("set") or {}) - set(tcols))
             if bad:

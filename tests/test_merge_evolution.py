@@ -253,3 +253,89 @@ def test_interop_reader_replays_evolved_merge(spark, tmp_path):
         assert [n for n, _ in st.fields] == ours_cols, f"v{v} columns"
         theirs = sorted(tuple(r) for r in reader.snapshot_rows(v))
         assert theirs == ours, f"v{v} rows"
+
+
+# ------------------------------------------------- type widening (r10)
+
+
+def test_append_type_widening_int_to_bigint(spark, tmp_path):
+    """Delta-style type widening under autoMerge: a frame whose column
+    is a SAFE widening of the table's (int->bigint, float->double)
+    widens the table schema metadata-only — the old narrow files
+    upcast at scan (probed: Spark 4.1's vectorized parquet reader
+    reads int32 under a bigint pinned schema), no rewrite."""
+    import os
+
+    t = _mk(spark, tmp_path)
+    t.create(spark.createDataFrame([(1, 1.5)], "id int, v float"))
+    before = {p: os.path.getmtime(os.path.join(t.path, p))
+              for p in t._replay().live}
+    t.append(spark.createDataFrame([(2 ** 40, 2.5)],
+                                   "id bigint, v double"),
+             schema_mode="merge")
+    snap = t._replay()
+    assert [f.dataType.simpleString() for f in snap.schema.fields] \
+        == ["bigint", "double"]
+    for p, mt in before.items():        # narrow files untouched
+        assert os.path.getmtime(os.path.join(t.path, p)) == mt
+    rows = dict(_rows(t))
+    assert rows[1] == (1.5,) and rows[2 ** 40] == (2.5,)
+
+
+def test_append_narrower_frame_upcasts_at_scan(spark, tmp_path):
+    """The mirror case: a NARROWER frame (int into a bigint table)
+    stages as-is in merge mode; the pinned wide read upcasts it."""
+    t = _mk(spark, tmp_path)
+    t.create(spark.createDataFrame([(2 ** 40, 1.0)],
+                                   "id bigint, v double"))
+    t.append(spark.createDataFrame([(7, 2.0)], "id int, v double"),
+             schema_mode="merge")
+    snap = t._replay()
+    assert snap.schema.fields[0].dataType.simpleString() == "bigint"
+    rows = dict(_rows(t))
+    assert rows[7] == (2.0,) and rows[2 ** 40] == (1.0,)
+    # strict mode still rejects the very same frame
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.createDataFrame([(8, 3.0)], "id int, v double"))
+
+
+def test_merge_clauses_widening_casts_up_not_down(spark, tmp_path):
+    """A star merge whose source widened a column must cast target
+    values UP to the union type — values past the old type's range
+    survive (a down-cast would throw under ANSI)."""
+    t = _mk(spark, tmp_path)
+    t.create(spark.createDataFrame([(1, 10), (2, 20)],
+                                   "id int, v int"))
+    src = spark.createDataFrame([(2, 2 ** 50), (3, 30)],
+                                "id int, v bigint")
+    t.merge_clauses(
+        src, on=["id"],
+        matched=[{"cond": None, "action": "update_star", "set": None}],
+        not_matched=[{"cond": None, "action": "insert_star",
+                      "set": None}],
+        schema_mode="merge")
+    snap = t._replay()
+    assert snap.schema.fields[1].dataType.simpleString() == "bigint"
+    rows = dict(_rows(t))
+    assert rows == {1: (10,), 2: (2 ** 50,), 3: (30,)}
+
+
+def test_unsafe_type_change_still_rejected(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    # a FLOAT frame into a double table is the legal narrower-frame
+    # path (float32 file upcasts under the double pinned read)
+    t.append(spark.createDataFrame([(7, 1.5)], "id long, v float"),
+             schema_mode="merge")
+    assert t._replay().schema.fields[1].dataType.simpleString() \
+        == "double"
+    assert dict(_rows(t))[7] == (1.5,)
+    # genuinely unsafe changes still fail loudly
+    with pytest.raises(ValueError, match="not a safe widening"):
+        t.merge(spark.createDataFrame([(1, "x")], "id long, v string"),
+                on=["id"], schema_mode="merge")
+    t2 = _mk(spark, tmp_path, "t2")
+    t2.create(spark.createDataFrame([(1, 1.0)], "id long, v float"))
+    with pytest.raises(ValueError, match="not a safe widening"):
+        t2.append(spark.createDataFrame([(2, 2)], "id long, v int"),
+                  schema_mode="merge")  # int under float: unreadable
