@@ -642,6 +642,43 @@ class TxnTable:
             # lost the race: re-replay (the winner may itself have
             # evolved the schema) and retry against the new head
 
+    def widen_column(self, col: str, new_type: str) -> int:
+        """ALTER TABLE ALTER COLUMN col TYPE t — Delta's explicit
+        type-widening DDL: metadata-only when (current -> new) is a
+        safe widening the parquet reader upcasts at scan
+        (_WIDENS_TO); ZERO files are touched, existing narrow files
+        read correctly under the wider pinned schema. Anything else
+        needs overwrite()."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        want = _parse_datatype_string(new_type)
+        while True:
+            snap = self._replay()
+            cur = snap.schema
+            if cur is None or col not in {f.name for f in cur.fields}:
+                raise KeyError(f"no column {col!r} on {self.path}")
+            old = next(f for f in cur.fields if f.name == col)
+            old_s, new_s = (old.dataType.simpleString(),
+                            want.simpleString())
+            if old_s == new_s:
+                return snap.version          # no-op
+            if new_s not in self._WIDENS_TO.get(old_s, ()):
+                raise ValueError(
+                    f"ALTER COLUMN {col} TYPE {new_s} on {self.path}: "
+                    f"{old_s} -> {new_s} is not a safe widening "
+                    f"({self._WIDENS_TO.get(old_s) or 'none allowed'})")
+            merged = StructType([
+                StructField(f.name, want if f.name == col else
+                            f.dataType, f.nullable)
+                for f in cur.fields])
+            commit = {"op": "set_schema", "ts": time.time(),
+                      "schema_json": merged.json(),
+                      "add": [], "remove": []}
+            v = snap.version + 1
+            if self._try_publish(v, commit):
+                self._maybe_checkpoint(v)
+                return v
+
     def _assert_not_referenced(self, snap: Snapshot, col: str,
                                verb: str) -> None:
         """RENAME/DROP guard: CHECK-constraint expressions and the

@@ -45,6 +45,7 @@ Grammar subset (case-insensitive keywords):
   ALTER TABLE t DROP CONSTRAINT name
   ALTER TABLE t ADD COLUMNS (c type [, ...])
   ALTER TABLE t RENAME COLUMN a TO b       -- metadata-only (mapping)
+  ALTER TABLE t ALTER COLUMN c TYPE bigint -- safe widening, zero files
   ALTER TABLE t DROP COLUMN c | DROP COLUMNS (a, b)
 
 ``SELECT COUNT(*) FROM t [VERSION AS OF n]`` (exactly that shape, any
@@ -744,6 +745,13 @@ class LakehouseCatalog:
             v = self.table(m.group(1)).rename_column(m.group(2),
                                                      m.group(3))
             return self._metrics("rename_column", {"version": v})
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"({_IDENT})\s+TYPE\s+(.+?)\s*$", s, re.IGNORECASE)
+        if m:
+            v = self.table(m.group(1)).widen_column(m.group(2),
+                                                    m.group(3))
+            return self._metrics("widen_column", {"version": v})
         m = re.match(
             rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s*"
             rf"(?:\(([^)]*)\)|({_IDENT}))\s*$", s, re.IGNORECASE)

@@ -339,3 +339,56 @@ def test_unsafe_type_change_still_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="not a safe widening"):
         t2.append(spark.createDataFrame([(2, 2)], "id long, v int"),
                   schema_mode="merge")  # int under float: unreadable
+
+
+def test_change_feed_spans_evolution_boundary(spark, tmp_path):
+    """CDF across an autoMerge boundary: pre-evolution commits emit
+    under the HEAD schema (new columns NULL, widened types upcast) —
+    one result schema for the whole feed, Delta CDF's posture."""
+    t = _mk(spark, tmp_path)
+    t.create(spark.createDataFrame([(1, 10)], "id int, v int"))
+    t.merge(spark.createDataFrame([(2, 2 ** 40, "eu")],
+                                  "id int, v bigint, region string"),
+            on=["id"], schema_mode="merge")
+    feed = t.changes(-1)
+    assert feed.schema["v"].dataType.simpleString() == "bigint"
+    assert "region" in feed.columns
+    got = {(r["id"], r["_commit_version"]): (r["v"], r["region"])
+           for r in feed.collect()}
+    assert got[(1, 0)] == (10, None)     # pre-evolution insert, NULLed
+    assert got[(2, 1)] == (2 ** 40, "eu")
+
+
+def test_explicit_widening_ddl(spark, tmp_path):
+    """ALTER TABLE t ALTER COLUMN c TYPE bigint (Delta's explicit
+    type-widening DDL): metadata-only, narrow files untouched, reads
+    upcast, and post-widen appends of wide values just work; unsafe
+    targets rejected."""
+    import os
+
+    from aws_payment_data_lake_spark.sources.txsql import (
+        LakehouseCatalog,
+    )
+
+    cat = LakehouseCatalog(spark)
+    cat.register("w", str(tmp_path / "w"))
+    spark.sql("SELECT CAST(1 AS INT) AS id, CAST(1.5 AS FLOAT) AS v") \
+        .createOrReplaceTempView("wseed")
+    cat.sql("CREATE TABLE w USING txlog AS SELECT * FROM wseed")
+    t = cat.table("w")
+    before = {p: os.path.getmtime(os.path.join(t.path, p))
+              for p in t._replay().live}
+    cat.sql("ALTER TABLE w ALTER COLUMN id TYPE bigint")
+    cat.sql("ALTER TABLE w ALTER COLUMN v TYPE double")
+    assert [f.dataType.simpleString()
+            for f in t._replay().schema.fields] == ["bigint", "double"]
+    for p, mt in before.items():
+        assert os.path.getmtime(os.path.join(t.path, p)) == mt
+    cat.sql(f"INSERT INTO w SELECT CAST({2**40} AS BIGINT), "
+            "CAST(2.5 AS DOUBLE)")
+    got = sorted(tuple(r) for r in cat.sql("SELECT * FROM w").collect())
+    assert got == [(1, 1.5), (2 ** 40, 2.5)]
+    with pytest.raises(ValueError, match="not a safe widening"):
+        cat.sql("ALTER TABLE w ALTER COLUMN v TYPE float")
+    with pytest.raises(ValueError, match="not a safe widening"):
+        cat.sql("ALTER TABLE w ALTER COLUMN id TYPE string")
