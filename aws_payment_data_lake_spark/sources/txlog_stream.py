@@ -48,18 +48,52 @@ SOURCE_NAME = "txlog_feed"
 
 
 class _FilePart(InputPartition):
-    def __init__(self, path: str, version: int) -> None:
+    def __init__(self, path: str, version: int,
+                 schema_json: str | None = None,
+                 mapping: dict | None = None) -> None:
         self.path = path
         self.version = version
+        self.schema_json = schema_json
+        self.mapping = mapping or {}
 
 
 def _read_file_batches(part: _FilePart) -> Iterator:
-    """One staged parquet file -> Arrow batches + the constant
-    _commit_version column (zero-copy append, no row loop)."""
+    """One staged parquet file -> Arrow batches RECONCILED to the
+    feed's declared schema + the constant _commit_version column.
+
+    Reconciliation (round 10) is what lets one pinned stream schema
+    span the table's whole history: physical file columns alias back
+    to logical names (column mapping), columns a file predates
+    null-fill, retired physical columns drop, and safely-widened
+    types (int32 under a bigint schema) Arrow-cast up — the same
+    upcasts the pinned-schema batch scan performs. An impossible cast
+    fails loudly."""
+    import json as _json
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pq.read_table(part.path)
+    if part.schema_json:
+        from pyspark.sql.pandas.types import to_arrow_type
+        from pyspark.sql.types import StructType as _ST
+
+        declared = _ST.fromJson(_json.loads(part.schema_json))
+        names, cols = [], []
+        for f in declared.fields:
+            at = to_arrow_type(f.dataType)
+            if pa.types.is_timestamp(at) and at.tz is None:
+                at = pa.timestamp(at.unit, tz="UTC")
+            phys = part.mapping.get(f.name, f.name)
+            if phys in table.column_names:
+                col = table.column(phys)
+                if col.type != at:
+                    col = col.cast(at)   # safe widenings; else raises
+            else:
+                col = pa.nulls(table.num_rows, type=at)
+            names.append(f.name)
+            cols.append(col)
+        table = pa.table(cols, names=names)
     col = pa.array([part.version] * table.num_rows, type=pa.int64())
     table = table.append_column("_commit_version", col)
     yield from table.to_batches()
@@ -77,7 +111,10 @@ class _Log:
 
     def commit_adds(self, lo: int, hi: int) -> list[_FilePart]:
         """File partitions for commits in [lo, hi), skipping
-        layout-only ops."""
+        layout-only ops. Every partition carries the HEAD schema +
+        column mapping so read-side reconciliation aliases physical
+        names and null-fills/upcasts historical files."""
+        snap = self.table._replay()
         parts: list[_FilePart] = []
         for v in self.table._versions_on_disk():
             if not lo <= v < hi:
@@ -87,7 +124,8 @@ class _Log:
             if c.get("op") in TxnTable._LAYOUT_OPS:
                 continue
             parts.extend(
-                _FilePart(os.path.join(self.table.path, a["path"]), v)
+                _FilePart(os.path.join(self.table.path, a["path"]), v,
+                          snap.schema_json, dict(snap.column_mapping))
                 for a in c.get("add", []))
         return parts
 
@@ -100,7 +138,8 @@ class _Log:
             for a in c.get("add", []):
                 added_at[a["path"]] = v
         return [_FilePart(os.path.join(self.table.path, p),
-                          added_at.get(p, snap.version))
+                          added_at.get(p, snap.version),
+                          snap.schema_json, dict(snap.column_mapping))
                 for p in sorted(snap.live)]
 
     def schema(self) -> StructType:
@@ -126,6 +165,17 @@ class _FeedBatchReader(DataSourceReader):
 
 
 class _FeedStreamReader(DataSourceStreamReader):
+    """Stream legs always reconcile to the CURRENT HEAD schema (see
+    _read_file_batches), which equals the schema Spark pinned at
+    query start for as long as no schema change lands mid-stream.
+    A mid-stream change makes the reconciled batches disagree with
+    the pinned schema, failing the query once — and a RESTART always
+    recovers: the re-pinned schema and the reconcile target are both
+    the new head, and every historical file (pre-evolution, renamed,
+    narrower types) replays under it via null-fill/alias/upcast. The
+    restart-heals contract is test-pinned; offsets stay the plain
+    {'version': n} cursor, so existing checkpoints keep working."""
+
     def __init__(self, options: dict) -> None:
         self.options = options
         self.start = int(options.get("startingVersion", 0))

@@ -89,3 +89,32 @@ def test_changes_skip_layout_ops(spark, table):
     assert table.changes(0).count() == before
     table.append(spark.range(20, 22).selectExpr("id", "id * 2 as v"))
     assert table.changes(0).count() == before + 2
+
+
+def test_feed_reconciles_evolution_mapping_and_widening(spark,
+                                                        tmp_path):
+    """Round 10: one pinned feed schema spans the table's WHOLE
+    history — pre-evolution files null-fill new columns, renamed
+    columns alias physical->logical, and pre-widening int32 files
+    upcast — in batch mode AND in a stream replaying from version 0
+    started AFTER the changes (the restart-heals contract)."""
+    t = TxnTable(spark, str(tmp_path / "evo"))
+    t.create(spark.createDataFrame([(1, 10)], "id int, v int"))
+    t.merge(spark.createDataFrame([(2, 2 ** 40, "eu")],
+                                  "id int, v bigint, region string"),
+            on=["id"], schema_mode="merge")      # widen v + add region
+    t.rename_column("region", "zone")           # mapping: zone->region
+    # batch feed under the head schema
+    got = read_table_feed(spark, t.path)
+    assert set(got.columns) == {"id", "v", "zone", "_commit_version"}
+    rows = {r["id"]: (r["v"], r["zone"]) for r in got.collect()}
+    assert rows[1] == (10, None) and rows[2] == (2 ** 40, "eu")
+    # stream from version 0 over the same history
+    q = (stream_table_feed(spark, t.path)
+         .writeStream.format("memory").queryName("feed_evo")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    srows = {r["id"]: (r["v"], r["zone"], r["_commit_version"])
+             for r in spark.sql("select * from feed_evo").collect()}
+    assert srows[1] == (10, None, 0)
+    assert srows[2] == (2 ** 40, "eu", 1)
