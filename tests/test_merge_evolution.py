@@ -392,3 +392,20 @@ def test_explicit_widening_ddl(spark, tmp_path):
         cat.sql("ALTER TABLE w ALTER COLUMN v TYPE float")
     with pytest.raises(ValueError, match="not a safe widening"):
         cat.sql("ALTER TABLE w ALTER COLUMN id TYPE string")
+
+
+def test_widening_composes_with_column_mapping(spark, tmp_path):
+    """Widen a RENAMED column: the logical schema widens while the
+    mapping keeps pinning the unchanged physical name — old files
+    (physical name, narrow type) still read, new wide appends land."""
+    t = _mk(spark, tmp_path)
+    t.create(spark.createDataFrame([(1, 10)], "id int, amount int"))
+    t.rename_column("amount", "amt")    # physical stays 'amount'
+    t.widen_column("amt", "bigint")
+    t.append(spark.createDataFrame([(2, 2 ** 40)],
+                                   "id int, amt bigint"))
+    snap = t._replay()
+    assert snap.column_mapping == {"amt": "amount"}
+    assert snap.schema["amt"].dataType.simpleString() == "bigint"
+    rows = {r["id"]: r["amt"] for r in t.snapshot().collect()}
+    assert rows == {1: 10, 2: 2 ** 40}

@@ -233,3 +233,31 @@ def test_sink_timestamp_roundtrip_matches_batch(spark, tmp_path):
     streamed = [a for a in t._replay().live.values() if a.rows > 0]
     stats = streamed[0].stats
     assert "ts" in stats and stats["ts"][0].startswith("2024-03-01T")
+
+
+def test_optimize_reclusters_streamed_files(spark, tmp_path):
+    """The sink writes files in stream-arrival shape (like Delta's);
+    OPTIMIZE afterwards re-clusters them into the table's key layout
+    and pruning tightens — the documented composition."""
+    src = str(tmp_path / "in")
+    tpath = str(tmp_path / "t")
+    t = TxnTable(spark, tpath)
+    t.create(spark.createDataFrame([], DDL), partition_by=["id"])
+    import random
+    rng = random.Random(7)
+    ids = list(range(400))
+    rng.shuffle(ids)
+    for c in range(4):                  # interleaved key ranges
+        _feed(src, [(i, float(i), "s") for i in ids[c * 100:
+                                                   (c + 1) * 100]])
+    df = (spark.readStream.schema(DDL)
+          .option("maxFilesPerTrigger", "1").json(src))
+    q = (write_stream_txlog(df, tpath, str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    kept_before, total_before = t.scan_file_count("id", 10, 20)
+    t.optimize(zorder_by=["id"], n_files=8)
+    kept_after, total_after = t.scan_file_count("id", 10, 20)
+    assert t.snapshot().count() == 400
+    assert kept_after <= kept_before
+    assert kept_after < total_after     # clustered files prune
