@@ -99,7 +99,14 @@ class _TxlogCommit(WriterCommitMessage):
 class _TxlogStreamWriter(DataSourceStreamWriter):
     def __init__(self, options: dict, schema: StructType) -> None:
         self.path = os.path.abspath(options["path"])
-        self.app = options.get("txnappid") or f"txlog-sink:{self.path}"
+        # exactly-once identity: default to the CHECKPOINT location —
+        # unique per query, stable across restarts of the same query.
+        # (A path-scoped default would make two different queries
+        # feeding one table silently skip each other's batch ids.)
+        ckpt = options.get("checkpointlocation")
+        self.app = (options.get("txnappid")
+                    or (f"txlog-sink:{os.path.abspath(ckpt)}" if ckpt
+                        else f"txlog-sink:{self.path}"))
         self.schema_mode = options.get("schemamode", "strict")
         if self.schema_mode not in ("strict", "merge"):
             raise ValueError(f"schemaMode must be strict|merge, got "
@@ -228,8 +235,9 @@ class _TxlogStreamWriter(DataSourceStreamWriter):
 
 class TxlogDataSource(DataSource):
     """`format("txlog")` streaming sink. Options: path (required),
-    txnAppId (exactly-once identity; defaults to a path-scoped id —
-    set it explicitly when several queries feed one table),
+    txnAppId (exactly-once identity; defaults to a CHECKPOINT-scoped
+    id, so distinct queries feeding one table are independent by
+    default and a restarted query keeps its high-water mark),
     schemaMode ('strict' | 'merge')."""
 
     @classmethod

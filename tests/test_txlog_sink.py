@@ -261,3 +261,21 @@ def test_optimize_reclusters_streamed_files(spark, tmp_path):
     assert t.snapshot().count() == 400
     assert kept_after <= kept_before
     assert kept_after < total_after     # clustered files prune
+
+
+def test_default_app_id_is_checkpoint_scoped(spark, tmp_path):
+    """Two DIFFERENT queries (distinct checkpoints, no explicit
+    txnAppId) feeding one table must not skip each other's batch ids
+    — the default exactly-once identity is the checkpoint location,
+    not the table path."""
+    tpath = str(tmp_path / "t")
+    t = TxnTable(spark, tpath)
+    t.create(spark.createDataFrame([], DDL))
+    src1, src2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    _feed(src1, [(1, 1.0, "a")])
+    _feed(src2, [(2, 2.0, "b")])
+    _stream(spark, src1, tpath, str(tmp_path / "ck1"))
+    _stream(spark, src2, tpath, str(tmp_path / "ck2"))  # both batch 0
+    assert _state(t) == [(1, 1.0, "a"), (2, 2.0, "b")]
+    txns = t._replay().txns
+    assert len([a for a in txns if a.startswith("txlog-sink:")]) == 2
