@@ -11,6 +11,7 @@ stats-pruned scan."""
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 import tempfile
@@ -96,5 +97,72 @@ def txn_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                           t.snapshot().count()))
         return spark.createDataFrame(
             audit, "op string, version long, n long").coalesce(1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SINK_DDL = ("event_id bigint, user_id bigint, event_type string, "
+             "value double, ts_us bigint")
+
+
+def _staged_sink_input(spark: SparkSession, sf_dir: str) -> str:
+    """One-time-per-(process, sf) JSONL staging of the events slice —
+    input ARRIVAL is upstream's job; the bench measures the SINK."""
+    return _staged_sink_input_cached(spark, os.path.abspath(sf_dir))
+
+
+@functools.lru_cache(maxsize=4)
+def _staged_sink_input_cached(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+
+    tmp = tempfile.mkdtemp(prefix="sink-bench-in-")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    (load(spark, sf_dir, "events")[0]
+     .where(F.col("event_id") % 5 == 0)
+     .select("event_id", "user_id", "event_type", "value",
+             F.unix_micros("ts").alias("ts_us"))
+     .repartition(4).write.json(os.path.join(tmp, "in")))
+    return os.path.join(tmp, "in")
+
+
+def txlog_sink_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `writeStream.format("txlog")` sink throughput (round
+    10): an sf-proportional events slice (20% sample, pre-staged as
+    JSONL once per process) streams multi-batch into a FRESH ACID
+    table — executor-side pyarrow staging with footer stats, commit
+    protocol with the batch id as the txn marker — then the summary
+    reads back through the stats-pruned snapshot. Not driver-
+    registered (streaming sink); exactly-once/replay/constraint
+    semantics live in tests/test_txlog_sink.py and the medallion
+    txn_stream hash row."""
+    from aws_payment_data_lake_spark.sources.txlog_sink import (
+        write_stream_txlog,
+    )
+
+    src = _staged_sink_input(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="sink-bench-")
+    FAM = "txlog_sink_ingest"
+    try:
+        t = TxnTable(spark, os.path.join(tmp, "t"))
+        t.create(spark.createDataFrame([], _SINK_DDL))
+        with timed_phase(FAM, "stream_ingest"):
+            df = (spark.readStream.schema(_SINK_DDL)
+                  .option("maxFilesPerTrigger", "2").json(src))
+            q = (write_stream_txlog(df, t.path,
+                                    os.path.join(tmp, "ck"),
+                                    txn_app_id="bench")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(600)
+        snap = t._replay()
+        n_batches = snap.txns.get("bench", -1) + 1
+        with timed_phase(FAM, "summary_read"):
+            out = (t.snapshot()
+                   .groupBy("event_type")
+                   .agg(F.count(F.lit(1)).alias("n_rows"),
+                        F.sum("value").alias("sum_value"))
+                   .withColumn("n_batches", F.lit(n_batches))
+                   .withColumn("n_files", F.lit(len(snap.live)))
+                   .orderBy("event_type"))
+            return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

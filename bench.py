@@ -105,6 +105,7 @@ HEADLINE = [
     "pysource_payments",             # unregistered sf-scaled source (EXTRA_FNS)
     "pysource_stream_resume",        # checkpointed two-leg resume (EXTRA_FNS)
     "txn_table_lifecycle",           # r7: ACID format create/append/merge/compact (EXTRA_FNS)
+    "txlog_sink_ingest",             # r10: native writeStream txlog sink (EXTRA_FNS)
     "queue_source_ingest",           # r7: Kafka-semantics queue consume path (EXTRA_FNS)
     "udtf_order_quarters",
     "corpus_curation_decisions",
@@ -156,6 +157,7 @@ def _extra_fns():
         pysource_stream_resume,
     )
     from aws_payment_data_lake_spark.queries.acid import (
+        txlog_sink_ingest,
         txn_table_lifecycle,
     )
     from aws_payment_data_lake_spark.queries.queue import (
@@ -177,6 +179,7 @@ def _extra_fns():
         "pysource_payments": pysource_payments,
         "pysource_stream_resume": pysource_stream_resume,
         "txn_table_lifecycle": txn_table_lifecycle,
+        "txlog_sink_ingest": txlog_sink_ingest,
         "queue_source_ingest": queue_source_ingest,
         "quality_model_filter": quality_model_filter,
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
