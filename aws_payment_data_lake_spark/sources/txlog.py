@@ -95,6 +95,116 @@ _DATA_DIR = "data"
 _LAST_CKPT = "_last_checkpoint"
 _CKPT_EVERY_DEFAULT = 10
 
+# ---- protocol versioning (Delta's protocol action + table features,
+# VLDB 2020 §3.2 / the delta-io PROTOCOL.md "Table Features" model).
+# The base format (ordered JSON commits, add/remove, checkpoints,
+# txn markers, partition_by, footer stats) is version 1. Everything
+# that changes how a READER must interpret the bytes on disk — or
+# that an old WRITER would corrupt by committing around — is a named
+# feature the table activates on first use; a client seeing a feature
+# (or a min version) it does not implement MUST fail loudly instead
+# of silently misreading (the exact failure this guards: a mapping-
+# unaware reader returning physical column names, a DV-unaware reader
+# resurrecting deleted rows, a widening-unaware reader type-erroring
+# on old narrow files, a clone-unaware vacuum deleting another
+# table's data).
+_READER_VERSION = 1
+_WRITER_VERSION = 1
+_READER_FEATURES = frozenset({
+    "column_mapping",      # logical->physical name indirection
+    "deletion_vectors",    # sidecar (target,pos) dead rows to anti-join
+    "type_widening",       # old files narrower than the pinned schema
+    "external_files",      # add paths outside the table root (clone)
+})
+# writer-side-only features: reading needs nothing special, but a
+# writer unaware of them would commit data that violates the table's
+# declared invariants.
+_WRITER_FEATURES = _READER_FEATURES | frozenset({
+    "check_constraints",   # enforce constraints map on every write
+    "generated_columns",   # derive/validate GENERATED ALWAYS AS cols
+})
+
+
+class ProtocolError(RuntimeError):
+    """The table's protocol action requires a reader/writer version or
+    named feature this client does not implement. Failing loudly here
+    is the format's forward-compatibility contract (TXLOG_FORMAT.md
+    §Protocol): the alternative is silent misreads."""
+
+
+def _commit_features(c: dict[str, Any]) -> set[str]:
+    """Features a commit's CONTENT activates (type_widening is not
+    content-detectable — its set_schema looks like any other — so
+    widen_column tags it explicitly via _try_publish(features=...))."""
+    feats: set[str] = set()
+    if c.get("column_mapping") or c.get("dropped_physical"):
+        feats.add("column_mapping")
+    if c.get("dv") or c.get("dv_state", {}).get("dvs"):
+        feats.add("deletion_vectors")
+    if c.get("generated"):
+        feats.add("generated_columns")
+    if c.get("constraints"):
+        feats.add("check_constraints")
+    if any(os.path.isabs(a["path"]) for a in c.get("add", [])):
+        feats.add("external_files")
+    return feats
+
+
+def _upgrade_protocol(base: dict[str, Any] | None,
+                      feats: set[str]) -> dict[str, Any] | None:
+    """The protocol dict a commit must carry to activate ``feats`` on
+    top of ``base``, or None when base already covers them (features
+    are monotone — a protocol never downgrades)."""
+    cur_r = set((base or {}).get("reader_features", []))
+    cur_w = set((base or {}).get("writer_features", []))
+    new_r = cur_r | (feats & _READER_FEATURES)
+    new_w = cur_w | (feats & _WRITER_FEATURES)
+    if new_r == cur_r and new_w == cur_w and not (
+            base is None and feats):
+        # nothing new: an explicit protocol already covers it, or a
+        # legacy (protocol-less) table committed a feature-free change
+        # — stays legacy rather than spraying no-op protocol actions
+        return None
+    return {"min_reader": max(1, (base or {}).get("min_reader", 1)),
+            "min_writer": max(1, (base or {}).get("min_writer", 1)),
+            "reader_features": sorted(new_r),
+            "writer_features": sorted(new_w)}
+
+
+def _validate_reader_protocol(protocol: dict[str, Any] | None,
+                              path: str) -> None:
+    if protocol is None:        # legacy table: implicit version-1
+        return
+    if int(protocol.get("min_reader", 1)) > _READER_VERSION:
+        raise ProtocolError(
+            f"table {path} requires reader version "
+            f"{protocol['min_reader']}; this client implements "
+            f"{_READER_VERSION}")
+    unknown = set(protocol.get("reader_features", [])) - _READER_FEATURES
+    if unknown:
+        raise ProtocolError(
+            f"table {path} uses reader feature(s) {sorted(unknown)} "
+            f"this client does not implement (have "
+            f"{sorted(_READER_FEATURES)}); refusing to misread")
+
+
+def _validate_writer_protocol(protocol: dict[str, Any] | None,
+                              path: str) -> None:
+    if protocol is None:
+        return
+    if int(protocol.get("min_writer", 1)) > _WRITER_VERSION:
+        raise ProtocolError(
+            f"table {path} requires writer version "
+            f"{protocol['min_writer']}; this client implements "
+            f"{_WRITER_VERSION}")
+    unknown = set(protocol.get("writer_features", [])) - _WRITER_FEATURES
+    if unknown:
+        raise ProtocolError(
+            f"table {path} uses writer feature(s) {sorted(unknown)} "
+            f"this client does not implement (have "
+            f"{sorted(_WRITER_FEATURES)}); a blind commit could "
+            f"violate the table's invariants")
+
 # columns whose footer stats we harvest: parquet logical types that
 # arrive as JSON-safe python values (or are made so below)
 _STATS_SAFE = (int, float, str, bool)
@@ -156,6 +266,10 @@ class Snapshot:
     # frame supplies it, the auto-registered __gen_<col> CHECK
     # constraint enforces value==expression. Full-map replace.
     generated: dict[str, str] = field(default_factory=dict)
+    # protocol action (Delta's minReader/minWriter + table features):
+    # None on legacy tables = implicit version-1, no features.
+    # Full-dict replace on replay; features only ever grow.
+    protocol: dict[str, Any] | None = None
 
     @property
     def schema(self) -> StructType | None:
@@ -323,7 +437,8 @@ class TxnTable:
                              in meta.get("dv_dead", {}).items()},
                             dict(meta.get("column_mapping", {})),
                             list(meta.get("dropped_physical", [])),
-                            dict(meta.get("generated", {})))
+                            dict(meta.get("generated", {})),
+                            meta.get("protocol"))
         except (OSError, KeyError, ValueError):
             return None   # corrupt/missing checkpoint -> full replay
 
@@ -356,6 +471,8 @@ class TxnTable:
                 snap.dropped_physical = list(c["dropped_physical"])
             if "generated" in c:          # full-map replace semantics
                 snap.generated = dict(c["generated"])
+            if "protocol" in c:           # full-dict replace (monotone)
+                snap.protocol = dict(c["protocol"])
             for rp in c.get("remove", []):
                 snap.live.pop(rp, None)
                 snap.dvs.pop(rp, None)       # rewrite materializes DVs
@@ -380,12 +497,44 @@ class TxnTable:
                 prev = snap.txns.get(txn["app"], -1)
                 snap.txns[txn["app"]] = max(prev, int(txn["batch"]))
             snap.version = v
+        # the forward-compatibility gate: refuse to hand out a snapshot
+        # whose bytes we would misinterpret. Validated on the FINAL
+        # state only — protocols are monotone, so the head protocol
+        # dominates every prefix we replayed through.
+        _validate_reader_protocol(snap.protocol, self.path)
+        if version is None:       # head replay: pin for the write path
+            self._head_protocol = snap.protocol
         return snap
 
     # ----------------------------------------------------- log writes
-    def _try_publish(self, version: int, commit: dict[str, Any]) -> bool:
+    def _try_publish(self, version: int, commit: dict[str, Any],
+                     features: tuple[str, ...] = ()) -> bool:
         """Atomically claim ``version`` with the full commit content.
-        True on success, False if another writer took the version."""
+        True on success, False if another writer took the version.
+
+        Protocol gate (single choke point — every commit path ends
+        here): features the commit's content activates (plus explicit
+        ``features`` tags for the content-invisible ones, e.g.
+        type_widening) upgrade the table protocol inside this same
+        commit; version 0 always carries an explicit protocol. The
+        write is refused with ProtocolError if the table demands
+        writer capabilities this client lacks — before any log byte
+        is published. Retry loops re-enter here after a fresh head
+        replay, so the base protocol is never staler than the version
+        being claimed."""
+        base = getattr(self, "_head_protocol", None)
+        feats = _commit_features(commit) | set(features)
+        up = _upgrade_protocol(base, feats)
+        if version == 0 and up is None:   # explicit from birth
+            up = {"min_reader": _READER_VERSION,
+                  "min_writer": _WRITER_VERSION,
+                  "reader_features": sorted(feats & _READER_FEATURES),
+                  "writer_features": sorted(feats & _WRITER_FEATURES)}
+        if up is not None:
+            commit["protocol"] = up
+        else:
+            commit.pop("protocol", None)   # stale from a lost race
+        _validate_writer_protocol(up or base, self.path)
         os.makedirs(self._log, exist_ok=True)
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
@@ -422,7 +571,8 @@ class TxnTable:
                            "dv_dead": snap.dv_dead,
                            "column_mapping": snap.column_mapping,
                            "dropped_physical": snap.dropped_physical,
-                           "generated": snap.generated})
+                           "generated": snap.generated,
+                           "protocol": snap.protocol})
         t = t.replace_schema_metadata({b"txlog": meta.encode()})
         ck = self._ckpt_path(snap.version)
         pq.write_table(t, ck + ".tmp")
@@ -675,7 +825,10 @@ class TxnTable:
                       "schema_json": merged.json(),
                       "add": [], "remove": []}
             v = snap.version + 1
-            if self._try_publish(v, commit):
+            # type_widening is invisible in the commit content (a
+            # set_schema like any other) but changes how READERS must
+            # treat old files — tag it explicitly
+            if self._try_publish(v, commit, features=("type_widening",)):
                 self._maybe_checkpoint(v)
                 return v
 
@@ -1279,6 +1432,13 @@ class TxnTable:
                              for f in fs}),
             "dv_dead_rows": sum(snap.dv_dead.values()),
             "column_mapping": dict(snap.column_mapping),
+            "min_reader_version": int(
+                (snap.protocol or {}).get("min_reader", 1)),
+            "min_writer_version": int(
+                (snap.protocol or {}).get("min_writer", 1)),
+            "table_features": sorted(
+                set((snap.protocol or {}).get("reader_features", []))
+                | set((snap.protocol or {}).get("writer_features", []))),
         }
 
     def history(self) -> list[dict[str, Any]]:

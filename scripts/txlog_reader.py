@@ -25,6 +25,20 @@ from typing import Any
 
 _LOG = "_txlog"
 
+# Protocol support (spec §Protocol): the reader features whose on-disk
+# semantics this reader implements. A table demanding min_reader > 1
+# or a feature outside this set MUST be refused — reading on anyway
+# would silently misinterpret bytes (the spec's compatibility rule).
+_READER_VERSION = 1
+_READER_FEATURES = frozenset({
+    "column_mapping", "deletion_vectors", "type_widening",
+    "external_files",
+})
+
+
+class ProtocolError(RuntimeError):
+    """Table requires reader capabilities this reader lacks."""
+
 # Spark simpleString -> DuckDB type, for NULL-filling columns a file
 # predates and for casting projections. Decimal passes through below.
 _TYPES = {
@@ -58,6 +72,7 @@ class TxlogState:
         self.partition_by: list[str] = []
         self.constraints: dict[str, str] = {}
         self.txns: dict[str, int] = {}
+        self.protocol: dict | None = None    # None = legacy version-1
 
     @property
     def fields(self) -> list[tuple[str, Any]]:
@@ -117,6 +132,7 @@ class IndependentTxlogReader:
             st.partition_by = list(meta.get("partition_by", []))
             st.constraints = dict(meta.get("constraints", {}))
             st.txns = dict(meta.get("txns", {}))
+            st.protocol = meta.get("protocol")
             return st
         except (OSError, KeyError, ValueError):
             return None
@@ -144,6 +160,8 @@ class IndependentTxlogReader:
                 st.column_mapping = dict(c["column_mapping"])
             if "dropped_physical" in c:
                 st.dropped_physical = list(c["dropped_physical"])
+            if "protocol" in c:             # full replace, monotone
+                st.protocol = dict(c["protocol"])
             for rel in c.get("remove", []):
                 st.live.pop(rel, None)
                 st.dvs.pop(rel, None)       # rewrite retires DVs
@@ -166,6 +184,19 @@ class IndependentTxlogReader:
                 st.txns[txn["app"]] = max(st.txns.get(txn["app"], -1),
                                           int(txn["batch"]))
             st.version = v
+        # spec §Protocol: validate the FINAL protocol (monotone, so it
+        # dominates the prefix) and refuse what we cannot interpret
+        if st.protocol is not None:
+            if int(st.protocol.get("min_reader", 1)) > _READER_VERSION:
+                raise ProtocolError(
+                    f"{self.path}: needs reader version "
+                    f"{st.protocol['min_reader']}, have {_READER_VERSION}")
+            unknown = (set(st.protocol.get("reader_features", []))
+                       - _READER_FEATURES)
+            if unknown:
+                raise ProtocolError(
+                    f"{self.path}: unimplemented reader feature(s) "
+                    f"{sorted(unknown)}")
         return st
 
     # ----------------------------------------------------------- data
@@ -246,4 +277,5 @@ if __name__ == "__main__":      # ad-hoc: python txlog_reader.py <table>
         "columns": [n for n, _ in st.fields],
         "column_mapping": st.column_mapping,
         "dv_dead": sum(st.dv_dead.values()),
+        "protocol": st.protocol,
     }, indent=2))
