@@ -1089,6 +1089,102 @@ class TxnTable:
                 f"concurrent create at {self.path}")
         return self
 
+    def clone_shallow(self, source: "TxnTable",
+                      version: int | None = None,
+                      timestamp: float | None = None) -> "TxnTable":
+        """CREATE TABLE ... SHALLOW CLONE src [VERSION/TIMESTAMP AS
+        OF]: a zero-copy fork (Delta's shallow clone). Version 0 of
+        the new table REFERENCES the source snapshot's data files by
+        ABSOLUTE path (the external_files protocol feature) — no data
+        byte moves, however large the source. The logs are then fully
+        independent: writes to either side never touch the other, and
+        this table's vacuum never deletes external files (they are
+        the source's to retire). The clone inherits schema,
+        partitioning, constraints, column mapping, generated columns,
+        and the source's protocol features — but NOT its (app, batch)
+        txn marks: a clone is a new idempotence domain, so a stream
+        re-targeted at it replays from scratch instead of silently
+        skipping batches the SOURCE had seen.
+
+        DV sidecars are the one thing rewritten (small by
+        construction — a delete's matches): their ``target`` keys are
+        source-log paths, so they are re-keyed to this table's
+        absolute keys into local sidecars. Re-keying also makes
+        clone-of-clone compose.
+
+        Caveat shared with Delta: VACUUM **on the source** can delete
+        files the clone still references — fsck() flags them; treat
+        source retention as covering its clones."""
+        if self.exists():
+            raise FileExistsError(f"txlog table already at {self.path}")
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = source.version_at(timestamp)
+        snap = source._replay(version)
+        src_root = os.path.abspath(source.path)
+
+        def key_of(p: str) -> str:
+            return p if os.path.isabs(p) else os.path.join(src_root, p)
+
+        adds = [AddFile(key_of(p), a.rows, a.bytes, a.stats)
+                for p, a in sorted(snap.live.items())]
+        dv_files: list[str] = []
+        per_target = {key_of(p): int(n)
+                      for p, n in snap.dv_dead.items() if p in snap.live}
+        src_sidecars = sorted({f for p, fs in snap.dvs.items()
+                               if p in snap.live for f in fs})
+        if src_sidecars:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            wdir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+            os.makedirs(os.path.join(self.path, wdir), exist_ok=True)
+            for i, f in enumerate(src_sidecars):
+                t = pq.read_table(key_of(f))
+                remapped = pa.array([key_of(x)
+                                     for x in t.column("target").to_pylist()],
+                                    type=pa.string())
+                t = t.set_column(t.schema.get_field_index("target"),
+                                 "target", remapped)
+                rel = os.path.join(wdir, f"dv-{i}.parquet")
+                pq.write_table(t, os.path.join(self.path, rel))
+                dv_files.append(rel)
+        commit: dict[str, Any] = {
+            "op": "clone", "ts": time.time(),
+            "source": src_root, "source_version": snap.version,
+            "schema_json": snap.schema_json,
+            "partition_by": snap.partition_by,
+            "add": [a.to_json() for a in adds], "remove": []}
+        if snap.constraints:
+            commit["constraints"] = snap.constraints
+        if snap.column_mapping:
+            commit["column_mapping"] = snap.column_mapping
+        if snap.dropped_physical:
+            commit["dropped_physical"] = snap.dropped_physical
+        if snap.generated:
+            commit["generated"] = snap.generated
+        if dv_files:
+            commit["dv"] = {"files": dv_files, "per_target": per_target}
+        # inherit the source's protocol features: the clone's bytes
+        # carry the same interpretation requirements; unknown WRITER
+        # features inherited here make the publish below refuse — we
+        # cannot uphold invariants we don't implement
+        src_proto = snap.protocol or {}
+        unknown = (set(src_proto.get("writer_features", []))
+                   - _WRITER_FEATURES)
+        if unknown:
+            raise ProtocolError(
+                f"cannot clone {source.path}: it uses writer "
+                f"feature(s) {sorted(unknown)} this client does not "
+                "implement — the clone could not uphold them")
+        inherited = tuple(sorted(
+            set(src_proto.get("reader_features", []))
+            | set(src_proto.get("writer_features", []))))
+        if not self._try_publish(0, commit, features=inherited):
+            raise FileExistsError(
+                f"concurrent create at {self.path}")
+        return self
+
     def append(self, df: DataFrame, txn_app: str | None = None,
                txn_batch: int | None = None,
                partition_by: list[str] | None = None,
@@ -1240,16 +1336,49 @@ class TxnTable:
         return df.select(*[F.col(snap.phys(f.name)).alias(f.name)
                            for f in snap.schema.fields])
 
+    def _uri_of(self, rel: str) -> str:
+        """The ``_metadata.file_path`` URI Spark will report for a log
+        path (rel to the table root, or absolute for external_files) —
+        same encoding rules as _base_uri_prefix."""
+        from urllib.parse import quote
+        p = rel if os.path.isabs(rel) else os.path.join(
+            os.path.abspath(self.path), rel)
+        return "file:" + quote(p, safe="/:@&=+$,-_.!~*'()")
+
     def _plain_read_meta(self, snap: Snapshot,
                          rels: list[str]) -> DataFrame:
-        """_plain_read plus ``__rel``/``__pos`` (log-rel source file,
+        """_plain_read plus ``__rel``/``__pos`` (the file's LOG KEY,
         row index) derived from ``_metadata`` AT THE SCAN — the
         pseudo-column is only resolvable on the file relation, so the
         derivation must happen before the column-mapping projection
-        hides it."""
+        hides it.
+
+        When the snapshot holds EXTERNAL files (absolute log keys —
+        shallow clones), the prefix-strip cannot recover the key from
+        the URI; those reads join ``file_path`` against the exact
+        (uri -> key) map built from the file list itself — a
+        broadcast of one row per scanned file, never guessed from
+        string surgery on encoded URIs."""
         paths = [os.path.join(self.path, r) for r in rels]
         reader = self.spark.read
         schema = snap.schema
+        if any(os.path.isabs(r) for r in rels):
+            fp = F.col("_metadata.file_path")
+            pos = F.col("_metadata.row_index").alias("__pos")
+            umap = F.broadcast(self.spark.createDataFrame(
+                [(self._uri_of(r), r) for r in rels],
+                "__uri string, __rel string"))
+            if schema is None:
+                df = reader.parquet(*paths).select(
+                    "*", fp.alias("__uri"), pos)
+            else:
+                df = (reader.schema(snap.phys_schema
+                                    if snap.column_mapping else schema)
+                      .parquet(*paths)
+                      .select(*[F.col(snap.phys(f.name)).alias(f.name)
+                                for f in schema.fields],
+                              fp.alias("__uri"), pos))
+            return df.join(umap, on="__uri", how="inner").drop("__uri")
         pre = len(self._base_uri_prefix()) + 1   # substring is 1-based
         meta = [F.expr(f"substring(_metadata.file_path, {pre})")
                 .alias("__rel"),
@@ -2658,9 +2787,15 @@ class TxnTable:
                 shutil.rmtree(wdir, ignore_errors=True)
         # adopted files (CONVERT TO TXLOG) live OUTSIDE data/ — reclaim
         # the RETIRED ones (a rewrite replaced them) under the same
-        # retention rules; never-logged foreign files are left alone
+        # retention rules; never-logged foreign files are left alone.
+        # EXTERNAL files (absolute keys — shallow clones) are NEVER
+        # deleted, retired or not: they are another table's data, and
+        # this table's retention says nothing about who else reads
+        # them (spec §Protocol, external_files; Delta's shallow-clone
+        # vacuum has the same contract).
         for rel in sorted(ever_logged):
-            if rel.startswith(_DATA_DIR + os.sep) or rel in referenced:
+            if (rel.startswith(_DATA_DIR + os.sep) or rel in referenced
+                    or os.path.isabs(rel)):
                 continue
             local = os.path.join(self.path, rel)
             if os.path.isfile(local):

@@ -23,6 +23,8 @@ Grammar subset (case-insensitive keywords):
                   [GENERATED ALWAYS AS (expr)], ...) USING txlog
       [PARTITIONED BY (c,..)]        -- partition col may be generated
   CONVERT TO TXLOG t                -- adopt existing parquet, zero copy
+  CREATE TABLE t2 SHALLOW CLONE t1
+      [VERSION AS OF n | TIMESTAMP AS OF 'ts']   -- zero-copy fork
   INSERT INTO t [(c, ...)] <select> | VALUES (v, ...) [, ...]
   INSERT OVERWRITE t <select>
   MERGE [WITH SCHEMA EVOLUTION] INTO t [AS a]
@@ -461,6 +463,22 @@ class LakehouseCatalog:
                 for k in range(len(starts))]
 
     def _create(self, s: str) -> DataFrame:
+        # CREATE TABLE t2 SHALLOW CLONE t1 [VERSION/TIMESTAMP AS OF]
+        # — zero-copy fork; both names must be registered (the target
+        # registration supplies the new table's path)
+        m = re.match(
+            rf"CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+"
+            rf"({_IDENT})(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+            rf"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*$",
+            s, re.IGNORECASE)
+        if m:
+            tname, sname, ver, ts = m.groups()
+            t, src = self.table(tname), self.table(sname)
+            t.clone_shallow(src,
+                            version=int(ver) if ver is not None else None,
+                            timestamp=(_ts_to_epoch(ts)
+                                       if ts is not None else None))
+            return self._metrics("clone", {"version": 0})
         m = re.match(
             rf"CREATE\s+TABLE\s+({_IDENT})\s+USING\s+txlog\s*"
             rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?AS\s+(.*)$",

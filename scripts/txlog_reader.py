@@ -231,9 +231,12 @@ class IndependentTxlogReader:
         if dv_files:
             dlist = "[" + ", ".join(
                 lit(os.path.join(self.path, f)) for f in dv_files) + "]"
+            # spec §Protocol external_files: an ABSOLUTE target IS the
+            # scan filename; relative targets resolve under the root
             con.execute(
                 f"CREATE OR REPLACE TEMP VIEW __txr_dead AS "
-                f"SELECT {lit(self.path)} || '/' || target AS fname, "
+                f"SELECT CASE WHEN target LIKE '/%' THEN target "
+                f"ELSE {lit(self.path)} || '/' || target END AS fname, "
                 f"pos FROM read_parquet({dlist})")
             base = ("SELECT * FROM __txr_raw r ANTI JOIN __txr_dead d "
                     "ON r.filename = d.fname "
