@@ -77,6 +77,25 @@ _VALID_EVENT_TYPES = ("click", "view", "purchase", "signup")
     FROM events
     WHERE event_id % 30 = 3 AND event_id % 7 <> 0 AND event_id % 2 = 0
     UNION ALL
+    SELECT 'txn_clone', user_id,
+           CASE WHEN value < 5 THEN event_type ELSE 'archived' END,
+           event_id, ts,
+           CASE WHEN value < 5 THEN value + 1000 ELSE value END
+    FROM events WHERE event_id % 30 = 1 AND event_id % 7 <> 0
+      AND (user_id % 5 <> 0 OR user_id IS NULL)
+    UNION ALL
+    SELECT 'txn_clone', user_id, event_type, event_id, ts,
+           CAST(-1 AS DOUBLE)
+    FROM events
+    WHERE event_id % 30 = 1 AND event_id % 7 = 0
+      AND (user_id % 2 <> 0 OR user_id IS NULL)
+      AND (user_id % 5 <> 0 OR user_id IS NULL)
+    UNION ALL
+    SELECT 'txn_clone', user_id, 'new', event_id, ts, value
+    FROM events
+    WHERE event_id % 30 = 3 AND event_id % 7 <> 0 AND event_id % 2 = 0
+      AND (user_id % 5 <> 0 OR user_id IS NULL)
+    UNION ALL
     SELECT 'txn_cdc', user_id,
            CASE WHEN event_id % 30 = 2 THEN event_type || '+cdc2'
                 ELSE event_type END,
@@ -144,6 +163,17 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                            txlog.merge_clauses; the oracle
                            reconstructs all three row populations
                            relationally.
+      variant='txn_clone'  SHALLOW CLONE through SQL (round 10): the
+                           post-SCD table forks zero-copy (CREATE
+                           TABLE txdev SHALLOW CLONE txq — every v0
+                           add is an absolute reference, asserted
+                           inline), then a COW DELETE runs ON THE
+                           EXTERNAL FILES (the uri->key broadcast
+                           meta-read path) while the SOURCE's row
+                           count must not move (asserted inline); the
+                           clone's final content is hashed against
+                           the SCD populations minus the deleted
+                           slice.
       variant='txn_cdc'    the FULL STREAMING-LAKEHOUSE LOOP (round 9,
                            VERDICT r8 #9) under the driver's hash:
                            events serialize as keyed JSON CDC records
@@ -281,6 +311,20 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sql_scd = shape(cat.sql(
             "SELECT user_id, event_type, event_id, ts, value FROM txq"),
             "txn_scd")
+
+        # --- SHALLOW CLONE of the post-SCD table (r10) --------------------
+        cat.register("txdev", os.path.join(tmp, "t_dev"))
+        cat.sql("CREATE TABLE txdev SHALLOW CLONE txq")
+        assert all(os.path.isabs(p)
+                   for p in cat.table("txdev")._replay().live), \
+            "shallow clone must reference, not copy"
+        n_src = cat.table("txq").count_rows()
+        cat.sql("DELETE FROM txdev WHERE user_id % 5 = 0")
+        assert cat.table("txq").count_rows() == n_src, \
+            "a clone's delete must never reach the source"
+        sql_clone = shape(cat.sql(
+            "SELECT user_id, event_type, event_id, ts, value FROM txdev"),
+            "txn_clone")
 
         # --- streaming ingest -> ACID, end to end (r9) --------------------
         # Production is PARTITION-PARALLEL (r10, VERDICT r9 #6): the
@@ -423,6 +467,7 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                .unionByName(sql_dv)
                .unionByName(sql_restored)
                .unionByName(sql_scd)
+               .unionByName(sql_clone)
                .unionByName(cdc_out)
                .unionByName(sink_out))
         return out.localCheckpoint(eager=True)
