@@ -122,6 +122,9 @@ _READER_FEATURES = frozenset({
 _WRITER_FEATURES = _READER_FEATURES | frozenset({
     "check_constraints",   # enforce constraints map on every write
     "generated_columns",   # derive/validate GENERATED ALWAYS AS cols
+    "copy_into",           # preserve copy_sources idempotence state
+                           # (an unaware writer's CHECKPOINT would
+                           # silently drop it -> double ingest)
 })
 
 
@@ -270,6 +273,11 @@ class Snapshot:
     # None on legacy tables = implicit version-1, no features.
     # Full-dict replace on replay; features only ever grow.
     protocol: dict[str, Any] | None = None
+    # COPY INTO idempotence state: absolute source paths already
+    # ingested (accumulative — each copy_into commit's copy_sources
+    # list unions in). A re-run lists the landing zone, subtracts
+    # this set, and loads only the remainder.
+    copied: set[str] = field(default_factory=set)
 
     @property
     def schema(self) -> StructType | None:
@@ -438,7 +446,8 @@ class TxnTable:
                             dict(meta.get("column_mapping", {})),
                             list(meta.get("dropped_physical", [])),
                             dict(meta.get("generated", {})),
-                            meta.get("protocol"))
+                            meta.get("protocol"),
+                            set(meta.get("copied", [])))
         except (OSError, KeyError, ValueError):
             return None   # corrupt/missing checkpoint -> full replay
 
@@ -473,6 +482,8 @@ class TxnTable:
                 snap.generated = dict(c["generated"])
             if "protocol" in c:           # full-dict replace (monotone)
                 snap.protocol = dict(c["protocol"])
+            for sp in c.get("copy_sources", []):   # accumulative
+                snap.copied.add(sp)
             for rp in c.get("remove", []):
                 snap.live.pop(rp, None)
                 snap.dvs.pop(rp, None)       # rewrite materializes DVs
@@ -572,7 +583,8 @@ class TxnTable:
                            "column_mapping": snap.column_mapping,
                            "dropped_physical": snap.dropped_physical,
                            "generated": snap.generated,
-                           "protocol": snap.protocol})
+                           "protocol": snap.protocol,
+                           "copied": sorted(snap.copied)})
         t = t.replace_schema_metadata({b"txlog": meta.encode()})
         ck = self._ckpt_path(snap.version)
         pq.write_table(t, ck + ".tmp")
@@ -1232,6 +1244,121 @@ class TxnTable:
             # re-derive the evolved schema against the new head — the
             # winner may itself have evolved it, and republishing our
             # stale merge would drop their columns
+            evolved = self._check_schema(df, snap, schema_mode)
+            if evolved:
+                commit["schema_json"] = evolved
+            else:
+                commit.pop("schema_json", None)
+
+    def copy_into(self, src_dir: str, fmt: str = "parquet",
+                  pattern: str | None = None,
+                  schema_mode: str = "strict",
+                  options: dict[str, str] | None = None) -> dict[str, int]:
+        """COPY INTO (Delta's idempotent landing-zone ingest): load
+        every file under ``src_dir`` (recursive; ``pattern`` is an
+        fnmatch glob over the path relative to src_dir) that this
+        table has NOT already ingested, and record the loaded source
+        paths in the SAME commit as the data — so a re-run after any
+        crash, retry, or scheduler double-fire loads each source file
+        exactly once. This is the storage-layer answer to the
+        reference's blind re-run-duplicating batch ingest
+        (/root/reference/src/glue_jobs/etl_transactions_bronze.py:130)
+        for the landing-zone shape, complementing the (app, batch)
+        txn markers that cover the streaming shape.
+
+        Source files are COPIED (re-staged through the table's
+        partitioning, constraints, and generated columns), never
+        adopted or mutated — the landing zone stays the producer's.
+        Identity is the absolute source path (document retention
+        accordingly: a landing file REPLACED in place under the same
+        name is skipped as already loaded).
+
+        ``fmt``: parquet | json | csv (non-parquet formats read under
+        the table's schema when one exists — never inferSchema drift
+        between runs). Activates the ``copy_into`` writer feature: a
+        writer unaware of the idempotence state would drop it from
+        its next checkpoint and double-ingest.
+
+        Concurrency: appends commute, so a lost race retries —
+        UNLESS the new head shows overlapping copy_sources (a
+        concurrent COPY INTO of the same files), which aborts with
+        ConcurrentWriteError instead of double-loading."""
+        import fnmatch
+        src_root = os.path.abspath(src_dir)
+        found: list[str] = []
+        for dirpath, dirnames, filenames in os.walk(src_root):
+            dirnames[:] = [d for d in dirnames
+                           if not d.startswith((".", "_"))]
+            for n in sorted(filenames):
+                if n.startswith((".", "_")):
+                    continue
+                p = os.path.join(dirpath, n)
+                if pattern and not fnmatch.fnmatch(
+                        os.path.relpath(p, src_root), pattern):
+                    continue
+                found.append(p)
+        snap = self._replay()
+        new = sorted(set(found) - snap.copied)
+        if not new:
+            return {"version": snap.version, "files_loaded": 0,
+                    "files_skipped": len(found), "rows_loaded": 0}
+        reader = self.spark.read.options(**(options or {}))
+        schema = snap.schema
+        # pin the table schema MINUS generated columns: COPY INTO
+        # always re-derives those from the landed values (a uniform,
+        # probe-free contract — no extra schema-discovery pass over
+        # the landing zone; the __gen_ CHECK would reject any
+        # divergent value anyway, and ALWAYS AS means the expression
+        # is the source of truth)
+        pinned = (StructType([f for f in schema.fields
+                              if f.name not in snap.generated])
+                  if schema is not None else None)
+        if fmt == "parquet":
+            df = (reader.schema(pinned).parquet(*new)
+                  if pinned is not None and schema_mode == "strict"
+                  else reader.option("mergeSchema", "true")
+                  .parquet(*new))
+        elif fmt in ("json", "csv"):
+            load = reader.json if fmt == "json" else reader.csv
+            df = (load(new) if pinned is None
+                  else reader.schema(pinned).json(new) if fmt == "json"
+                  else reader.schema(pinned).csv(new))
+        else:
+            raise ValueError(f"COPY INTO: unsupported FILEFORMAT "
+                             f"{fmt!r} (parquet|json|csv)")
+        if snap.generated:
+            df = self._derive_generated(df, snap.generated)
+        evolved = self._check_schema(df, snap, schema_mode)
+        validated = dict(snap.constraints)
+        self._enforce(df, validated)
+        adds = self._stage(df, snap.partition_by or None,
+                           mapping=snap.column_mapping)
+        rows = sum(a.rows for a in adds)
+        commit: dict[str, Any] = {
+            "op": "copy_into", "ts": time.time(),
+            "add": [a.to_json() for a in adds], "remove": [],
+            "copy_sources": new}
+        if evolved:
+            commit["schema_json"] = evolved
+        while True:
+            v = snap.version + 1
+            if self._try_publish(v, commit, features=("copy_into",)):
+                self._maybe_checkpoint(v)
+                return {"version": v, "files_loaded": len(new),
+                        "files_skipped": len(found) - len(new),
+                        "rows_loaded": int(rows)}
+            snap = self._replay()          # lost the race
+            overlap = set(new) & snap.copied
+            if overlap:
+                raise ConcurrentWriteError(
+                    f"COPY INTO {self.path}: a concurrent copy "
+                    f"ingested {len(overlap)} of these source files "
+                    "(first: "
+                    f"{sorted(overlap)[0]}); re-run to load the rest "
+                    "(staged files are orphaned until vacuum)")
+            if snap.constraints != validated:
+                validated = dict(snap.constraints)
+                self._enforce(df, validated)
             evolved = self._check_schema(df, snap, schema_mode)
             if evolved:
                 commit["schema_json"] = evolved

@@ -25,6 +25,9 @@ Grammar subset (case-insensitive keywords):
   CONVERT TO TXLOG t                -- adopt existing parquet, zero copy
   CREATE TABLE t2 SHALLOW CLONE t1
       [VERSION AS OF n | TIMESTAMP AS OF 'ts']   -- zero-copy fork
+  COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|JSON|CSV
+      [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', ...)]
+                                    -- idempotent landing-zone ingest
   INSERT INTO t [(c, ...)] <select> | VALUES (v, ...) [, ...]
   INSERT OVERWRITE t <select>
   MERGE [WITH SCHEMA EVOLUTION] INTO t [AS a]
@@ -152,6 +155,8 @@ class LakehouseCatalog:
             return self._create(s)
         if two == "CONVERT TO":
             return self._convert(s)
+        if two == "COPY INTO":
+            return self._copy(s)
         if two == "INSERT INTO":
             return self._insert(s)
         if two == "INSERT OVERWRITE":
@@ -532,6 +537,28 @@ class LakehouseCatalog:
                      not_null=not_null or None)
             return self._metrics("create", {"version": 0})
         raise ValueError(f"unsupported CREATE TABLE shape: {s[:120]}")
+
+    def _copy(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'\s+"
+            rf"FILEFORMAT\s*=\s*(\w+)"
+            rf"(?:\s+PATTERN\s*=\s*'([^']+)')?"
+            rf"(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?\s*$",
+            s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported COPY INTO shape: {s[:120]}")
+        tname, src, fmt, pat, opts = m.groups()
+        options: dict[str, str] = {}
+        if opts:
+            for pair in self._split_top(opts):
+                km = re.match(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*$", pair)
+                if not km:
+                    raise ValueError(
+                        f"bad FORMAT_OPTIONS entry: {pair!r}")
+                options[km.group(1)] = km.group(2)
+        res = self.table(tname).copy_into(
+            src, fmt=fmt.lower(), pattern=pat, options=options or None)
+        return self._metrics("copy_into", res)
 
     def _convert(self, s: str) -> DataFrame:
         """CONVERT TO TXLOG t: adopt the registered path's existing
