@@ -125,6 +125,9 @@ _WRITER_FEATURES = _READER_FEATURES | frozenset({
     "copy_into",           # preserve copy_sources idempotence state
                            # (an unaware writer's CHECKPOINT would
                            # silently drop it -> double ingest)
+    "append_only",         # honor txlog.appendOnly (an unaware
+                           # writer would delete/update rows the
+                           # table's contract says are immutable)
 })
 
 
@@ -223,6 +226,12 @@ class CheckViolationError(ValueError):
     commit was not published and no staged file became visible."""
 
 
+class AppendOnlyError(RuntimeError):
+    """A row-modifying operation (DELETE/UPDATE/MERGE/overwrite/
+    restore) was refused because the table declares
+    ``txlog.appendOnly = true`` (Delta's delta.appendOnly)."""
+
+
 @dataclass
 class AddFile:
     path: str                      # relative to the table root
@@ -278,6 +287,10 @@ class Snapshot:
     # list unions in). A re-run lists the landing zone, subtracts
     # this set, and loads only the remainder.
     copied: set[str] = field(default_factory=set)
+    # table properties (Delta's TBLPROPERTIES): full-map replace.
+    # Engine-reserved keys use the txlog. prefix and are validated;
+    # anything else is the user's annotation space.
+    properties: dict[str, str] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType | None:
@@ -447,7 +460,8 @@ class TxnTable:
                             list(meta.get("dropped_physical", [])),
                             dict(meta.get("generated", {})),
                             meta.get("protocol"),
-                            set(meta.get("copied", [])))
+                            set(meta.get("copied", [])),
+                            dict(meta.get("properties", {})))
         except (OSError, KeyError, ValueError):
             return None   # corrupt/missing checkpoint -> full replay
 
@@ -484,6 +498,8 @@ class TxnTable:
                 snap.protocol = dict(c["protocol"])
             for sp in c.get("copy_sources", []):   # accumulative
                 snap.copied.add(sp)
+            if "properties" in c:         # full-map replace semantics
+                snap.properties = dict(c["properties"])
             for rp in c.get("remove", []):
                 snap.live.pop(rp, None)
                 snap.dvs.pop(rp, None)       # rewrite materializes DVs
@@ -515,6 +531,9 @@ class TxnTable:
         _validate_reader_protocol(snap.protocol, self.path)
         if version is None:       # head replay: pin for the write path
             self._head_protocol = snap.protocol
+            ci = snap.properties.get("txlog.checkpointInterval")
+            if ci:                # table property overrides the handle
+                self.checkpoint_every = max(1, int(ci))
         return snap
 
     # ----------------------------------------------------- log writes
@@ -584,7 +603,8 @@ class TxnTable:
                            "dropped_physical": snap.dropped_physical,
                            "generated": snap.generated,
                            "protocol": snap.protocol,
-                           "copied": sorted(snap.copied)})
+                           "copied": sorted(snap.copied),
+                           "properties": snap.properties})
         t = t.replace_schema_metadata({b"txlog": meta.encode()})
         ck = self._ckpt_path(snap.version)
         pq.write_table(t, ck + ".tmp")
@@ -733,6 +753,75 @@ class TxnTable:
                 + "; ".join(f"{n}: ({constraints[n]})" for n in names))
 
     # ------------------------------------------------------- commands
+    # engine-reserved property keys (Delta's delta.* namespace);
+    # unknown txlog.* keys are rejected loudly — silently accepting a
+    # typo like txlog.appendOnIy would disable the contract the user
+    # thinks they enabled
+    _KNOWN_PROPS = ("txlog.appendOnly", "txlog.checkpointInterval")
+
+    def _validate_props(self, props: dict[str, str]) -> None:
+        for k, v in props.items():
+            if k.startswith("txlog.") and k not in self._KNOWN_PROPS:
+                raise ValueError(
+                    f"unknown engine property {k!r} (have "
+                    f"{list(self._KNOWN_PROPS)}); non-engine keys "
+                    "must not use the txlog. prefix")
+            if (k == "txlog.appendOnly"
+                    and str(v).lower() not in ("true", "false")):
+                raise ValueError(
+                    f"txlog.appendOnly must be true|false, got {v!r}")
+            if k == "txlog.checkpointInterval" and (
+                    not str(v).isdigit() or int(v) < 1):
+                raise ValueError(
+                    f"txlog.checkpointInterval must be a positive "
+                    f"int, got {v!r}")
+
+    def set_properties(self, props: dict[str, str]) -> int:
+        """ALTER TABLE SET TBLPROPERTIES: merge ``props`` into the
+        table's property map (full-map-replace commit). Engine keys:
+        ``txlog.appendOnly`` (true blocks DELETE/UPDATE/MERGE/
+        overwrite/restore — Delta's delta.appendOnly; activates the
+        append_only writer feature so an unaware writer refuses
+        rather than mutates) and ``txlog.checkpointInterval``."""
+        props = {k: str(v) for k, v in props.items()}
+        self._validate_props(props)
+        while True:
+            snap = self._replay()
+            merged = {**snap.properties, **props}
+            commit = {"op": "set_properties", "ts": time.time(),
+                      "add": [], "remove": [], "properties": merged}
+            feats = (("append_only",)
+                     if merged.get("txlog.appendOnly", ""
+                                   ).lower() == "true" else ())
+            v = snap.version + 1
+            if self._try_publish(v, commit, features=feats):
+                self._maybe_checkpoint(v)
+                return v
+
+    def unset_properties(self, keys: list[str]) -> int:
+        """ALTER TABLE UNSET TBLPROPERTIES (unknown keys are a no-op,
+        matching Spark's IF EXISTS-less behavior on Delta)."""
+        while True:
+            snap = self._replay()
+            remaining = {k: x for k, x in snap.properties.items()
+                         if k not in set(keys)}
+            commit = {"op": "set_properties", "ts": time.time(),
+                      "add": [], "remove": [],
+                      "properties": remaining}
+            v = snap.version + 1
+            if self._try_publish(v, commit):
+                self._maybe_checkpoint(v)
+                return v
+
+    def _assert_mutable(self, snap: Snapshot, verb: str) -> None:
+        if snap.properties.get("txlog.appendOnly",
+                               "").lower() == "true":
+            raise AppendOnlyError(
+                f"{verb} on {self.path}: the table declares "
+                "txlog.appendOnly = true; UNSET the property first "
+                "(layout-only ops — compact/optimize/reorg — remain "
+                "allowed)")
+
     def add_check_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT name CHECK (expr). Validates the
         EXISTING table data first (one scan); publishes a
@@ -1371,6 +1460,7 @@ class TxnTable:
         Last-writer-wins under concurrency: losing the version race
         recomputes the removes against the new head and retries."""
         pre = self._replay()
+        self._assert_mutable(pre, "overwrite")
         if pre.generated:
             df = self._derive_generated(df, pre.generated)
         validated = dict(pre.constraints)
@@ -1632,6 +1722,7 @@ class TxnTable:
                 f"cannot restore {self.path} to v{version}: {len(missing)}"
                 f" file(s) already vacuumed (first: {missing[0]})")
         cur = self._replay()
+        self._assert_mutable(cur, "RESTORE")
         commit = {"op": "restore", "ts": time.time(),
                   "read_version": cur.version,
                   "restore_of": version,
@@ -1688,6 +1779,7 @@ class TxnTable:
                              for f in fs}),
             "dv_dead_rows": sum(snap.dv_dead.values()),
             "column_mapping": dict(snap.column_mapping),
+            "properties": dict(snap.properties),
             "min_reader_version": int(
                 (snap.protocol or {}).get("min_reader", 1)),
             "min_writer_version": int(
@@ -1826,6 +1918,7 @@ class TxnTable:
         without the escape, autoMerge would widen the table with the
         flag column itself."""
         snap = self._replay()
+        self._assert_mutable(snap, "MERGE")
         if snap.generated:              # derive absent generated cols
             source = self._derive_generated(source, snap.generated)
         source = source.localCheckpoint(eager=True)  # pin: read twice
@@ -2013,6 +2106,7 @@ class TxnTable:
                 f"MERGE target and source aliases must differ "
                 f"(both {talias!r})")
         snap = self._replay()
+        self._assert_mutable(snap, "MERGE")
         if snap.schema is None:
             raise FileNotFoundError(f"no txlog table at {self.path}")
         if snap.generated:              # derive absent generated cols
@@ -2368,6 +2462,7 @@ class TxnTable:
         remove+add. Strictly serialized like merge — any concurrent
         commit between read and publish aborts."""
         snap = self._replay()
+        self._assert_mutable(snap, op.upper())
         target = self._read_files_meta(snap, sorted(snap.live))
         touched = sorted({r[0] for r in
                           (target.where(hit).select("__rel")
@@ -2429,6 +2524,7 @@ class TxnTable:
 
     def _delete_dv(self, hit) -> dict[str, int]:
         snap = self._replay()
+        self._assert_mutable(snap, "DELETE")
         rels = sorted(snap.live)
         if not rels:
             return {"version": snap.version, "files_rewritten": 0,
@@ -2516,6 +2612,7 @@ class TxnTable:
 
     def _update_dv(self, hit, sets) -> dict[str, int]:
         snap = self._replay()
+        self._assert_mutable(snap, "UPDATE")
         rels = sorted(snap.live)
         if not rels:
             return {"version": snap.version, "files_rewritten": 0,

@@ -45,7 +45,11 @@ Grammar subset (case-insensitive keywords):
   OPTIMIZE t [WHERE c BETWEEN lo AND hi] [ZORDER BY (c [, ...])]
   REORG TABLE t APPLY (PURGE [WHERE DEAD_FRAC > x])
   VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS]
-  DESCRIBE HISTORY t | DESCRIBE DETAIL t
+  DESCRIBE HISTORY t | DESCRIBE DETAIL t | SHOW TBLPROPERTIES t
+  ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
+  ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
+      -- engine keys: txlog.appendOnly (true blocks DELETE/UPDATE/
+      -- MERGE/overwrite/restore), txlog.checkpointInterval
   ALTER TABLE t ADD CONSTRAINT name CHECK (expr)
   ALTER TABLE t DROP CONSTRAINT name
   ALTER TABLE t ADD COLUMNS (c type [, ...])
@@ -149,6 +153,8 @@ class LakehouseCatalog:
             return self._history(s)
         if two == "DESCRIBE DETAIL":
             return self._detail(s)
+        if two == "SHOW TBLPROPERTIES":
+            return self._show_props(s)
         if two == "ALTER TABLE":
             return self._alter(s)
         if two == "CREATE TABLE":
@@ -798,6 +804,27 @@ class LakehouseCatalog:
                                                     m.group(3))
             return self._metrics("widen_column", {"version": v})
         m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*"
+            rf"\(([^)]*)\)\s*$", s, re.IGNORECASE | re.DOTALL)
+        if m:
+            props: dict[str, str] = {}
+            for pair in self._split_top(m.group(2)):
+                pm = re.match(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*$", pair)
+                if not pm:
+                    raise ValueError(
+                        f"bad TBLPROPERTIES entry: {pair!r}")
+                props[pm.group(1)] = pm.group(2)
+            v = self.table(m.group(1)).set_properties(props)
+            return self._metrics("set_properties", {"version": v})
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*"
+            rf"\(([^)]*)\)\s*$", s, re.IGNORECASE)
+        if m:
+            keys = [k.strip().strip("'")
+                    for k in self._split_top(m.group(2))]
+            v = self.table(m.group(1)).unset_properties(keys)
+            return self._metrics("unset_properties", {"version": v})
+        m = re.match(
             rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s*"
             rf"(?:\(([^)]*)\)|({_IDENT}))\s*$", s, re.IGNORECASE)
         if m:
@@ -829,7 +856,27 @@ class LakehouseCatalog:
             f"'{cons}' AS constraints, "
             f"'{cmap}' AS column_mapping, "
             f"CAST({int(d['dv_files'])} AS BIGINT) AS dv_files, "
-            f"CAST({int(d['dv_dead_rows'])} AS BIGINT) AS dv_dead_rows"])
+            f"CAST({int(d['dv_dead_rows'])} AS BIGINT) AS dv_dead_rows, "
+            f"CAST({int(d['min_reader_version'])} AS BIGINT) "
+            f"AS min_reader_version, "
+            f"CAST({int(d['min_writer_version'])} AS BIGINT) "
+            f"AS min_writer_version, "
+            f"'{','.join(d['table_features'])}' AS table_features"])
+
+    def _show_props(self, s: str) -> DataFrame:
+        m = re.match(rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*$",
+                     s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported SHOW TBLPROPERTIES: {s[:120]}")
+        props = self.table(m.group(1)).describe_detail()["properties"]
+
+        def esc(x: str) -> str:
+            return x.replace("'", "''")
+
+        return self._lit_frame(
+            [f"SELECT '{esc(k)}' AS key, '{esc(v)}' AS value"
+             for k, v in sorted(props.items())]
+            or ["SELECT '' AS key, '' AS value WHERE false"])
 
     def _history(self, s: str) -> DataFrame:
         m = re.match(rf"DESCRIBE\s+HISTORY\s+({_IDENT})\s*$",
