@@ -128,6 +128,9 @@ _WRITER_FEATURES = _READER_FEATURES | frozenset({
     "append_only",         # honor txlog.appendOnly (an unaware
                            # writer would delete/update rows the
                            # table's contract says are immutable)
+    "identity_columns",    # allocate from the identity high-water
+                           # mark (an unaware writer could commit
+                           # colliding explicit values)
 })
 
 
@@ -149,6 +152,8 @@ def _commit_features(c: dict[str, Any]) -> set[str]:
         feats.add("deletion_vectors")
     if c.get("generated"):
         feats.add("generated_columns")
+    if c.get("identity"):
+        feats.add("identity_columns")
     if c.get("constraints"):
         feats.add("check_constraints")
     if any(os.path.isabs(a["path"]) for a in c.get("add", [])):
@@ -291,6 +296,13 @@ class Snapshot:
     # Engine-reserved keys use the txlog. prefix and are validated;
     # anything else is the user's annotation space.
     properties: dict[str, str] = field(default_factory=dict)
+    # identity columns (Delta's GENERATED ALWAYS AS IDENTITY):
+    # col -> {"start": n, "step": n} (full-map replace, create-time);
+    # identity_high tracks the LARGEST value ever committed per
+    # column (accumulative max — restore never rewinds it, so
+    # post-rollback appends can never reuse an id).
+    identity: dict[str, dict[str, int]] = field(default_factory=dict)
+    identity_high: dict[str, int] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType | None:
@@ -461,7 +473,11 @@ class TxnTable:
                             dict(meta.get("generated", {})),
                             meta.get("protocol"),
                             set(meta.get("copied", [])),
-                            dict(meta.get("properties", {})))
+                            dict(meta.get("properties", {})),
+                            {k: dict(x) for k, x
+                             in meta.get("identity", {}).items()},
+                            {k: int(n) for k, n
+                             in meta.get("identity_high", {}).items()})
         except (OSError, KeyError, ValueError):
             return None   # corrupt/missing checkpoint -> full replay
 
@@ -500,6 +516,12 @@ class TxnTable:
                 snap.copied.add(sp)
             if "properties" in c:         # full-map replace semantics
                 snap.properties = dict(c["properties"])
+            if "identity" in c:           # full-map replace (create)
+                snap.identity = {k: dict(x)
+                                 for k, x in c["identity"].items()}
+            for k, n in c.get("identity_high", {}).items():
+                snap.identity_high[k] = max(
+                    snap.identity_high.get(k, n), int(n))
             for rp in c.get("remove", []):
                 snap.live.pop(rp, None)
                 snap.dvs.pop(rp, None)       # rewrite materializes DVs
@@ -604,7 +626,9 @@ class TxnTable:
                            "generated": snap.generated,
                            "protocol": snap.protocol,
                            "copied": sorted(snap.copied),
-                           "properties": snap.properties})
+                           "properties": snap.properties,
+                           "identity": snap.identity,
+                           "identity_high": snap.identity_high})
         t = t.replace_schema_metadata({b"txlog": meta.encode()})
         ck = self._ckpt_path(snap.version)
         pq.write_table(t, ck + ".tmp")
@@ -821,6 +845,14 @@ class TxnTable:
                 "txlog.appendOnly = true; UNSET the property first "
                 "(layout-only ops — compact/optimize/reorg — remain "
                 "allowed)")
+
+    def _assert_no_identity(self, snap: Snapshot, verb: str) -> None:
+        if snap.identity:
+            raise ValueError(
+                f"{verb} on {self.path}: identity column(s) "
+                f"{sorted(snap.identity)} are append-allocated; MERGE "
+                "cannot assign them — land new rows via append/"
+                "COPY INTO and modify existing rows via UPDATE/DELETE")
 
     def add_check_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT name CHECK (expr). Validates the
@@ -1058,6 +1090,90 @@ class TxnTable:
                 df = df.withColumn(c, F.expr(e))
         return df
 
+    def _assign_identity(self, df: DataFrame, snap: Snapshot
+                         ) -> tuple[DataFrame, dict[str, int]]:
+        """Assign GENERATED ALWAYS AS IDENTITY columns on a write's
+        input. Explicit values are REJECTED (Delta's ALWAYS AS
+        contract — the log owns allocation).
+
+        Assignment is a DENSE two-pass (the same shape as the
+        distributed percent-rank in operators/quality_model.py): pin
+        the input (localCheckpoint — the frame is about to be staged
+        anyway, and counts must see the exact partitions the write
+        will), count rows per partition (one metadata-sized collect,
+        bounded by the write's partition count like every manifest in
+        this file), turn the counts into prefix offsets, then each
+        row's id is base + step * (offset[partition] + row-index-
+        within-partition) — pure JVM expressions, no shuffle, no
+        window. Each write's ids are therefore CONTIGUOUS
+        [base, base + step*(n-1)]; a raw monotonically_increasing_id
+        assignment would instead advance the high-water by
+        partitions * 2^33 per write and overflow int64 after ~1M
+        thousand-partition commits. Gaps still appear ACROSS writes
+        (a lost race restages higher) — Delta's identity contract
+        promises uniqueness and direction, never contiguity.
+        Returns (df, bases); the publish loop restages when a
+        concurrent writer advanced the high-water past a base."""
+        if not snap.identity:
+            return df, {}
+        for col in snap.identity:
+            if col in df.columns:
+                raise ValueError(
+                    f"column {col!r} on {self.path} is GENERATED "
+                    "ALWAYS AS IDENTITY: explicit values are not "
+                    "accepted (the log allocates them)")
+        df = df.localCheckpoint(eager=True)     # pin partitions
+        counts = sorted(
+            (r["__pid"], r["__n"]) for r in
+            df.groupBy(F.spark_partition_id().alias("__pid"))
+            .agg(F.count(F.lit(1)).alias("__n")).collect())
+        offsets: list[tuple[int, int]] = []
+        acc = 0
+        for pid, n in counts:
+            offsets.append((pid, acc))
+            acc += n
+        omap = (F.create_map(*[F.lit(x) for po in offsets for x in po])
+                if offsets else F.create_map())
+        # mii = (partition id << 33) + row index within the partition
+        # (dense), per Spark's documented layout — the offset map
+        # turns it into a global dense index
+        dense = (F.element_at(omap, F.spark_partition_id())
+                 + F.monotonically_increasing_id()
+                 .bitwiseAND(F.lit((1 << 33) - 1)))
+        bases: dict[str, int] = {}
+        for col, spec in sorted(snap.identity.items()):
+            step = int(spec["step"])
+            base = snap.identity_high.get(
+                col, int(spec["start"]) - step) + step
+            bases[col] = base
+            df = df.withColumn(
+                col,
+                (F.lit(base) + dense * F.lit(step)).cast("long"))
+        return df, bases
+
+    def _identity_high(self, adds: list[AddFile], snap: Snapshot,
+                       staged_cols: dict[str, int]) -> dict[str, int]:
+        """Largest identity value each staged write committed, from
+        the already-harvested FOOTER stats (free); the rare stats-less
+        add (all-null is impossible for identity, but stay paranoid)
+        falls back to one max() over the staged files — never guess,
+        an undercounted high-water would eventually reuse an id."""
+        out: dict[str, int] = {}
+        for col in staged_cols:
+            ph = snap.phys(col)
+            vals = [a.stats.get(ph, [None, None])[1]
+                    for a in adds if a.rows]
+            if not vals:                   # empty write: no advance
+                continue
+            if any(v is None for v in vals):
+                got = (self.spark.read.parquet(
+                    *[os.path.join(self.path, a.path) for a in adds])
+                    .agg(F.max(ph)).collect()[0][0])
+                out[col] = int(got)
+            else:
+                out[col] = int(max(vals))
+        return out
+
     @staticmethod
     def _auto_constraints(generated: dict[str, str],
                           not_null: list[str]) -> dict[str, str]:
@@ -1079,18 +1195,52 @@ class TxnTable:
                partition_by: list[str] | None = None,
                partition_files: int | None = None,
                generated: dict[str, str] | None = None,
-               not_null: list[str] | None = None) -> "TxnTable":
+               not_null: list[str] | None = None,
+               identity: dict[str, dict[str, int]] | None = None
+               ) -> "TxnTable":
         """Create the table from ``df``. ``generated`` declares
         Delta-style GENERATED ALWAYS AS columns ({col: sql_expr} over
         the other columns — derived on every write that omits them, so
         e.g. the medallion partition date can live inside the format);
         ``not_null`` declares NOT NULL columns. Both enforce through
         auto-registered CHECK constraints (__gen_/__nn_ prefixes) on
-        every write path."""
+        every write path. ``identity`` declares GENERATED ALWAYS AS
+        IDENTITY columns ({col: {"start": n, "step": n}}, step >= 1):
+        the log allocates their values on every append-shaped write
+        (explicit values rejected; identity tables must be created
+        EMPTY — the DDL shape)."""
         if self.exists():
             raise FileExistsError(f"txlog table already at {self.path}")
         generated = dict(generated or {})
         not_null = list(not_null or [])
+        identity = {k: {"start": int(v["start"]),
+                        "step": int(v["step"])}
+                    for k, v in (identity or {}).items()}
+        if identity:
+            names = {f.name: f.dataType.simpleString()
+                     for f in df.schema.fields}
+            for col, spec in identity.items():
+                if col not in names:
+                    raise ValueError(
+                        f"identity column {col!r} not in the schema "
+                        f"{sorted(names)}")
+                if names[col] not in ("bigint", "long", "int",
+                                      "integer"):
+                    raise ValueError(
+                        f"identity column {col!r} must be an integer "
+                        f"type, got {names[col]}")
+                if col in generated:
+                    raise ValueError(
+                        f"column {col!r} cannot be both IDENTITY and "
+                        "GENERATED ALWAYS AS (expr)")
+                if spec["step"] < 1:
+                    raise ValueError(
+                        f"identity step for {col!r} must be >= 1 "
+                        f"(got {spec['step']})")
+            if df.take(1):
+                raise ValueError(
+                    "identity tables must be created EMPTY (the log "
+                    "owns allocation); CREATE then append")
         if generated:
             df = self._derive_generated(df, generated)
         cons = self._auto_constraints(generated, not_null)
@@ -1112,6 +1262,10 @@ class TxnTable:
             commit["constraints"] = cons
         if generated:
             commit["generated"] = generated
+        if identity:
+            commit["identity"] = identity
+            commit["identity_high"] = {
+                c: s["start"] - s["step"] for c, s in identity.items()}
         if not self._try_publish(0, commit):
             raise FileExistsError(
                 f"concurrent create at {self.path}; staged files "
@@ -1302,8 +1456,19 @@ class TxnTable:
         if (txn_app is not None
                 and snap.txns.get(txn_app, -1) >= (txn_batch or 0)):
             return None
-        if snap.generated:
-            df = self._derive_generated(df, snap.generated)
+        raw = df                       # pre-identity frame, for restage
+        bases: dict[str, int] = {}
+
+        def prep(snap: Snapshot) -> tuple[DataFrame, dict[str, int]]:
+            out = raw
+            b: dict[str, int] = {}
+            if snap.identity:          # allocate BEFORE generated —
+                out, b = self._assign_identity(out, snap)  # gen may
+            if snap.generated:                             # reference
+                out = self._derive_generated(out, snap.generated)
+            return out, b
+
+        df, bases = prep(snap)
         evolved = self._check_schema(df, snap, schema_mode)
         validated = dict(snap.constraints)
         self._enforce(df, validated)
@@ -1312,6 +1477,9 @@ class TxnTable:
         commit: dict[str, Any] = {
             "op": "append", "ts": time.time(),
             "add": [a.to_json() for a in adds], "remove": []}
+        if bases:
+            commit["identity_high"] = self._identity_high(
+                adds, snap, bases)
         if evolved:
             commit["schema_json"] = evolved
         if txn_app is not None:
@@ -1325,7 +1493,24 @@ class TxnTable:
             if (txn_app is not None
                     and snap.txns.get(txn_app, -1) >= (txn_batch or 0)):
                 return None            # a concurrent replay beat us
-            if snap.constraints != validated:
+            if any(snap.identity_high.get(
+                    c, snap.identity[c]["start"]
+                    - snap.identity[c]["step"])
+                   + snap.identity[c]["step"] != b
+                   for c, b in bases.items()):
+                # a concurrent writer allocated ids at or past our
+                # base: our staged values would collide — RESTAGE from
+                # the new high (old staged files orphan; vacuum sweeps)
+                df, bases = prep(snap)
+                self._enforce(df, dict(snap.constraints))
+                validated = dict(snap.constraints)
+                adds = self._stage(
+                    df, partition_by or snap.partition_by or None,
+                    mapping=snap.column_mapping)
+                commit["add"] = [a.to_json() for a in adds]
+                commit["identity_high"] = self._identity_high(
+                    adds, snap, bases)
+            elif snap.constraints != validated:
                 # a concurrent ALTER added/changed constraints between
                 # our read and publish — our rows are not grandfathered
                 validated = dict(snap.constraints)
@@ -1400,7 +1585,8 @@ class TxnTable:
         # divergent value anyway, and ALWAYS AS means the expression
         # is the source of truth)
         pinned = (StructType([f for f in schema.fields
-                              if f.name not in snap.generated])
+                              if f.name not in snap.generated
+                              and f.name not in snap.identity])
                   if schema is not None else None)
         if fmt == "parquet":
             df = (reader.schema(pinned).parquet(*new)
@@ -1415,7 +1601,10 @@ class TxnTable:
         else:
             raise ValueError(f"COPY INTO: unsupported FILEFORMAT "
                              f"{fmt!r} (parquet|json|csv)")
-        if snap.generated:
+        cp_bases: dict[str, int] = {}
+        if snap.identity:              # identity cols are excluded
+            df, cp_bases = self._assign_identity(df, snap)  # from the
+        if snap.generated:                                  # pin above
             df = self._derive_generated(df, snap.generated)
         evolved = self._check_schema(df, snap, schema_mode)
         validated = dict(snap.constraints)
@@ -1427,6 +1616,9 @@ class TxnTable:
             "op": "copy_into", "ts": time.time(),
             "add": [a.to_json() for a in adds], "remove": [],
             "copy_sources": new}
+        if cp_bases:
+            commit["identity_high"] = self._identity_high(
+                adds, snap, cp_bases)
         if evolved:
             commit["schema_json"] = evolved
         while True:
@@ -1437,6 +1629,17 @@ class TxnTable:
                         "files_skipped": len(found) - len(new),
                         "rows_loaded": int(rows)}
             snap = self._replay()          # lost the race
+            if any(snap.identity_high.get(
+                    c, snap.identity[c]["start"]
+                    - snap.identity[c]["step"])
+                   + snap.identity[c]["step"] != b
+                   for c, b in cp_bases.items()):
+                raise ConcurrentWriteError(
+                    f"COPY INTO {self.path}: a concurrent write "
+                    "allocated identity values past this batch's "
+                    "base; re-run (nothing was recorded — the same "
+                    "files will load; staged files are orphaned "
+                    "until vacuum)")
             overlap = set(new) & snap.copied
             if overlap:
                 raise ConcurrentWriteError(
@@ -1461,6 +1664,9 @@ class TxnTable:
         recomputes the removes against the new head and retries."""
         pre = self._replay()
         self._assert_mutable(pre, "overwrite")
+        ow_bases: dict[str, int] = {}
+        if pre.identity:               # fresh ids, never reused —
+            df, ow_bases = self._assign_identity(df, pre)  # Delta too
         if pre.generated:
             df = self._derive_generated(df, pre.generated)
         validated = dict(pre.constraints)
@@ -1481,6 +1687,23 @@ class TxnTable:
                                        else snap.partition_by),
                       "add": [a.to_json() for a in adds],
                       "remove": sorted(snap.live)}
+            if ow_bases:
+                if any(snap.identity_high.get(
+                        c, snap.identity[c]["start"]
+                        - snap.identity[c]["step"])
+                       + snap.identity[c]["step"] != b
+                       for c, b in ow_bases.items()):
+                    # concurrent allocation past our base: restage
+                    df, ow_bases = self._assign_identity(
+                        df.drop(*ow_bases), snap)
+                    if snap.generated:
+                        df = self._derive_generated(df, snap.generated)
+                    self._enforce(df, dict(snap.constraints))
+                    validated = dict(snap.constraints)
+                    adds = self._stage(df, partition_by)
+                    commit["add"] = [a.to_json() for a in adds]
+                commit["identity_high"] = self._identity_high(
+                    adds, snap, ow_bases)
             v = snap.version + 1
             if self._try_publish(v, commit):
                 self._maybe_checkpoint(v)
@@ -1780,6 +2003,10 @@ class TxnTable:
             "dv_dead_rows": sum(snap.dv_dead.values()),
             "column_mapping": dict(snap.column_mapping),
             "properties": dict(snap.properties),
+            "identity": {c: {**spec,
+                             "high": snap.identity_high.get(
+                                 c, spec["start"] - spec["step"])}
+                         for c, spec in snap.identity.items()},
             "min_reader_version": int(
                 (snap.protocol or {}).get("min_reader", 1)),
             "min_writer_version": int(
@@ -1919,6 +2146,7 @@ class TxnTable:
         flag column itself."""
         snap = self._replay()
         self._assert_mutable(snap, "MERGE")
+        self._assert_no_identity(snap, "MERGE")
         if snap.generated:              # derive absent generated cols
             source = self._derive_generated(source, snap.generated)
         source = source.localCheckpoint(eager=True)  # pin: read twice
@@ -2107,6 +2335,7 @@ class TxnTable:
                 f"(both {talias!r})")
         snap = self._replay()
         self._assert_mutable(snap, "MERGE")
+        self._assert_no_identity(snap, "MERGE")
         if snap.schema is None:
             raise FileNotFoundError(f"no txlog table at {self.path}")
         if snap.generated:              # derive absent generated cols

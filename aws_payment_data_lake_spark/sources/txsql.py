@@ -20,7 +20,9 @@ Grammar subset (case-insensitive keywords):
                   -- _change_type + DV delete pre-image events
   CREATE TABLE t USING txlog [PARTITIONED BY (c,..)] AS <select>
   CREATE TABLE t (c type [NOT NULL]
-                  [GENERATED ALWAYS AS (expr)], ...) USING txlog
+                  [GENERATED ALWAYS AS (expr)]
+                  [GENERATED ALWAYS AS IDENTITY
+                   [(START WITH n [INCREMENT BY m])]], ...) USING txlog
       [PARTITIONED BY (c,..)]        -- partition col may be generated
   CONVERT TO TXLOG t                -- adopt existing parquet, zero copy
   CREATE TABLE t2 SHALLOW CLONE t1
@@ -517,9 +519,22 @@ class LakehouseCatalog:
             t = self.table(tname)
             not_null: list[str] = []
             generated: dict[str, str] = {}
+            identity: dict[str, dict[str, int]] = {}
             col_ddls: list[str] = []
             for p in self._split_top(cols):
                 p = p.strip()
+                im = re.match(
+                    r"(.*?)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+                    r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)"
+                    r"(?:\s+INCREMENT\s+BY\s+(\d+))?\s*\))?\s*$",
+                    p, re.IGNORECASE)
+                if im:
+                    p = im.group(1).strip()
+                    identity[p.split(None, 1)[0]] = {
+                        "start": int(im.group(2) or 1),
+                        "step": int(im.group(3) or 1)}
+                    col_ddls.append(p)
+                    continue
                 gm = re.match(r"(.*?)\s+GENERATED\s+ALWAYS\s+AS\s*"
                               r"\((.*)\)\s*$",
                               p, re.IGNORECASE | re.DOTALL)
@@ -540,7 +555,8 @@ class LakehouseCatalog:
             t.create(self.spark.createDataFrame([], ", ".join(col_ddls)),
                      partition_by=pby,
                      generated=generated or None,
-                     not_null=not_null or None)
+                     not_null=not_null or None,
+                     identity=identity or None)
             return self._metrics("create", {"version": 0})
         raise ValueError(f"unsupported CREATE TABLE shape: {s[:120]}")
 
@@ -608,42 +624,59 @@ class LakehouseCatalog:
             df = self.spark.sql(f"SELECT * FROM {body}")
         else:
             df = self.spark.sql(self._bind_reads(body))
-        fields = t._replay().schema.fields
+        snap = t._replay()
+        fields = snap.schema.fields
         types = {f.name: f.dataType for f in fields}
         tcols = [f.name for f in fields]
+        gen, ident = set(snap.generated), set(snap.identity)
         if collist:
             # column-targeted: named slots fill in statement order,
             # unnamed table columns fill NULL (the ANSI rule) — except
             # GENERATED columns, which are left ABSENT so the write
-            # path derives them (NULL-filling would defeat derivation)
+            # path derives them (NULL-filling would defeat derivation),
+            # and IDENTITY columns, which are never insert targets
             named = [c.strip() for c in collist.split(",")]
             bad = sorted(set(named) - set(tcols))
             if bad:
                 raise ValueError(
                     f"INSERT INTO {tname}: unknown column(s) {bad}; "
                     f"table has {tcols}")
+            if set(named) & ident:
+                raise ValueError(
+                    f"INSERT INTO {tname}: column(s) "
+                    f"{sorted(set(named) & ident)} are GENERATED "
+                    "ALWAYS AS IDENTITY — the log allocates them")
             if len(df.columns) != len(named):
                 raise ValueError(
                     f"INSERT INTO {tname}: {len(df.columns)} values "
                     f"for {len(named)} named columns")
-            gen = set(t._replay().generated)
             df = df.toDF(*named)
             from pyspark.sql import functions as F
             df = df.select(*[
                 (F.col(c) if c in named else F.lit(None))
                 .cast(types[c]).alias(c) for c in tcols
-                if c in named or c not in gen])
+                if c in named or (c not in gen and c not in ident)])
         else:
-            # POSITIONAL: align the select list to the table schema by
-            # position, casting each slot to the target column type
-            # (ANSI store assignment — a bad cast throws, never nulls)
-            if len(df.columns) != len(tcols):
+            # POSITIONAL: align the select list to the table's
+            # INSERT-TARGET columns by position (identity columns are
+            # never targets; generated columns may be supplied or left
+            # off for derivation), casting each slot to the target
+            # type (ANSI store assignment — a bad cast throws)
+            full = [c for c in tcols if c not in ident]
+            reduced = [c for c in full if c not in gen]
+            if len(df.columns) == len(full):
+                target = full
+            elif len(df.columns) == len(reduced):
+                target = reduced
+            else:
                 raise ValueError(
                     f"INSERT INTO {tname}: {len(df.columns)} columns "
-                    f"for a {len(tcols)}-column table")
+                    f"for a table taking {len(full)}"
+                    + (f" (or {len(reduced)} with generated columns "
+                       "derived)" if gen else "") + " positional slots")
             from pyspark.sql import functions as F
-            df = df.toDF(*tcols).select(*[
-                F.col(c).cast(types[c]).alias(c) for c in tcols])
+            df = df.toDF(*target).select(*[
+                F.col(c).cast(types[c]).alias(c) for c in target])
         v = t.append(df)
         return self._metrics("insert", {"version": v})
 
