@@ -3175,7 +3175,8 @@ class TxnTable:
 
     def vacuum(self, retain_versions: int = 2,
                orphan_grace_s: float = 3600.0,
-               retain_hours: float | None = None) -> dict[str, int]:
+               retain_hours: float | None = None,
+               dry_run: bool = False) -> dict[str, Any]:
         """Delete data files no retained snapshot references (bounding
         time travel and freeing removed files), plus ORPHAN write dirs
         older than ``orphan_grace_s`` (crashed/aborted stages; the
@@ -3191,8 +3192,14 @@ class TxnTable:
         minutes under a streaming writer (VERDICT r8 #4). Commit ts is
         not strictly monotone (a retried append republishes its
         original ts), so the window test is per version, not a binary
-        search."""
+        search.
+
+        ``dry_run`` (Delta's VACUUM ... DRY RUN): report what WOULD be
+        reclaimed — counts plus the candidate paths — deleting
+        nothing. The ops answer to "is this retention setting about
+        to eat my time travel" BEFORE it does."""
         vs = self._versions_on_disk()
+        candidates: list[str] = []
         if retain_hours is not None:
             cutoff = time.time() - 3600.0 * retain_hours
             keep_versions = []
@@ -3226,17 +3233,26 @@ class TxnTable:
                     for n in os.listdir(wdir) if n.endswith(".parquet")]
             if not any(r in ever_logged for r in rels):
                 if now - os.path.getmtime(wdir) > orphan_grace_s:
+                    if dry_run:
+                        removed_orphans += 1
+                        candidates.append(os.path.join(
+                            _DATA_DIR, wid) + os.sep)
+                        continue
                     shutil.rmtree(wdir, ignore_errors=True)
                     removed_orphans += 1
                 continue
             for r in rels:
                 if r not in referenced:
+                    if dry_run:
+                        removed_files += 1
+                        candidates.append(r)
+                        continue
                     try:
                         os.unlink(os.path.join(self.path, r))
                         removed_files += 1
                     except OSError:
                         pass
-            if not os.listdir(wdir):
+            if not dry_run and not os.listdir(wdir):
                 shutil.rmtree(wdir, ignore_errors=True)
         # adopted files (CONVERT TO TXLOG) live OUTSIDE data/ — reclaim
         # the RETIRED ones (a rewrite replaced them) under the same
@@ -3252,11 +3268,19 @@ class TxnTable:
                 continue
             local = os.path.join(self.path, rel)
             if os.path.isfile(local):
+                if dry_run:
+                    removed_files += 1
+                    candidates.append(rel)
+                    continue
                 try:
                     os.unlink(local)
                     removed_files += 1
                 except OSError:
                     pass
+        if dry_run:
+            return {"data_files_deleted": removed_files,
+                    "orphan_dirs_deleted": removed_orphans,
+                    "dry_run": True, "candidates": sorted(candidates)}
         return {"data_files_deleted": removed_files,
                 "orphan_dirs_deleted": removed_orphans}
 

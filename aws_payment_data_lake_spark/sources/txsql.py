@@ -46,7 +46,7 @@ Grammar subset (case-insensitive keywords):
   RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
   OPTIMIZE t [WHERE c BETWEEN lo AND hi] [ZORDER BY (c [, ...])]
   REORG TABLE t APPLY (PURGE [WHERE DEAD_FRAC > x])
-  VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS]
+  VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]
   DESCRIBE HISTORY t | DESCRIBE DETAIL t | SHOW TBLPROPERTIES t
   ALTER TABLE t SET TBLPROPERTIES ('k' = 'v', ...)
   ALTER TABLE t UNSET TBLPROPERTIES ('k', ...)
@@ -767,16 +767,18 @@ class LakehouseCatalog:
     def _vacuum(self, s: str) -> DataFrame:
         m = re.match(
             rf"VACUUM\s+({_IDENT})"
-            rf"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?\s*$",
+            rf"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?"
+            rf"(\s+DRY\s+RUN)?\s*$",
             s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported VACUUM shape: {s[:120]}")
-        tname, n, unit = m.groups()
+        tname, n, unit, dry = m.groups()
         t = self.table(tname)
         if unit and unit.upper() == "HOURS":
-            res = t.vacuum(retain_hours=float(n))
+            res = t.vacuum(retain_hours=float(n), dry_run=bool(dry))
         else:
-            res = t.vacuum(retain_versions=int(float(n)) if n else 2)
+            res = t.vacuum(retain_versions=int(float(n)) if n else 2,
+                           dry_run=bool(dry))
         return self._metrics("vacuum", res)
 
     def _reorg(self, s: str) -> DataFrame:

@@ -118,3 +118,28 @@ def test_sql_tblproperties_surface(spark, tmp_path):
     lake.sql("ALTER TABLE pay UNSET TBLPROPERTIES ('txlog.appendOnly')")
     lake.sql("DELETE FROM pay WHERE id = 1")
     assert lake.sql("SELECT COUNT(*) FROM pay").collect()[0][0] == 8
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    """VACUUM ... DRY RUN: same candidate selection as the real
+    sweep, zero filesystem mutation — then the real run deletes
+    exactly what the dry run named."""
+    t = TxnTable(spark, str(tmp_path / "vac"))
+    t.create(spark.range(6).selectExpr("id", "id as v"))
+    t.overwrite(spark.range(3).selectExpr("id", "id as v"))
+    dry = t.vacuum(retain_versions=1, orphan_grace_s=0.0, dry_run=True)
+    assert dry["dry_run"] is True and dry["data_files_deleted"] >= 1
+    assert all(c.startswith("data" + os.sep) for c in dry["candidates"])
+    assert t.snapshot(version=0).count() == 6    # nothing deleted yet
+    real = t.vacuum(retain_versions=1, orphan_grace_s=0.0)
+    assert real["data_files_deleted"] == dry["data_files_deleted"]
+    # SQL surface
+    lake = LakehouseCatalog(spark)
+    lake.register("vac2", str(tmp_path / "vac2"))
+    lake.sql("CREATE TABLE vac2 USING txlog AS SELECT id FROM range(4)")
+    lake.sql("INSERT OVERWRITE vac2 SELECT id FROM range(2)")
+    got = {r["metric"]: r["value"] for r in lake.sql(
+        "VACUUM vac2 RETAIN 1 VERSIONS DRY RUN").collect()}
+    assert got["dry_run"] == 1 and got["data_files_deleted"] >= 1
+    assert lake.sql("SELECT COUNT(*) FROM vac2 VERSION AS OF 1"
+                    ).collect()[0][0] == 2
