@@ -218,3 +218,26 @@ def test_no_partitionless_window_in_registered_plans(spark, name):
     assert "Window" not in plan, plan
     if name == "text_vocab_topk":
         assert "TakeOrderedAndProject" in plan
+
+
+def test_clone_external_meta_read_broadcasts_the_key_map(spark, tmp_path):
+    """The external-file meta-read (shallow clones) resolves log keys
+    by joining _metadata.file_path against the exact uri->key map —
+    one row per scanned file. That map must BROADCAST: a shuffled
+    join here would re-shuffle the whole table on every COW
+    delete/update/merge against a clone."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from aws_payment_data_lake_spark.sources.txlog import TxnTable
+
+    src = TxnTable(spark, str(tmp_path / "src"))
+    src.create(spark.range(64).selectExpr("id", "id as v"))
+    c = TxnTable(spark, str(tmp_path / "clone")).clone_shallow(src)
+    snap = c._replay()
+    buf = _io.StringIO()
+    with _rs(buf):
+        c._plain_read_meta(snap, sorted(snap.live)).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
