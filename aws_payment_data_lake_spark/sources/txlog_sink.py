@@ -120,6 +120,39 @@ class _TxlogStreamWriter(DataSourceStreamWriter):
         snap = t._replay()
         # resolved at query start, re-verified every commit
         self.mapping = dict(snap.column_mapping)
+        if snap.identity:
+            # identity allocation is a GLOBAL order (driver-coordinated
+            # dense ranges); executor tasks staging independent files
+            # cannot claim ranges without cross-task coordination the
+            # Data Source API doesn't offer. Refuse loudly at query
+            # START — the composition that works is
+            # foreachBatch(txn_foreach_batch(...)), whose append()
+            # allocates correctly per micro-batch.
+            raise ValueError(
+                f"native txlog sink into {self.path}: identity "
+                f"column(s) {sorted(snap.identity)} need the "
+                "driver-side allocator; stream via "
+                "foreachBatch(txn_foreach_batch(table, app)) instead")
+        # GENERATED ALWAYS AS columns the stream omits are derived
+        # row-locally in write() (DuckDB over the arrow batch — the
+        # same ANSI-portable-expression posture as constraint
+        # enforcement); the __gen_ CHECK at commit validates them.
+        # Column types come from the TABLE schema; the effective
+        # write schema is stream + derived.
+        tbl_types = {f.name: f for f in (snap.schema.fields
+                                         if snap.schema else [])}
+        have = {f.name for f in schema.fields}
+        self.generated = {c: e for c, e in snap.generated.items()
+                          if c not in have}
+        if self.generated:
+            missing = sorted(set(self.generated) - set(tbl_types))
+            if missing:                    # cannot type the derivation
+                raise ValueError(
+                    f"generated column(s) {missing} not in the table "
+                    f"schema at {self.path}")
+            self.schema = StructType(
+                list(schema.fields)
+                + [tbl_types[c] for c in sorted(self.generated)])
         self.wid = uuid.uuid4().hex
 
     # -- executor side ----------------------------------------------------
@@ -131,13 +164,41 @@ class _TxlogStreamWriter(DataSourceStreamWriter):
         os.makedirs(out_dir, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.parquet"
         local = os.path.join(out_dir, name)
-        cols = [f.name for f in self.schema.fields]
-        data = [{self.mapping.get(c, c): d.get(c)
-                 for c in cols}
-                for d in (row.asDict() for row in rows)]
-        table = pa.Table.from_pylist(data,
-                                     schema=_arrow_schema(self.schema,
-                                                          self.mapping))
+        if not self.generated:           # fast path: straight through
+            cols = [f.name for f in self.schema.fields]
+            data = [{self.mapping.get(c, c): d.get(c)
+                     for c in cols}
+                    for d in (row.asDict() for row in rows)]
+            table = pa.Table.from_pylist(
+                data, schema=_arrow_schema(self.schema, self.mapping))
+        else:
+            # derive GENERATED columns row-locally: logical-name arrow
+            # batch -> DuckDB projection (ANSI-portable expressions,
+            # same posture as constraint enforcement) -> cast to the
+            # table's types -> physical names
+            import duckdb
+
+            stream = StructType([f for f in self.schema.fields
+                                 if f.name not in self.generated])
+            data = [{f.name: d.get(f.name) for f in stream.fields}
+                    for d in (row.asDict() for row in rows)]
+            logical = pa.Table.from_pylist(
+                data, schema=_arrow_schema(stream, {}))
+            con = duckdb.connect()
+            try:
+                con.register("batch", logical)
+                exprs = ", ".join(f'({e}) AS "{c}"' for c, e
+                                  in sorted(self.generated.items()))
+                logical = con.execute(
+                    f"SELECT *, {exprs} FROM batch").arrow()
+            finally:
+                con.close()
+            target = _arrow_schema(self.schema, {})
+            logical = logical.select(
+                [f.name for f in self.schema.fields]).cast(target)
+            table = logical.rename_columns(
+                [self.mapping.get(f.name, f.name)
+                 for f in self.schema.fields])
         pq.write_table(table, local)
         nrows, stats = _footer_stats(local)
         rel = os.path.join(_DATA_DIR, self.wid, name)

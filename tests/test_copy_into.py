@@ -14,6 +14,7 @@ import pytest
 
 from aws_payment_data_lake_spark.sources.txlog import (
     CheckViolationError,
+    ConcurrentWriteError,
     TxnTable,
 )
 from aws_payment_data_lake_spark.sources.txsql import LakehouseCatalog
@@ -144,3 +145,62 @@ def test_sql_copy_into(spark, tmp_path):
         f"FORMAT_OPTIONS ('header' = 'true')").collect()}
     assert res2["rows_loaded"] == 0 and res2["files_loaded"] == 0
     assert lake.sql("SELECT COUNT(*) FROM tgt").collect()[0][0] == 5
+
+
+def test_crash_between_stage_and_publish_never_double_loads(
+        spark, tmp_path, monkeypatch):
+    """Kill the writer AFTER staging but BEFORE the commit publishes:
+    nothing is visible, the sources are not marked ingested, the
+    re-run loads every file exactly once, and vacuum sweeps the
+    orphaned stage."""
+    _land(spark, tmp_path, "a", 0, 5)
+    land = str(tmp_path / "landing")
+    t = _mk(spark, tmp_path)
+    t.create(spark.createDataFrame([], "id long, v long"))
+    real = TxnTable._try_publish
+
+    def boom(self, version, commit, features=()):
+        raise RuntimeError("simulated crash before publish")
+
+    monkeypatch.setattr(TxnTable, "_try_publish", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.copy_into(land)
+    monkeypatch.setattr(TxnTable, "_try_publish", real)
+    assert t.snapshot().count() == 0          # staged stays invisible
+    r = t.copy_into(land)                     # the retry
+    assert r["rows_loaded"] == 5
+    assert t.copy_into(land)["files_loaded"] == 0
+    assert t.snapshot().count() == 5
+    swept = t.vacuum(orphan_grace_s=0.0)
+    assert swept["orphan_dirs_deleted"] == 1  # the crashed stage
+    assert t.snapshot().count() == 5
+
+
+def test_concurrent_copies_of_same_landing_load_once(spark, tmp_path):
+    """Two racing COPY INTOs of the same landing zone: exactly one
+    wins; the loser either aborts (ConcurrentWriteError) or skips —
+    the table ends with each file's rows exactly once."""
+    import threading
+
+    _land(spark, tmp_path, "a", 0, 6)
+    land = str(tmp_path / "landing")
+    t = _mk(spark, tmp_path)
+    t.create(spark.createDataFrame([], "id long, v long"))
+    barrier = threading.Barrier(2)
+    outcomes = []
+
+    def go():
+        h = TxnTable(spark, t.path)
+        barrier.wait()
+        try:
+            outcomes.append(h.copy_into(land))
+        except ConcurrentWriteError:
+            outcomes.append("aborted")
+
+    ts = [threading.Thread(target=go) for _ in range(2)]
+    [x.start() for x in ts]
+    [x.join() for x in ts]
+    loaded = [o for o in outcomes
+              if isinstance(o, dict) and o["files_loaded"]]
+    assert len(loaded) == 1, outcomes
+    assert sorted(r.id for r in t.snapshot().collect()) == list(range(6))

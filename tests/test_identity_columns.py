@@ -148,3 +148,66 @@ def test_sql_identity_ddl(spark, tmp_path):
     lake.sql("INSERT INTO seq2 SELECT id AS v FROM range(3)")
     assert sorted(r.pk for r in
                   lake.sql("SELECT pk FROM seq2").collect()) == [1, 2, 3]
+
+
+def test_streaming_into_identity_table(spark, tmp_path):
+    """The NATIVE sink refuses identity tables at query start
+    (executor tasks cannot claim globally-dense id ranges without
+    coordination the Data Source API doesn't offer); the documented
+    composition — foreachBatch(txn_foreach_batch) — streams in
+    multi-batch with globally unique, commit-monotone ids through
+    append()'s allocator."""
+    from aws_payment_data_lake_spark.sources.txlog import (
+        txn_foreach_batch,
+    )
+    from aws_payment_data_lake_spark.sources.txlog_sink import (
+        write_stream_txlog,
+    )
+
+    src = tmp_path / "stream_in"
+    (spark.range(9).selectExpr("id as v")
+     .coalesce(3).write.json(str(src)))
+    t = _mk(spark, tmp_path, "sunk")
+    sdf = (spark.readStream.schema("v long")
+           .option("maxFilesPerTrigger", "1").json(str(src)))
+    with pytest.raises(Exception, match="foreachBatch"):
+        (write_stream_txlog(sdf, t.path, str(tmp_path / "ckpt_bad"),
+                            txn_app_id="ident")
+         .trigger(availableNow=True).start().awaitTermination(300))
+    assert t.snapshot().count() == 0
+    q = (sdf.writeStream
+         .foreachBatch(txn_foreach_batch(t, "ident"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    pks = _pks(t)
+    assert len(pks) == 9 and len(set(pks)) == 9
+    assert all(p >= 100 and (p - 100) % 10 == 0 for p in pks)
+
+
+def test_native_sink_derives_generated_columns(spark, tmp_path):
+    """The native sink streams into a GENERATED-column table: omitted
+    columns derive row-locally at write (DuckDB over the arrow batch)
+    and the __gen_ CHECK validates them at commit — e.g. the
+    medallion's derived partition date can live inside the format
+    even under streaming ingest."""
+    from aws_payment_data_lake_spark.sources.txlog import TxnTable
+    from aws_payment_data_lake_spark.sources.txlog_sink import (
+        write_stream_txlog,
+    )
+
+    src = tmp_path / "gen_in"
+    (spark.range(8).selectExpr("id as v")
+     .coalesce(2).write.json(str(src)))
+    t = TxnTable(spark, str(tmp_path / "gen_tbl"))
+    t.create(spark.createDataFrame([], "v long, d long"),
+             generated={"d": "v * 2 + 1"})
+    sdf = (spark.readStream.schema("v long")
+           .option("maxFilesPerTrigger", "1").json(str(src)))
+    q = (write_stream_txlog(sdf, t.path, str(tmp_path / "gen_ckpt"),
+                            txn_app_id="gen")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    rows = t.snapshot().collect()
+    assert len(rows) == 8
+    assert all(r.d == r.v * 2 + 1 for r in rows)
