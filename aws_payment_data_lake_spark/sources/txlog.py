@@ -131,6 +131,9 @@ _WRITER_FEATURES = _READER_FEATURES | frozenset({
     "identity_columns",    # allocate from the identity high-water
                            # mark (an unaware writer could commit
                            # colliding explicit values)
+    "column_defaults",     # fill DEFAULT expressions for columns a
+                           # write omits (an unaware writer would
+                           # reject or NULL-fill them)
 })
 
 
@@ -154,6 +157,8 @@ def _commit_features(c: dict[str, Any]) -> set[str]:
         feats.add("generated_columns")
     if c.get("identity"):
         feats.add("identity_columns")
+    if c.get("defaults"):
+        feats.add("column_defaults")
     if c.get("constraints"):
         feats.add("check_constraints")
     if any(os.path.isabs(a["path"]) for a in c.get("add", [])):
@@ -303,6 +308,11 @@ class Snapshot:
     # post-rollback appends can never reuse an id).
     identity: dict[str, dict[str, int]] = field(default_factory=dict)
     identity_high: dict[str, int] = field(default_factory=dict)
+    # column DEFAULTs (Delta's allowColumnDefaults): col -> constant
+    # SQL expression, filled when an append-shaped write omits the
+    # column (a supplied value — including NULL — always wins).
+    # Full-map replace; settable/droppable post-create via ALTER.
+    defaults: dict[str, str] = field(default_factory=dict)
 
     @property
     def schema(self) -> StructType | None:
@@ -477,7 +487,8 @@ class TxnTable:
                             {k: dict(x) for k, x
                              in meta.get("identity", {}).items()},
                             {k: int(n) for k, n
-                             in meta.get("identity_high", {}).items()})
+                             in meta.get("identity_high", {}).items()},
+                            dict(meta.get("defaults", {})))
         except (OSError, KeyError, ValueError):
             return None   # corrupt/missing checkpoint -> full replay
 
@@ -522,6 +533,8 @@ class TxnTable:
             for k, n in c.get("identity_high", {}).items():
                 snap.identity_high[k] = max(
                     snap.identity_high.get(k, n), int(n))
+            if "defaults" in c:           # full-map replace semantics
+                snap.defaults = dict(c["defaults"])
             for rp in c.get("remove", []):
                 snap.live.pop(rp, None)
                 snap.dvs.pop(rp, None)       # rewrite materializes DVs
@@ -628,7 +641,8 @@ class TxnTable:
                            "copied": sorted(snap.copied),
                            "properties": snap.properties,
                            "identity": snap.identity,
-                           "identity_high": snap.identity_high})
+                           "identity_high": snap.identity_high,
+                           "defaults": snap.defaults})
         t = t.replace_schema_metadata({b"txlog": meta.encode()})
         ck = self._ckpt_path(snap.version)
         pq.write_table(t, ck + ".tmp")
@@ -1017,6 +1031,9 @@ class TxnTable:
                       "partition_by": [new if c == old else c
                                        for c in snap.partition_by],
                       "add": [], "remove": []}
+            if snap.defaults:            # the default follows the name
+                commit["defaults"] = {(new if k == old else k): x
+                                      for k, x in snap.defaults.items()}
             v = snap.version + 1
             if self._try_publish(v, commit):
                 self._maybe_checkpoint(v)
@@ -1057,6 +1074,10 @@ class TxnTable:
                       "dropped_physical": sorted(
                           set(snap.dropped_physical) | {phys}),
                       "add": [], "remove": []}
+            if snap.defaults:            # the default dies with the col
+                commit["defaults"] = {k: x for k, x
+                                      in snap.defaults.items()
+                                      if k != name}
             v = snap.version + 1
             if self._try_publish(v, commit):
                 self._maybe_checkpoint(v)
@@ -1174,6 +1195,85 @@ class TxnTable:
                 out[col] = int(max(vals))
         return out
 
+    def _apply_defaults(self, df: DataFrame, snap: Snapshot
+                        ) -> DataFrame:
+        """Fill column DEFAULTs for table columns this write's frame
+        OMITS (a supplied value — including explicit NULL — always
+        wins; only column ABSENCE triggers the default, the ANSI
+        rule). Cast to the table's declared type."""
+        if not snap.defaults:
+            return df
+        types = ({f.name: f.dataType for f in snap.schema.fields}
+                 if snap.schema else {})
+        for c, e in sorted(snap.defaults.items()):
+            if c not in df.columns and c in types:
+                df = df.withColumn(c, F.expr(e).cast(types[c]))
+        return df
+
+    def _validate_default(self, col: str, expr: str,
+                          snap: Snapshot) -> None:
+        names = {f.name: f.dataType for f in (snap.schema.fields
+                                              if snap.schema else [])}
+        if col not in names:
+            raise KeyError(f"no column {col!r} on {self.path} "
+                           f"(have {sorted(names)})")
+        if col in snap.identity:
+            raise ValueError(f"column {col!r} is GENERATED ALWAYS AS "
+                             "IDENTITY; it cannot carry a DEFAULT")
+        if col in snap.generated:
+            raise ValueError(f"column {col!r} is GENERATED ALWAYS AS "
+                             "(expr); it cannot carry a DEFAULT")
+        # DEFAULTs must be CONSTANT expressions (the ANSI/Delta rule) —
+        # analysis against a one-row frame whose only column no
+        # expression would name rejects any column reference (incl.
+        # `id`, which spark.range would have offered) and any
+        # unparseable text, loudly, at SET time rather than on some
+        # future write
+        try:
+            (self.spark.range(1).toDF("__txlog_default_probe__")
+             .select(F.expr(expr).cast(names[col]).alias(col))
+             .collect())
+        except Exception as e:  # noqa: BLE001
+            raise ValueError(
+                f"DEFAULT for {col!r} must be a constant expression "
+                f"castable to {names[col].simpleString()}; "
+                f"{expr!r} failed analysis: {e}") from None
+
+    def set_column_default(self, col: str, expr: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN col SET DEFAULT expr: future
+        append-shaped writes that OMIT the column fill it with the
+        (constant) expression instead of being rejected by the strict
+        schema check. Existing rows are untouched (the ANSI/Delta
+        contract — a default is a write-time fill, not a backfill)."""
+        while True:
+            snap = self._replay()
+            self._validate_default(col, expr, snap)
+            commit = {"op": "set_defaults", "ts": time.time(),
+                      "add": [], "remove": [],
+                      "defaults": {**snap.defaults, col: expr}}
+            v = snap.version + 1
+            if self._try_publish(v, commit):
+                self._maybe_checkpoint(v)
+                return v
+
+    def drop_column_default(self, col: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN col DROP DEFAULT: writes
+        omitting the column are rejected again (strict schema)."""
+        while True:
+            snap = self._replay()
+            if col not in snap.defaults:
+                raise KeyError(f"no DEFAULT on column {col!r} of "
+                               f"{self.path}")
+            commit = {"op": "set_defaults", "ts": time.time(),
+                      "add": [], "remove": [],
+                      "defaults": {k: x for k, x
+                                   in snap.defaults.items()
+                                   if k != col}}
+            v = snap.version + 1
+            if self._try_publish(v, commit):
+                self._maybe_checkpoint(v)
+                return v
+
     @staticmethod
     def _auto_constraints(generated: dict[str, str],
                           not_null: list[str]) -> dict[str, str]:
@@ -1196,7 +1296,8 @@ class TxnTable:
                partition_files: int | None = None,
                generated: dict[str, str] | None = None,
                not_null: list[str] | None = None,
-               identity: dict[str, dict[str, int]] | None = None
+               identity: dict[str, dict[str, int]] | None = None,
+               defaults: dict[str, str] | None = None
                ) -> "TxnTable":
         """Create the table from ``df``. ``generated`` declares
         Delta-style GENERATED ALWAYS AS columns ({col: sql_expr} over
@@ -1266,6 +1367,12 @@ class TxnTable:
             commit["identity"] = identity
             commit["identity_high"] = {
                 c: s["start"] - s["step"] for c, s in identity.items()}
+        if defaults:
+            probe = Snapshot(-1, df.schema.json(), {},
+                             generated=generated, identity=identity)
+            for c, e in defaults.items():
+                self._validate_default(c, e, probe)
+            commit["defaults"] = dict(defaults)
         if not self._try_publish(0, commit):
             raise FileExistsError(
                 f"concurrent create at {self.path}; staged files "
@@ -1418,6 +1525,16 @@ class TxnTable:
             commit["dropped_physical"] = snap.dropped_physical
         if snap.generated:
             commit["generated"] = snap.generated
+        if snap.defaults:
+            commit["defaults"] = snap.defaults
+        if snap.identity:
+            # the spec AND the high-water travel: a fork allocating
+            # below the source's high would collide with its own
+            # cloned rows
+            commit["identity"] = snap.identity
+            commit["identity_high"] = {
+                c: snap.identity_high.get(c, s["start"] - s["step"])
+                for c, s in snap.identity.items()}
         if dv_files:
             commit["dv"] = {"files": dv_files, "per_target": per_target}
         # inherit the source's protocol features: the clone's bytes
@@ -1464,7 +1581,8 @@ class TxnTable:
             b: dict[str, int] = {}
             if snap.identity:          # allocate BEFORE generated —
                 out, b = self._assign_identity(out, snap)  # gen may
-            if snap.generated:                             # reference
+            out = self._apply_defaults(out, snap)          # reference
+            if snap.generated:                             # either
                 out = self._derive_generated(out, snap.generated)
             return out, b
 
@@ -1588,7 +1706,46 @@ class TxnTable:
                               if f.name not in snap.generated
                               and f.name not in snap.identity])
                   if schema is not None else None)
-        if fmt == "parquet":
+        dflt_cols = [f.name for f in (pinned.fields if pinned else [])
+                     if f.name in snap.defaults]
+        if (fmt == "parquet" and pinned is not None
+                and schema_mode == "strict" and dflt_cols):
+            # DEFAULTs fill columns a SOURCE FILE lacks — a pinned
+            # read would NULL-fill them into presence and mask the
+            # default. Probe each landing file's footer (driver
+            # metadata, thread pool — CONVERT's pattern) and group
+            # files by which defaulted columns they OMIT; each group
+            # reads under its own pinned schema and fills its own
+            # absences, so a mixed batch keeps per-file semantics.
+            # json/csv have no cheap schema probe: their pinned read
+            # keeps the columns, so absent fields land NULL, not
+            # default (documented divergence).
+            import functools
+            from concurrent.futures import ThreadPoolExecutor
+
+            import pyarrow.parquet as papq
+
+            def absent(p: str) -> frozenset[str]:
+                names = set(papq.read_schema(p).names)
+                return frozenset(c for c in dflt_cols
+                                 if c not in names)
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                sigs = dict(zip(new, pool.map(absent, new)))
+            parts: dict[frozenset[str], list[str]] = {}
+            for p, sig in sigs.items():
+                parts.setdefault(sig, []).append(p)
+            frames = []
+            for sig, paths in sorted(parts.items(),
+                                     key=lambda kv: sorted(kv[0])):
+                pin_g = StructType([f for f in pinned.fields
+                                    if f.name not in sig])
+                g = self._apply_defaults(
+                    reader.schema(pin_g).parquet(*sorted(paths)), snap)
+                frames.append(g.select(
+                    *[f.name for f in pinned.fields]))
+            df = functools.reduce(DataFrame.unionByName, frames)
+        elif fmt == "parquet":
             df = (reader.schema(pinned).parquet(*new)
                   if pinned is not None and schema_mode == "strict"
                   else reader.option("mergeSchema", "true")
@@ -1604,7 +1761,8 @@ class TxnTable:
         cp_bases: dict[str, int] = {}
         if snap.identity:              # identity cols are excluded
             df, cp_bases = self._assign_identity(df, snap)  # from the
-        if snap.generated:                                  # pin above
+        df = self._apply_defaults(df, snap)                 # pin above
+        if snap.generated:
             df = self._derive_generated(df, snap.generated)
         evolved = self._check_schema(df, snap, schema_mode)
         validated = dict(snap.constraints)
@@ -1681,6 +1839,11 @@ class TxnTable:
                 self._enforce(df, validated)
             commit = {"op": "overwrite", "ts": time.time(),
                       "schema_json": df.schema.json(),
+                      # schema replace: defaults survive only for
+                      # columns the new schema still has
+                      "defaults": {k: x for k, x
+                                   in snap.defaults.items()
+                                   if k in set(df.columns)},
                       "column_mapping": {}, "dropped_physical": [],
                       "partition_by": (partition_by
                                        if partition_by is not None
@@ -1952,6 +2115,7 @@ class TxnTable:
                   "schema_json": target.schema_json,
                   "partition_by": target.partition_by,
                   "constraints": target.constraints,
+                  "defaults": target.defaults,
                   "column_mapping": target.column_mapping,
                   # retirement is monotone: a physical name dropped in
                   # EITHER timeline stays unusable for new columns
@@ -2003,6 +2167,7 @@ class TxnTable:
             "dv_dead_rows": sum(snap.dv_dead.values()),
             "column_mapping": dict(snap.column_mapping),
             "properties": dict(snap.properties),
+            "defaults": dict(snap.defaults),
             "identity": {c: {**spec,
                              "high": snap.identity_high.get(
                                  c, spec["start"] - spec["step"])}

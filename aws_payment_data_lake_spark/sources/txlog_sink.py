@@ -133,26 +133,27 @@ class _TxlogStreamWriter(DataSourceStreamWriter):
                 f"column(s) {sorted(snap.identity)} need the "
                 "driver-side allocator; stream via "
                 "foreachBatch(txn_foreach_batch(table, app)) instead")
-        # GENERATED ALWAYS AS columns the stream omits are derived
-        # row-locally in write() (DuckDB over the arrow batch — the
-        # same ANSI-portable-expression posture as constraint
-        # enforcement); the __gen_ CHECK at commit validates them.
-        # Column types come from the TABLE schema; the effective
-        # write schema is stream + derived.
+        # GENERATED ALWAYS AS columns and column DEFAULTs the stream
+        # omits are derived/filled row-locally in write() (DuckDB over
+        # the arrow batch — the same ANSI-portable-expression posture
+        # as constraint enforcement); the __gen_ CHECK at commit
+        # validates the generated ones. Column types come from the
+        # TABLE schema; the effective write schema is stream + derived.
         tbl_types = {f.name: f for f in (snap.schema.fields
                                          if snap.schema else [])}
         have = {f.name for f in schema.fields}
-        self.generated = {c: e for c, e in snap.generated.items()
-                          if c not in have}
-        if self.generated:
-            missing = sorted(set(self.generated) - set(tbl_types))
+        self.derive = {c: e for c, e
+                       in {**snap.defaults, **snap.generated}.items()
+                       if c not in have}
+        if self.derive:
+            missing = sorted(set(self.derive) - set(tbl_types))
             if missing:                    # cannot type the derivation
                 raise ValueError(
-                    f"generated column(s) {missing} not in the table "
+                    f"derived column(s) {missing} not in the table "
                     f"schema at {self.path}")
             self.schema = StructType(
                 list(schema.fields)
-                + [tbl_types[c] for c in sorted(self.generated)])
+                + [tbl_types[c] for c in sorted(self.derive)])
         self.wid = uuid.uuid4().hex
 
     # -- executor side ----------------------------------------------------
@@ -164,7 +165,7 @@ class _TxlogStreamWriter(DataSourceStreamWriter):
         os.makedirs(out_dir, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.parquet"
         local = os.path.join(out_dir, name)
-        if not self.generated:           # fast path: straight through
+        if not self.derive:              # fast path: straight through
             cols = [f.name for f in self.schema.fields]
             data = [{self.mapping.get(c, c): d.get(c)
                      for c in cols}
@@ -179,7 +180,7 @@ class _TxlogStreamWriter(DataSourceStreamWriter):
             import duckdb
 
             stream = StructType([f for f in self.schema.fields
-                                 if f.name not in self.generated])
+                                 if f.name not in self.derive])
             data = [{f.name: d.get(f.name) for f in stream.fields}
                     for d in (row.asDict() for row in rows)]
             logical = pa.Table.from_pylist(
@@ -188,7 +189,7 @@ class _TxlogStreamWriter(DataSourceStreamWriter):
             try:
                 con.register("batch", logical)
                 exprs = ", ".join(f'({e}) AS "{c}"' for c, e
-                                  in sorted(self.generated.items()))
+                                  in sorted(self.derive.items()))
                 logical = con.execute(
                     f"SELECT *, {exprs} FROM batch").arrow()
             finally:

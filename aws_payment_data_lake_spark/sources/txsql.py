@@ -19,11 +19,12 @@ Grammar subset (case-insensitive keywords):
                   -- CDF; end bounds the version range, true adds
                   -- _change_type + DV delete pre-image events
   CREATE TABLE t USING txlog [PARTITIONED BY (c,..)] AS <select>
-  CREATE TABLE t (c type [NOT NULL]
+  CREATE TABLE t (c type [NOT NULL] [DEFAULT expr]
                   [GENERATED ALWAYS AS (expr)]
                   [GENERATED ALWAYS AS IDENTITY
                    [(START WITH n [INCREMENT BY m])]], ...) USING txlog
       [PARTITIONED BY (c,..)]        -- partition col may be generated
+  ALTER TABLE t ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT
   CONVERT TO TXLOG t                -- adopt existing parquet, zero copy
   CREATE TABLE t2 SHALLOW CLONE t1
       [VERSION AS OF n | TIMESTAMP AS OF 'ts']   -- zero-copy fork
@@ -520,6 +521,7 @@ class LakehouseCatalog:
             not_null: list[str] = []
             generated: dict[str, str] = {}
             identity: dict[str, dict[str, int]] = {}
+            defaults: dict[str, str] = {}
             col_ddls: list[str] = []
             for p in self._split_top(cols):
                 p = p.strip()
@@ -544,9 +546,16 @@ class LakehouseCatalog:
                 nn = re.search(r"\s+NOT\s+NULL\s*$", p, re.IGNORECASE)
                 if nn:
                     p = p[:nn.start()].strip()
+                dm = re.match(r"(.*?)\s+DEFAULT\s+(.+)$", p,
+                              re.IGNORECASE | re.DOTALL)
+                dexpr = None
+                if dm:
+                    p, dexpr = dm.group(1).strip(), dm.group(2).strip()
                 name = p.split(None, 1)[0]
                 if gexpr is not None:
                     generated[name] = gexpr
+                if dexpr is not None:
+                    defaults[name] = dexpr
                 if nn:
                     not_null.append(name)
                 col_ddls.append(p)
@@ -556,7 +565,8 @@ class LakehouseCatalog:
                      partition_by=pby,
                      generated=generated or None,
                      not_null=not_null or None,
-                     identity=identity or None)
+                     identity=identity or None,
+                     defaults=defaults or None)
             return self._metrics("create", {"version": 0})
         raise ValueError(f"unsupported CREATE TABLE shape: {s[:120]}")
 
@@ -652,10 +662,12 @@ class LakehouseCatalog:
                     f"for {len(named)} named columns")
             df = df.toDF(*named)
             from pyspark.sql import functions as F
+            dflt = set(snap.defaults)
             df = df.select(*[
                 (F.col(c) if c in named else F.lit(None))
                 .cast(types[c]).alias(c) for c in tcols
-                if c in named or (c not in gen and c not in ident)])
+                if c in named or (c not in gen and c not in ident
+                                  and c not in dflt)])
         else:
             # POSITIONAL: align the select list to the table's
             # INSERT-TARGET columns by position (identity columns are
@@ -838,6 +850,20 @@ class LakehouseCatalog:
             v = self.table(m.group(1)).widen_column(m.group(2),
                                                     m.group(3))
             return self._metrics("widen_column", {"version": v})
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"({_IDENT})\s+SET\s+DEFAULT\s+(.+?)\s*$",
+            s, re.IGNORECASE | re.DOTALL)
+        if m:
+            v = self.table(m.group(1)).set_column_default(
+                m.group(2), m.group(3).strip())
+            return self._metrics("set_default", {"version": v})
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"({_IDENT})\s+DROP\s+DEFAULT\s*$", s, re.IGNORECASE)
+        if m:
+            v = self.table(m.group(1)).drop_column_default(m.group(2))
+            return self._metrics("drop_default", {"version": v})
         m = re.match(
             rf"ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*"
             rf"\(([^)]*)\)\s*$", s, re.IGNORECASE | re.DOTALL)
