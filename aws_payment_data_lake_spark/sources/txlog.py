@@ -411,10 +411,13 @@ class TxnTable:
     concurrent writers (processes or threads) sharing the path."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 checkpoint_every: int = _CKPT_EVERY_DEFAULT):
+                 checkpoint_every: int = _CKPT_EVERY_DEFAULT,
+                 checkpoint_part_rows: int = 1_000_000):
         self.spark = spark
         self.path = os.path.abspath(path)
         self.checkpoint_every = checkpoint_every
+        # add-entries per checkpoint part file (multi-part above it)
+        self.checkpoint_part_rows = checkpoint_part_rows
 
     # ---------------------------------------------------------- paths
     @property
@@ -432,6 +435,10 @@ class TxnTable:
 
     def _ckpt_path(self, version: int) -> str:
         return os.path.join(self._log, f"{version:020d}.checkpoint.parquet")
+
+    def _ckpt_part_path(self, version: int, part: int) -> str:
+        return os.path.join(
+            self._log, f"{version:020d}.checkpoint.{part:05d}.parquet")
 
     # ------------------------------------------------------ log reads
     def exists(self) -> bool:
@@ -460,12 +467,25 @@ class TxnTable:
         ptr = os.path.join(self._log, _LAST_CKPT)
         try:
             with open(ptr) as f:
-                v = json.load(f)["version"]
-            if v > upto or not os.path.isfile(self._ckpt_path(v)):
+                last = json.load(f)
+            v, parts = last["version"], int(last.get("parts", 1))
+            if v > upto:
                 return None
             import pyarrow.parquet as pq
-            t = pq.read_table(self._ckpt_path(v))
-            rows = t.to_pylist()
+            if parts == 1:
+                if not os.path.isfile(self._ckpt_path(v)):
+                    return None
+                t = pq.read_table(self._ckpt_path(v))
+                rows = t.to_pylist()
+            else:
+                paths = [self._ckpt_part_path(v, i)
+                         for i in range(parts)]
+                if not all(os.path.isfile(p) for p in paths):
+                    return None      # torn multi-part -> full replay
+                t = pq.read_table(paths[0])   # meta rides every part
+                rows = []
+                for p in paths:
+                    rows.extend(pq.read_table(p).to_pylist())
             meta = json.loads(t.schema.metadata[b"txlog"].decode())
             live = {r["path"]: AddFile(r["path"], r["rows"], r["bytes"],
                                        json.loads(r["stats"]))
@@ -644,12 +664,29 @@ class TxnTable:
                            "identity_high": snap.identity_high,
                            "defaults": snap.defaults})
         t = t.replace_schema_metadata({b"txlog": meta.encode()})
-        ck = self._ckpt_path(snap.version)
-        pq.write_table(t, ck + ".tmp")
-        os.replace(ck + ".tmp", ck)
+        # MULTI-PART above checkpoint_part_rows (Delta's multi-part
+        # checkpoints): the log is the scale surface — at 10M files a
+        # single parquet is a multi-GB driver allocation; parts bound
+        # it. Every part carries the full meta blob (readers take it
+        # from part 0; identical blobs keep parts self-describing).
+        # Parts land by tmp+replace BEFORE _last_checkpoint repoints,
+        # so a crash mid-write leaves the old checkpoint authoritative
+        # and the new parts as harmless versioned orphans.
+        per = max(1, int(self.checkpoint_part_rows))
+        n_parts = max(1, -(-t.num_rows // per)) if t.num_rows else 1
+        if n_parts == 1:
+            ck = self._ckpt_path(snap.version)
+            pq.write_table(t, ck + ".tmp")
+            os.replace(ck + ".tmp", ck)
+        else:
+            for i in range(n_parts):
+                part = t.slice(i * per, per)
+                ck = self._ckpt_part_path(snap.version, i)
+                pq.write_table(part, ck + ".tmp")
+                os.replace(ck + ".tmp", ck)
         ptr = os.path.join(self._log, _LAST_CKPT)
         with open(ptr + f".tmp-{uuid.uuid4().hex}", "w") as f:
-            json.dump({"version": snap.version}, f)
+            json.dump({"version": snap.version, "parts": n_parts}, f)
             tmpname = f.name
         os.replace(tmpname, ptr)
 

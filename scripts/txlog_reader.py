@@ -111,11 +111,27 @@ class IndependentTxlogReader:
         try:
             import pyarrow.parquet as pq
             with open(os.path.join(self.log, "_last_checkpoint")) as f:
-                v = json.load(f)["version"]
-            ck = os.path.join(self.log, f"{v:020d}.checkpoint.parquet")
-            if v > upto or not os.path.isfile(ck):
+                last = json.load(f)
+            v, parts = last["version"], int(last.get("parts", 1))
+            if v > upto:
                 return None
-            t = pq.read_table(ck)
+            if parts == 1:
+                ck = os.path.join(self.log,
+                                  f"{v:020d}.checkpoint.parquet")
+                if not os.path.isfile(ck):
+                    return None
+                t = pq.read_table(ck)
+                rows = t.to_pylist()
+            else:                       # multi-part (spec §Checkpoint)
+                paths = [os.path.join(
+                    self.log, f"{v:020d}.checkpoint.{i:05d}.parquet")
+                    for i in range(parts)]
+                if not all(os.path.isfile(p) for p in paths):
+                    return None         # torn -> full JSON replay
+                t = pq.read_table(paths[0])   # meta rides every part
+                rows = []
+                for p in paths:
+                    rows.extend(pq.read_table(p).to_pylist())
             meta = json.loads(t.schema.metadata[b"txlog"].decode())
             st = TxlogState()
             st.version = v
@@ -123,7 +139,7 @@ class IndependentTxlogReader:
             st.live = {r["path"]: {"path": r["path"], "rows": r["rows"],
                                    "bytes": r["bytes"],
                                    "stats": json.loads(r["stats"])}
-                       for r in t.to_pylist()}
+                       for r in rows}
             st.dvs = {k: list(x) for k, x in meta.get("dvs", {}).items()}
             st.dv_dead = {k: int(x) for k, x
                           in meta.get("dv_dead", {}).items()}

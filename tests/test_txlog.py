@@ -756,3 +756,39 @@ def test_convert_merges_heterogeneous_file_schemas(spark, tmp_path):
     assert set(got.columns) == {"id", "v"}
     rows = {r["id"]: r["v"] for r in got.collect()}
     assert rows[2] is None and rows[7] == 14 and len(rows) == 10
+
+
+def test_multipart_checkpoint_roundtrip_and_torn_fallback(
+        spark, tmp_path):
+    """Multi-part checkpoints (spec §Checkpoint): a tiny part
+    threshold forces several parts; fresh handles and the independent
+    reader replay from them; a missing part falls back to full JSON
+    replay instead of a torn snapshot."""
+    t = TxnTable(spark, str(tmp_path / "mp"), checkpoint_every=1,
+                 checkpoint_part_rows=2)
+    t.create(spark.range(10).selectExpr("id", "id as v"),
+             partition_files=5)              # 5 files > 2 rows/part
+    t.append(spark.range(10, 14).selectExpr("id", "id as v"),
+             partition_by=[])
+    import glob
+    import json as _json
+    parts = glob.glob(os.path.join(t._log, "*.checkpoint.0*.parquet"))
+    assert len(parts) >= 2
+    with open(os.path.join(t._log, "_last_checkpoint")) as f:
+        last = _json.load(f)
+    assert last["parts"] >= 2
+    t2 = TxnTable(spark, t.path, checkpoint_every=1)
+    ck = t2._read_checkpoint(t2.latest_version())
+    assert ck is not None and len(ck.live) == len(t._replay().live)
+    assert _rows(t2.snapshot()) == [(i, i) for i in range(14)]
+    from scripts.txlog_reader import IndependentTxlogReader
+    r = IndependentTxlogReader(t.path)
+    assert r.count_rows() == 14
+    # tear the newest checkpoint: delete one part -> full replay
+    newest = sorted(glob.glob(
+        os.path.join(t._log, "*.checkpoint.0*.parquet")))[-1]
+    os.remove(newest)
+    t3 = TxnTable(spark, t.path)
+    assert t3._read_checkpoint(t3.latest_version()) is None
+    assert _rows(t3.snapshot()) == [(i, i) for i in range(14)]
+    assert r.replay(use_checkpoint=True).version == t3.latest_version()
