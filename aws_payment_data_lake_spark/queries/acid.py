@@ -166,3 +166,67 @@ def txlog_sink_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def txn_admin_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 admin surface as ONE benched lifecycle at SF scale
+    (bench-only, like txn_table_lifecycle — each op's correctness is
+    pytest/spec-pinned; this row tracks THROUGHPUT per round):
+    TBLPROPERTIES set, SHALLOW CLONE of a populated table, a COW
+    DELETE running on the clone's external files, COPY INTO of a
+    landing zone plus its idempotent re-run, defaults-filled append,
+    and VACUUM DRY RUN. Returns the per-op audit table."""
+    (orders,) = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+    k = F.col("o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="txn-admin-")
+    audit: list[tuple[str, int, int]] = []
+    FAM = "txn_admin_surface"
+    try:
+        src = TxnTable(spark, os.path.join(tmp, "src"))
+        with timed_phase(FAM, "create"):
+            src.create(orders.where(k % 16 == 0).select(*cols),
+                       partition_by=["o_orderdate"],
+                       partition_files=12)
+            src.set_properties({"owner": "bench",
+                                "txlog.checkpointInterval": "50"})
+        audit.append(("create", 0, len(src._replay().live)))
+        with timed_phase(FAM, "clone"):
+            dev = TxnTable(spark, os.path.join(tmp, "dev"))
+            dev.clone_shallow(src)
+        audit.append(("clone", 0, len(dev._replay().live)))
+        with timed_phase(FAM, "cow_on_externals"):
+            d = dev.delete(k % 80 == 0)      # meta-read on externals
+        audit.append(("cow_on_externals", d["version"],
+                      d["rows_changed"]))
+        assert src.snapshot().count() != dev.snapshot().count()
+        # landing zone: parquet slice re-ingested idempotently
+        land = os.path.join(tmp, "landing")
+        (orders.where(k % 16 == 1).select(*cols)
+         .coalesce(4).write.parquet(land))
+        with timed_phase(FAM, "copy_into"):
+            c1 = src.copy_into(land)
+        audit.append(("copy_into", c1["version"], c1["rows_loaded"]))
+        with timed_phase(FAM, "copy_rerun"):
+            c2 = src.copy_into(land)
+            assert c2["files_loaded"] == 0
+        audit.append(("copy_rerun", c2["version"], c2["files_skipped"]))
+        with timed_phase(FAM, "default_append"):
+            src.set_column_default("o_orderstatus", "'B'")
+            v = src.append(orders.where(k % 32 == 2)
+                           .select(*[c for c in cols
+                                     if c != "o_orderstatus"]))
+        audit.append(("default_append", v,
+                      src.snapshot().where("o_orderstatus = 'B'")
+                      .count()))
+        with timed_phase(FAM, "vacuum_dry_run"):
+            dry = dev.vacuum(retain_versions=1, orphan_grace_s=0.0,
+                             dry_run=True)
+            # the clone retired only EXTERNAL files: dry run must
+            # claim nothing of the source's
+            assert dry["data_files_deleted"] == 0
+        audit.append(("vacuum_dry_run", 0, dry["data_files_deleted"]))
+        return spark.createDataFrame(
+            audit, "op string, version long, n long").coalesce(1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
