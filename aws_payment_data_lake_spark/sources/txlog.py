@@ -1564,6 +1564,14 @@ class TxnTable:
             commit["generated"] = snap.generated
         if snap.defaults:
             commit["defaults"] = snap.defaults
+        if snap.copied:
+            # COPY INTO idempotence state travels — the clone already
+            # HOLDS the copied rows (via the external refs), so a
+            # re-run against it must skip them; contrast the txn
+            # high-water marks below, which deliberately do NOT (a
+            # stream re-targeted at the clone is delivering content
+            # the clone lacks)
+            commit["copy_sources"] = sorted(snap.copied)
         if snap.identity:
             # the spec AND the high-water travel: a fork allocating
             # below the source's high would collide with its own

@@ -229,3 +229,22 @@ def test_independent_reader_replays_clone(spark, tmp_path):
     got = sorted(r.snapshot_rows())
     want = sorted(tuple(x) for x in c.snapshot().collect())
     assert got == want
+
+
+def test_clone_inherits_copy_into_state(spark, tmp_path):
+    """The clone already HOLDS the copied rows via external refs — a
+    COPY INTO re-run against it must skip them (contrast txn marks,
+    which deliberately reset)."""
+    (spark.range(4).selectExpr("id", "id * 2 as v")
+     .coalesce(1).write.parquet(str(tmp_path / "land" / "a")))
+    src = TxnTable(spark, str(tmp_path / "src"))
+    src.create(spark.createDataFrame([], "id long, v long"))
+    src.copy_into(str(tmp_path / "land"))
+    c = _mk(spark, tmp_path, "clone").clone_shallow(src)
+    assert c.copy_into(str(tmp_path / "land"))["files_loaded"] == 0
+    assert c.snapshot().count() == 4
+    # a NEW landing file still loads on the clone alone
+    (spark.range(4, 6).selectExpr("id", "id * 2 as v")
+     .coalesce(1).write.parquet(str(tmp_path / "land" / "b")))
+    assert c.copy_into(str(tmp_path / "land"))["rows_loaded"] == 2
+    assert src.snapshot().count() == 4

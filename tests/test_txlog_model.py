@@ -2,15 +2,18 @@
 (sources/txlog.py): for RANDOM operation sequences — append, DELETE
 and UPDATE in both copy-on-write and deletion-vector modes,
 overwrite, restore, compaction, SHALLOW CLONE mid-sequence (the rest
-of the sequence continues on the fork), and txlog.appendOnly toggles
-— the table's visible rows must equal a trivially-correct pure-Python
-fold after EVERY op, the metadata-only count must agree, every
-recorded version must time-travel back to exactly the model's rows at
-that version, and fsck must stay clean. Deterministic examples
-(derandomize): the property, not the sample, is the contract. This is
-where cross-feature interactions live (DV state across restore,
-clones of DV'd tables, append-only rejection leaving state
-untouched) that single-feature tests can't enumerate."""
+of the sequence continues on the fork), COPY INTO of an accumulating
+landing zone, column-DEFAULT toggles with defaults-filled appends,
+and txlog.appendOnly toggles — the table's visible rows must equal a
+trivially-correct pure-Python fold after EVERY op, the metadata-only
+count must agree, every recorded version must time-travel back to
+exactly the model's rows at that version, and fsck must stay clean.
+Deterministic examples (derandomize): the property, not the sample,
+is the contract. This is where cross-feature interactions live (DV
+state across restore, clones of DV'd tables, defaults rolling back
+with restore but surviving a clone, append-only rejection leaving
+state untouched, copy idempotence across restores) that
+single-feature tests can't enumerate."""
 
 from __future__ import annotations
 
@@ -27,8 +30,11 @@ from aws_payment_data_lake_spark.sources.txlog import (
     TxnTable,
 )
 
+_DEFAULT_V = 77
+
 _OP = st.one_of(
     st.tuples(st.just("append"), st.integers(1, 3)),
+    st.tuples(st.just("append_omit_v"), st.integers(1, 2)),
     st.tuples(st.just("delete"), st.integers(2, 4),
               st.integers(0, 3), st.sampled_from(["cow", "dv"])),
     st.tuples(st.just("update"), st.integers(2, 4),
@@ -37,6 +43,8 @@ _OP = st.one_of(
     st.tuples(st.just("restore"), st.floats(0.0, 1.0)),
     st.tuples(st.just("compact")),
     st.tuples(st.just("clone")),
+    st.tuples(st.just("copy"), st.integers(1, 3)),
+    st.tuples(st.just("toggle_default")),
     st.tuples(st.just("toggle_append_only")),
 )
 
@@ -47,14 +55,16 @@ _OP = st.one_of(
 @given(ops=st.lists(_OP, min_size=3, max_size=7))
 def test_random_op_sequences_match_model(spark, ops):
     root = tempfile.mkdtemp(prefix="txmodel-")
+    land = os.path.join(root, "landing")
     try:
         t = TxnTable(spark, os.path.join(root, "t0"))
         t.create(spark.createDataFrame([], "id long, v long"))
         model: dict[int, int] = {}
-        hist = {t.latest_version(): dict(model)}
+        has_default = False
+        hist = {t.latest_version(): (dict(model), has_default)}
         next_id = 0
         append_only = False
-        n_tables = 0
+        n_tables = n_land = 0
         for op in ops:
             kind = op[0]
             if kind == "append":
@@ -63,6 +73,19 @@ def test_random_op_sequences_match_model(spark, ops):
                 next_id += k
                 t.append(spark.createDataFrame(rows, "id long, v long"))
                 model.update(dict(rows))
+            elif kind == "append_omit_v":
+                k = op[1]
+                ids = list(range(next_id, next_id + k))
+                next_id += k
+                df = spark.createDataFrame([(i,) for i in ids],
+                                           "id long")
+                if has_default:
+                    t.append(df)
+                    model.update({i: _DEFAULT_V for i in ids})
+                else:
+                    with pytest.raises(ValueError,
+                                       match="schema mismatch"):
+                        t.append(df)
             elif kind == "delete":
                 _, m, r, mode = op
                 if append_only:
@@ -102,32 +125,50 @@ def test_random_op_sequences_match_model(spark, ops):
                         t.restore(version=target)
                 else:
                     t.restore(version=target)
-                    model = dict(hist[target])
+                    model, has_default = (dict(hist[target][0]),
+                                          hist[target][1])
             elif kind == "compact":
                 t.compact(max_files=1)      # layout-only: model fixed
             elif kind == "clone":
                 n_tables += 1
                 fork = TxnTable(spark, os.path.join(root,
                                                     f"t{n_tables}"))
-                fork.clone_shallow(t)
+                fork.clone_shallow(t)       # defaults travel with it
                 if append_only:
-                    # properties travel with the clone
                     fork.unset_properties(["txlog.appendOnly"])
                     append_only = False
                 t = fork                     # continue on the fork
                 hist = {}                    # fresh log, fresh history
+            elif kind == "copy":
+                k = op[1]
+                ids = list(range(next_id, next_id + k))
+                next_id += k
+                n_land += 1
+                (spark.createDataFrame([(i, i) for i in ids],
+                                       "id long, v long")
+                 .coalesce(1).write.parquet(
+                     os.path.join(land, f"f{n_land}")))
+                got = t.copy_into(land)      # idempotent: only f{n}
+                assert got["rows_loaded"] == k
+                model.update({i: i for i in ids})
+            elif kind == "toggle_default":
+                if has_default:
+                    t.drop_column_default("v")
+                else:
+                    t.set_column_default("v", str(_DEFAULT_V))
+                has_default = not has_default
             elif kind == "toggle_append_only":
                 if append_only:
                     t.unset_properties(["txlog.appendOnly"])
                 else:
                     t.set_properties({"txlog.appendOnly": "true"})
                 append_only = not append_only
-            hist[t.latest_version()] = dict(model)
+            hist[t.latest_version()] = (dict(model), has_default)
             got = {r.id: r.v for r in t.snapshot().collect()}
             assert got == model, f"after {op}: {got} != {model}"
             assert t.count_rows() == len(model)
         # every recorded version time-travels to the model's rows
-        for ver, rows in hist.items():
+        for ver, (rows, _) in hist.items():
             got = {r.id: r.v for r in
                    t.snapshot(version=ver).collect()}
             assert got == rows, f"time travel to v{ver}"
