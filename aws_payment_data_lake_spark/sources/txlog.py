@@ -832,7 +832,9 @@ class TxnTable:
     # unknown txlog.* keys are rejected loudly — silently accepting a
     # typo like txlog.appendOnIy would disable the contract the user
     # thinks they enabled
-    _KNOWN_PROPS = ("txlog.appendOnly", "txlog.checkpointInterval")
+    _KNOWN_PROPS = ("txlog.appendOnly", "txlog.checkpointInterval",
+                    "txlog.autoCompact", "txlog.autoCompact.minFiles",
+                    "txlog.autoCompact.smallFileRows")
 
     def _validate_props(self, props: dict[str, str]) -> None:
         for k, v in props.items():
@@ -841,15 +843,16 @@ class TxnTable:
                     f"unknown engine property {k!r} (have "
                     f"{list(self._KNOWN_PROPS)}); non-engine keys "
                     "must not use the txlog. prefix")
-            if (k == "txlog.appendOnly"
+            if (k in ("txlog.appendOnly", "txlog.autoCompact")
                     and str(v).lower() not in ("true", "false")):
                 raise ValueError(
-                    f"txlog.appendOnly must be true|false, got {v!r}")
-            if k == "txlog.checkpointInterval" and (
-                    not str(v).isdigit() or int(v) < 1):
+                    f"{k} must be true|false, got {v!r}")
+            if (k in ("txlog.checkpointInterval",
+                      "txlog.autoCompact.minFiles",
+                      "txlog.autoCompact.smallFileRows")
+                    and (not str(v).isdigit() or int(v) < 1)):
                 raise ValueError(
-                    f"txlog.checkpointInterval must be a positive "
-                    f"int, got {v!r}")
+                    f"{k} must be a positive int, got {v!r}")
 
     def set_properties(self, props: dict[str, str]) -> int:
         """ALTER TABLE SET TBLPROPERTIES: merge ``props`` into the
@@ -887,6 +890,38 @@ class TxnTable:
             if self._try_publish(v, commit):
                 self._maybe_checkpoint(v)
                 return v
+
+    def _maybe_autocompact(self) -> None:
+        """Post-append policy hook (Databricks' autoCompact): when
+        ``txlog.autoCompact = true`` and at least
+        ``txlog.autoCompact.minFiles`` (default 16) live files are
+        SMALL (< ``txlog.autoCompact.smallFileRows`` rows, default
+        100k — streaming micro-batches are the classic producer), bin
+        them through the ordinary compact() commit. Write
+        amplification is bounded log-style: each trigger merges only
+        the small set, whose output joins the NEXT trigger's input
+        only while it is still small. Layout-only, so the change feed
+        and table-as-stream skip it, and it stays legal under
+        txlog.appendOnly. Runs ONLY on Spark-side write paths (append,
+        COPY INTO, foreachBatch); the native sink's commit runner has
+        no Spark engine to rewrite with — streaming ingest through it
+        relies on any later Spark-side write or a scheduled OPTIMIZE.
+        A concurrency loss is swallowed: the winner's head decides
+        the next trigger."""
+        snap = self._replay()
+        props = snap.properties
+        if props.get("txlog.autoCompact", "").lower() != "true":
+            return
+        thr = int(props.get("txlog.autoCompact.smallFileRows",
+                            100_000))
+        min_files = int(props.get("txlog.autoCompact.minFiles", 16))
+        small = [p for p, a in snap.live.items() if a.rows < thr]
+        if len(small) < min_files:
+            return
+        try:
+            self.compact(max_files=1, small_file_rows=thr)
+        except ConcurrentWriteError:
+            pass
 
     def _assert_mutable(self, snap: Snapshot, verb: str) -> None:
         if snap.properties.get("txlog.appendOnly",
@@ -1651,6 +1686,7 @@ class TxnTable:
             v = snap.version + 1
             if self._try_publish(v, commit):
                 self._maybe_checkpoint(v)
+                self._maybe_autocompact()
                 return v
             snap = self._replay()      # lost the race: appends commute
             if (txn_app is not None
@@ -1828,6 +1864,7 @@ class TxnTable:
             v = snap.version + 1
             if self._try_publish(v, commit, features=("copy_into",)):
                 self._maybe_checkpoint(v)
+                self._maybe_autocompact()
                 return {"version": v, "files_loaded": len(new),
                         "files_skipped": len(found) - len(new),
                         "rows_loaded": int(rows)}
