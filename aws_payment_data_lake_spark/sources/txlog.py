@@ -302,10 +302,12 @@ class Snapshot:
     # anything else is the user's annotation space.
     properties: dict[str, str] = field(default_factory=dict)
     # identity columns (Delta's GENERATED ALWAYS AS IDENTITY):
-    # col -> {"start": n, "step": n} (full-map replace, create-time);
-    # identity_high tracks the LARGEST value ever committed per
-    # column (accumulative max — restore never rewinds it, so
-    # post-rollback appends can never reuse an id).
+    # LOGICAL col -> {"start": n, "step": n} (full-map replace;
+    # renames re-key it, drops shed it, restore rolls it back with
+    # the schema); identity_high tracks the LARGEST value ever
+    # committed, keyed by the column's PHYSICAL name — stable across
+    # renames and restores by construction, so the no-reuse invariant
+    # needs no remapping (accumulative max; never rewinds).
     identity: dict[str, dict[str, int]] = field(default_factory=dict)
     identity_high: dict[str, int] = field(default_factory=dict)
     # column DEFAULTs (Delta's allowColumnDefaults): col -> constant
@@ -1106,6 +1108,13 @@ class TxnTable:
             if snap.defaults:            # the default follows the name
                 commit["defaults"] = {(new if k == old else k): x
                                       for k, x in snap.defaults.items()}
+            if old in snap.identity:     # so does the identity spec —
+                # a stale key would make the allocator inject a column
+                # the schema no longer has, bricking every append.
+                # identity_high needs NO remap: it is keyed by the
+                # PHYSICAL name, which the rename never changes.
+                commit["identity"] = {(new if k == old else k): v
+                                      for k, v in snap.identity.items()}
             v = snap.version + 1
             if self._try_publish(v, commit):
                 self._maybe_checkpoint(v)
@@ -1149,6 +1158,13 @@ class TxnTable:
             if snap.defaults:            # the default dies with the col
                 commit["defaults"] = {k: x for k, x
                                       in snap.defaults.items()
+                                      if k != name}
+            if name in snap.identity:    # the identity spec dies too —
+                # a stale spec would brick appends (allocator injects
+                # a dropped column); the retired physical id already
+                # prevents data resurrection on a same-named re-add
+                commit["identity"] = {k: v for k, v
+                                      in snap.identity.items()
                                       if k != name}
             v = snap.version + 1
             if self._try_publish(v, commit):
@@ -1237,7 +1253,7 @@ class TxnTable:
         for col, spec in sorted(snap.identity.items()):
             step = int(spec["step"])
             base = snap.identity_high.get(
-                col, int(spec["start"]) - step) + step
+                snap.phys(col), int(spec["start"]) - step) + step
             bases[col] = base
             df = df.withColumn(
                 col,
@@ -1262,9 +1278,9 @@ class TxnTable:
                 got = (self.spark.read.parquet(
                     *[os.path.join(self.path, a.path) for a in adds])
                     .agg(F.max(ph)).collect()[0][0])
-                out[col] = int(got)
+                out[ph] = int(got)         # keyed PHYSICAL (stable)
             else:
-                out[col] = int(max(vals))
+                out[ph] = int(max(vals))
         return out
 
     def _apply_defaults(self, df: DataFrame, snap: Snapshot
@@ -1613,7 +1629,8 @@ class TxnTable:
             # cloned rows
             commit["identity"] = snap.identity
             commit["identity_high"] = {
-                c: snap.identity_high.get(c, s["start"] - s["step"])
+                snap.phys(c): snap.identity_high.get(
+                    snap.phys(c), s["start"] - s["step"])
                 for c, s in snap.identity.items()}
         if dv_files:
             commit["dv"] = {"files": dv_files, "per_target": per_target}
@@ -1693,7 +1710,7 @@ class TxnTable:
                     and snap.txns.get(txn_app, -1) >= (txn_batch or 0)):
                 return None            # a concurrent replay beat us
             if any(snap.identity_high.get(
-                    c, snap.identity[c]["start"]
+                    snap.phys(c), snap.identity[c]["start"]
                     - snap.identity[c]["step"])
                    + snap.identity[c]["step"] != b
                    for c, b in bases.items()):
@@ -1870,7 +1887,7 @@ class TxnTable:
                         "rows_loaded": int(rows)}
             snap = self._replay()          # lost the race
             if any(snap.identity_high.get(
-                    c, snap.identity[c]["start"]
+                    snap.phys(c), snap.identity[c]["start"]
                     - snap.identity[c]["step"])
                    + snap.identity[c]["step"] != b
                    for c, b in cp_bases.items()):
@@ -1934,7 +1951,7 @@ class TxnTable:
                       "remove": sorted(snap.live)}
             if ow_bases:
                 if any(snap.identity_high.get(
-                        c, snap.identity[c]["start"]
+                        snap.phys(c), snap.identity[c]["start"]
                         - snap.identity[c]["step"])
                        + snap.identity[c]["step"] != b
                        for c, b in ow_bases.items()):
@@ -2198,6 +2215,10 @@ class TxnTable:
                   "partition_by": target.partition_by,
                   "constraints": target.constraints,
                   "defaults": target.defaults,
+                  # identity SPEC restores with the schema (a rename/
+                  # drop may have re-keyed it since); the HIGH-WATER
+                  # deliberately does not rewind — no id reuse ever
+                  "identity": target.identity,
                   "column_mapping": target.column_mapping,
                   # retirement is monotone: a physical name dropped in
                   # EITHER timeline stays unusable for new columns
@@ -2252,7 +2273,8 @@ class TxnTable:
             "defaults": dict(snap.defaults),
             "identity": {c: {**spec,
                              "high": snap.identity_high.get(
-                                 c, spec["start"] - spec["step"])}
+                                 snap.phys(c),
+                                 spec["start"] - spec["step"])}
                          for c, spec in snap.identity.items()},
             "min_reader_version": int(
                 (snap.protocol or {}).get("min_reader", 1)),

@@ -211,3 +211,32 @@ def test_native_sink_derives_generated_columns(spark, tmp_path):
     rows = t.snapshot().collect()
     assert len(rows) == 8
     assert all(r.d == r.v * 2 + 1 for r in rows)
+
+
+def test_rename_drop_restore_keep_identity_coherent(spark, tmp_path):
+    """The identity SPEC follows renames, dies with drops, and rolls
+    back with restore; the HIGH-WATER is keyed by the stable PHYSICAL
+    name, so allocation never reuses an id across any of it."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(3).selectExpr("id as v"))
+    pre = t.latest_version()
+    t.rename_column("pk", "ident")           # spec re-keys
+    t.append(spark.range(3, 5).selectExpr("id as v"))
+    ids1 = sorted(r.ident for r in t.snapshot().collect())
+    assert len(set(ids1)) == 5               # post-rename still unique
+    # restore to the pre-rename schema: spec rolls back to 'pk',
+    # allocation continues ABOVE the renamed-era ids (physical key)
+    t.restore(version=pre)
+    assert set(t._replay().identity) == {"pk"}
+    t.append(spark.range(5, 7).selectExpr("id as v"))
+    ids2 = sorted(r.pk for r in t.snapshot().collect())
+    assert len(set(ids2)) == 5 and min(
+        set(ids2) - set(ids1[:3])) > max(ids1)
+    # dropping the identity column sheds the spec; appends then treat
+    # it as gone (strict schema: v-only frames now fail)
+    t2 = _mk(spark, tmp_path, "drops")
+    t2.append(spark.range(2).selectExpr("id as v"))
+    t2.drop_column("pk")
+    assert t2._replay().identity == {}
+    t2.append(spark.range(2, 4).selectExpr("id as v"))
+    assert sorted(r.v for r in t2.snapshot().collect()) == [0, 1, 2, 3]
