@@ -908,22 +908,40 @@ class TxnTable:
         COPY INTO, foreachBatch); the native sink's commit runner has
         no Spark engine to rewrite with — streaming ingest through it
         relies on any later Spark-side write or a scheduled OPTIMIZE.
-        A concurrency loss is swallowed: the winner's head decides
-        the next trigger."""
-        snap = self._replay()
-        props = snap.properties
-        if props.get("txlog.autoCompact", "").lower() != "true":
-            return
-        thr = int(props.get("txlog.autoCompact.smallFileRows",
-                            100_000))
-        min_files = int(props.get("txlog.autoCompact.minFiles", 16))
-        small = [p for p, a in snap.live.items() if a.rows < thr]
-        if len(small) < min_files:
-            return
+        Best-effort by contract: it runs AFTER a successful publish,
+        so no failure here — concurrency loss, Spark stage failure,
+        anything — may propagate and make the already-committed write
+        look failed (a caller retry without txn markers would
+        double-ingest). Swallow broadly; a missed compaction costs
+        layout, never correctness."""
         try:
+            snap = self._replay()
+            props = snap.properties
+            if props.get("txlog.autoCompact", "").lower() != "true":
+                return
+            thr = int(props.get("txlog.autoCompact.smallFileRows",
+                                100_000))
+            min_files = int(props.get("txlog.autoCompact.minFiles",
+                                      16))
+            small = [a for a in snap.live.values() if a.rows < thr]
+            if len(small) < min_files:
+                return
+            # size-tiered guard (the STCS/LSM rule): merge only when
+            # the small set is >= 2x its largest member, so every
+            # rewrite at least doubles the surviving file. Without
+            # it, a permanently-small corpus (total rows never
+            # reaching `thr`) is re-merged with each batch of
+            # minFiles newcomers — the whole small corpus rewritten
+            # O(N/minFiles) times. With it, each byte is rewritten
+            # O(log N) times, and once a merged output crosses `thr`
+            # rows it leaves the small set for good — genuinely
+            # log-style bounded amplification.
+            if sum(a.rows for a in small) < 2 * max(
+                    a.rows for a in small):
+                return
             self.compact(max_files=1, small_file_rows=thr)
-        except ConcurrentWriteError:
-            pass
+        except Exception:
+            pass                       # post-commit policy work only
 
     def _assert_mutable(self, snap: Snapshot, verb: str) -> None:
         if snap.properties.get("txlog.appendOnly",
@@ -1250,14 +1268,27 @@ class TxnTable:
                  + F.monotonically_increasing_id()
                  .bitwiseAND(F.lit((1 << 33) - 1)))
         bases: dict[str, int] = {}
+        # allocate in the column's DECLARED type, not a hard-coded
+        # long — an `id int` identity table would otherwise fail
+        # every append's strict schema check with a misleading
+        # mismatch error (the accepted DDL shape bricking all writes)
+        types = ({f.name: f.dataType.simpleString()
+                  for f in snap.schema.fields} if snap.schema else {})
         for col, spec in sorted(snap.identity.items()):
             step = int(spec["step"])
             base = snap.identity_high.get(
                 snap.phys(col), int(spec["start"]) - step) + step
             bases[col] = base
+            declared = types.get(col, "bigint")
+            top = base + step * max(acc - 1, 0)
+            if declared in ("int", "integer") and top > 2**31 - 1:
+                raise ValueError(
+                    f"identity column {col!r} is int: allocating "
+                    f"[{base}, {top}] overflows int32 — ALTER the "
+                    "column to bigint (widening is supported)")
             df = df.withColumn(
                 col,
-                (F.lit(base) + dense * F.lit(step)).cast("long"))
+                (F.lit(base) + dense * F.lit(step)).cast(declared))
         return df, bases
 
     def _identity_high(self, adds: list[AddFile], snap: Snapshot,
@@ -1632,6 +1663,11 @@ class TxnTable:
                 snap.phys(c): snap.identity_high.get(
                     snap.phys(c), s["start"] - s["step"])
                 for c, s in snap.identity.items()}
+        if snap.properties:
+            # TBLPROPERTIES travel (Delta CLONE copies table
+            # properties): a source under txlog.appendOnly must not
+            # fork into a clone without that contract
+            commit["properties"] = dict(snap.properties)
         if dv_files:
             commit["dv"] = {"files": dv_files, "per_target": per_target}
         # inherit the source's protocol features: the clone's bytes
@@ -1774,6 +1810,13 @@ class TxnTable:
         concurrent COPY INTO of the same files), which aborts with
         ConcurrentWriteError instead of double-loading."""
         import fnmatch
+        if not self.exists():
+            # Delta's posture: COPY INTO requires an existing target
+            # table — implicit creation would pin a mergeSchema-
+            # inferred schema no DDL declared
+            raise FileNotFoundError(
+                f"COPY INTO target {self.path} does not exist: "
+                "CREATE TABLE (or CONVERT) first")
         src_root = os.path.abspath(src_dir)
         found: list[str] = []
         for dirpath, dirnames, filenames in os.walk(src_root):
