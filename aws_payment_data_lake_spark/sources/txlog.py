@@ -163,6 +163,12 @@ def _commit_features(c: dict[str, Any]) -> set[str]:
         feats.add("check_constraints")
     if any(os.path.isabs(a["path"]) for a in c.get("add", [])):
         feats.add("external_files")
+    if (c.get("properties", {}).get("txlog.appendOnly", "")
+            .lower() == "true"):
+        # any commit carrying the property map with appendOnly on
+        # (set_properties, clone inherit, CREATE ... TBLPROPERTIES)
+        # activates the writer gate
+        feats.add("append_only")
     return feats
 
 
@@ -1416,7 +1422,8 @@ class TxnTable:
                generated: dict[str, str] | None = None,
                not_null: list[str] | None = None,
                identity: dict[str, dict[str, int]] | None = None,
-               defaults: dict[str, str] | None = None
+               defaults: dict[str, str] | None = None,
+               properties: dict[str, str] | None = None
                ) -> "TxnTable":
         """Create the table from ``df``. ``generated`` declares
         Delta-style GENERATED ALWAYS AS columns ({col: sql_expr} over
@@ -1492,6 +1499,10 @@ class TxnTable:
             for c, e in defaults.items():
                 self._validate_default(c, e, probe)
             commit["defaults"] = dict(defaults)
+        if properties:
+            props = {k: str(v) for k, v in properties.items()}
+            self._validate_props(props)
+            commit["properties"] = props
         if not self._try_publish(0, commit):
             raise FileExistsError(
                 f"concurrent create at {self.path}; staged files "
@@ -1685,6 +1696,121 @@ class TxnTable:
         inherited = tuple(sorted(
             set(src_proto.get("reader_features", []))
             | set(src_proto.get("writer_features", []))))
+        if not self._try_publish(0, commit, features=inherited):
+            raise FileExistsError(
+                f"concurrent create at {self.path}")
+        return self
+
+    def clone_deep(self, source: "TxnTable",
+                   version: int | None = None,
+                   timestamp: float | None = None) -> "TxnTable":
+        """CREATE TABLE t2 DEEP CLONE t1: an INDEPENDENT one-commit
+        copy (Delta's deep clone). Where SHALLOW references the
+        source's bytes (flat metadata cost — CLONE_SLOPE), DEEP copies
+        every live data file into this table's own data/ directory —
+        cost proportional to bytes, and the source can then be
+        VACUUMed to nothing (or deleted outright) without affecting
+        this table.
+
+        Files are copied BYTE-FOR-BYTE (a driver-side thread pool —
+        file copy is I/O-bound, no Spark job, no decode/re-encode), so
+        footer stats travel verbatim from the source log and the
+        clustered layout is preserved exactly; DV sidecars are copied
+        with their ``target`` keys remapped to the new local paths.
+        All other inheritance (schema, constraints, identity highs,
+        properties, copy_sources, NOT txn marks) matches shallow
+        clone's contract. On a 100 TB source this is a distributed-
+        filesystem server-side copy per file; the LOG work stays flat
+        like shallow's."""
+        if self.exists():
+            raise FileExistsError(f"txlog table already at {self.path}")
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = source.version_at(timestamp)
+        snap = source._replay(version)
+        src_root = os.path.abspath(source.path)
+
+        def key_of(p: str) -> str:
+            return p if os.path.isabs(p) else os.path.join(src_root, p)
+
+        wid = uuid.uuid4().hex
+        os.makedirs(os.path.join(self.path, _DATA_DIR, wid),
+                    exist_ok=True)
+        live = sorted(snap.live.items())
+        remap: dict[str, str] = {}      # source key -> local rel path
+        adds: list[AddFile] = []
+        for i, (p, a) in enumerate(live):
+            rel = os.path.join(_DATA_DIR, wid, f"part-{i:05d}.parquet")
+            remap[p] = remap[key_of(p)] = rel
+            adds.append(AddFile(rel, a.rows, a.bytes, a.stats))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def cp(pair: tuple[str, AddFile]) -> None:
+            p, _ = pair
+            shutil.copyfile(key_of(p),
+                            os.path.join(self.path, remap[p]))
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            list(pool.map(cp, live))
+        dv_files: list[str] = []
+        per_target = {remap[key_of(p)]: int(n)
+                      for p, n in snap.dv_dead.items() if p in snap.live}
+        src_sidecars = sorted({f for p, fs in snap.dvs.items()
+                               if p in snap.live for f in fs})
+        if src_sidecars:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            for i, f in enumerate(src_sidecars):
+                t = pq.read_table(key_of(f))
+                remapped = pa.array(
+                    [remap.get(x) or remap[key_of(x)]
+                     for x in t.column("target").to_pylist()],
+                    type=pa.string())
+                t = t.set_column(t.schema.get_field_index("target"),
+                                 "target", remapped)
+                rel = os.path.join(_DATA_DIR, wid, f"dv-{i}.parquet")
+                pq.write_table(t, os.path.join(self.path, rel))
+                dv_files.append(rel)
+        commit: dict[str, Any] = {
+            "op": "clone", "deep": True, "ts": time.time(),
+            "source": src_root, "source_version": snap.version,
+            "schema_json": snap.schema_json,
+            "partition_by": snap.partition_by,
+            "add": [a.to_json() for a in adds], "remove": []}
+        for k, v in (("constraints", snap.constraints),
+                     ("column_mapping", snap.column_mapping),
+                     ("dropped_physical", snap.dropped_physical),
+                     ("generated", snap.generated),
+                     ("defaults", snap.defaults),
+                     ("properties", snap.properties)):
+            if v:
+                commit[k] = v if isinstance(v, list) else dict(v)
+        if snap.copied:
+            commit["copy_sources"] = sorted(snap.copied)
+        if snap.identity:
+            commit["identity"] = snap.identity
+            commit["identity_high"] = {
+                snap.phys(c): snap.identity_high.get(
+                    snap.phys(c), s["start"] - s["step"])
+                for c, s in snap.identity.items()}
+        if dv_files:
+            commit["dv"] = {"files": dv_files, "per_target": per_target}
+        src_proto = snap.protocol or {}
+        unknown = (set(src_proto.get("writer_features", []))
+                   - _WRITER_FEATURES)
+        if unknown:
+            raise ProtocolError(
+                f"cannot clone {source.path}: it uses writer "
+                f"feature(s) {sorted(unknown)} this client does not "
+                "implement — the clone could not uphold them")
+        # inherit everything EXCEPT external_files: a deep clone's
+        # whole point is that no byte lives outside its root
+        inherited = tuple(sorted(
+            (set(src_proto.get("reader_features", []))
+             | set(src_proto.get("writer_features", [])))
+            - {"external_files"}))
         if not self._try_publish(0, commit, features=inherited):
             raise FileExistsError(
                 f"concurrent create at {self.path}")
@@ -1958,10 +2084,14 @@ class TxnTable:
                 commit.pop("schema_json", None)
 
     def overwrite(self, df: DataFrame,
-                  partition_by: list[str] | None = None) -> int:
+                  partition_by: list[str] | None = None,
+                  properties: dict[str, str] | None = None) -> int:
         """Replace the table content (and, if different, the schema).
         Last-writer-wins under concurrency: losing the version race
-        recomputes the removes against the new head and retries."""
+        recomputes the removes against the new head and retries.
+        ``properties`` (when not None) full-map-replaces the table
+        properties in the same commit — CREATE OR REPLACE resets
+        unspecified properties, Delta's REPLACE semantics."""
         pre = self._replay()
         self._assert_mutable(pre, "overwrite")
         ow_bases: dict[str, int] = {}
@@ -1992,6 +2122,10 @@ class TxnTable:
                                        else snap.partition_by),
                       "add": [a.to_json() for a in adds],
                       "remove": sorted(snap.live)}
+            if properties is not None:
+                props = {k: str(v) for k, v in properties.items()}
+                self._validate_props(props)
+                commit["properties"] = props
             if ow_bases:
                 if any(snap.identity_high.get(
                         snap.phys(c), snap.identity[c]["start"]
@@ -2009,6 +2143,67 @@ class TxnTable:
                     commit["add"] = [a.to_json() for a in adds]
                 commit["identity_high"] = self._identity_high(
                     adds, snap, ow_bases)
+            v = snap.version + 1
+            if self._try_publish(v, commit):
+                self._maybe_checkpoint(v)
+                return v
+
+    def replace(self, df: DataFrame,
+                partition_by: list[str] | None = None,
+                generated: dict[str, str] | None = None,
+                not_null: list[str] | None = None,
+                identity: dict[str, dict[str, int]] | None = None,
+                defaults: dict[str, str] | None = None,
+                properties: dict[str, str] | None = None) -> int:
+        """CREATE OR REPLACE TABLE on an EXISTING table: ONE commit
+        that swaps content and table metadata wholesale — schema,
+        partitioning, constraints, generated/NOT NULL/identity/
+        DEFAULT specs, and TBLPROPERTIES (unspecified ones reset —
+        Delta's REPLACE) — while PRESERVING log history, so time
+        travel to pre-replace versions still reads the old table.
+        Column mapping resets (the new schema's names are physical);
+        identity HIGH-WATER marks are accumulative by replay design,
+        so a replaced identity column under the same physical name
+        keeps climbing rather than re-issuing old ids — uniqueness
+        across the table's whole history, strictly stronger than a
+        reset. Blocked by txlog.appendOnly like every rewrite."""
+        pre = self._replay()
+        self._assert_mutable(pre, "replace")
+        generated = dict(generated or {})
+        identity = {k: {"start": int(v["start"]), "step": int(v["step"])}
+                    for k, v in (identity or {}).items()}
+        if identity and df.take(1):
+            raise ValueError(
+                "identity tables must be (re)created EMPTY (the log "
+                "owns allocation); REPLACE then append")
+        if generated:
+            df = self._derive_generated(df, generated)
+        cons = self._auto_constraints(generated, list(not_null or []))
+        if cons:
+            self._enforce(df, cons)
+        props = {k: str(v) for k, v in (properties or {}).items()}
+        self._validate_props(props)
+        if defaults:
+            probe = Snapshot(-1, df.schema.json(), {},
+                             generated=generated, identity=identity)
+            for c, e in defaults.items():
+                self._validate_default(c, e, probe)
+        adds = self._stage(df, partition_by)
+        while True:
+            snap = self._replay()
+            self._assert_mutable(snap, "replace")
+            commit: dict[str, Any] = {
+                "op": "replace", "ts": time.time(),
+                "schema_json": df.schema.json(),
+                "partition_by": partition_by or [],
+                "constraints": cons,
+                "generated": generated,
+                "identity": identity,
+                "defaults": dict(defaults or {}),
+                "properties": props,
+                "column_mapping": {}, "dropped_physical": [],
+                "add": [a.to_json() for a in adds],
+                "remove": sorted(snap.live)}
             v = snap.version + 1
             if self._try_publish(v, commit):
                 self._maybe_checkpoint(v)

@@ -18,16 +18,25 @@ Grammar subset (case-insensitive keywords):
   SELECT ... FROM table_changes('t', start [, end] [, true])
                   -- CDF; end bounds the version range, true adds
                   -- _change_type + DV delete pre-image events
-  CREATE TABLE t USING txlog [PARTITIONED BY (c,..)] AS <select>
-  CREATE TABLE t (c type [NOT NULL] [DEFAULT expr]
+  CREATE [OR REPLACE] TABLE t USING txlog [PARTITIONED BY (c,..)]
+      [TBLPROPERTIES ('k'='v',..)] AS <select>
+      -- REPLACE = one commit swapping content + metadata wholesale,
+      -- history preserved (time travel reads the old table);
+      -- unspecified TBLPROPERTIES reset (Delta semantics)
+  CREATE [OR REPLACE] TABLE t (c type [NOT NULL] [DEFAULT expr]
                   [GENERATED ALWAYS AS (expr)]
                   [GENERATED ALWAYS AS IDENTITY
                    [(START WITH n [INCREMENT BY m])]], ...) USING txlog
       [PARTITIONED BY (c,..)]        -- partition col may be generated
+      [TBLPROPERTIES ('k'='v',..)]
   ALTER TABLE t ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT
   CONVERT TO TXLOG t                -- adopt existing parquet, zero copy
-  CREATE TABLE t2 SHALLOW CLONE t1
-      [VERSION AS OF n | TIMESTAMP AS OF 'ts']   -- zero-copy fork
+  CREATE TABLE t2 [SHALLOW|DEEP] CLONE t1
+      [VERSION AS OF n | TIMESTAMP AS OF 'ts']
+      -- SHALLOW = zero-copy fork; DEEP = independent one-commit copy
+  SHOW TABLES | DROP TABLE [IF EXISTS] t | ALTER TABLE t RENAME TO t2
+      -- catalog verbs; durable when the catalog has a warehouse
+      -- (drop/rename never touch data — Glue's external-table posture)
   COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|JSON|CSV
       [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', ...)]
                                     -- idempotent landing-zone ingest
@@ -87,11 +96,18 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
 import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_payment_data_lake_spark.sources.catalog import (
+    CatalogLog,
+    NoSuchTableError,
+    TableExistsError,
+    entry_path,
+)
 from aws_payment_data_lake_spark.sources.txlog import TxnTable
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -109,34 +125,150 @@ def _ts_to_epoch(ts: str) -> float:
 class LakehouseCatalog:
     """Name -> TxnTable registry + the ``sql()`` endpoint.
 
-    One catalog per application; registration is cheap (no I/O until a
-    statement touches the table). Unregistered names pass through to
-    the session catalog untouched, so lakehouse tables and ordinary
-    views mix freely in one statement.
+    Without a ``warehouse``, one catalog per application; registration
+    is cheap (no I/O until a statement touches the table). WITH a
+    ``warehouse`` directory, registrations are DURABLE — written
+    through a crash-safe versioned catalog log
+    (``<warehouse>/_catalog/``, sources/catalog.py), so a fresh OS
+    process constructing ``LakehouseCatalog(spark, warehouse=...)``
+    resolves every table by name with zero ``register()`` calls — the
+    reference's Glue-Data-Catalog role
+    (/root/reference/README.md:63,79-80). ``sql()`` re-reads the
+    catalog head when it changed (one readdir), so tables created by
+    ANOTHER live process appear without restarts — the crawler-keeps-
+    it-current behavior. Unregistered names pass through to the
+    session catalog untouched, so lakehouse tables and ordinary views
+    mix freely in one statement.
     """
 
-    def __init__(self, spark: SparkSession) -> None:
+    def __init__(self, spark: SparkSession,
+                 warehouse: str | None = None) -> None:
         self.spark = spark
         self._tables: dict[str, TxnTable] = {}
         self._delete_mode: dict[str, str] = {}
         self._nview = 0
+        self._log = CatalogLog(warehouse) if warehouse else None
+        self._durable: set[str] = set()
+        self._seen_version = -2           # forces the first refresh
+        self._refresh()
 
     # ------------------------------------------------------------ registry
-    def register(self, name: str, path: str,
-                 delete_mode: str = "cow", **kw: Any) -> TxnTable:
+    @property
+    def warehouse(self) -> str | None:
+        return self._log.warehouse if self._log else None
+
+    def _refresh(self) -> None:
+        """Sync the in-memory view with the durable catalog head.
+        Head-version short-circuit: one readdir when unchanged —
+        cheap enough to run per statement."""
+        if self._log is None:
+            return
+        head = self._log.head_version()
+        if head == self._seen_version:
+            return
+        _, entries = self._log.load(head if head >= 0 else None)
+        for name in self._durable - set(entries):
+            self._tables.pop(name, None)   # dropped by another process
+            self._delete_mode.pop(name, None)
+        for name, e in entries.items():
+            cur = self._tables.get(name)
+            if cur is None or cur.path != os.path.abspath(e["path"]):
+                self._tables[name] = TxnTable(self.spark, e["path"])
+            self._delete_mode[name] = e.get("delete_mode", "cow")
+        self._durable = set(entries)
+        self._seen_version = head
+
+    def register(self, name: str, path: str | None = None,
+                 delete_mode: str = "cow", persist: bool | None = None,
+                 **kw: Any) -> TxnTable:
         """``delete_mode`` is the table's DELETE strategy (Delta models
         this as a table property, not statement syntax): 'cow' rewrites
         matching files; 'dv' logs deletion vectors — merge-on-read, no
-        data file touched."""
+        data file touched.
+
+        With a warehouse, registration is durable by default
+        (``persist=False`` opts a session-local name out) and ``path``
+        may be omitted — the managed location is
+        ``<warehouse>/<name>``. Registration is an upsert (re-binding
+        a name to a new path is how a crawler repoints a table);
+        CREATE-colliding-with-existing stays the TABLE's business
+        (the log refuses a second version 0)."""
         if delete_mode not in ("cow", "dv"):
             raise ValueError(f"delete_mode must be 'cow' or 'dv', "
                              f"got {delete_mode!r}")
+        durable = (self._log is not None) if persist is None else persist
+        if durable and self._log is None:
+            raise ValueError("persist=True needs a warehouse: "
+                             "LakehouseCatalog(spark, warehouse=...)")
+        if path is None:
+            if self._log is None:
+                raise ValueError(
+                    "register() needs a path (no warehouse to derive "
+                    "a managed location from)")
+            path = entry_path(self._log.warehouse, name)
+        if durable:
+            entry = {"path": os.path.abspath(path),
+                     "delete_mode": delete_mode}
+
+            def put(tables: dict) -> dict:
+                tables[name] = entry
+                return tables
+
+            self._log.commit("register", name, put)
+            self._seen_version = -2        # re-sync from the new head
+            self._refresh()
+            if kw:                         # construction kwargs are
+                t = TxnTable(self.spark, path, **kw)   # session-local
+                self._tables[name] = t
+            return self._tables[name]
         t = TxnTable(self.spark, path, **kw)
         self._tables[name] = t
         self._delete_mode[name] = delete_mode
         return t
 
+    def unregister(self, name: str) -> None:
+        """DROP TABLE: remove the NAME. Data and log are untouched
+        (every registration is 'external' in Delta's sense — the
+        catalog never deletes bytes; vacuum is the deletion story)."""
+        if name in self._durable:
+            def rm(tables: dict) -> dict:
+                tables.pop(name, None)
+                return tables
+            self._log.commit("drop", name, rm)
+            self._seen_version = -2
+        self._tables.pop(name, None)
+        self._delete_mode.pop(name, None)
+        self._durable.discard(name)
+        self._refresh()
+
+    def rename_table(self, old: str, new: str) -> None:
+        """ALTER TABLE old RENAME TO new: pure catalog metadata — the
+        data location does not move (Glue/Delta-external behavior).
+        Raises NoSuchTableError/TableExistsError; the CAS loop makes
+        the check-and-swap atomic under concurrent catalogs."""
+        self._refresh()
+        if old in self._durable:
+            def mv(tables: dict) -> dict:
+                if old not in tables:
+                    raise NoSuchTableError(old)
+                if new in tables:
+                    raise TableExistsError(new)
+                tables[new] = tables.pop(old)
+                return tables
+            self._log.commit("rename", f"{old}->{new}", mv)
+            self._seen_version = -2
+            self._refresh()
+            return
+        if old not in self._tables:
+            raise NoSuchTableError(old)
+        if new in self._tables:
+            raise TableExistsError(new)
+        self._tables[new] = self._tables.pop(old)
+        self._delete_mode[new] = self._delete_mode.pop(old, "cow")
+
     def table(self, name: str) -> TxnTable:
+        if name not in self._tables:
+            self._refresh()                # maybe another process made it
         if name not in self._tables:
             raise KeyError(f"'{name}' is not a registered lakehouse table; "
                            f"registered: {sorted(self._tables)}")
@@ -144,10 +276,15 @@ class LakehouseCatalog:
 
     # ------------------------------------------------------------- endpoint
     def sql(self, text: str) -> DataFrame:
+        self._refresh()                # pick up cross-process DDL
         s = text.strip().rstrip(";").strip()
         head = s.split(None, 2)
         verb = (head[0].upper() if head else "")
         two = f"{verb} {head[1].upper()}" if len(head) > 1 else verb
+        if two == "SHOW TABLES":
+            return self._show_tables()
+        if two == "DROP TABLE":
+            return self._drop_table(s)
         if two == "MERGE INTO" or two == "MERGE WITH":
             return self._merge(s)
         if two == "RESTORE TABLE":
@@ -160,7 +297,7 @@ class LakehouseCatalog:
             return self._show_props(s)
         if two == "ALTER TABLE":
             return self._alter(s)
-        if two == "CREATE TABLE":
+        if two in ("CREATE TABLE", "CREATE OR"):
             return self._create(s)
         if two == "CONVERT TO":
             return self._convert(s)
@@ -476,34 +613,81 @@ class LakehouseCatalog:
         return [text[bounds[k] + 4:bounds[k + 1]]
                 for k in range(len(starts))]
 
+    def _parse_props(self, body: str) -> dict[str, str]:
+        props: dict[str, str] = {}
+        for pair in self._split_top(body):
+            pm = re.match(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*$", pair)
+            if not pm:
+                raise ValueError(f"bad TBLPROPERTIES entry: {pair!r}")
+            props[pm.group(1)] = pm.group(2)
+        return props
+
+    def _create_target(self, name: str, clone_of: str | None = None
+                       ) -> TxnTable:
+        """Resolve a CREATE statement's target. A registered name
+        resolves as before; an unregistered one AUTO-REGISTERS at the
+        warehouse's managed location (<warehouse>/<name>) — the Glue
+        behavior the reference's jobs rely on: CREATE binds the name
+        durably, later applications resolve it with zero setup."""
+        if name in self._tables:
+            return self._tables[name]
+        if self._log is not None:
+            dm = (self._delete_mode.get(clone_of, "cow")
+                  if clone_of else "cow")
+            # managed location <warehouse>/<name> — unless those bytes
+            # are already someone's (a renamed-away or dropped table's
+            # data lives on; the catalog never deletes), in which case
+            # uniquify: names are the durable identity, locations are
+            # an implementation detail (Glue's external-table posture)
+            loc = entry_path(self._log.warehouse, name)
+            if os.path.exists(loc):
+                import uuid as _uuid
+                loc = f"{loc}__{_uuid.uuid4().hex[:8]}"
+            return self.register(name, loc, delete_mode=dm)
+        raise KeyError(
+            f"'{name}' is not a registered lakehouse table and the "
+            f"catalog has no warehouse to place it in; register() it "
+            f"or construct LakehouseCatalog(spark, warehouse=...)")
+
     def _create(self, s: str) -> DataFrame:
-        # CREATE TABLE t2 SHALLOW CLONE t1 [VERSION/TIMESTAMP AS OF]
-        # — zero-copy fork; both names must be registered (the target
-        # registration supplies the new table's path)
+        # CREATE TABLE t2 [DEEP|SHALLOW] CLONE t1 [VERSION/TIMESTAMP
+        # AS OF] — SHALLOW = zero-copy fork; DEEP = independent copy
         m = re.match(
-            rf"CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+"
+            rf"CREATE\s+TABLE\s+({_IDENT})\s+(DEEP\s+|SHALLOW\s+)?"
+            rf"CLONE\s+"
             rf"({_IDENT})(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
             rf"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*$",
             s, re.IGNORECASE)
         if m:
-            tname, sname, ver, ts = m.groups()
-            t, src = self.table(tname), self.table(sname)
-            t.clone_shallow(src,
-                            version=int(ver) if ver is not None else None,
-                            timestamp=(_ts_to_epoch(ts)
-                                       if ts is not None else None))
-            return self._metrics("clone", {"version": 0})
+            tname, depth, sname, ver, ts = m.groups()
+            src = self.table(sname)
+            t = self._create_target(tname, clone_of=sname)
+            deep = (depth or "").strip().upper() == "DEEP"
+            fn = t.clone_deep if deep else t.clone_shallow
+            fn(src, version=int(ver) if ver is not None else None,
+               timestamp=_ts_to_epoch(ts) if ts is not None else None)
+            return self._metrics("clone", {"version": 0, "deep": deep})
         m = re.match(
-            rf"CREATE\s+TABLE\s+({_IDENT})\s+USING\s+txlog\s*"
-            rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?AS\s+(.*)$",
+            rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s+"
+            rf"USING\s+txlog\s*"
+            rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+            rf"(?:TBLPROPERTIES\s*\(([^)]*)\)\s*)?AS\s+(.*)$",
             s, re.IGNORECASE | re.DOTALL)
         if m:
-            tname, parts, select = m.groups()
-            t = self.table(tname)
+            replace, tname, parts, propstr, select = m.groups()
+            t = self._create_target(tname)
             df = self.spark.sql(self._bind_reads(select))
             pby = ([c.strip() for c in parts.split(",")]
                    if parts else None)
-            t.create(df, partition_by=pby)
+            props = self._parse_props(propstr) if propstr else None
+            if replace and t.exists():
+                v = t.replace(df, partition_by=pby,
+                              properties=props or {})
+                # a pre-existing bare-name temp view would serve the
+                # replaced content stale until the next bind
+                self.spark.catalog.dropTempView(tname)
+                return self._metrics("replace", {"version": v})
+            t.create(df, partition_by=pby, properties=props)
             return self._metrics("create",
                                  {"version": t.latest_version()})
         # empty table with an explicit schema (Delta's plain DDL form),
@@ -511,13 +695,15 @@ class LakehouseCatalog:
         # (round 10 — the medallion partition date can derive inside
         # the format instead of in every writer)
         m = re.match(
-            rf"CREATE\s+TABLE\s+({_IDENT})\s*\((.*)\)\s*"
+            rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s*"
+            rf"\((.*)\)\s*"
             rf"USING\s+txlog\s*"
-            rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?$",
+            rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+            rf"(?:TBLPROPERTIES\s*\(([^)]*)\)\s*)?$",
             s, re.IGNORECASE | re.DOTALL)
         if m:
-            tname, cols, parts = m.groups()
-            t = self.table(tname)
+            replace, tname, cols, parts, propstr = m.groups()
+            t = self._create_target(tname)
             not_null: list[str] = []
             generated: dict[str, str] = {}
             identity: dict[str, dict[str, int]] = {}
@@ -561,12 +747,24 @@ class LakehouseCatalog:
                 col_ddls.append(p)
             pby = ([c.strip() for c in parts.split(",")]
                    if parts else None)
-            t.create(self.spark.createDataFrame([], ", ".join(col_ddls)),
+            props = self._parse_props(propstr) if propstr else None
+            empty = self.spark.createDataFrame([], ", ".join(col_ddls))
+            if replace and t.exists():
+                v = t.replace(empty, partition_by=pby,
+                              generated=generated or None,
+                              not_null=not_null or None,
+                              identity=identity or None,
+                              defaults=defaults or None,
+                              properties=props or {})
+                self.spark.catalog.dropTempView(tname)
+                return self._metrics("replace", {"version": v})
+            t.create(empty,
                      partition_by=pby,
                      generated=generated or None,
                      not_null=not_null or None,
                      identity=identity or None,
-                     defaults=defaults or None)
+                     defaults=defaults or None,
+                     properties=props)
             return self._metrics("create", {"version": 0})
         raise ValueError(f"unsupported CREATE TABLE shape: {s[:120]}")
 
@@ -808,7 +1006,42 @@ class LakehouseCatalog:
             min_dead_frac=float(frac) if frac else 0.0)
         return self._metrics("reorg", res)
 
+    def _show_tables(self) -> DataFrame:
+        rows = [f"SELECT '{n}' AS tableName, "
+                f"'{self._tables[n].path}' AS location, "
+                f"'{self._delete_mode.get(n, 'cow')}' AS deleteMode, "
+                f"{'true' if n in self._durable else 'false'} "
+                f"AS isDurable"
+                for n in sorted(self._tables)]
+        if not rows:
+            return self.spark.sql(
+                "SELECT '' AS tableName, '' AS location, "
+                "'' AS deleteMode, false AS isDurable WHERE false")
+        return self._lit_frame(rows)
+
+    def _drop_table(self, s: str) -> DataFrame:
+        m = re.match(rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
+                     s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported DROP TABLE shape: {s[:120]}")
+        if_exists, name = m.groups()
+        if name not in self._tables:
+            if if_exists:
+                return self._metrics("drop_table", {"dropped": 0})
+            raise KeyError(f"'{name}' is not a registered lakehouse "
+                           f"table; registered: {sorted(self._tables)}")
+        self.unregister(name)
+        self.spark.catalog.dropTempView(name)   # stale snapshot view
+        return self._metrics("drop_table", {"dropped": 1})
+
     def _alter(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+TO\s+"
+            rf"({_IDENT})\s*$", s, re.IGNORECASE)
+        if m:
+            self.rename_table(m.group(1), m.group(2))
+            self.spark.catalog.dropTempView(m.group(1))
+            return self._metrics("rename_table", {"renamed": 1})
         m = re.match(
             rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+"
             rf"({_IDENT})\s+CHECK\s*\((.*)\)\s*$",

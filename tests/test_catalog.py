@@ -1,0 +1,199 @@
+"""Persistent lakehouse catalog (VERDICT r10 #1; sources/catalog.py).
+
+The reference resolves every table through the Glue Data Catalog —
+names persist across jobs (/root/reference/README.md:63,79-80;
+src/glue_jobs/etl_transactions_bronze.py:123-125 reads
+``from_catalog(database="payments_db", ...)``). These tests pin our
+stand-in: registrations written through a crash-safe versioned log
+(``<warehouse>/_catalog/``), a FRESH OS PROCESS resolving tables by
+name with zero register() calls, rename/drop/re-register semantics,
+cross-process visibility inside one live catalog, and the
+concurrent-registration race (both CAS writers land)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.conftest import REPO
+
+from aws_payment_data_lake_spark.sources.catalog import (
+    CatalogLog,
+    NoSuchTableError,
+    TableExistsError,
+)
+from aws_payment_data_lake_spark.sources.txsql import LakehouseCatalog
+
+
+def _cat(spark, tmp_path) -> LakehouseCatalog:
+    return LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"))
+
+
+def test_register_is_durable_across_catalog_instances(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.sql("CREATE TABLE t (id bigint, v string) USING txlog")
+    cat.sql("INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    # a brand-new catalog object: no register() call anywhere
+    cat2 = LakehouseCatalog(spark, warehouse=cat.warehouse)
+    assert cat2.sql("SELECT COUNT(*) FROM t").collect()[0][0] == 2
+    assert cat2.table("t").path == cat.table("t").path
+
+
+def test_fresh_os_process_resolves_by_name(spark, tmp_path):
+    """The headline 'stranger runs it in production' claim: a second
+    interpreter (its own SparkSession, its own module state) queries
+    a table it never registered."""
+    cat = _cat(spark, tmp_path)
+    cat.sql("CREATE TABLE sales USING txlog AS "
+            "SELECT id, id * 10 AS amount FROM range(5)")
+    probe = r"""
+import json, sys
+sys.path.insert(0, sys.argv[1])
+from aws_payment_data_lake_spark.session import get_spark
+from aws_payment_data_lake_spark.sources.txsql import LakehouseCatalog
+cat = LakehouseCatalog(get_spark("catalog-probe"), warehouse=sys.argv[2])
+rows = cat.sql(
+    "SELECT CAST(SUM(amount) AS BIGINT) AS s FROM sales").collect()
+names = [r.tableName for r in cat.sql("SHOW TABLES").collect()]
+print(json.dumps({"sum": rows[0][0], "tables": names}))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", probe, REPO, cat.warehouse],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got == {"sum": 100, "tables": ["sales"]}
+
+
+def test_cross_process_create_visible_to_live_catalog(spark, tmp_path):
+    """The crawler-keeps-it-current behavior: a table created by
+    ANOTHER process appears in an already-constructed catalog without
+    restarting it (head-version re-sync at each sql())."""
+    cat = _cat(spark, tmp_path)
+    cat.sql("CREATE TABLE first (id bigint) USING txlog")
+    assert [r.tableName for r in cat.sql("SHOW TABLES").collect()] \
+        == ["first"]
+    probe = r"""
+import sys
+sys.path.insert(0, sys.argv[1])
+from aws_payment_data_lake_spark.session import get_spark
+from aws_payment_data_lake_spark.sources.txsql import LakehouseCatalog
+cat = LakehouseCatalog(get_spark("catalog-probe2"), warehouse=sys.argv[2])
+cat.sql("CREATE TABLE second (id bigint) USING txlog")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", probe, REPO, cat.warehouse],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert [r.tableName for r in cat.sql("SHOW TABLES").collect()] \
+        == ["first", "second"]
+    assert cat.sql("SELECT COUNT(*) FROM second").collect()[0][0] == 0
+
+
+def test_rename_drop_reregister_lifecycle(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.sql("CREATE TABLE a USING txlog AS SELECT id FROM range(3)")
+    cat.sql("ALTER TABLE a RENAME TO b")
+    # rename is catalog metadata only: the data location is unmoved
+    assert cat.sql("SELECT COUNT(*) FROM b").collect()[0][0] == 3
+    with pytest.raises(KeyError):
+        cat.table("a")
+    cat.sql("CREATE TABLE a USING txlog AS SELECT id FROM range(7)")
+    assert cat.sql("SELECT COUNT(*) FROM a").collect()[0][0] == 7
+    cat.sql("DROP TABLE a")
+    assert [r.tableName for r in cat.sql("SHOW TABLES").collect()] \
+        == ["b"]
+    # DROP removed the NAME, not the bytes: re-registering the same
+    # managed location resurrects the table at its full history
+    cat.register("a2", cat.table("b").path)
+    assert cat.sql("SELECT COUNT(*) FROM a2").collect()[0][0] == 3
+    # DROP TABLE IF EXISTS on a missing name is a no-op
+    got = cat.sql("DROP TABLE IF EXISTS nope").collect()
+    assert got[0]["value"] == 0
+    with pytest.raises(KeyError):
+        cat.sql("DROP TABLE nope")
+
+
+def test_rename_collision_and_missing_raise(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.sql("CREATE TABLE x (id bigint) USING txlog")
+    cat.sql("CREATE TABLE y (id bigint) USING txlog")
+    with pytest.raises(TableExistsError):
+        cat.rename_table("x", "y")
+    with pytest.raises(NoSuchTableError):
+        cat.rename_table("ghost", "z")
+
+
+def test_concurrent_registration_race_both_land(tmp_path):
+    """Two OS processes racing different registrations through the
+    CAS loop: both must land (the loser re-applies against the
+    winner's map). Pure catalog-log test — no Spark needed."""
+    wh = str(tmp_path / "wh")
+    probe = r"""
+import sys
+sys.path.insert(0, sys.argv[1])
+from aws_payment_data_lake_spark.sources.catalog import CatalogLog
+log = CatalogLog(sys.argv[2])
+name = sys.argv[3]
+for i in range(20):
+    entry = {"path": "/data/%s%d" % (name, i), "delete_mode": "cow"}
+    log.commit("register", name + str(i),
+               lambda t, k=name + str(i), e=entry: {**t, k: e})
+"""
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", probe, REPO, wh, who],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for who in ("alpha", "beta")]
+    for p in procs:
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err[-2000:]
+    _, tables = CatalogLog(wh).load()
+    assert {f"alpha{i}" for i in range(20)} <= set(tables)
+    assert {f"beta{i}" for i in range(20)} <= set(tables)
+    # and the log is gap-free: 40 commits -> versions 0..39
+    assert CatalogLog(wh).head_version() == 39
+
+
+def test_catalog_log_crash_safety_ignores_torn_tmp(tmp_path):
+    """A crashed writer leaves only a .tmp- file; load() never sees
+    it and the next commit proceeds normally."""
+    wh = str(tmp_path / "wh")
+    log = CatalogLog(wh)
+    log.commit("register", "t",
+               lambda t: {**t, "t": {"path": "/d", "delete_mode": "cow"}})
+    torn = os.path.join(wh, "_catalog", ".tmp-deadbeef.json")
+    with open(torn, "w") as f:
+        f.write('{"tables": {"ev')    # torn mid-write
+    v, tables = log.load()
+    assert v == 0 and set(tables) == {"t"}
+    log.commit("register", "u",
+               lambda t: {**t, "u": {"path": "/e", "delete_mode": "dv"}})
+    assert set(log.load()[1]) == {"t", "u"}
+
+
+def test_history_records_ddl(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.sql("CREATE TABLE h (id bigint) USING txlog")
+    cat.sql("ALTER TABLE h RENAME TO h2")
+    cat.sql("DROP TABLE h2")
+    ops = [e["op"] for e in CatalogLog(cat.warehouse).history()]
+    assert ops == ["register", "rename", "drop"]
+
+
+def test_no_warehouse_stays_in_memory(spark, tmp_path):
+    """Backwards compatibility: a warehouse-less catalog behaves
+    exactly as before (explicit paths, session-local names)."""
+    cat = LakehouseCatalog(spark)
+    with pytest.raises(ValueError, match="needs a path"):
+        cat.register("t")
+    with pytest.raises(ValueError, match="warehouse"):
+        cat.register("t", str(tmp_path / "t"), persist=True)
+    cat.register("t", str(tmp_path / "t"))
+    cat.sql("CREATE TABLE t (id bigint) USING txlog")
+    assert cat.sql("SELECT COUNT(*) FROM t").collect()[0][0] == 0
+    with pytest.raises(KeyError, match="no warehouse"):
+        cat.sql("CREATE TABLE unseen (id bigint) USING txlog")
