@@ -57,43 +57,50 @@ class _FilePart(InputPartition):
         self.mapping = mapping or {}
 
 
-def _read_file_batches(part: _FilePart) -> Iterator:
-    """One staged parquet file -> Arrow batches RECONCILED to the
-    feed's declared schema + the constant _commit_version column.
-
-    Reconciliation (round 10) is what lets one pinned stream schema
-    span the table's whole history: physical file columns alias back
-    to logical names (column mapping), columns a file predates
-    null-fill, retired physical columns drop, and safely-widened
-    types (int32 under a bigint schema) Arrow-cast up — the same
-    upcasts the pinned-schema batch scan performs. An impossible cast
-    fails loudly."""
+def reconcile_arrow(table, schema_json: str | None, mapping: dict):
+    """RECONCILE one staged parquet file's Arrow table to a declared
+    head schema — what lets one pinned schema span the table's whole
+    history: physical file columns alias back to logical names
+    (column mapping), columns a file predates null-fill, retired
+    physical columns drop, and safely-widened types (int32 under a
+    bigint schema) Arrow-cast up — the same upcasts the pinned-schema
+    batch scan performs. An impossible cast fails loudly. Shared by
+    the stream feed and the batch `format("txlog")` reader."""
     import json as _json
 
     import pyarrow as pa
+
+    if not schema_json:
+        return table
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import StructType as _ST
+
+    declared = _ST.fromJson(_json.loads(schema_json))
+    names, cols = [], []
+    for f in declared.fields:
+        at = to_arrow_type(f.dataType)
+        if pa.types.is_timestamp(at) and at.tz is None:
+            at = pa.timestamp(at.unit, tz="UTC")
+        phys = (mapping or {}).get(f.name, f.name)
+        if phys in table.column_names:
+            col = table.column(phys)
+            if col.type != at:
+                col = col.cast(at)       # safe widenings; else raises
+        else:
+            col = pa.nulls(table.num_rows, type=at)
+        names.append(f.name)
+        cols.append(col)
+    return pa.table(cols, names=names)
+
+
+def _read_file_batches(part: _FilePart) -> Iterator:
+    """One staged parquet file -> Arrow batches reconciled to the
+    feed's declared schema + the constant _commit_version column."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    table = pq.read_table(part.path)
-    if part.schema_json:
-        from pyspark.sql.pandas.types import to_arrow_type
-        from pyspark.sql.types import StructType as _ST
-
-        declared = _ST.fromJson(_json.loads(part.schema_json))
-        names, cols = [], []
-        for f in declared.fields:
-            at = to_arrow_type(f.dataType)
-            if pa.types.is_timestamp(at) and at.tz is None:
-                at = pa.timestamp(at.unit, tz="UTC")
-            phys = part.mapping.get(f.name, f.name)
-            if phys in table.column_names:
-                col = table.column(phys)
-                if col.type != at:
-                    col = col.cast(at)   # safe widenings; else raises
-            else:
-                col = pa.nulls(table.num_rows, type=at)
-            names.append(f.name)
-            cols.append(col)
-        table = pa.table(cols, names=names)
+    table = reconcile_arrow(pq.read_table(part.path),
+                            part.schema_json, part.mapping)
     col = pa.array([part.version] * table.num_rows, type=pa.int64())
     table = table.append_column("_commit_version", col)
     yield from table.to_batches()

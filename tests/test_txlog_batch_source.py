@@ -1,0 +1,117 @@
+"""Batch `spark.read.format("txlog")` (sources/txlog_batch.py;
+VERDICT r10 #3). This module NEVER imports TxnTable — tables are
+created/mutated through the SQL surface, and every read under test
+goes through plain ``spark.read`` on the registered data source:
+the interop claim is that a consumer needs no package API at all.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from aws_payment_data_lake_spark.sources.txlog_batch import (
+    _SnapshotReader,
+    read_txlog,
+    register_txlog_source,
+)
+from aws_payment_data_lake_spark.sources.txsql import LakehouseCatalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_snapshot_parity_and_time_travel(spark, cat):
+    cat.sql("CREATE TABLE t USING txlog AS "
+            "SELECT id, id * 2 AS v FROM range(100)")
+    t0 = time.time()
+    cat.sql("DELETE FROM t WHERE id >= 50")
+    got = read_txlog(spark, cat.table("t").path)
+    assert _rows(got) == _rows(cat.sql("SELECT * FROM t"))
+    assert got.dtypes == cat.sql("SELECT * FROM t").dtypes
+    # versionAsOf reads the PRE-delete content
+    v0 = read_txlog(spark, cat.table("t").path, version=0)
+    assert v0.count() == 100
+    # timestampAsOf (unix-seconds form) resolves the same way
+    ts = read_txlog(spark, cat.table("t").path, timestamp=t0)
+    assert ts.count() == 100
+
+
+def test_deletion_vectors_applied_per_file(spark, tmp_path):
+    cat = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.register("t", str(tmp_path / "wh" / "t"), delete_mode="dv")
+    cat.sql("CREATE TABLE t USING txlog AS "
+            "SELECT id, id % 7 AS k FROM range(70)")
+    cat.sql("DELETE FROM t WHERE k = 3")       # merge-on-read: DV only
+    got = read_txlog(spark, cat.table("t").path)
+    assert got.count() == 60
+    assert got.where("k = 3").count() == 0
+    assert _rows(got) == _rows(cat.sql("SELECT * FROM t"))
+
+
+def test_schema_evolution_reconciles_old_files(spark, cat):
+    cat.sql("CREATE TABLE t USING txlog AS SELECT id FROM range(3)")
+    cat.sql("ALTER TABLE t ADD COLUMNS (v string)")
+    cat.sql("INSERT INTO t VALUES (10, 'x')")
+    cat.sql("ALTER TABLE t RENAME COLUMN v TO label")
+    cat.sql("ALTER TABLE t ALTER COLUMN id TYPE bigint")
+    got = read_txlog(spark, cat.table("t").path)
+    assert _rows(got) == _rows(cat.sql("SELECT * FROM t"))
+    assert set(got.columns) == {"id", "label"}
+
+
+def test_reads_shallow_clone_external_files(spark, cat):
+    cat.sql("CREATE TABLE src USING txlog AS "
+            "SELECT id, id * 3 AS v FROM range(20)")
+    cat.sql("CREATE TABLE dst SHALLOW CLONE src")
+    cat.sql("INSERT INTO dst VALUES (100, 300)")
+    got = read_txlog(spark, cat.table("dst").path)
+    assert got.count() == 21
+    assert _rows(got) == _rows(cat.sql("SELECT * FROM dst"))
+
+
+def test_filter_pushdown_prunes_files_by_footer_stats(spark, cat):
+    # range-clustered layout: each of the 8 files covers a TIGHT id
+    # range, so a point/range predicate should plan FEWER partitions
+    cat.register("t", persist=False,
+                 path=f"{cat.warehouse}/clustered")
+    cat.table("t").create(
+        spark.range(8000).selectExpr("id", "id % 10 AS k"),
+        partition_by=["id"], partition_files=8)
+    opts = {"path": cat.table("t").path}
+    full = _SnapshotReader(opts)
+    assert len(full.partitions()) == 8
+    pruned = _SnapshotReader(opts)
+    from pyspark.sql.datasource import GreaterThanOrEqual
+    leftover = list(pruned.pushFilters(
+        [GreaterThanOrEqual(("id",), 7000)]))
+    assert len(leftover) == 1          # handed back: Spark re-applies
+    kept = pruned.partitions()
+    assert 1 <= len(kept) <= 2         # ~1/8 of the range, not 8
+    # and the END-TO-END read through Spark is still exact
+    register_txlog_source(spark)
+    got = (spark.read.format("txlog").option("path", opts["path"])
+           .load().where("id >= 7000"))
+    assert got.count() == 1000
+    assert got.agg({"id": "min"}).collect()[0][0] == 7000
+
+
+def test_rejects_both_time_travel_options(spark, cat):
+    cat.sql("CREATE TABLE t (id bigint) USING txlog")
+    with pytest.raises(Exception, match="not both"):
+        read_txlog(spark, cat.table("t").path,
+                   version=0, timestamp=1.0).collect()
+
+
+def test_empty_table_reads_empty_with_schema(spark, cat):
+    cat.sql("CREATE TABLE t (id bigint, v string) USING txlog")
+    got = read_txlog(spark, cat.table("t").path)
+    assert got.count() == 0
+    assert set(got.columns) == {"id", "v"}
