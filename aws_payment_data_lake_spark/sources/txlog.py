@@ -134,6 +134,13 @@ _WRITER_FEATURES = _READER_FEATURES | frozenset({
     "column_defaults",     # fill DEFAULT expressions for columns a
                            # write omits (an unaware writer would
                            # reject or NULL-fill them)
+    "change_data_feed",    # write CDC image files for DML while
+                           # txlog.enableChangeDataFeed=true (an
+                           # unaware writer's DML would leave holes
+                           # in the change feed; its vacuum would
+                           # reap cdc files as orphans). Read-side
+                           # needs nothing: cdc files are ordinary
+                           # parquet a snapshot read never touches.
 })
 
 
@@ -169,6 +176,10 @@ def _commit_features(c: dict[str, Any]) -> set[str]:
         # (set_properties, clone inherit, CREATE ... TBLPROPERTIES)
         # activates the writer gate
         feats.add("append_only")
+    if (c.get("cdc")
+            or c.get("properties", {})
+            .get("txlog.enableChangeDataFeed", "").lower() == "true"):
+        feats.add("change_data_feed")
     return feats
 
 
@@ -740,6 +751,40 @@ class TxnTable:
             adds.append(AddFile(rel, nrows, os.path.getsize(local), stats))
         return adds
 
+    @staticmethod
+    def _cdf_on(snap: "Snapshot") -> bool:
+        return (snap.properties.get("txlog.enableChangeDataFeed", "")
+                .lower() == "true")
+
+    def _stage_cdc(self, snap: "Snapshot",
+                   images: list[tuple[DataFrame, str]]) -> list[str]:
+        """Write CHANGE-DATA image files (Delta's _change_data
+        equivalent) for a DML commit: each (frame, tag) pair lands as
+        the table's LOGICAL columns + a `_change_type` literal, under
+        an ordinary data/<uuid>/ write dir. The rels return for the
+        commit's `cdc.files` key; invisible until the commit
+        publishes, reaped by vacuum when their commit's version falls
+        off the retention horizon (exactly like data files). Written
+        ONLY while txlog.enableChangeDataFeed=true — CDF capture has
+        write-side cost (an extra pass per image class), so it is
+        opt-in, Delta's posture."""
+        tcols = [f.name for f in snap.schema.fields]
+        frames = [df.select(*tcols)
+                  .withColumn("_change_type", F.lit(tag))
+                  for df, tag in images]
+        out = frames[0]
+        for f2 in frames[1:]:
+            out = out.unionByName(f2)
+        wid = uuid.uuid4().hex
+        out_dir = os.path.join(self.path, _DATA_DIR, wid)
+        out.write.mode("errorifexists").parquet(out_dir)
+        rels = [os.path.join(_DATA_DIR, wid, n)
+                for n in sorted(os.listdir(out_dir))
+                if n.endswith(".parquet")]
+        if not rels:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        return rels
+
     # safe widenings the parquet vectorized reader performs at scan
     # time (probed on Spark 4.1: a narrower file column reads cleanly
     # under the wider pinned schema) — Delta's "type widening" set for
@@ -842,7 +887,8 @@ class TxnTable:
     # thinks they enabled
     _KNOWN_PROPS = ("txlog.appendOnly", "txlog.checkpointInterval",
                     "txlog.autoCompact", "txlog.autoCompact.minFiles",
-                    "txlog.autoCompact.smallFileRows")
+                    "txlog.autoCompact.smallFileRows",
+                    "txlog.enableChangeDataFeed")
 
     def _validate_props(self, props: dict[str, str]) -> None:
         for k, v in props.items():
@@ -851,7 +897,8 @@ class TxnTable:
                     f"unknown engine property {k!r} (have "
                     f"{list(self._KNOWN_PROPS)}); non-engine keys "
                     "must not use the txlog. prefix")
-            if (k in ("txlog.appendOnly", "txlog.autoCompact")
+            if (k in ("txlog.appendOnly", "txlog.autoCompact",
+                      "txlog.enableChangeDataFeed")
                     and str(v).lower() not in ("true", "false")):
                 raise ValueError(
                     f"{k} must be true|false, got {v!r}")
@@ -2572,6 +2619,25 @@ class TxnTable:
                 c = json.load(f)
             if c.get("op") in self._LAYOUT_OPS:
                 continue
+            if c.get("cdc"):
+                # the commit carries WRITE-SIDE change images
+                # (txlog.enableChangeDataFeed was on): they are the
+                # authoritative events — richer than the add/dv
+                # derivation (update_preimage/update_postimage pairs,
+                # no rewrite amplification from surviving rows) and
+                # already spelled in LOGICAL column names
+                ev = self.spark.read.parquet(
+                    *[os.path.join(self.path, f)
+                      for f in c["cdc"]["files"]])
+                if not include_deletes:
+                    # plain mode keeps the legacy contract: the rows
+                    # the commit ADDED to the table, untagged
+                    ev = (ev.where(F.col("_change_type").isin(
+                        "insert", "update_postimage"))
+                        .drop("_change_type"))
+                frames.append(ev.withColumn("_commit_version",
+                                            F.lit(v)))
+                continue
             rels = [a["path"] for a in c.get("add", [])]
             if rels:
                 # historical adds are read RAW (_plain_read), not through
@@ -2739,6 +2805,45 @@ class TxnTable:
                   "remove": sorted(touched)}
         if evolved:
             commit["schema_json"] = evolved
+        if self._cdf_on(snap):
+            # classify images off the SAME broadcast key joins the
+            # merge plan uses; an extra pass per class, paid only
+            # while the table opts into CDF
+            fsnap = (Snapshot(-1, evolved, {}) if evolved else snap)
+            tgt_m = None
+            if touched:
+                tgt_m = (self._read_files(snap, sorted(touched))
+                         .join(F.broadcast(keys), on=on,
+                               how="leftsemi"))
+                for f in new_fields:
+                    tgt_m = tgt_m.withColumn(
+                        f.name, F.lit(None).cast(f.dataType))
+            images: list[tuple[DataFrame, str]] = []
+            upp = (up.select(*(old_cols
+                               + [f.name for f in new_fields]))
+                   if touched else new_content)
+            if tgt_m is not None:
+                if delete_when is not None:
+                    dkeys = source.where(dflag).select(*on).distinct()
+                    images.append((tgt_m.join(
+                        F.broadcast(dkeys), on=on, how="leftsemi"),
+                        "delete"))
+                    images.append((tgt_m.join(
+                        F.broadcast(dkeys), on=on, how="left_anti"),
+                        "update_preimage"))
+                else:
+                    images.append((tgt_m, "update_preimage"))
+                mkeys = tgt_m.select(*on).distinct()
+                images.append((upp.join(F.broadcast(mkeys), on=on,
+                                        how="leftsemi"),
+                               "update_postimage"))
+                images.append((upp.join(F.broadcast(mkeys), on=on,
+                                        how="left_anti"), "insert"))
+            else:
+                images.append((upp, "insert"))
+            cdc = self._stage_cdc(fsnap, images)
+            if cdc:
+                commit["cdc"] = {"files": cdc}
         # Publish with KEY-DISJOINT rebase (Delta's conflict-detection
         # posture): losing the version race no longer aborts
         # unconditionally — the same per-file key bounds that prune
@@ -2930,6 +3035,13 @@ class TxnTable:
                       "add": [a.to_json() for a in adds], "remove": []}
             if evolved:
                 commit["schema_json"] = evolved
+            if self._cdf_on(snap) and adds:
+                csnap = (Snapshot(-1, evolved, {}) if evolved
+                         else snap)
+                cdc = self._stage_cdc(csnap,
+                                      [(new_content, "insert")])
+                if cdc:
+                    commit["cdc"] = {"files": cdc}
             read_v = snap.version
             for _ in range(8):
                 if self._try_publish(read_v + 1, commit):
@@ -3048,6 +3160,41 @@ class TxnTable:
                   "remove": sorted(touched)}
         if evolved:
             commit["schema_json"] = evolved
+        if self._cdf_on(snap):
+            # image classes straight off the __code-classified join:
+            # pre-images are the target side, post-images re-run the
+            # clause CASE chain — one extra pass per class, only
+            # while the table opts into CDF
+            upd_codes = ([100 + i for i, cl in enumerate(matched)
+                          if cl["action"] in ("update", "update_star")]
+                         + [300 + i for i, cl in enumerate(nmbs)
+                            if cl["action"] == "update"])
+            delc = ([100 + i for i, cl in enumerate(matched)
+                     if cl["action"] == "delete"]
+                    + [300 + i for i, cl in enumerate(nmbs)
+                       if cl["action"] == "delete"])
+            insc = [200 + i for i in range(len(not_matched))]
+            pre_cols = [F.col(f"{talias}.{c}").cast(types[c]).alias(c)
+                        for c in tcols]
+            post_cols = [col_value(c) for c in tcols]
+            images = []
+            if upd_codes:
+                updj = j.where(F.col("__code").isin(upd_codes))
+                images += [(updj.select(*pre_cols), "update_preimage"),
+                           (updj.select(*post_cols),
+                            "update_postimage")]
+            if delc:
+                images.append((j.where(F.col("__code").isin(delc))
+                               .select(*pre_cols), "delete"))
+            if insc:
+                images.append((j.where(F.col("__code").isin(insc))
+                               .select(*post_cols), "insert"))
+            if images:
+                csnap = (Snapshot(-1, evolved, {}) if evolved
+                         else snap)
+                cdc = self._stage_cdc(csnap, images)
+                if cdc:
+                    commit["cdc"] = {"files": cdc}
         read_v = snap.version
         if nmbs:
             if not self._try_publish(read_v + 1, commit):
@@ -3219,6 +3366,17 @@ class TxnTable:
                   "read_version": snap.version,
                   "add": [a.to_json() for a in adds],
                   "remove": touched}
+        if self._cdf_on(snap):
+            # filter FIRST, rewrite second: rewrite() replaces the
+            # columns `hit` reads, so post-filtering would evaluate
+            # the predicate on post-update values
+            pre = content.where(hit)
+            images = ([(pre, "update_preimage"),
+                       (rewrite(pre), "update_postimage")]
+                      if op == "update" else [(pre, "delete")])
+            cdc = self._stage_cdc(snap, images)
+            if cdc:
+                commit["cdc"] = {"files": cdc}
         if not self._try_publish(snap.version + 1, commit):
             raise ConcurrentWriteError(
                 f"{op} on {self.path} read version {snap.version} but "
@@ -3385,6 +3543,12 @@ class TxnTable:
                   "dv": {"files": dv_files,
                          "per_target": {k: int(v) for k, v
                                         in per_target.items()}}}
+        if self._cdf_on(snap):
+            cdc = self._stage_cdc(
+                snap, [(matched, "update_preimage"),
+                       (updated, "update_postimage")])
+            if cdc:
+                commit["cdc"] = {"files": cdc}
         if not self._try_publish(snap.version + 1, commit):
             raise ConcurrentWriteError(
                 f"dv-update on {self.path} read version {snap.version} "
@@ -3724,12 +3888,19 @@ class TxnTable:
             ksnap = self._replay(v)
             referenced.update(ksnap.live)
             referenced.update(f for fs in ksnap.dvs.values() for f in fs)
+            # change-data images belong to their COMMIT: keep them
+            # while the commit's version is retained (table_changes
+            # over vacuumed versions is already bounded by retention)
+            with open(self._commit_path(v)) as f:
+                referenced.update(
+                    json.load(f).get("cdc", {}).get("files", []))
         ever_logged: set[str] = set()
         for v in vs:
             with open(self._commit_path(v)) as f:
                 c = json.load(f)
             ever_logged.update(a["path"] for a in c.get("add", []))
             ever_logged.update(c.get("dv", {}).get("files", []))
+            ever_logged.update(c.get("cdc", {}).get("files", []))
         data_root = os.path.join(self.path, _DATA_DIR)
         removed_files = removed_orphans = 0
         now = time.time()
