@@ -234,7 +234,14 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["event_id", "user_id", "event_type", "value", "ts"]
     mod = F.col("event_id")
     tmp = tempfile.mkdtemp(prefix="txnq-")
+    # per-variant wall attribution (VERDICT r10 #6): the slot is ten
+    # lifecycles reported as one bench number — BENCH_DETAIL's
+    # phase_sec decomposes it. The variant COUNT is FROZEN at ten
+    # (same verdict): new lakehouse surface gets its own entries.
+    from aws_payment_data_lake_spark.telemetry import PhaseTicker
+    marks = PhaseTicker("medallion_dedup_latest")
     try:
+        marks.tick("txn_python")
         t = TxnTable(spark, os.path.join(tmp, "t"))
         t.create(ev.where(mod % 30 == 1).select(*cols))
         b = ev.where(mod % 30 == 2).select(*cols)
@@ -257,6 +264,7 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             LakehouseCatalog,
         )
 
+        marks.tick("txn_sql")
         cat = LakehouseCatalog(spark)
         cat.register("txq", os.path.join(tmp, "t_sql"), delete_mode="dv")
         ev.select(*cols).createOrReplaceTempView("__txq_events")
@@ -276,6 +284,7 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sql_merged = shape(cat.sql(
             "SELECT user_id, event_type, event_id, ts, value FROM txq"),
             "txn_sql")
+        marks.tick("txn_dv")
         dv_res = {r["metric"]: r["value"] for r in cat.sql(
             "DELETE FROM txq WHERE event_id % 4 = 0").collect()}
         assert dv_res.get("files_rewritten", -1) == 0, \
@@ -283,6 +292,7 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sql_dv = shape(cat.sql(
             "SELECT user_id, event_type, event_id, ts, value FROM txq"),
             "txn_dv")
+        marks.tick("txn_restore")
         cat.sql("RESTORE TABLE txq TO VERSION AS OF 0")
         # read the restored content via TIME TRAVEL at the post-restore
         # head version — pins VERSION AS OF through the SQL path too
@@ -291,6 +301,7 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SELECT user_id, event_type, event_id, ts, value "
             f"FROM txq VERSION AS OF {head}"), "txn_sql_restore")
         # --- full Delta MERGE grammar on the restored base (r9) ----------
+        marks.tick("txn_scd")
         cat.sql("""
             MERGE INTO txq AS t
             USING (SELECT event_id, user_id, event_type, value, ts
@@ -313,6 +324,7 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "txn_scd")
 
         # --- SHALLOW CLONE of the post-SCD table (r10) --------------------
+        marks.tick("txn_clone")
         cat.register("txdev", os.path.join(tmp, "t_dev"))
         cat.sql("CREATE TABLE txdev SHALLOW CLONE txq")
         assert all(os.path.isabs(p)
@@ -342,6 +354,8 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         from aws_payment_data_lake_spark.streaming.cdc import (
             cdc_foreach_batch,
         )
+
+        marks.tick("txn_cdc")
 
         def _cdc_frame(pred, op, src=None):
             fields = [F.col("event_id"), F.col("user_id"),
@@ -421,6 +435,7 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_stream_txlog,
         )
 
+        marks.tick("txn_stream")
         sink_in = os.path.join(tmp, "sink_in")
         (ev.where(mod % 30 == 4)
          .select("event_id", "user_id", "event_type", "value",
@@ -470,8 +485,11 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                .unionByName(sql_clone)
                .unionByName(cdc_out)
                .unionByName(sink_out))
-        return out.localCheckpoint(eager=True)
+        marks.tick("union_materialize")
+        out = out.localCheckpoint(eager=True)
+        return out
     finally:
+        marks.done()
         shutil.rmtree(tmp, ignore_errors=True)
 
 

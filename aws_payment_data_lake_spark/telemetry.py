@@ -68,3 +68,33 @@ def drain_phases() -> dict[str, dict[str, float]]:
     out = {k: dict(v) for k, v in _PHASES.items()}
     _PHASES.clear()
     return out
+
+
+class PhaseTicker:
+    """Sequential phase attribution without block nesting (VERDICT
+    r10 #6: the ten-variant medallion slot needs per-variant
+    decomposition, but wrapping each 50-line segment in a context
+    manager would re-indent half the module). ``tick(name)`` closes
+    the running phase and opens ``name``; ``done()`` closes the last.
+    Timings land in the same ``phase_sec`` store as timed_phase."""
+
+    def __init__(self, family: str) -> None:
+        self.family = family
+        self._name: str | None = None
+        self._t0 = 0.0
+
+    def tick(self, name: str) -> None:
+        self._close()
+        self._name, self._t0 = name, time.perf_counter()
+
+    def done(self) -> None:
+        self._close()
+
+    def _close(self) -> None:
+        if self._name is None:
+            return
+        fam = _PHASES.setdefault(self.family, {})
+        fam[self._name] = round(
+            fam.get(self._name, 0.0)
+            + time.perf_counter() - self._t0, 3)
+        self._name = None
