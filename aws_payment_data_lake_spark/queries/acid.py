@@ -230,3 +230,74 @@ def txn_admin_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             audit, "op string, version long, n long").coalesce(1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def txn_catalog_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 surface as ONE benched lifecycle at SF scale
+    (bench-only; correctness is pytest-pinned in tests/test_catalog.py,
+    test_replace_deepclone.py, test_txlog_batch_source.py,
+    test_cdf_images.py): a persistent-warehouse catalog, CTAS through
+    SQL, CREATE OR REPLACE, DEEP CLONE, the batch
+    ``spark.read.format("txlog")`` data source with footer-stats file
+    skipping, a CDF-enabled UPDATE producing image files, and a fresh
+    catalog instance resolving everything by name with zero
+    register() calls. Returns the per-op audit table."""
+    from aws_payment_data_lake_spark.sources.txlog_batch import (
+        read_txlog,
+    )
+    from aws_payment_data_lake_spark.sources.txsql import (
+        LakehouseCatalog,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+    tmp = tempfile.mkdtemp(prefix="txn-cat-")
+    audit: list[tuple[str, int, int]] = []
+    FAM = "txn_catalog_surface"
+    try:
+        with timed_phase(FAM, "catalog_ctas"):
+            cat = LakehouseCatalog(spark, warehouse=tmp)
+            orders.select(*cols).createOrReplaceTempView("__cat_src")
+            cat.sql("CREATE TABLE lake_orders USING txlog "
+                    "PARTITIONED BY (o_orderdate) "
+                    "TBLPROPERTIES ('txlog.checkpointInterval'='50') "
+                    "AS SELECT * FROM __cat_src "
+                    "WHERE o_orderkey % 8 = 0")
+        audit.append(("catalog_ctas", 0,
+                      len(cat.table("lake_orders")._replay().live)))
+        with timed_phase(FAM, "create_or_replace"):
+            cat.sql("CREATE OR REPLACE TABLE lake_orders USING txlog "
+                    "PARTITIONED BY (o_orderdate) AS "
+                    "SELECT * FROM __cat_src WHERE o_orderkey % 4 = 0")
+        v = cat.table("lake_orders").latest_version()
+        audit.append(("create_or_replace", v,
+                      cat.table("lake_orders").count_rows()))
+        with timed_phase(FAM, "deep_clone"):
+            cat.sql("CREATE TABLE lake_deep DEEP CLONE lake_orders")
+        audit.append(("deep_clone", 0,
+                      cat.table("lake_deep").count_rows()))
+        with timed_phase(FAM, "cdf_update"):
+            cat.sql("ALTER TABLE lake_deep SET TBLPROPERTIES "
+                    "('txlog.enableChangeDataFeed' = 'true')")
+            cat.sql("UPDATE lake_deep SET o_orderstatus = 'Z' "
+                    "WHERE o_orderkey % 400 = 0")
+            images = cat.sql(
+                "SELECT COUNT(*) AS c FROM table_changes("
+                "'lake_deep', 1, 99, true)").collect()[0][0]
+        audit.append(("cdf_update",
+                      cat.table("lake_deep").latest_version(),
+                      int(images)))
+        with timed_phase(FAM, "batch_source_pruned"):
+            got = (read_txlog(spark, cat.table("lake_orders").path)
+                   .where("o_orderkey < 1000").count())
+        audit.append(("batch_source_pruned", 0, int(got)))
+        with timed_phase(FAM, "fresh_catalog_resolve"):
+            cat2 = LakehouseCatalog(spark, warehouse=tmp)
+            n = cat2.sql("SELECT COUNT(*) FROM lake_deep"
+                         ).collect()[0][0]
+            names = cat2.sql("SHOW TABLES").count()
+        audit.append(("fresh_catalog_resolve", int(names), int(n)))
+        return spark.createDataFrame(
+            audit, "op string, version long, n long").coalesce(1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -50,11 +50,22 @@ SOURCE_NAME = "txlog_feed"
 class _FilePart(InputPartition):
     def __init__(self, path: str, version: int,
                  schema_json: str | None = None,
-                 mapping: dict | None = None) -> None:
+                 mapping: dict | None = None,
+                 kind: str = "add", cdf: bool = False,
+                 dv_paths: list[str] | None = None) -> None:
         self.path = path
         self.version = version
         self.schema_json = schema_json
         self.mapping = mapping or {}
+        # kind: 'add' (an added data file), 'cdc' (a write-side change
+        # image file — logical names + _change_type), or 'dv_dead'
+        # (a RAW target file whose sidecar dead positions are the
+        # delete pre-images). cdf=True keeps _change_type in the
+        # output (readChangeFeed mode).
+        self.kind = kind
+        self.cdf = cdf
+        self.dv_paths = dv_paths or []
+        self.dv_key = ""               # log key the sidecars target
 
 
 def reconcile_arrow(table, schema_json: str | None, mapping: dict):
@@ -95,12 +106,49 @@ def reconcile_arrow(table, schema_json: str | None, mapping: dict):
 
 def _read_file_batches(part: _FilePart) -> Iterator:
     """One staged parquet file -> Arrow batches reconciled to the
-    feed's declared schema + the constant _commit_version column."""
+    feed's declared schema + the constant _commit_version column
+    (+ _change_type under readChangeFeed)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    table = reconcile_arrow(pq.read_table(part.path),
-                            part.schema_json, part.mapping)
+    raw = pq.read_table(part.path)
+    types = None
+    if part.kind == "cdc":
+        # write-side change images: already logical names; plain mode
+        # keeps the legacy "rows the commit added" contract
+        types = raw.column("_change_type")
+        raw = raw.drop_columns(["_change_type"])
+        if not part.cdf:
+            keep = pc.is_in(types, value_set=pa.array(
+                ["insert", "update_postimage"]))
+            raw, types = raw.filter(keep), None
+    elif part.kind == "dv_dead":
+        # delete pre-images: the sidecars' dead positions of THIS file
+        dead = set()
+        for f in part.dv_paths:
+            dv = pq.read_table(f, columns=["target", "pos"])
+            m = pc.equal(dv.column("target"), pa.scalar(part.dv_key))
+            dead.update(dv.filter(m).column("pos").to_pylist())
+        idx = pa.array(range(raw.num_rows), type=pa.int64())
+        raw = raw.filter(pc.is_in(idx, value_set=pa.array(
+            sorted(dead), type=pa.int64())))
+        types = pa.array(["delete"] * raw.num_rows)
+    # cdc image files already spell LOGICAL names — reconcile without
+    # the mapping (which would look for physical names and null-fill)
+    table = reconcile_arrow(
+        raw, part.schema_json,
+        {} if part.kind == "cdc" else part.mapping)
+    if part.cdf:
+        if part.kind == "cdc" and types is not None:
+            ct = types
+            if isinstance(ct, pa.ChunkedArray):
+                ct = ct.combine_chunks()
+        elif part.kind == "dv_dead":
+            ct = types
+        else:
+            ct = pa.array(["insert"] * table.num_rows)
+        table = table.append_column("_change_type", ct)
     col = pa.array([part.version] * table.num_rows, type=pa.int64())
     table = table.append_column("_commit_version", col)
     yield from table.to_batches()
@@ -116,12 +164,22 @@ class _Log:
             raise ValueError("txlog_feed requires .option('path', ...)")
         self.table = TxnTable(None, path)
 
-    def commit_adds(self, lo: int, hi: int) -> list[_FilePart]:
+    def commit_adds(self, lo: int, hi: int,
+                    cdf: bool = False) -> list[_FilePart]:
         """File partitions for commits in [lo, hi), skipping
         layout-only ops. Every partition carries the HEAD schema +
         column mapping so read-side reconciliation aliases physical
-        names and null-fills/upcasts historical files."""
+        names and null-fills/upcasts historical files.
+
+        ``cdf`` (Delta's readChangeFeed): rows carry _change_type.
+        A commit with write-side `cdc` images contributes those
+        VERBATIM (update pre/post pairs, exact deletes — and in plain
+        mode, just its insert+postimage rows, no rewrite
+        amplification); a DV commit without images contributes its
+        adds as 'insert' plus the sidecars' dead target rows as
+        'delete' pre-images; a plain add is an 'insert'."""
         snap = self.table._replay()
+        root = self.table.path
         parts: list[_FilePart] = []
         for v in self.table._versions_on_disk():
             if not lo <= v < hi:
@@ -130,10 +188,28 @@ class _Log:
                 c = json.load(f)
             if c.get("op") in TxnTable._LAYOUT_OPS:
                 continue
+            if c.get("cdc"):
+                parts.extend(
+                    _FilePart(os.path.join(root, f), v,
+                              snap.schema_json, {}, kind="cdc",
+                              cdf=cdf)
+                    for f in c["cdc"]["files"])
+                continue
             parts.extend(
-                _FilePart(os.path.join(self.table.path, a["path"]), v,
-                          snap.schema_json, dict(snap.column_mapping))
+                _FilePart(os.path.join(root, a["path"]), v,
+                          snap.schema_json, dict(snap.column_mapping),
+                          cdf=cdf)
                 for a in c.get("add", []))
+            dv = c.get("dv")
+            if cdf and dv:
+                dv_abs = [os.path.join(root, f) for f in dv["files"]]
+                for key in sorted(dv["per_target"]):
+                    p = _FilePart(
+                        os.path.join(root, key), v,
+                        snap.schema_json, dict(snap.column_mapping),
+                        kind="dv_dead", cdf=True, dv_paths=dv_abs)
+                    p.dv_key = key
+                    parts.append(p)
         return parts
 
     def live_parts(self) -> list[_FilePart]:
@@ -149,9 +225,12 @@ class _Log:
                           snap.schema_json, dict(snap.column_mapping))
                 for p in sorted(snap.live)]
 
-    def schema(self) -> StructType:
+    def schema(self, cdf: bool = False) -> StructType:
+        from pyspark.sql.types import StringType
         base = self.table._replay().schema or StructType([])
-        return StructType(list(base.fields)
+        extra = ([StructField("_change_type", StringType())]
+                 if cdf else [])
+        return StructType(list(base.fields) + extra
                           + [StructField("_commit_version", LongType())])
 
 
@@ -186,6 +265,8 @@ class _FeedStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.options = options
         self.start = int(options.get("startingVersion", 0))
+        self.cdf = str(options.get("readChangeFeed", "false")
+                       ).lower() == "true"
 
     def initialOffset(self) -> dict:
         return {"version": self.start}
@@ -197,7 +278,8 @@ class _FeedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         parts = _Log(self.options).commit_adds(int(start["version"]),
-                                               int(end["version"]))
+                                               int(end["version"]),
+                                               cdf=self.cdf)
         # Spark requires >= 1 partition per batch; empty ranges (e.g.
         # a version window holding only layout-only commits) emit a
         # no-op sentinel
@@ -214,14 +296,20 @@ class _FeedStreamReader(DataSourceStreamReader):
 
 class TxlogFeedDataSource(DataSource):
     """`format("txlog_feed")`, options: path (required),
-    startingVersion (stream). Schema = table schema + _commit_version."""
+    startingVersion (stream), readChangeFeed (stream — Delta's
+    streaming CDF: rows carry _change_type; commits with write-side
+    cdc images stream them verbatim, DV deletes stream their
+    pre-images). Schema = table schema [+ _change_type]
+    + _commit_version."""
 
     @classmethod
     def name(cls) -> str:
         return SOURCE_NAME
 
     def schema(self) -> StructType:
-        return _Log(self.options).schema()
+        return _Log(self.options).schema(
+            cdf=str(self.options.get("readChangeFeed", "false")
+                    ).lower() == "true")
 
     def reader(self, schema) -> DataSourceReader:
         return _FeedBatchReader(self.options)
@@ -242,10 +330,13 @@ def read_table_feed(spark: SparkSession, path: str):
 
 
 def stream_table_feed(spark: SparkSession, path: str,
-                      starting_version: int = 0):
+                      starting_version: int = 0,
+                      read_change_feed: bool = False):
     """Stream: every future (and, from startingVersion, past) commit's
-    added rows as micro-batches."""
+    added rows as micro-batches; ``read_change_feed`` adds
+    _change_type (Delta's streaming CDF)."""
     register_txlog_feed(spark)
     return (spark.readStream.format(SOURCE_NAME)
             .option("path", path)
+            .option("readChangeFeed", str(read_change_feed).lower())
             .option("startingVersion", str(starting_version)).load())

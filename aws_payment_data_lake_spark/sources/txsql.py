@@ -37,6 +37,9 @@ Grammar subset (case-insensitive keywords):
   SHOW TABLES | DROP TABLE [IF EXISTS] t | ALTER TABLE t RENAME TO t2
       -- catalog verbs; durable when the catalog has a warehouse
       -- (drop/rename never touch data — Glue's external-table posture)
+  SHOW CREATE TABLE t               -- re-runnable DDL from the snapshot
+      -- (catalog.crawl() is the API-side crawler: registers txlog
+      -- tables that appeared under the warehouse outside the job path)
   COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|JSON|CSV
       [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', ...)]
                                     -- idempotent landing-zone ingest
@@ -274,6 +277,34 @@ class LakehouseCatalog:
                            f"registered: {sorted(self._tables)}")
         return self._tables[name]
 
+    def crawl(self) -> list[str]:
+        """The reference's CRAWLER role (README.md:79-80 — Glue
+        crawlers keep the catalog current with data that appeared
+        outside the job path): walk the warehouse for directories
+        holding a txlog log (`_txlog/`) that no catalog entry points
+        at, and register each durably under its directory name.
+        Returns the newly registered names. A path already registered
+        under ANOTHER name is left alone (renames stay renames);
+        name collisions keep the existing entry (the catalog is the
+        source of truth, the crawler only fills gaps)."""
+        if self._log is None:
+            raise ValueError("crawl() needs a warehouse")
+        self._refresh()
+        known_paths = {t.path for t in self._tables.values()}
+        found: list[str] = []
+        wh = self._log.warehouse
+        for entry in sorted(os.listdir(wh)):
+            p = os.path.join(wh, entry)
+            if (entry.startswith(("_", "."))
+                    or not os.path.isdir(p)
+                    or not os.path.isdir(os.path.join(p, "_txlog"))
+                    or os.path.abspath(p) in known_paths
+                    or entry in self._tables):
+                continue
+            self.register(entry, p)
+            found.append(entry)
+        return found
+
     # ------------------------------------------------------------- endpoint
     def sql(self, text: str) -> DataFrame:
         self._refresh()                # pick up cross-process DDL
@@ -283,6 +314,8 @@ class LakehouseCatalog:
         two = f"{verb} {head[1].upper()}" if len(head) > 1 else verb
         if two == "SHOW TABLES":
             return self._show_tables()
+        if two == "SHOW CREATE":
+            return self._show_create(s)
         if two == "DROP TABLE":
             return self._drop_table(s)
         if two == "MERGE INTO" or two == "MERGE WITH":
@@ -1018,6 +1051,56 @@ class LakehouseCatalog:
                 "SELECT '' AS tableName, '' AS location, "
                 "'' AS deleteMode, false AS isDurable WHERE false")
         return self._lit_frame(rows)
+
+    def _show_create(self, s: str) -> DataFrame:
+        """SHOW CREATE TABLE t: reconstruct the DDL (the Athena/Spark
+        answer to 'how do I make another one of these') from the
+        table's CURRENT snapshot — column specs incl. NOT NULL /
+        DEFAULT / GENERATED (expr + identity), hidden partitioning,
+        and TBLPROPERTIES. User CHECK constraints (non-auto) are
+        emitted as trailing ALTER statements since the CREATE grammar
+        has no inline CHECK."""
+        m = re.match(rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*$",
+                     s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported SHOW CREATE: {s[:120]}")
+        name = m.group(1)
+        t = self.table(name)
+        snap = t._replay()
+        if snap.schema is None:
+            raise ValueError(f"{name} has no schema yet")
+        nn = {c[5:] for c in snap.constraints if c.startswith("__nn_")}
+        cols = []
+        for f in snap.schema.fields:
+            spec = f"{f.name} {f.dataType.simpleString()}"
+            if f.name in nn:
+                spec += " NOT NULL"
+            if f.name in snap.defaults:
+                spec += f" DEFAULT {snap.defaults[f.name]}"
+            if f.name in snap.generated:
+                spec += (" GENERATED ALWAYS AS "
+                         f"({snap.generated[f.name]})")
+            if f.name in snap.identity:
+                i = snap.identity[f.name]
+                spec += (" GENERATED ALWAYS AS IDENTITY (START WITH "
+                         f"{i['start']} INCREMENT BY {i['step']})")
+            cols.append(spec)
+        stmt = (f"CREATE TABLE {name} (\n  "
+                + ",\n  ".join(cols) + "\n) USING txlog")
+        if snap.partition_by:
+            stmt += ("\nPARTITIONED BY ("
+                     + ", ".join(snap.partition_by) + ")")
+        if snap.properties:
+            kv = ", ".join(f"'{k}' = '{v}'" for k, v
+                           in sorted(snap.properties.items()))
+            stmt += f"\nTBLPROPERTIES ({kv})"
+        for cname, expr in sorted(snap.constraints.items()):
+            if not cname.startswith(("__nn_", "__gen_")):
+                stmt += (f";\nALTER TABLE {name} ADD CONSTRAINT "
+                         f"{cname} CHECK ({expr})")
+        esc = stmt.replace("\\", "\\\\").replace("'", "\\'")
+        return self._lit_frame(
+            [f"SELECT '{esc}' AS createtab_stmt"])
 
     def _drop_table(self, s: str) -> DataFrame:
         m = re.match(rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",

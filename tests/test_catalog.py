@@ -197,3 +197,47 @@ def test_no_warehouse_stays_in_memory(spark, tmp_path):
     assert cat.sql("SELECT COUNT(*) FROM t").collect()[0][0] == 0
     with pytest.raises(KeyError, match="no warehouse"):
         cat.sql("CREATE TABLE unseen (id bigint) USING txlog")
+
+
+def test_crawl_discovers_unregistered_tables(spark, tmp_path):
+    """The reference's crawler role: data that appeared outside the
+    job path (here: a TxnTable created directly at a warehouse
+    location) becomes resolvable by name after crawl()."""
+    from aws_payment_data_lake_spark.sources.txlog import TxnTable
+    cat = _cat(spark, tmp_path)
+    cat.sql("CREATE TABLE known (id bigint) USING txlog")
+    TxnTable(spark, os.path.join(cat.warehouse, "stray")).create(
+        spark.range(6).selectExpr("id"))
+    os.makedirs(os.path.join(cat.warehouse, "not_a_table"))
+    assert cat.crawl() == ["stray"]
+    assert cat.sql("SELECT COUNT(*) FROM stray").collect()[0][0] == 6
+    assert cat.crawl() == []            # idempotent
+    # a renamed table's old location must NOT resurrect under crawl
+    cat.sql("ALTER TABLE stray RENAME TO found")
+    assert cat.crawl() == []
+    with pytest.raises(ValueError, match="warehouse"):
+        LakehouseCatalog(spark).crawl()
+
+
+def test_show_create_table_round_trips(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.sql("CREATE TABLE t ("
+            "pk bigint GENERATED ALWAYS AS IDENTITY "
+            "(START WITH 5 INCREMENT BY 2), "
+            "amount double NOT NULL DEFAULT 0.0, "
+            "day string GENERATED ALWAYS AS "
+            "(substring(cast(amount as string), 1, 1))"
+            ") USING txlog PARTITIONED BY (day) "
+            "TBLPROPERTIES ('owner' = 'etl')")
+    cat.sql("ALTER TABLE t ADD CONSTRAINT amt_pos CHECK (amount >= 0)")
+    ddl = cat.sql("SHOW CREATE TABLE t").collect()[0].createtab_stmt
+    # the emitted DDL is RE-RUNNABLE: build a twin and compare specs
+    for stmt in ddl.replace("TABLE t", "TABLE t2").split(";\n"):
+        cat.sql(stmt)
+    d1, d2 = (cat.table(n).describe_detail() for n in ("t", "t2"))
+    for key in ("partition_by", "constraints", "properties",
+                "defaults", "identity"):
+        assert d1[key] == d2[key], key
+    cat.sql("INSERT INTO t2 (amount) VALUES (3.5)")
+    row = cat.sql("SELECT * FROM t2").collect()[0]
+    assert (row.pk, row.amount, row.day) == (5, 3.5, "3")

@@ -187,3 +187,42 @@ def test_sql_table_changes_surfaces_images(spark, tmp_path):
         "true) ORDER BY _change_type").collect()
     assert [(r.id, r.v, r._change_type) for r in got] \
         == [(2, 2.5, "update_postimage"), (2, 2.0, "update_preimage")]
+
+
+def test_streaming_read_change_feed(spark, tmp_path):
+    """Delta's streaming CDF: format('txlog_feed') with
+    readChangeFeed=true streams _change_type-tagged rows — cdc-image
+    commits verbatim, DV deletes as derived pre-images, plain appends
+    as inserts."""
+    from aws_payment_data_lake_spark.sources.txlog_stream import (
+        stream_table_feed,
+    )
+    t = _mk(spark, tmp_path, rows=6)
+    t.update({"amount": "amount + 1"}, "id = 2")        # cdc images
+    t.delete("id = 4", mode="dv")                       # dv pre-image
+    t.append(spark.createDataFrame([(100, 1.0)],
+                                   "id long, amount double"))
+    q = (stream_table_feed(spark, t.path, read_change_feed=True)
+         .writeStream.format("memory").queryName("cdf_feed")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cdf_feed").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r._change_type, []).append((r.id, r.amount))
+    assert sorted(by_type["insert"]) \
+        == sorted([(i, i * 10.0) for i in range(6)] + [(100, 1.0)])
+    assert by_type["update_preimage"] == [(2, 20.0)]
+    assert by_type["update_postimage"] == [(2, 21.0)]
+    assert by_type["delete"] == [(4, 40.0)]
+    # plain mode over the same log: no _change_type column, and the
+    # update contributes ONLY its post-image (no amplification)
+    q2 = (stream_table_feed(spark, t.path)
+          .writeStream.format("memory").queryName("plain_feed")
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    plain = spark.sql("SELECT * FROM plain_feed").collect()
+    assert "_change_type" not in plain[0].asDict()
+    assert sorted((r.id, r.amount) for r in plain) \
+        == sorted([(i, i * 10.0) for i in range(6)]
+                  + [(2, 21.0), (100, 1.0)])
