@@ -24,6 +24,18 @@ from aws_payment_data_lake_spark.sources.txlog import TxnTable
 from aws_payment_data_lake_spark.telemetry import timed_phase
 
 
+def _audit_frame(spark: SparkSession, audit: list) -> DataFrame:
+    """Literal-SELECT union, not createDataFrame: an audit frame can
+    be the FIRST Python-list frame in a fresh bench session and would
+    pay ~5s of Python-RDD worker spin-up (the same reason
+    txsql._lit_frame exists — measured on txn_catalog_surface: 8.2s
+    wall against 2.1s of attributed phases). Literal selects stay
+    entirely JVM-side."""
+    sel = [f"SELECT '{op}' AS op, CAST({int(v)} AS BIGINT) AS version,"
+           f" CAST({int(n)} AS BIGINT) AS n" for op, v, n in audit]
+    return spark.sql(" UNION ALL ".join(sel)).coalesce(1)
+
+
 def txn_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Create -> appends (one replayed) -> merge -> compact -> pruned
     scan over orders; returns the per-op audit table."""
@@ -95,8 +107,7 @@ def txn_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         with timed_phase(FAM, "final_read"):
             audit.append(("final_rows", t.latest_version(),
                           t.snapshot().count()))
-        return spark.createDataFrame(
-            audit, "op string, version long, n long").coalesce(1)
+        return _audit_frame(spark, audit)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -226,8 +237,7 @@ def txn_admin_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             # claim nothing of the source's
             assert dry["data_files_deleted"] == 0
         audit.append(("vacuum_dry_run", 0, dry["data_files_deleted"]))
-        return spark.createDataFrame(
-            audit, "op string, version long, n long").coalesce(1)
+        return _audit_frame(spark, audit)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -297,7 +307,6 @@ def txn_catalog_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ).collect()[0][0]
             names = cat2.sql("SHOW TABLES").count()
         audit.append(("fresh_catalog_resolve", int(names), int(n)))
-        return spark.createDataFrame(
-            audit, "op string, version long, n long").coalesce(1)
+        return _audit_frame(spark, audit)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
