@@ -3387,6 +3387,83 @@ class TxnTable:
                 "files_rewritten": len(touched),
                 "rows_changed": rows_changed}
 
+    def replace_where(self, df: DataFrame, condition,
+                      ) -> dict[str, int]:
+        """Delta's ``replaceWhere``: atomically replace exactly the
+        rows matching ``condition`` with ``df`` — ONE commit carrying
+        both the rewrites and the new data. The backfill primitive at
+        scale: re-computing one day of a 100 TB date-clustered table
+        touches only the files whose footer range overlaps that day
+        (fully-matching files drop without a read; partially-matching
+        files rewrite without their matching rows — same file
+        granularity as DELETE), while every other byte stays put.
+
+        Delta's constraint is enforced: every INCOMING row must
+        satisfy ``condition`` (otherwise the statement would write
+        rows outside the slice it claims to replace — raises before
+        anything stages). Blocked by txlog.appendOnly; CDF images
+        (delete pre-images + inserts) when enabled; identity columns
+        allocate as on append."""
+        cond = (F.expr(condition) if isinstance(condition, str)
+                else condition)
+        hit = F.coalesce(cond, F.lit(False))
+        snap = self._replay()
+        self._assert_mutable(snap, "replaceWhere")
+        bases: dict[str, int] = {}
+        if snap.identity:
+            df, bases = self._assign_identity(df, snap)
+        df = self._apply_defaults(df, snap)
+        if snap.generated:
+            df = self._derive_generated(df, snap.generated)
+        stray = df.where(~F.coalesce(cond, F.lit(False))).take(1)
+        if stray:
+            raise ValueError(
+                f"replaceWhere on {self.path}: an incoming row does "
+                f"not satisfy the predicate ({condition}) — the "
+                "statement would write outside the slice it replaces "
+                f"(first: {stray[0].asDict()})")
+        self._enforce(df, snap.constraints)
+        self._check_schema(df, snap, "strict")
+        # file discovery, DELETE's shape: only files holding a
+        # matching row participate
+        target = self._read_files_meta(snap, sorted(snap.live))
+        touched = sorted({r[0] for r in
+                          (target.where(hit).select("__rel")
+                           .distinct().collect())})
+        survivors = (self._read_files(snap, touched).where(~hit)
+                     if touched else None)
+        new_content = (survivors.unionByName(df.select(
+            *survivors.columns)) if survivors is not None else df)
+        adds = self._stage(new_content, snap.partition_by or None,
+                           mapping=snap.column_mapping)
+        commit: dict[str, Any] = {
+            "op": "replace_where", "ts": time.time(),
+            "read_version": snap.version,
+            "add": [a.to_json() for a in adds],
+            "remove": touched}
+        if bases:
+            commit["identity_high"] = self._identity_high(
+                adds, snap, bases)
+        if self._cdf_on(snap):
+            images = [(df, "insert")]
+            if touched:
+                images.append((self._read_files(snap, touched)
+                               .where(hit), "delete"))
+            cdc = self._stage_cdc(snap, images)
+            if cdc:
+                commit["cdc"] = {"files": cdc}
+        if not self._try_publish(snap.version + 1, commit):
+            raise ConcurrentWriteError(
+                f"replaceWhere on {self.path} read version "
+                f"{snap.version} but another commit won; re-run "
+                "(staged files are orphaned until vacuum)")
+        self._maybe_checkpoint(snap.version + 1)
+        replaced = sum(snap.live[p].rows for p in touched)
+        return {"version": snap.version + 1,
+                "files_rewritten": len(touched),
+                "files_added": len(adds),
+                "rows_replaced_upper_bound": int(replaced)}
+
     def delete(self, condition, mode: str = "cow") -> dict[str, int]:
         """DELETE WHERE, SQL semantics (rows where the predicate is
         NULL survive). ``condition`` is a Column or a SQL string.

@@ -38,8 +38,11 @@ from collections.abc import Iterator
 from typing import Any
 
 from pyspark.sql import SparkSession
+import uuid
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -49,6 +52,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -208,10 +212,174 @@ class _SnapshotReader(DataSourceReader):
         yield from table.to_batches()
 
 
+class _Staged(WriterCommitMessage):
+    """One task's staged files: [(rel, rows, bytes, stats)]."""
+
+    def __init__(self, adds: list) -> None:
+        self.adds = adds
+
+
+class _SnapshotWriter(DataSourceArrowWriter):
+    """Write side of ``format("txlog")`` — plain Spark WRITES an ACID
+    table without the package:
+
+        df.write.format("txlog").option("path", p)
+          .mode("append" | "overwrite").save()
+
+    Tasks stage ordinary parquet under ``data/<uuid>/`` (invisible
+    until referenced — the format's property 3) and report footer
+    stats in their commit messages; ``commit()`` publishes ONE log
+    commit through the same fsync+hardlink put-if-absent claim as
+    every other writer, retrying appends on lost races (appends
+    commute) and recomputing removes for overwrite (last-writer-
+    wins). A failed job aborts by deleting the staged dirs — nothing
+    was ever visible. Writing to an ABSENT path creates version 0
+    with the frame's schema (Delta's save-to-new-path).
+
+    Honesty gate: this client does NOT evaluate SQL expressions, so a
+    table whose protocol demands write-side semantics — CHECK
+    constraints, generated/identity/DEFAULT columns, appendOnly
+    under overwrite, CDF image capture — REFUSES up front with a
+    pointer to the package API, exactly what a third-party Delta
+    writer must do when it cannot uphold a table feature. Column
+    mapping IS upheld (files spell physical names)."""
+
+    def __init__(self, options: dict, schema: StructType,
+                 overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "format('txlog') requires .option('path', ...)")
+        self.path = os.path.abspath(path)
+        self.schema_json = schema.json()
+        self.overwrite = overwrite
+        self.mapping: dict[str, str] = {}
+        t = TxnTable(None, self.path)
+        if t.exists():
+            snap = t._replay()
+            self._refuse_unsupported(snap)
+            if snap.schema is not None:
+                want = {f.name: f.dataType.simpleString()
+                        for f in snap.schema.fields}
+                got = {f.name: f.dataType.simpleString()
+                       for f in schema.fields}
+                if want != got and not overwrite:
+                    raise ValueError(
+                        f"schema mismatch appending to {self.path}: "
+                        f"table has {sorted(want.items())}, frame "
+                        f"has {sorted(got.items())} — evolve through "
+                        "the package API (TxnTable.append "
+                        "schema_mode='merge')")
+            self.mapping = dict(snap.column_mapping)
+
+    def _refuse_unsupported(self, snap) -> None:
+        demands = []
+        if snap.constraints:
+            demands.append("CHECK constraints")
+        if snap.generated:
+            demands.append("generated columns")
+        if snap.identity:
+            demands.append("identity columns")
+        if snap.defaults:
+            demands.append("column DEFAULTs")
+        if (snap.properties.get("txlog.enableChangeDataFeed", "")
+                .lower() == "true"):
+            demands.append("change-data-feed capture")
+        if (self.overwrite
+                and snap.properties.get("txlog.appendOnly", "")
+                .lower() == "true"):
+            demands.append("appendOnly (blocks overwrite)")
+        if demands:
+            raise ValueError(
+                f"format('txlog') writer cannot uphold {demands} on "
+                f"{self.path}; write through the package API "
+                "(TxnTable / LakehouseCatalog.sql), which enforces "
+                "them")
+
+    # ----------------------------------------------------- executors
+    def write(self, iterator) -> _Staged:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from aws_payment_data_lake_spark.sources.txlog import (
+            _DATA_DIR,
+            _footer_stats,
+        )
+        wid = uuid.uuid4().hex
+        out_dir = os.path.join(self.path, _DATA_DIR, wid)
+        writer = None
+        local = os.path.join(out_dir, "part-0.parquet")
+        n = 0
+        for batch in iterator:
+            t = pa.Table.from_batches([batch])
+            if self.mapping:        # files spell PHYSICAL names
+                t = t.rename_columns(
+                    [self.mapping.get(c, c) for c in t.column_names])
+            if writer is None:
+                os.makedirs(out_dir, exist_ok=True)
+                writer = pq.ParquetWriter(local, t.schema)
+            writer.write_table(t)
+            n += t.num_rows
+        if writer is None:
+            return _Staged([])      # empty partition: nothing staged
+        writer.close()
+        rows, stats = _footer_stats(local)
+        rel = os.path.join(_DATA_DIR, wid, "part-0.parquet")
+        return _Staged([(rel, rows, os.path.getsize(local), stats)])
+
+    # -------------------------------------------------------- driver
+    def commit(self, messages) -> None:
+        import time as _time
+
+        from aws_payment_data_lake_spark.sources.txlog import (
+            AddFile,
+            ConcurrentWriteError,
+        )
+        adds = [AddFile(rel, rows, nbytes, stats)
+                for m in messages if m is not None
+                for rel, rows, nbytes, stats in m.adds]
+        t = TxnTable(None, self.path)
+        if not t.exists():
+            commit = {"op": "create", "ts": _time.time(),
+                      "schema_json": self.schema_json,
+                      "partition_by": [],
+                      "add": [a.to_json() for a in adds],
+                      "remove": []}
+            if not t._try_publish(0, commit):
+                raise ConcurrentWriteError(
+                    f"concurrent create at {self.path}")
+            return
+        while True:
+            snap = t._replay()
+            self._refuse_unsupported(snap)   # may have changed
+            commit = {"op": ("overwrite" if self.overwrite
+                             else "append"),
+                      "ts": _time.time(),
+                      "add": [a.to_json() for a in adds],
+                      "remove": (sorted(snap.live) if self.overwrite
+                                 else [])}
+            if self.overwrite:
+                commit["schema_json"] = self.schema_json
+                commit["column_mapping"] = {}
+                commit["dropped_physical"] = []
+            if t._try_publish(snap.version + 1, commit):
+                return                      # appends commute; LWW
+                                            # overwrite recomputes
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        for m in messages:
+            for rel, *_ in (m.adds if m is not None else []):
+                shutil.rmtree(
+                    os.path.dirname(os.path.join(self.path, rel)),
+                    ignore_errors=True)
+
+
 class TxlogDataSource(DataSource):
-    """`format("txlog")`: batch snapshot reads with time travel.
-    Options: path (required), versionAsOf | timestampAsOf (unix
-    seconds or ISO timestamp)."""
+    """`format("txlog")`: batch snapshot reads with time travel, and
+    batch writes (append/overwrite). Read options: path (required),
+    versionAsOf | timestampAsOf (unix seconds or ISO timestamp)."""
 
     @classmethod
     def name(cls) -> str:
@@ -222,6 +390,10 @@ class TxlogDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _SnapshotReader(self.options)
+
+    def writer(self, schema: StructType,
+               overwrite: bool) -> _SnapshotWriter:
+        return _SnapshotWriter(self.options, schema, overwrite)
 
 
 def register_txlog_source(spark: SparkSession) -> None:

@@ -44,6 +44,9 @@ Grammar subset (case-insensitive keywords):
       [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', ...)]
                                     -- idempotent landing-zone ingest
   INSERT INTO t [(c, ...)] <select> | VALUES (v, ...) [, ...]
+  INSERT INTO t REPLACE WHERE <cond> <select>
+      -- Delta's replaceWhere: atomically replace exactly the
+      -- matching slice (incoming rows must satisfy the predicate)
   INSERT OVERWRITE t <select>
   MERGE [WITH SCHEMA EVOLUTION] INTO t [AS a]
       USING (<select>) | view [AS b] ON a.k = b.k [AND ..]
@@ -852,6 +855,21 @@ class LakehouseCatalog:
         return self._metrics("insert_overwrite", {"version": v})
 
     def _insert(self, s: str) -> DataFrame:
+        m = re.match(
+            rf"INSERT\s+INTO\s+({_IDENT})\s+REPLACE\s+WHERE\s+(.+?)\s+"
+            rf"((?:SELECT|WITH|VALUES)\b.*)$",
+            s, re.IGNORECASE | re.DOTALL)
+        if m:
+            # Delta's replaceWhere: replace exactly the matching slice
+            # with the select, atomically
+            tname, cond, body = m.groups()
+            t = self.table(tname)
+            body = body.strip()
+            df = (self.spark.sql(f"SELECT * FROM {body}")
+                  if re.match(r"VALUES\b", body, re.IGNORECASE)
+                  else self.spark.sql(self._bind_reads(body)))
+            res = t.replace_where(df, cond)
+            return self._metrics("replace_where", res)
         m = re.match(rf"INSERT\s+INTO\s+({_IDENT})\s*"
                      rf"(?:\(([^)]*)\)\s*)?(.+)$",
                      s, re.IGNORECASE | re.DOTALL)

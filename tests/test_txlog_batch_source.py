@@ -115,3 +115,95 @@ def test_empty_table_reads_empty_with_schema(spark, cat):
     got = read_txlog(spark, cat.table("t").path)
     assert got.count() == 0
     assert set(got.columns) == {"id", "v"}
+
+
+# ---------------------------------------------------------------- writes
+def test_write_append_overwrite_round_trip(spark, cat, tmp_path):
+    """Plain Spark WRITES the format: df.write.format('txlog') —
+    create-on-absent, append, overwrite, all time-travelable, and the
+    SQL surface sees an ordinary table."""
+    register_txlog_source(spark)
+    p = str(tmp_path / "written")
+    (spark.range(10).selectExpr("id", "id * 2 AS v")
+     .write.format("txlog").mode("append").option("path", p).save())
+    (spark.range(10, 15).selectExpr("id", "id * 2 AS v")
+     .write.format("txlog").mode("append").option("path", p).save())
+    assert read_txlog(spark, p).count() == 15
+    (spark.range(3).selectExpr("id", "id * 7 AS v")
+     .write.format("txlog").mode("overwrite").option("path", p)
+     .save())
+    assert sorted(r.v for r in read_txlog(spark, p).collect()) \
+        == [0, 7, 14]
+    assert read_txlog(spark, p, version=1).count() == 15
+    cat.register("written", p)
+    hist = cat.sql("DESCRIBE HISTORY written").collect()
+    assert [r.op for r in hist] == ["create", "append", "overwrite"]
+
+
+def test_write_upholds_column_mapping(spark, cat, tmp_path):
+    cat.sql("CREATE TABLE t (id bigint, old string) USING txlog")
+    cat.sql("INSERT INTO t VALUES (1, 'a')")
+    cat.sql("ALTER TABLE t RENAME COLUMN old TO label")
+    register_txlog_source(spark)
+    (spark.createDataFrame([(2, "b")], "id bigint, label string")
+     .write.format("txlog").mode("append")
+     .option("path", cat.table("t").path).save())
+    got = cat.sql("SELECT * FROM t ORDER BY id").collect()
+    assert [(r.id, r.label) for r in got] == [(1, "a"), (2, "b")]
+    # and the batch reader agrees (files spell PHYSICAL names)
+    assert sorted(
+        (r.id, r.label)
+        for r in read_txlog(spark, cat.table("t").path).collect()
+    ) == [(1, "a"), (2, "b")]
+
+
+def test_write_refuses_features_it_cannot_uphold(spark, cat,
+                                                 tmp_path):
+    """The third-party-writer contract: a table demanding write-side
+    semantics this client can't evaluate refuses up front."""
+    import pytest as _pytest
+    register_txlog_source(spark)
+    cases = {
+        "con": ("CREATE TABLE con (id bigint, v double) USING txlog",
+                "ALTER TABLE con ADD CONSTRAINT c CHECK (v > 0)",
+                "CHECK constraints"),
+        "gen": ("CREATE TABLE gen (id bigint, d string GENERATED "
+                "ALWAYS AS (cast(id as string))) USING txlog",
+                None, "generated columns"),
+        "idn": ("CREATE TABLE idn (pk bigint GENERATED ALWAYS AS "
+                "IDENTITY, v double) USING txlog",
+                None, "identity columns"),
+        "cdf": ("CREATE TABLE cdf (id bigint) USING txlog "
+                "TBLPROPERTIES ('txlog.enableChangeDataFeed'='true')",
+                None, "change-data-feed"),
+    }
+    for name, (ddl, extra, needle) in cases.items():
+        cat.sql(ddl)
+        if extra:
+            cat.sql(extra)
+        df = (spark.range(1).selectExpr("id", "1.0 AS v")
+              if name in ("con", "idn") else spark.range(1))
+        with _pytest.raises(Exception, match=needle):
+            (df.write.format("txlog").mode("append")
+             .option("path", cat.table(name).path).save())
+    # appendOnly: append fine, overwrite refused
+    cat.sql("CREATE TABLE ao (id bigint) USING txlog "
+            "TBLPROPERTIES ('txlog.appendOnly' = 'true')")
+    p = cat.table("ao").path
+    (spark.range(2).write.format("txlog").mode("append")
+     .option("path", p).save())
+    assert cat.sql("SELECT COUNT(*) FROM ao").collect()[0][0] == 2
+    with _pytest.raises(Exception, match="appendOnly"):
+        (spark.range(1).write.format("txlog").mode("overwrite")
+         .option("path", p).save())
+
+
+def test_write_schema_mismatch_refused_on_append(spark, cat,
+                                                 tmp_path):
+    import pytest as _pytest
+    register_txlog_source(spark)
+    cat.sql("CREATE TABLE t (id bigint, v double) USING txlog")
+    with _pytest.raises(Exception, match="schema mismatch"):
+        (spark.range(1).selectExpr("id", "'x' AS v")
+         .write.format("txlog").mode("append")
+         .option("path", cat.table("t").path).save())
