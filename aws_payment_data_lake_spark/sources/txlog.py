@@ -767,9 +767,16 @@ class TxnTable:
         off the retention horizon (exactly like data files). Written
         ONLY while txlog.enableChangeDataFeed=true — CDF capture has
         write-side cost (an extra pass per image class), so it is
-        opt-in, Delta's posture."""
+        opt-in, Delta's posture.
+
+        Like every other file in the table, cdc files spell PHYSICAL
+        column names, so the change-feed readers reconcile them
+        through the same head-mapping/null-fill/drop path as
+        historical data files — a rename/add/drop AFTER a cdc commit
+        cannot break or silently NULL the feed."""
         tcols = [f.name for f in snap.schema.fields]
-        frames = [df.select(*tcols)
+        frames = [df.select(*[F.col(c).alias(snap.phys(c))
+                              for c in tcols])
                   .withColumn("_change_type", F.lit(tag))
                   for df, tag in images]
         out = frames[0]
@@ -1463,6 +1470,35 @@ class TxnTable:
                                   f"({c} IS NULL AND ({e}) IS NULL))")
         return cons
 
+    @staticmethod
+    def _validate_identity_spec(df: DataFrame,
+                                identity: dict[str, dict[str, int]],
+                                generated: dict[str, str]) -> None:
+        """Identity DDL validation shared by create() AND replace()
+        (the REPLACE arm initially skipped it, so a step<1 or
+        non-integer spec could enter through CREATE OR REPLACE and
+        underflow/brick later appends)."""
+        names = {f.name: f.dataType.simpleString()
+                 for f in df.schema.fields}
+        for col, spec in identity.items():
+            if col not in names:
+                raise ValueError(
+                    f"identity column {col!r} not in the schema "
+                    f"{sorted(names)}")
+            if names[col] not in ("bigint", "long", "int",
+                                  "integer"):
+                raise ValueError(
+                    f"identity column {col!r} must be an integer "
+                    f"type, got {names[col]}")
+            if col in generated:
+                raise ValueError(
+                    f"column {col!r} cannot be both IDENTITY and "
+                    "GENERATED ALWAYS AS (expr)")
+            if spec["step"] < 1:
+                raise ValueError(
+                    f"identity step for {col!r} must be >= 1 "
+                    f"(got {spec['step']})")
+
     def create(self, df: DataFrame,
                partition_by: list[str] | None = None,
                partition_files: int | None = None,
@@ -1491,26 +1527,7 @@ class TxnTable:
                         "step": int(v["step"])}
                     for k, v in (identity or {}).items()}
         if identity:
-            names = {f.name: f.dataType.simpleString()
-                     for f in df.schema.fields}
-            for col, spec in identity.items():
-                if col not in names:
-                    raise ValueError(
-                        f"identity column {col!r} not in the schema "
-                        f"{sorted(names)}")
-                if names[col] not in ("bigint", "long", "int",
-                                      "integer"):
-                    raise ValueError(
-                        f"identity column {col!r} must be an integer "
-                        f"type, got {names[col]}")
-                if col in generated:
-                    raise ValueError(
-                        f"column {col!r} cannot be both IDENTITY and "
-                        "GENERATED ALWAYS AS (expr)")
-                if spec["step"] < 1:
-                    raise ValueError(
-                        f"identity step for {col!r} must be >= 1 "
-                        f"(got {spec['step']})")
+            self._validate_identity_spec(df, identity, generated)
             if df.take(1):
                 raise ValueError(
                     "identity tables must be created EMPTY (the log "
@@ -1694,44 +1711,60 @@ class TxnTable:
             "schema_json": snap.schema_json,
             "partition_by": snap.partition_by,
             "add": [a.to_json() for a in adds], "remove": []}
-        if snap.constraints:
-            commit["constraints"] = snap.constraints
-        if snap.column_mapping:
-            commit["column_mapping"] = snap.column_mapping
-        if snap.dropped_physical:
-            commit["dropped_physical"] = snap.dropped_physical
-        if snap.generated:
-            commit["generated"] = snap.generated
-        if snap.defaults:
-            commit["defaults"] = snap.defaults
+        self._clone_inherit(commit, snap)
+        if dv_files:
+            commit["dv"] = {"files": dv_files, "per_target": per_target}
+        inherited = self._clone_features(source, snap)
+        if not self._try_publish(0, commit, features=inherited):
+            raise FileExistsError(
+                f"concurrent create at {self.path}")
+        return self
+
+    @staticmethod
+    def _clone_inherit(commit: dict[str, Any],
+                       snap: "Snapshot") -> dict[str, Any]:
+        """ONE builder for the inheritance fields SHALLOW and DEEP
+        clones share, so the pair cannot drift (the round-10
+        properties fix landed in shallow's assembly and had to be
+        hand-mirrored — never again). Inherited: constraints, column
+        mapping + dropped physicals, generated columns, DEFAULTs,
+        TBLPROPERTIES (a source under txlog.appendOnly must not fork
+        into an unconstrained clone), COPY INTO idempotence state
+        (the clone already HOLDS the copied rows, so a re-run must
+        skip them), and identity specs WITH their high-water marks
+        (a fork allocating below the source's high would collide with
+        its own cloned rows). Deliberately NOT inherited: the (app,
+        batch) txn marks — a clone is a new idempotence domain; a
+        stream re-targeted at it is delivering content the clone
+        lacks, so it must replay, not skip."""
+        for k, v in (("constraints", snap.constraints),
+                     ("column_mapping", snap.column_mapping),
+                     ("dropped_physical", snap.dropped_physical),
+                     ("generated", snap.generated),
+                     ("defaults", snap.defaults),
+                     ("properties", snap.properties)):
+            if v:
+                commit[k] = (list(v) if isinstance(v, list)
+                             else dict(v))
         if snap.copied:
-            # COPY INTO idempotence state travels — the clone already
-            # HOLDS the copied rows (via the external refs), so a
-            # re-run against it must skip them; contrast the txn
-            # high-water marks below, which deliberately do NOT (a
-            # stream re-targeted at the clone is delivering content
-            # the clone lacks)
             commit["copy_sources"] = sorted(snap.copied)
         if snap.identity:
-            # the spec AND the high-water travel: a fork allocating
-            # below the source's high would collide with its own
-            # cloned rows
             commit["identity"] = snap.identity
             commit["identity_high"] = {
                 snap.phys(c): snap.identity_high.get(
                     snap.phys(c), s["start"] - s["step"])
                 for c, s in snap.identity.items()}
-        if snap.properties:
-            # TBLPROPERTIES travel (Delta CLONE copies table
-            # properties): a source under txlog.appendOnly must not
-            # fork into a clone without that contract
-            commit["properties"] = dict(snap.properties)
-        if dv_files:
-            commit["dv"] = {"files": dv_files, "per_target": per_target}
-        # inherit the source's protocol features: the clone's bytes
-        # carry the same interpretation requirements; unknown WRITER
-        # features inherited here make the publish below refuse — we
-        # cannot uphold invariants we don't implement
+        return commit
+
+    def _clone_features(self, source: "TxnTable", snap: "Snapshot",
+                        drop: tuple[str, ...] = ()) -> tuple[str, ...]:
+        """The source's protocol features a clone inherits (minus
+        ``drop`` — deep clones shed external_files): the clone's
+        bytes carry the same interpretation requirements. Refuses
+        when the source demands WRITER features this client does not
+        implement — the clone could not uphold them. Must run BEFORE
+        any byte moves: a deep clone must not copy terabytes and then
+        discover it cannot commit."""
         src_proto = snap.protocol or {}
         unknown = (set(src_proto.get("writer_features", []))
                    - _WRITER_FEATURES)
@@ -1740,13 +1773,10 @@ class TxnTable:
                 f"cannot clone {source.path}: it uses writer "
                 f"feature(s) {sorted(unknown)} this client does not "
                 "implement — the clone could not uphold them")
-        inherited = tuple(sorted(
-            set(src_proto.get("reader_features", []))
-            | set(src_proto.get("writer_features", []))))
-        if not self._try_publish(0, commit, features=inherited):
-            raise FileExistsError(
-                f"concurrent create at {self.path}")
-        return self
+        return tuple(sorted(
+            (set(src_proto.get("reader_features", []))
+             | set(src_proto.get("writer_features", [])))
+            - set(drop)))
 
     def clone_deep(self, source: "TxnTable",
                    version: int | None = None,
@@ -1781,6 +1811,10 @@ class TxnTable:
         def key_of(p: str) -> str:
             return p if os.path.isabs(p) else os.path.join(src_root, p)
 
+        # protocol gate FIRST — before any byte moves (a deep clone
+        # must not copy terabytes and then discover it cannot commit)
+        inherited = self._clone_features(source, snap,
+                                         drop=("external_files",))
         wid = uuid.uuid4().hex
         os.makedirs(os.path.join(self.path, _DATA_DIR, wid),
                     exist_ok=True)
@@ -1811,12 +1845,20 @@ class TxnTable:
             import pyarrow.parquet as pq
             for i, f in enumerate(src_sidecars):
                 t = pq.read_table(key_of(f))
-                remapped = pa.array(
-                    [remap.get(x) or remap[key_of(x)]
-                     for x in t.column("target").to_pylist()],
-                    type=pa.string())
-                t = t.set_column(t.schema.get_field_index("target"),
-                                 "target", remapped)
+                # a sidecar may retain rows for targets that are no
+                # longer LIVE (a later rewrite retired the file while
+                # a sibling target keeps the sidecar referenced) —
+                # those dead-target rows carry no information for the
+                # clone and are dropped, the same tolerance
+                # clone_shallow's key passthrough gives them
+                mapped = [remap.get(x, remap.get(key_of(x)))
+                          for x in t.column("target").to_pylist()]
+                keep = pa.array([m is not None for m in mapped])
+                t = (t.set_column(
+                        t.schema.get_field_index("target"), "target",
+                        pa.array([m or "" for m in mapped],
+                                 type=pa.string()))
+                     .filter(keep))
                 rel = os.path.join(_DATA_DIR, wid, f"dv-{i}.parquet")
                 pq.write_table(t, os.path.join(self.path, rel))
                 dv_files.append(rel)
@@ -1826,38 +1868,12 @@ class TxnTable:
             "schema_json": snap.schema_json,
             "partition_by": snap.partition_by,
             "add": [a.to_json() for a in adds], "remove": []}
-        for k, v in (("constraints", snap.constraints),
-                     ("column_mapping", snap.column_mapping),
-                     ("dropped_physical", snap.dropped_physical),
-                     ("generated", snap.generated),
-                     ("defaults", snap.defaults),
-                     ("properties", snap.properties)):
-            if v:
-                commit[k] = v if isinstance(v, list) else dict(v)
-        if snap.copied:
-            commit["copy_sources"] = sorted(snap.copied)
-        if snap.identity:
-            commit["identity"] = snap.identity
-            commit["identity_high"] = {
-                snap.phys(c): snap.identity_high.get(
-                    snap.phys(c), s["start"] - s["step"])
-                for c, s in snap.identity.items()}
+        self._clone_inherit(commit, snap)
         if dv_files:
             commit["dv"] = {"files": dv_files, "per_target": per_target}
-        src_proto = snap.protocol or {}
-        unknown = (set(src_proto.get("writer_features", []))
-                   - _WRITER_FEATURES)
-        if unknown:
-            raise ProtocolError(
-                f"cannot clone {source.path}: it uses writer "
-                f"feature(s) {sorted(unknown)} this client does not "
-                "implement — the clone could not uphold them")
-        # inherit everything EXCEPT external_files: a deep clone's
-        # whole point is that no byte lives outside its root
-        inherited = tuple(sorted(
-            (set(src_proto.get("reader_features", []))
-             | set(src_proto.get("writer_features", [])))
-            - {"external_files"}))
+        # `inherited` (computed up top, before the copy) drops
+        # external_files: a deep clone's whole point is that no byte
+        # lives outside its root
         if not self._try_publish(0, commit, features=inherited):
             raise FileExistsError(
                 f"concurrent create at {self.path}")
@@ -2219,10 +2235,12 @@ class TxnTable:
         generated = dict(generated or {})
         identity = {k: {"start": int(v["start"]), "step": int(v["step"])}
                     for k, v in (identity or {}).items()}
-        if identity and df.take(1):
-            raise ValueError(
-                "identity tables must be (re)created EMPTY (the log "
-                "owns allocation); REPLACE then append")
+        if identity:
+            self._validate_identity_spec(df, identity, generated)
+            if df.take(1):
+                raise ValueError(
+                    "identity tables must be (re)created EMPTY (the "
+                    "log owns allocation); REPLACE then append")
         if generated:
             df = self._derive_generated(df, generated)
         cons = self._auto_constraints(generated, list(not_null or []))
@@ -2624,11 +2642,22 @@ class TxnTable:
                 # (txlog.enableChangeDataFeed was on): they are the
                 # authoritative events — richer than the add/dv
                 # derivation (update_preimage/update_postimage pairs,
-                # no rewrite amplification from surviving rows) and
-                # already spelled in LOGICAL column names
-                ev = self.spark.read.parquet(
+                # no rewrite amplification from surviving rows).
+                # They spell PHYSICAL names like every table file, so
+                # reconcile to the HEAD schema exactly as historical
+                # adds are: alias through the mapping, null-fill
+                # columns the commit predates, drop retired ones —
+                # the union below can then never break on evolution
+                raw = self.spark.read.parquet(
                     *[os.path.join(self.path, f)
                       for f in c["cdc"]["files"]])
+                have = set(raw.columns)
+                ev = raw.select(*[
+                    ((F.col(snap.phys(f.name)).cast(f.dataType)
+                      if snap.phys(f.name) in have
+                      else F.lit(None).cast(f.dataType)).alias(f.name))
+                    for f in snap.schema.fields],
+                    F.col("_change_type"))
                 if not include_deletes:
                     # plain mode keeps the legacy contract: the rows
                     # the commit ADDED to the table, untagged
@@ -2809,7 +2838,9 @@ class TxnTable:
             # classify images off the SAME broadcast key joins the
             # merge plan uses; an extra pass per class, paid only
             # while the table opts into CDF
-            fsnap = (Snapshot(-1, evolved, {}) if evolved else snap)
+            fsnap = (Snapshot(-1, evolved, {},
+                              column_mapping=dict(snap.column_mapping))
+                     if evolved else snap)
             tgt_m = None
             if touched:
                 tgt_m = (self._read_files(snap, sorted(touched))
@@ -3036,8 +3067,10 @@ class TxnTable:
             if evolved:
                 commit["schema_json"] = evolved
             if self._cdf_on(snap) and adds:
-                csnap = (Snapshot(-1, evolved, {}) if evolved
-                         else snap)
+                csnap = (Snapshot(-1, evolved, {},
+                                  column_mapping=dict(
+                                      snap.column_mapping))
+                         if evolved else snap)
                 cdc = self._stage_cdc(csnap,
                                       [(new_content, "insert")])
                 if cdc:
@@ -3190,8 +3223,10 @@ class TxnTable:
                 images.append((j.where(F.col("__code").isin(insc))
                                .select(*post_cols), "insert"))
             if images:
-                csnap = (Snapshot(-1, evolved, {}) if evolved
-                         else snap)
+                csnap = (Snapshot(-1, evolved, {},
+                                  column_mapping=dict(
+                                      snap.column_mapping))
+                         if evolved else snap)
                 cdc = self._stage_cdc(csnap, images)
                 if cdc:
                     commit["cdc"] = {"files": cdc}

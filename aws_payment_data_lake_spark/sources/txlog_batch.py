@@ -152,9 +152,15 @@ def _stats_keep(snap, bounds: dict[str, list]) -> set[str]:
 
 
 class _SnapshotReader(DataSourceReader):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict,
+                 pinned: _Pinned | None = None) -> None:
         self.options = options
-        self._pinned = _Pinned(options)
+        # reuse the planner's pinned snapshot when given: schema()
+        # and reader() must see the SAME version, or a commit landing
+        # between the two replays would skew the planned schema
+        # against the scanned files (and an unpinned read would pay
+        # two full log replays)
+        self._pinned = pinned or _Pinned(options)
         self._bounds: dict[str, list] = {}
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
@@ -270,7 +276,13 @@ class _SnapshotWriter(DataSourceArrowWriter):
                         f"has {sorted(got.items())} — evolve through "
                         "the package API (TxnTable.append "
                         "schema_mode='merge')")
-            self.mapping = dict(snap.column_mapping)
+            # APPEND writes under the table's physical names; an
+            # OVERWRITE replaces the schema AND resets the mapping in
+            # its commit, so its files must spell the frame's LOGICAL
+            # names — applying the old mapping here would make every
+            # renamed column silently read NULL afterwards
+            if not overwrite:
+                self.mapping = dict(snap.column_mapping)
 
     def _refuse_unsupported(self, snap) -> None:
         demands = []
@@ -385,11 +397,16 @@ class TxlogDataSource(DataSource):
     def name(cls) -> str:
         return SOURCE_NAME
 
+    def _pin(self) -> _Pinned:
+        if getattr(self, "_pinned", None) is None:
+            self._pinned = _Pinned(self.options)
+        return self._pinned
+
     def schema(self) -> StructType:
-        return _Pinned(self.options).schema()
+        return self._pin().schema()
 
     def reader(self, schema) -> DataSourceReader:
-        return _SnapshotReader(self.options)
+        return _SnapshotReader(self.options, self._pin())
 
     def writer(self, schema: StructType,
                overwrite: bool) -> _SnapshotWriter:

@@ -58,7 +58,7 @@ class _FilePart(InputPartition):
         self.schema_json = schema_json
         self.mapping = mapping or {}
         # kind: 'add' (an added data file), 'cdc' (a write-side change
-        # image file — logical names + _change_type), or 'dv_dead'
+        # image file — physical names + _change_type), or 'dv_dead'
         # (a RAW target file whose sidecar dead positions are the
         # delete pre-images). cdf=True keeps _change_type in the
         # output (readChangeFeed mode).
@@ -115,8 +115,9 @@ def _read_file_batches(part: _FilePart) -> Iterator:
     raw = pq.read_table(part.path)
     types = None
     if part.kind == "cdc":
-        # write-side change images: already logical names; plain mode
-        # keeps the legacy "rows the commit added" contract
+        # write-side change images (physical names, reconciled below
+        # like any table file); plain mode keeps the legacy "rows the
+        # commit added" contract
         types = raw.column("_change_type")
         raw = raw.drop_columns(["_change_type"])
         if not part.cdf:
@@ -134,11 +135,7 @@ def _read_file_batches(part: _FilePart) -> Iterator:
         raw = raw.filter(pc.is_in(idx, value_set=pa.array(
             sorted(dead), type=pa.int64())))
         types = pa.array(["delete"] * raw.num_rows)
-    # cdc image files already spell LOGICAL names — reconcile without
-    # the mapping (which would look for physical names and null-fill)
-    table = reconcile_arrow(
-        raw, part.schema_json,
-        {} if part.kind == "cdc" else part.mapping)
+    table = reconcile_arrow(raw, part.schema_json, part.mapping)
     if part.cdf:
         if part.kind == "cdc" and types is not None:
             ct = types
@@ -189,9 +186,12 @@ class _Log:
             if c.get("op") in TxnTable._LAYOUT_OPS:
                 continue
             if c.get("cdc"):
+                # cdc files spell PHYSICAL names like every table
+                # file — same head-mapping reconciliation as adds
                 parts.extend(
                     _FilePart(os.path.join(root, f), v,
-                              snap.schema_json, {}, kind="cdc",
+                              snap.schema_json,
+                              dict(snap.column_mapping), kind="cdc",
                               cdf=cdf)
                     for f in c["cdc"]["files"])
                 continue

@@ -865,9 +865,27 @@ class LakehouseCatalog:
             tname, cond, body = m.groups()
             t = self.table(tname)
             body = body.strip()
-            df = (self.spark.sql(f"SELECT * FROM {body}")
-                  if re.match(r"VALUES\b", body, re.IGNORECASE)
-                  else self.spark.sql(self._bind_reads(body)))
+            if re.match(r"VALUES\b", body, re.IGNORECASE):
+                # inline rows arrive as col1..colN: align POSITIONALLY
+                # to the table's writable columns (identity/generated
+                # are engine-derived), cast to declared types — same
+                # treatment plain INSERT VALUES gets
+                snap = t._replay()
+                wcols = [f for f in snap.schema.fields
+                         if f.name not in snap.identity
+                         and f.name not in snap.generated]
+                from pyspark.sql import functions as F
+                df = self.spark.sql(f"SELECT * FROM {body}")
+                if len(df.columns) != len(wcols):
+                    raise ValueError(
+                        f"REPLACE WHERE VALUES arity "
+                        f"{len(df.columns)} != writable columns "
+                        f"{[f.name for f in wcols]}")
+                df = df.select(*[
+                    F.col(c).cast(f.dataType).alias(f.name)
+                    for c, f in zip(df.columns, wcols)])
+            else:
+                df = self.spark.sql(self._bind_reads(body))
             res = t.replace_where(df, cond)
             return self._metrics("replace_where", res)
         m = re.match(rf"INSERT\s+INTO\s+({_IDENT})\s*"
@@ -1057,9 +1075,15 @@ class LakehouseCatalog:
             min_dead_frac=float(frac) if frac else 0.0)
         return self._metrics("reorg", res)
 
+    @staticmethod
+    def _sq(s: str) -> str:
+        """Escape a value for a Spark SQL single-quoted literal (a
+        warehouse path may legally contain quotes/backslashes)."""
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
     def _show_tables(self) -> DataFrame:
-        rows = [f"SELECT '{n}' AS tableName, "
-                f"'{self._tables[n].path}' AS location, "
+        rows = [f"SELECT '{self._sq(n)}' AS tableName, "
+                f"'{self._sq(self._tables[n].path)}' AS location, "
                 f"'{self._delete_mode.get(n, 'cow')}' AS deleteMode, "
                 f"{'true' if n in self._durable else 'false'} "
                 f"AS isDurable"
