@@ -1778,6 +1778,48 @@ class TxnTable:
              | set(src_proto.get("writer_features", [])))
             - set(drop)))
 
+    def create_like(self, source: "TxnTable",
+                    properties: dict[str, str] | None = None
+                    ) -> "TxnTable":
+        """CREATE TABLE t2 LIKE t1: an EMPTY table carrying the
+        source's full metadata — schema, partitioning, constraints,
+        generated/NOT NULL/identity/DEFAULT specs, and TBLPROPERTIES
+        (overridable via ``properties``) — but none of its data,
+        column-mapping history, COPY INTO state, txn marks, or
+        identity high-waters (a LIKE starts allocation from START
+        WITH; it holds no rows to collide with)."""
+        if self.exists():
+            raise FileExistsError(f"txlog table already at {self.path}")
+        snap = source._replay()
+        commit: dict[str, Any] = {
+            "op": "create", "ts": time.time(),
+            "like": os.path.abspath(source.path),
+            "schema_json": snap.schema_json,
+            "partition_by": snap.partition_by,
+            "add": [], "remove": []}
+        if snap.constraints:
+            commit["constraints"] = dict(snap.constraints)
+        if snap.generated:
+            commit["generated"] = dict(snap.generated)
+        if snap.identity:
+            commit["identity"] = {k: dict(v)
+                                  for k, v in snap.identity.items()}
+            commit["identity_high"] = {
+                c: s["start"] - s["step"]
+                for c, s in snap.identity.items()}
+        if snap.defaults:
+            commit["defaults"] = dict(snap.defaults)
+        props = dict(snap.properties)
+        if properties is not None:
+            props.update({k: str(v) for k, v in properties.items()})
+        if props:
+            self._validate_props(props)
+            commit["properties"] = props
+        if not self._try_publish(0, commit):
+            raise FileExistsError(
+                f"concurrent create at {self.path}")
+        return self
+
     def clone_deep(self, source: "TxnTable",
                    version: int | None = None,
                    timestamp: float | None = None) -> "TxnTable":

@@ -31,6 +31,11 @@ Grammar subset (case-insensitive keywords):
       [TBLPROPERTIES ('k'='v',..)]
   ALTER TABLE t ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT
   CONVERT TO TXLOG t                -- adopt existing parquet, zero copy
+  CREATE TABLE t2 LIKE t1 [TBLPROPERTIES (...)]
+      -- empty table with t1's full metadata (schema/partitioning/
+      -- constraints/generated/identity/defaults/properties)
+  UNDROP TABLE t                    -- restore a dropped name from the
+      -- catalog log's history (data was never deleted)
   CREATE TABLE t2 [SHALLOW|DEEP] CLONE t1
       [VERSION AS OF n | TIMESTAMP AS OF 'ts']
       -- SHALLOW = zero-copy fork; DEEP = independent one-commit copy
@@ -157,6 +162,17 @@ class LakehouseCatalog:
         self._durable: set[str] = set()
         self._seen_version = -2           # forces the first refresh
         self._refresh()
+        # one catalog construction makes the whole surface available:
+        # spark.read/write.format("txlog") works without a separate
+        # registration call (idempotent; headless sessions included)
+        try:
+            from aws_payment_data_lake_spark.sources.txlog_batch import (
+                register_txlog_source,
+            )
+            register_txlog_source(spark)
+        except Exception:
+            pass              # a read-only/py-limited session still
+            #                   gets the sql() surface
 
     # ------------------------------------------------------------ registry
     @property
@@ -272,6 +288,27 @@ class LakehouseCatalog:
         self._tables[new] = self._tables.pop(old)
         self._delete_mode[new] = self._delete_mode.pop(old, "cow")
 
+    def undrop(self, name: str) -> str:
+        """UNDROP TABLE: DROP removes only the NAME and the catalog
+        log keeps full history, so the last registration of a dropped
+        name can be restored (Databricks' UNDROP, free here by
+        construction). Returns the restored path."""
+        if self._log is None:
+            raise ValueError("undrop needs a warehouse catalog")
+        self._refresh()
+        if name in self._tables:
+            raise TableExistsError(
+                f"'{name}' is not dropped (it resolves)")
+        for v in range(self._log.head_version(), -1, -1):
+            _, tables = self._log.load(v)
+            if name in tables:
+                e = tables[name]
+                self.register(name, e["path"],
+                              delete_mode=e.get("delete_mode", "cow"))
+                return e["path"]
+        raise NoSuchTableError(
+            f"'{name}' never existed in this catalog")
+
     def table(self, name: str) -> TxnTable:
         if name not in self._tables:
             self._refresh()                # maybe another process made it
@@ -317,6 +354,8 @@ class LakehouseCatalog:
         two = f"{verb} {head[1].upper()}" if len(head) > 1 else verb
         if two == "SHOW TABLES":
             return self._show_tables()
+        if two == "UNDROP TABLE":
+            return self._undrop(s)
         if two == "SHOW CREATE":
             return self._show_create(s)
         if two == "DROP TABLE":
@@ -703,6 +742,18 @@ class LakehouseCatalog:
             fn(src, version=int(ver) if ver is not None else None,
                timestamp=_ts_to_epoch(ts) if ts is not None else None)
             return self._metrics("clone", {"version": 0, "deep": deep})
+        m = re.match(
+            rf"CREATE\s+TABLE\s+({_IDENT})\s+LIKE\s+({_IDENT})\s*"
+            rf"(?:TBLPROPERTIES\s*\(([^)]*)\)\s*)?$",
+            s, re.IGNORECASE)
+        if m:
+            tname, sname, propstr = m.groups()
+            src_t = self.table(sname)
+            t = self._create_target(tname, clone_of=sname)
+            t.create_like(src_t,
+                          properties=(self._parse_props(propstr)
+                                      if propstr else None))
+            return self._metrics("create_like", {"version": 0})
         m = re.match(
             rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s+"
             rf"USING\s+txlog\s*"
@@ -1143,6 +1194,14 @@ class LakehouseCatalog:
         esc = stmt.replace("\\", "\\\\").replace("'", "\\'")
         return self._lit_frame(
             [f"SELECT '{esc}' AS createtab_stmt"])
+
+    def _undrop(self, s: str) -> DataFrame:
+        m = re.match(rf"UNDROP\s+TABLE\s+({_IDENT})\s*$",
+                     s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported UNDROP shape: {s[:120]}")
+        self.undrop(m.group(1))
+        return self._metrics("undrop_table", {"restored": 1})
 
     def _drop_table(self, s: str) -> DataFrame:
         m = re.match(rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",

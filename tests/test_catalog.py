@@ -241,3 +241,46 @@ def test_show_create_table_round_trips(spark, tmp_path):
     cat.sql("INSERT INTO t2 (amount) VALUES (3.5)")
     row = cat.sql("SELECT * FROM t2").collect()[0]
     assert (row.pk, row.amount, row.day) == (5, 3.5, "3")
+
+
+def test_undrop_restores_last_registration(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.sql("CREATE TABLE t USING txlog AS SELECT id FROM range(5)")
+    path = cat.table("t").path
+    cat.sql("DROP TABLE t")
+    with pytest.raises(KeyError):
+        cat.table("t")
+    cat.sql("UNDROP TABLE t")
+    assert cat.table("t").path == path
+    assert cat.sql("SELECT COUNT(*) FROM t").collect()[0][0] == 5
+    # survives a fresh catalog (the undrop re-registered durably)
+    cat2 = LakehouseCatalog(spark, warehouse=cat.warehouse)
+    assert cat2.sql("SELECT COUNT(*) FROM t").collect()[0][0] == 5
+    with pytest.raises(TableExistsError, match="not dropped"):
+        cat.undrop("t")
+    with pytest.raises(NoSuchTableError, match="never existed"):
+        cat.undrop("ghost")
+
+
+def test_create_table_like(spark, tmp_path):
+    cat = _cat(spark, tmp_path)
+    cat.sql("CREATE TABLE src ("
+            "pk bigint GENERATED ALWAYS AS IDENTITY "
+            "(START WITH 10 INCREMENT BY 10), "
+            "v double NOT NULL DEFAULT 1.5, "
+            "tag string GENERATED ALWAYS AS "
+            "(CASE WHEN v > 2 THEN 'hi' ELSE 'lo' END)"
+            ") USING txlog TBLPROPERTIES ('team' = 'etl')")
+    cat.sql("INSERT INTO src (v) VALUES (5.0), (9.0)")
+    cat.sql("CREATE TABLE twin LIKE src "
+            "TBLPROPERTIES ('team' = 'analytics')")
+    assert cat.sql("SELECT COUNT(*) FROM twin").collect()[0][0] == 0
+    d_src, d_twin = (cat.table(n).describe_detail()
+                     for n in ("src", "twin"))
+    assert d_twin["defaults"] == d_src["defaults"]
+    assert d_twin["constraints"] == d_src["constraints"]
+    assert d_twin["properties"]["team"] == "analytics"  # override
+    # identity restarts from START WITH (no rows to collide with)
+    cat.sql("INSERT INTO twin (v) VALUES (3.0)")
+    row = cat.sql("SELECT * FROM twin").collect()[0]
+    assert (row.pk, row.v, row.tag) == (10, 3.0, "hi")
