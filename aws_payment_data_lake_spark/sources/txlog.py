@@ -1895,7 +1895,9 @@ class TxnTable:
                 # clone_shallow's key passthrough gives them
                 mapped = [remap.get(x, remap.get(key_of(x)))
                           for x in t.column("target").to_pylist()]
-                keep = pa.array([m is not None for m in mapped])
+                keep = pa.array([m is not None for m in mapped],
+                                type=pa.bool_())   # empty list would
+                #                                    infer null type
                 t = (t.set_column(
                         t.schema.get_field_index("target"), "target",
                         pa.array([m or "" for m in mapped],
@@ -3965,6 +3967,7 @@ class TxnTable:
                 c = json.load(f)
             ever_logged.update(a["path"] for a in c.get("add", []))
             ever_logged.update(c.get("dv", {}).get("files", []))
+            ever_logged.update(c.get("cdc", {}).get("files", []))
         missing, size_drift, row_drift = [], [], []
         for rel, add in sorted(snap.live.items()):
             local = os.path.join(self.path, rel)

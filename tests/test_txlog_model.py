@@ -1,10 +1,13 @@
 """Model-based property test of the ACID commit protocol
 (sources/txlog.py): for RANDOM operation sequences — append, DELETE
 and UPDATE in both copy-on-write and deletion-vector modes,
-overwrite, restore, compaction, SHALLOW CLONE mid-sequence (the rest
-of the sequence continues on the fork), COPY INTO of an accumulating
+overwrite, CREATE OR REPLACE, replaceWhere, restore, compaction,
+SHALLOW and DEEP CLONE mid-sequence (the rest of the sequence
+continues on the fork; the deep clone's SOURCE is rmtree'd first —
+independence is the contract), COPY INTO of an accumulating
 landing zone, column-DEFAULT toggles with defaults-filled appends,
-and txlog.appendOnly toggles — the table's visible rows must equal a
+txlog.appendOnly toggles, and change-data-feed toggles (image
+capture riding every DML) — the table's visible rows must equal a
 trivially-correct pure-Python fold after EVERY op, the metadata-only
 count must agree, every recorded version must time-travel back to
 exactly the model's rows at that version, and fsck must stay clean.
@@ -43,9 +46,14 @@ _OP = st.one_of(
     st.tuples(st.just("restore"), st.floats(0.0, 1.0)),
     st.tuples(st.just("compact")),
     st.tuples(st.just("clone")),
+    st.tuples(st.just("deep_clone")),
+    st.tuples(st.just("replace"), st.integers(1, 3)),
+    st.tuples(st.just("replace_where"), st.integers(1, 2),
+              st.integers(2, 4), st.integers(0, 3)),
     st.tuples(st.just("copy"), st.integers(1, 3)),
     st.tuples(st.just("toggle_default")),
     st.tuples(st.just("toggle_append_only")),
+    st.tuples(st.just("toggle_cdf")),
 )
 
 
@@ -63,7 +71,7 @@ def test_random_op_sequences_match_model(spark, ops):
         has_default = False
         hist = {t.latest_version(): (dict(model), has_default)}
         next_id = 0
-        append_only = False
+        append_only = cdf_on = False
         n_tables = n_land = 0
         for op in ops:
             kind = op[0]
@@ -139,6 +147,52 @@ def test_random_op_sequences_match_model(spark, ops):
                     append_only = False
                 t = fork                     # continue on the fork
                 hist = {}                    # fresh log, fresh history
+            elif kind == "deep_clone":
+                n_tables += 1
+                fork = TxnTable(spark, os.path.join(root,
+                                                    f"t{n_tables}"))
+                fork.clone_deep(t)
+                if append_only:
+                    fork.unset_properties(["txlog.appendOnly"])
+                    append_only = False
+                # INDEPENDENCE is the contract: obliterate the source
+                # and keep running the sequence on the fork
+                shutil.rmtree(t.path)
+                t = fork
+                hist = {}
+            elif kind == "replace":
+                k = op[1]
+                rows = [(next_id + i, next_id + i) for i in range(k)]
+                next_id += k
+                df = spark.createDataFrame(rows, "id long, v long")
+                if append_only:
+                    with pytest.raises(AppendOnlyError):
+                        t.replace(df)
+                else:
+                    t.replace(df)            # CREATE OR REPLACE:
+                    model = dict(rows)       # content + metadata swap
+                    has_default = False      # defaults reset
+                    cdf_on = False           # properties reset
+            elif kind == "replace_where":
+                _, k, m, r = op
+                r = r % m
+                ids, j = [], next_id
+                while len(ids) < k:          # fresh ids satisfying
+                    cand = m * j + r         # the predicate, no reuse
+                    j += 1
+                    if cand not in model:
+                        ids.append(cand)
+                next_id = j
+                df = spark.createDataFrame([(i, i) for i in ids],
+                                           "id long, v long")
+                if append_only:
+                    with pytest.raises(AppendOnlyError):
+                        t.replace_where(df, f"id % {m} = {r}")
+                else:
+                    t.replace_where(df, f"id % {m} = {r}")
+                    model = {i: v for i, v in model.items()
+                             if i % m != r}
+                    model.update({i: i for i in ids})
             elif kind == "copy":
                 k = op[1]
                 ids = list(range(next_id, next_id + k))
@@ -163,6 +217,16 @@ def test_random_op_sequences_match_model(spark, ops):
                 else:
                     t.set_properties({"txlog.appendOnly": "true"})
                 append_only = not append_only
+            elif kind == "toggle_cdf":
+                # change-data capture riding EVERY DML in the
+                # sequence: the visible-rows model must hold with the
+                # image writes interleaved (and vacuum/fsck after)
+                if cdf_on:
+                    t.unset_properties(["txlog.enableChangeDataFeed"])
+                else:
+                    t.set_properties(
+                        {"txlog.enableChangeDataFeed": "true"})
+                cdf_on = not cdf_on
             hist[t.latest_version()] = (dict(model), has_default)
             got = {r.id: r.v for r in t.snapshot().collect()}
             assert got == model, f"after {op}: {got} != {model}"
@@ -175,3 +239,18 @@ def test_random_op_sequences_match_model(spark, ops):
         assert t.fsck()["clean"] is True
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_pinned_sequence_covers_round11_ops(spark):
+    """Deterministic companion to the random property: one sequence
+    that provably exercises replace, replace_where, deep_clone (with
+    source obliteration) and the CDF toggle against the model —
+    hypothesis sampling must not be what stands between these ops and
+    coverage."""
+    ops = [("append", 3), ("toggle_cdf",), ("replace_where", 2, 2, 1),
+           ("update", 2, 0, "dv"), ("deep_clone",), ("replace", 2),
+           ("toggle_cdf",), ("append", 2), ("delete", 3, 1, "cow"),
+           ("clone",), ("replace_where", 1, 3, 0), ("restore", 0.5),
+           ("compact",)]
+    test_random_op_sequences_match_model.hypothesis.inner_test(
+        spark, ops)
