@@ -2632,6 +2632,40 @@ class TxnTable:
                 | set((snap.protocol or {}).get("writer_features", []))),
         }
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The live-file manifest as a DataFrame (Iceberg's ``files``
+        metadata table; SQL: ``table_files('t')``): log path, rows,
+        bytes, DV dead count, and the footer stats as JSON — the ops
+        answer to "what does my layout look like" with zero data
+        files opened. Built from driver metadata via Arrow (a 100 TB
+        table's manifest is ~100k rows — a frame, not a collect)."""
+        import pandas as pd
+        snap = self._replay(version)
+        ddl = ("path string, rows long, bytes long, dv_dead long, "
+               "stats string")
+        rows = [(p, a.rows, a.bytes, snap.dv_dead.get(p, 0),
+                 json.dumps(a.stats, sort_keys=True))
+                for p, a in sorted(snap.live.items())]
+        if not rows:
+            return self.spark.createDataFrame([], ddl)
+        pdf = pd.DataFrame(rows, columns=["path", "rows", "bytes",
+                                          "dv_dead", "stats"])
+        return self.spark.createDataFrame(pdf, schema=ddl)
+
+    def history_df(self) -> DataFrame:
+        """DESCRIBE HISTORY as a queryable frame (SQL:
+        ``table_history('t')``)."""
+        import pandas as pd
+        ddl = ("version long, op string, ts double, added long, "
+               "removed long")
+        rows = [(h["version"], h["op"], float(h["ts"] or 0.0),
+                 h["added"], h["removed"]) for h in self.history()]
+        if not rows:
+            return self.spark.createDataFrame([], ddl)
+        pdf = pd.DataFrame(rows, columns=["version", "op", "ts",
+                                          "added", "removed"])
+        return self.spark.createDataFrame(pdf, schema=ddl)
+
     def history(self) -> list[dict[str, Any]]:
         out = []
         for v in self._versions_on_disk():

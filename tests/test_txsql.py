@@ -606,3 +606,31 @@ def test_merge_with_schema_evolution_clause_engine_sql(spark, lake):
     assert got[1] == (7, "USD", "mobile")   # ccy kept from target
     assert 8 not in got and 9 not in got    # nmbs delete applied
     assert got[5] == (50, "USD", None)
+
+
+def test_metadata_tvfs_files_and_history(spark, tmp_path):
+    """Iceberg-style metadata tables: table_files('t'[, v]) and
+    table_history('t') as ordinary queryable frames."""
+    from aws_payment_data_lake_spark.sources.txsql import (
+        LakehouseCatalog,
+    )
+    cat = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.sql("CREATE TABLE t USING txlog AS "
+            "SELECT id, CAST(id % 4 AS STRING) AS day FROM range(40)")
+    cat.sql("DELETE FROM t WHERE day = '0'")
+    files = cat.sql(
+        "SELECT CAST(SUM(rows) AS BIGINT) AS r, COUNT(*) AS f "
+        "FROM table_files('t')").collect()[0]
+    assert files.r == 30
+    # version-pinned manifest sees the pre-delete layout
+    v0 = cat.sql("SELECT CAST(SUM(rows) AS BIGINT) AS r "
+                 "FROM table_files('t', 0)").collect()[0]
+    assert v0.r == 40
+    hist = cat.sql("SELECT op FROM table_history('t') "
+                   "ORDER BY version").collect()
+    assert [r.op for r in hist] == ["create", "delete"]
+    # stats ride as JSON — usable for layout forensics in SQL
+    one = cat.sql("SELECT stats FROM table_files('t') LIMIT 1"
+                  ).collect()[0].stats
+    import json as _json
+    assert "id" in _json.loads(one)
