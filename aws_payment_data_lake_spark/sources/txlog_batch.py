@@ -119,33 +119,38 @@ class _Pinned:
         return out
 
 
-def _stats_keep(snap, bounds: dict[str, list]) -> set[str]:
+def _stats_keep(snap,
+                bounds: dict[str, list[tuple]]) -> set[str]:
     """Files whose footer [min,max] can satisfy every pushed bound —
     TxnTable._overlaps generalized to a filter list. Files missing
     stats for a column are conservatively kept."""
     keep = set()
     for key, a in snap.live.items():
         ok = True
-        for col, (op, val) in bounds.items():
+        for col, preds in bounds.items():
             mm = a.stats.get(col)
             if not mm or mm[0] is None:
                 continue
             lo, hi = mm
-            try:
-                if ((op == "=" and not (lo <= val <= hi))
-                        or (op == ">" and not (hi > val))
-                        or (op == ">=" and not (hi >= val))
-                        or (op == "<" and not (lo < val))
-                        or (op == "<=" and not (lo <= val))
-                        or (op == "in"
-                            and not any(lo <= v <= hi for v in val))):
-                    ok = False
-                    break
-            except TypeError:
-                continue   # filter/stats type mismatch (e.g. a date
-                # literal vs JSON-string stats): keep the file — the
-                # stats cut I/O only, Spark's re-applied filter is
-                # the correctness
+            for op, val in preds:
+                try:
+                    if ((op == "=" and not (lo <= val <= hi))
+                            or (op == ">" and not (hi > val))
+                            or (op == ">=" and not (hi >= val))
+                            or (op == "<" and not (lo < val))
+                            or (op == "<=" and not (lo <= val))
+                            or (op == "in"
+                                and not any(lo <= v <= hi
+                                            for v in val))):
+                        ok = False
+                        break
+                except TypeError:
+                    continue   # filter/stats type mismatch (e.g. a
+                    # date literal vs JSON-string stats): keep the
+                    # file — stats cut I/O only, Spark's re-applied
+                    # filter is the correctness
+            if not ok:
+                break
         if ok:
             keep.add(key)
     return keep
@@ -161,29 +166,29 @@ class _SnapshotReader(DataSourceReader):
         # against the scanned files (and an unpinned read would pay
         # two full log replays)
         self._pinned = pinned or _Pinned(options)
-        self._bounds: dict[str, list] = {}
+        self._bounds: dict[str, list[tuple]] = {}
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Record comparison filters for footer-stats FILE SKIPPING,
         then hand every filter back as unsupported — Spark re-applies
         them row-level, so the stats only ever cut I/O."""
         snap = self._pinned.snap
+        ops = {EqualTo: "=", GreaterThan: ">",
+               GreaterThanOrEqual: ">=", LessThan: "<",
+               LessThanOrEqual: "<="}
         for f in filters:
             attr = getattr(f, "attribute", None)
             if attr and len(attr) == 1:
                 col = snap.phys(attr[0])   # stats keys are PHYSICAL
-                if isinstance(f, EqualTo):
-                    self._bounds[col] = ["=", f.value]
-                elif isinstance(f, GreaterThan):
-                    self._bounds[col] = [">", f.value]
-                elif isinstance(f, GreaterThanOrEqual):
-                    self._bounds[col] = [">=", f.value]
-                elif isinstance(f, LessThan):
-                    self._bounds[col] = ["<", f.value]
-                elif isinstance(f, LessThanOrEqual):
-                    self._bounds[col] = ["<=", f.value]
+                # ACCUMULATE per column — a BETWEEN arrives as >= AND
+                # <=, and keeping only the last bound would throw half
+                # the file-skipping away
+                if type(f) in ops:
+                    self._bounds.setdefault(col, []).append(
+                        (ops[type(f)], f.value))
                 elif isinstance(f, In):
-                    self._bounds[col] = ["in", list(f.value)]
+                    self._bounds.setdefault(col, []).append(
+                        ("in", list(f.value)))
             yield f                        # all re-applied by Spark
 
     def partitions(self) -> list[InputPartition]:
@@ -360,6 +365,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
             if not t._try_publish(0, commit):
                 raise ConcurrentWriteError(
                     f"concurrent create at {self.path}")
+            t._maybe_checkpoint(0)
             return
         while True:
             snap = t._replay()
@@ -375,6 +381,10 @@ class _SnapshotWriter(DataSourceArrowWriter):
                 commit["column_mapping"] = {}
                 commit["dropped_physical"] = []
             if t._try_publish(snap.version + 1, commit):
+                # same pairing as every package commit path: a
+                # plain-Spark-only pipeline must still checkpoint, or
+                # its replay cost grows with every commit forever
+                t._maybe_checkpoint(snap.version + 1)
                 return                      # appends commute; LWW
                                             # overwrite recomputes
 

@@ -16,10 +16,11 @@ Grammar subset (case-insensitive keywords):
 
   SELECT/WITH ... FROM t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
   SELECT ... FROM table_changes('t', start [, end] [, true])
+                  -- CDF; start INCLUSIVE (Delta's contract), end
+                  -- bounds the range, true adds _change_type + DV
+                  -- delete pre-image events
   SELECT ... FROM table_files('t' [, version])   -- file manifest
   SELECT ... FROM table_history('t')             -- commit history
-                  -- CDF; end bounds the version range, true adds
-                  -- _change_type + DV delete pre-image events
   CREATE [OR REPLACE] TABLE t USING txlog [PARTITIONED BY (c,..)]
       [TBLPROPERTIES ('k'='v',..)] AS <select>
       -- REPLACE = one commit swapping content + metadata wholesale,
@@ -360,7 +361,8 @@ class LakehouseCatalog:
             return self._undrop(s)
         if two == "SHOW CREATE":
             return self._show_create(s)
-        if two == "DROP TABLE":
+        if two == "DROP TABLE" and self._lake_name(
+                s, rf"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_IDENT})\b"):
             return self._drop_table(s)
         if two == "MERGE INTO" or two == "MERGE WITH":
             return self._merge(s)
@@ -380,11 +382,14 @@ class LakehouseCatalog:
             return self._convert(s)
         if two == "COPY INTO":
             return self._copy(s)
-        if two == "INSERT INTO":
+        if two == "INSERT INTO" and self._lake_name(
+                s, rf"INSERT\s+INTO\s+({_IDENT})\b"):
             return self._insert(s)
-        if two == "INSERT OVERWRITE":
+        if two == "INSERT OVERWRITE" and self._lake_name(
+                s, rf"INSERT\s+OVERWRITE\s+({_IDENT})\b"):
             return self._insert_overwrite(s)
-        if two == "DELETE FROM":
+        if two == "DELETE FROM" and self._lake_name(
+                s, rf"DELETE\s+FROM\s+({_IDENT})\b"):
             return self._delete(s)
         if verb == "UPDATE" and self._is_lake_update(s):
             return self._update(s)
@@ -441,9 +446,11 @@ class LakehouseCatalog:
                 rf"table_changes\(\s*'?{re.escape(name)}'?\s*,\s*(\d+)"
                 rf"(?:\s*,\s*(\d+))?(?:\s*,\s*(true|false))?\s*\)",
                 re.IGNORECASE)
+            # start is INCLUSIVE (Delta's startingVersion contract);
+            # TxnTable.changes takes an exclusive `since`, hence -1
             s = pat_c.sub(
                 lambda m, t=t, name=name: self._fresh_view(
-                    t.changes(int(m.group(1)),
+                    t.changes(int(m.group(1)) - 1,
                               include_deletes=(m.group(3) or ""
                                                ).lower() == "true",
                               end_version=(int(m.group(2))
@@ -508,17 +515,64 @@ class LakehouseCatalog:
                if isinstance(v, (int, float))]
         return self._lit_frame(sel)
 
+    @staticmethod
+    def _scan_parens(s: str, i: int) -> int:
+        """End index (exclusive) of the balanced parenthesized group
+        starting at s[i] == '(' — ARBITRARY nesting depth, quote-aware
+        (a ')' inside a string literal is content). A regex can only
+        express finite nesting; MERGE USING (SELECT COALESCE(NULLIF(
+        ...)...)...) is depth 3 already."""
+        depth, in_q, n = 0, False, len(s)
+        j = i
+        while j < n:
+            ch = s[j]
+            if in_q:
+                if ch == "\\":
+                    j += 2
+                    continue
+                if ch == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    in_q = False
+            elif ch == "'":
+                in_q = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return j + 1
+            j += 1
+        raise ValueError(f"unbalanced parentheses: {s[i:i + 80]!r}")
+
     def _merge(self, s: str) -> DataFrame:
-        m = re.match(
+        head = re.match(
             rf"MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?"
             rf"INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT})|\s+({_IDENT}))?"
-            rf"\s+USING\s+(\((?:[^()]|\([^()]*\))*\)|{_IDENT})"
+            rf"\s+USING\s+", s, re.IGNORECASE | re.DOTALL)
+        if not head:
+            raise ValueError(f"unsupported MERGE shape: {s[:120]}")
+        evo, tname, ta1, ta2 = head.groups()
+        rest = s[head.end():]
+        if rest.startswith("("):
+            # subquery source: a BALANCED scan, not a finite-depth
+            # regex — doubly-nested function calls are ordinary SQL
+            end = self._scan_parens(rest, 0)
+            usrc, rest = rest[:end], rest[end:]
+        else:
+            im = re.match(rf"({_IDENT})", rest)
+            if not im:
+                raise ValueError(
+                    f"unsupported MERGE USING source: {rest[:80]!r}")
+            usrc, rest = im.group(1), rest[im.end():]
+        tail = re.match(
             rf"(?:\s+AS\s+({_IDENT})|\s+({_IDENT}))?"
             rf"\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
-            s, re.IGNORECASE | re.DOTALL)
-        if not m:
+            rest, re.IGNORECASE | re.DOTALL)
+        if not tail:
             raise ValueError(f"unsupported MERGE shape: {s[:120]}")
-        evo, tname, ta1, ta2, usrc, sa1, sa2, on, clauses = m.groups()
+        sa1, sa2, on, clauses = tail.groups()
         # Delta's `MERGE WITH SCHEMA EVOLUTION INTO` (autoMerge scoped
         # to one statement): new source columns widen the target
         schema_mode = "merge" if evo else "strict"
@@ -716,14 +770,18 @@ class LakehouseCatalog:
         return props
 
     def _create_target(self, name: str, clone_of: str | None = None
-                       ) -> TxnTable:
-        """Resolve a CREATE statement's target. A registered name
-        resolves as before; an unregistered one AUTO-REGISTERS at the
-        warehouse's managed location (<warehouse>/<name>) — the Glue
-        behavior the reference's jobs rely on: CREATE binds the name
-        durably, later applications resolve it with zero setup."""
+                       ) -> tuple[TxnTable, Any]:
+        """Resolve a CREATE statement's target as (table, commit_fn).
+        A registered name resolves as before (commit_fn is a no-op);
+        an unregistered one gets the warehouse's managed location
+        (<warehouse>/<name>) and ``commit_fn()`` registers it durably
+        — CALLED ONLY AFTER the statement succeeds, so a failing
+        CTAS/CLONE never leaves a dangling cross-process catalog
+        entry pointing at nothing (the Glue behavior the reference's
+        jobs rely on: CREATE binds the name, later applications
+        resolve it with zero setup)."""
         if name in self._tables:
-            return self._tables[name]
+            return self._tables[name], (lambda: None)
         if self._log is not None:
             dm = (self._delete_mode.get(clone_of, "cow")
                   if clone_of else "cow")
@@ -736,7 +794,9 @@ class LakehouseCatalog:
             if os.path.exists(loc):
                 import uuid as _uuid
                 loc = f"{loc}__{_uuid.uuid4().hex[:8]}"
-            return self.register(name, loc, delete_mode=dm)
+            t = TxnTable(self.spark, loc)
+            return t, (lambda: self.register(name, loc,
+                                             delete_mode=dm))
         raise KeyError(
             f"'{name}' is not a registered lakehouse table and the "
             f"catalog has no warehouse to place it in; register() it "
@@ -754,11 +814,12 @@ class LakehouseCatalog:
         if m:
             tname, depth, sname, ver, ts = m.groups()
             src = self.table(sname)
-            t = self._create_target(tname, clone_of=sname)
+            t, reg = self._create_target(tname, clone_of=sname)
             deep = (depth or "").strip().upper() == "DEEP"
             fn = t.clone_deep if deep else t.clone_shallow
             fn(src, version=int(ver) if ver is not None else None,
                timestamp=_ts_to_epoch(ts) if ts is not None else None)
+            reg()
             return self._metrics("clone", {"version": 0, "deep": deep})
         m = re.match(
             rf"CREATE\s+TABLE\s+({_IDENT})\s+LIKE\s+({_IDENT})\s*"
@@ -767,10 +828,11 @@ class LakehouseCatalog:
         if m:
             tname, sname, propstr = m.groups()
             src_t = self.table(sname)
-            t = self._create_target(tname, clone_of=sname)
+            t, reg = self._create_target(tname, clone_of=sname)
             t.create_like(src_t,
                           properties=(self._parse_props(propstr)
                                       if propstr else None))
+            reg()
             return self._metrics("create_like", {"version": 0})
         m = re.match(
             rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s+"
@@ -780,7 +842,7 @@ class LakehouseCatalog:
             s, re.IGNORECASE | re.DOTALL)
         if m:
             replace, tname, parts, propstr, select = m.groups()
-            t = self._create_target(tname)
+            t, reg = self._create_target(tname)
             df = self.spark.sql(self._bind_reads(select))
             pby = ([c.strip() for c in parts.split(",")]
                    if parts else None)
@@ -791,8 +853,10 @@ class LakehouseCatalog:
                 # a pre-existing bare-name temp view would serve the
                 # replaced content stale until the next bind
                 self.spark.catalog.dropTempView(tname)
+                reg()
                 return self._metrics("replace", {"version": v})
             t.create(df, partition_by=pby, properties=props)
+            reg()
             return self._metrics("create",
                                  {"version": t.latest_version()})
         # empty table with an explicit schema (Delta's plain DDL form),
@@ -808,7 +872,7 @@ class LakehouseCatalog:
             s, re.IGNORECASE | re.DOTALL)
         if m:
             replace, tname, cols, parts, propstr = m.groups()
-            t = self._create_target(tname)
+            t, reg = self._create_target(tname)
             not_null: list[str] = []
             generated: dict[str, str] = {}
             identity: dict[str, dict[str, int]] = {}
@@ -862,6 +926,7 @@ class LakehouseCatalog:
                               defaults=defaults or None,
                               properties=props or {})
                 self.spark.catalog.dropTempView(tname)
+                reg()
                 return self._metrics("replace", {"version": v})
             t.create(empty,
                      partition_by=pby,
@@ -870,6 +935,7 @@ class LakehouseCatalog:
                      identity=identity or None,
                      defaults=defaults or None,
                      properties=props)
+            reg()
             return self._metrics("create", {"version": 0})
         raise ValueError(f"unsupported CREATE TABLE shape: {s[:120]}")
 
@@ -1032,13 +1098,32 @@ class LakehouseCatalog:
         m = re.match(rf"UPDATE\s+({_IDENT})\b", s, re.IGNORECASE)
         return bool(m) and m.group(1) in self._tables
 
+    def _lake_name(self, s: str, pattern: str) -> bool:
+        """True iff the statement's target is a REGISTERED lakehouse
+        table — DML/DDL on unregistered names passes through to the
+        session catalog untouched (the class contract; hijacking
+        'INSERT INTO some_parquet_table' with a KeyError would break
+        statements plain spark.sql executes fine)."""
+        m = re.match(pattern, s, re.IGNORECASE)
+        return bool(m) and m.group(1) in self._tables
+
     def _update(self, s: str) -> DataFrame:
         m = re.match(
-            rf"UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.*)$",
             s, re.IGNORECASE | re.DOTALL)
         if not m:
             raise ValueError(f"unsupported UPDATE shape: {s[:120]}")
-        tname, sets, where = m.groups()
+        tname, tail = m.groups()
+        # the WHERE boundary must be found OUTSIDE string literals:
+        # UPDATE t SET status = 'paid where due' WHERE id = 1 splits
+        # at the second WHERE, not the one inside the literal
+        w = self._find_outside_quotes(tail, r"\s+WHERE\s+")
+        if w >= 0:
+            sets = tail[:w]
+            where = re.match(r"\s+WHERE\s+(.*)$", tail[w:],
+                             re.IGNORECASE | re.DOTALL).group(1)
+        else:
+            sets, where = tail, None
         assigns: dict[str, str] = {}
         for part in self._split_top(sets):
             am = re.match(rf"\s*({_IDENT})\s*=\s*(.*)$", part, re.DOTALL)
@@ -1344,10 +1429,11 @@ class LakehouseCatalog:
         if not m:
             raise ValueError(f"unsupported DESCRIBE DETAIL: {s[:120]}")
         d = self.table(m.group(1)).describe_detail()
-        cons = json.dumps(d["constraints"], sort_keys=True
-                          ).replace("'", "''")
-        cmap = json.dumps(d["column_mapping"], sort_keys=True
-                          ).replace("'", "''")
+        # _sq, not quote-doubling: JSON carries backslash escapes
+        # that Spark's literal parser would otherwise process
+        cons = self._sq(json.dumps(d["constraints"], sort_keys=True))
+        cmap = self._sq(json.dumps(d["column_mapping"],
+                                   sort_keys=True))
         return self._lit_frame([
             f"SELECT CAST({int(d['version'])} AS BIGINT) AS version, "
             f"CAST({int(d['num_files'])} AS BIGINT) AS num_files, "
@@ -1370,12 +1456,9 @@ class LakehouseCatalog:
         if not m:
             raise ValueError(f"unsupported SHOW TBLPROPERTIES: {s[:120]}")
         props = self.table(m.group(1)).describe_detail()["properties"]
-
-        def esc(x: str) -> str:
-            return x.replace("'", "''")
-
         return self._lit_frame(
-            [f"SELECT '{esc(k)}' AS key, '{esc(v)}' AS value"
+            [f"SELECT '{self._sq(k)}' AS key, "
+             f"'{self._sq(v)}' AS value"
              for k, v in sorted(props.items())]
             or ["SELECT '' AS key, '' AS value WHERE false"])
 
@@ -1384,28 +1467,80 @@ class LakehouseCatalog:
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported DESCRIBE HISTORY: {s[:120]}")
-        hist = self.table(m.group(1)).history()
-        return self._lit_frame([
-            f"SELECT CAST({h['version']} AS BIGINT) AS version, "
-            f"'{h['op']}' AS op, CAST({float(h['ts'])!r} AS DOUBLE) AS ts, "
-            f"CAST({h['added']} AS BIGINT) AS added, "
-            f"CAST({h['removed']} AS BIGINT) AS removed"
-            for h in hist])
+        # Arrow-path frame (history_df), not a per-commit literal
+        # union: at a few hundred commits the union costs seconds of
+        # Catalyst plan compilation (the SHOW TABLES lesson)
+        return self.table(m.group(1)).history_df()
 
     @staticmethod
     def _split_top(s: str) -> list[str]:
-        """Split on commas at parenthesis depth 0 (SET a=f(x,y), b=2)."""
+        """Split on commas at parenthesis depth 0, QUOTE-AWARE: a
+        comma or parenthesis inside a string literal ('a,b', 'x)')
+        is content, not structure (Spark literals: backslash escapes
+        processed, '' doubles a quote)."""
         out, depth, cur = [], 0, []
-        for ch in s:
-            if ch == "(":
+        i, n, in_q = 0, len(s), False
+        while i < n:
+            ch = s[i]
+            if in_q:
+                cur.append(ch)
+                if ch == "\\" and i + 1 < n:     # escaped next char
+                    cur.append(s[i + 1])
+                    i += 2
+                    continue
+                if ch == "'":
+                    if i + 1 < n and s[i + 1] == "'":  # doubled ''
+                        cur.append("'")
+                        i += 2
+                        continue
+                    in_q = False
+                i += 1
+                continue
+            if ch == "'":
+                in_q = True
+                cur.append(ch)
+            elif ch == "(":
                 depth += 1
+                cur.append(ch)
             elif ch == ")":
                 depth -= 1
-            if ch == "," and depth == 0:
+                cur.append(ch)
+            elif ch == "," and depth == 0:
                 out.append("".join(cur))
                 cur = []
             else:
                 cur.append(ch)
+            i += 1
         if cur:
             out.append("".join(cur))
         return out
+
+    @staticmethod
+    def _find_outside_quotes(s: str, pattern: str) -> int:
+        """Index of the first regex match that starts OUTSIDE any
+        single-quoted literal, or -1 — how DML verbs find their
+        keyword boundaries without misparsing 'paid where due'."""
+        spans = []
+        i, n, in_q, start = 0, len(s), False, -1
+        while i < n:
+            ch = s[i]
+            if in_q:
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    in_q = False
+                    spans.append((start, i))
+            elif ch == "'":
+                in_q = True
+                start = i
+            i += 1
+        if in_q:
+            spans.append((start, n))
+        for m in re.finditer(pattern, s, re.IGNORECASE):
+            if not any(a <= m.start() <= b for a, b in spans):
+                return m.start()
+        return -1

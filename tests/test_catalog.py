@@ -111,10 +111,11 @@ def test_rename_drop_reregister_lifecycle(spark, tmp_path):
     # managed location resurrects the table at its full history
     cat.register("a2", cat.table("b").path)
     assert cat.sql("SELECT COUNT(*) FROM a2").collect()[0][0] == 3
-    # DROP TABLE IF EXISTS on a missing name is a no-op
-    got = cat.sql("DROP TABLE IF EXISTS nope").collect()
-    assert got[0]["value"] == 0
-    with pytest.raises(KeyError):
+    # unregistered names pass through to the session catalog:
+    # IF EXISTS is Spark's no-op, a bare DROP is Spark's error
+    cat.sql("DROP TABLE IF EXISTS nope")
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):
         cat.sql("DROP TABLE nope")
 
 

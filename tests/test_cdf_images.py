@@ -183,7 +183,7 @@ def test_sql_table_changes_surfaces_images(spark, tmp_path):
             "SELECT id, CAST(id AS DOUBLE) AS v FROM range(4)")
     cat.sql("UPDATE t SET v = v + 0.5 WHERE id = 2")
     got = cat.sql(
-        "SELECT id, v, _change_type FROM table_changes('t', 0, 1, "
+        "SELECT id, v, _change_type FROM table_changes('t', 1, 1, "
         "true) ORDER BY _change_type").collect()
     assert [(r.id, r.v, r._change_type) for r in got] \
         == [(2, 2.5, "update_postimage"), (2, 2.0, "update_preimage")]

@@ -144,3 +144,121 @@ def test_show_tables_escapes_awkward_paths(spark, tmp_path):
     rows = cat.sql("SHOW TABLES").collect()
     assert rows[0].tableName == "t"
     assert "o'brien wh" in rows[0].location
+
+
+# ------------------------------------------- second review pass (high)
+def test_quote_aware_dml_parsing(spark, tmp_path):
+    """Commas/parens/WHERE inside string literals are content, not
+    structure — for UPDATE SET, TBLPROPERTIES, and MERGE VALUES."""
+    cat = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.sql("CREATE TABLE t (id bigint, note string) USING txlog")
+    cat.sql("INSERT INTO t VALUES (1, 'x')")
+    cat.sql("UPDATE t SET note = 'a,b (c) where d' WHERE id = 1")
+    assert cat.sql("SELECT note FROM t").collect()[0][0] \
+        == "a,b (c) where d"
+    cat.sql("ALTER TABLE t SET TBLPROPERTIES ('k' = 'v1,v2')")
+    props = {r.key: r.value
+             for r in cat.sql("SHOW TBLPROPERTIES t").collect()}
+    assert props["k"] == "v1,v2"
+    cat.sql("""
+        MERGE INTO t AS a USING (SELECT CAST(2 AS BIGINT) AS id) AS b
+        ON a.id = b.id
+        WHEN NOT MATCHED THEN INSERT (id, note) VALUES (b.id, 'p,q')
+    """)
+    assert cat.sql("SELECT note FROM t WHERE id = 2").collect()[0][0] \
+        == "p,q"
+
+
+def test_merge_using_deeply_nested_subquery(spark, tmp_path):
+    """The USING source is a balanced scan, not a finite-depth regex:
+    doubly-nested function calls are ordinary SQL."""
+    cat = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"))
+    cat.sql("CREATE TABLE t USING txlog AS "
+            "SELECT CAST(id AS BIGINT) AS id, "
+            "CAST(id AS DOUBLE) AS v FROM range(5)")
+    cat.sql("""
+        MERGE INTO t USING (
+            SELECT id, COALESCE(NULLIF(CAST(v AS DOUBLE), 0.0), 1.0)
+                   AS v
+            FROM (SELECT CAST(id AS BIGINT) AS id,
+                         CAST(id * 2 AS DOUBLE) AS v FROM range(3))
+        ) AS s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r.id: r.v for r in cat.sql("SELECT * FROM t").collect()}
+    assert got[0] == 1.0 and got[1] == 2.0 and got[2] == 4.0
+
+
+def test_unregistered_dml_passes_through(spark, tmp_path):
+    """The class contract: unregistered names belong to the session
+    catalog — INSERT/DELETE/DROP on a plain temp view/table must not
+    be hijacked with a lakehouse KeyError."""
+    cat = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"))
+    spark.sql("DROP TABLE IF EXISTS plainper")
+    spark.sql(f"CREATE TABLE plainper (a INT) USING parquet "
+              f"LOCATION '{tmp_path / 'plain'}'")
+    try:
+        cat.sql("INSERT INTO plainper VALUES (1)")
+        assert cat.sql("SELECT COUNT(*) FROM plainper"
+                       ).collect()[0][0] == 1
+        cat.sql("DROP TABLE plainper")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plainper")
+
+
+def test_failed_create_leaves_no_catalog_entry(spark, tmp_path):
+    import pytest as _pytest
+    cat = LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"))
+    with _pytest.raises(Exception):
+        cat.sql("CREATE TABLE bad USING txlog AS "
+                "SELECT * FROM definitely_not_a_view")
+    assert cat.sql("SHOW TABLES").count() == 0
+    # and a FRESH catalog agrees (nothing durable leaked)
+    assert LakehouseCatalog(spark, warehouse=cat.warehouse
+                            ).sql("SHOW TABLES").count() == 0
+
+
+def test_pushdown_accumulates_range_bounds(spark, tmp_path):
+    """BETWEEN arrives as >= AND <=; both sides must prune."""
+    from aws_payment_data_lake_spark.sources.txlog_batch import (
+        _SnapshotReader,
+    )
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        LessThanOrEqual,
+    )
+    t = TxnTable(spark, str(tmp_path / "t"))
+    t.create(spark.range(8000).selectExpr("id"),
+             partition_by=["id"], partition_files=8)
+    rd = _SnapshotReader({"path": t.path})
+    list(rd.pushFilters([GreaterThanOrEqual(("id",), 3000),
+                         LessThanOrEqual(("id",), 3999)]))
+    kept = rd.partitions()
+    assert 1 <= len(kept) <= 2      # the middle slice, not 5 files
+    # end-to-end exactness through Spark
+    from aws_payment_data_lake_spark.sources.txlog_batch import (
+        register_txlog_source,
+    )
+    register_txlog_source(spark)
+    got = (spark.read.format("txlog").option("path", t.path).load()
+           .where("id >= 3000 AND id <= 3999").count())
+    assert got == 1000
+
+
+def test_writer_commits_checkpoint_on_cadence(spark, tmp_path):
+    """A plain-Spark-only writer must checkpoint like every package
+    path, or replay cost grows with each commit forever."""
+    import os as _os
+    from aws_payment_data_lake_spark.sources.txlog_batch import (
+        register_txlog_source,
+    )
+    register_txlog_source(spark)
+    p = str(tmp_path / "t")
+    for i in range(11):
+        (spark.range(i, i + 1).write.format("txlog").mode("append")
+         .option("path", p).save())
+    ckpts = [n for n in _os.listdir(_os.path.join(p, "_txlog"))
+             if n.endswith(".checkpoint.parquet")]
+    assert ckpts, "no checkpoint after 11 plain-Spark commits"

@@ -178,7 +178,10 @@ def test_unsupported_shapes_fail_loudly(spark, lake):
     with pytest.raises(ValueError, match="MERGE"):
         lake.sql("MERGE INTO pay t USING seed s ON t.id = s.id "
                  "WHEN MATCHED THEN FROBNICATE")
-    with pytest.raises(KeyError, match="not a registered"):
+    # an UNREGISTERED DML target passes through to the session
+    # catalog (the class contract) — Spark raises its own not-found
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):
         lake.sql("DELETE FROM nosuch WHERE true")
 
 
@@ -267,21 +270,25 @@ def test_alter_add_columns_metadata_only(spark, lake):
 
 
 def test_table_changes_cdf_read(spark, lake):
-    """Delta's table_changes('t', since) form: rows ADDED by commits
-    after `since`, tagged _commit_version, layout-only commits
-    skipped — readable inside any SELECT."""
+    """Delta's table_changes('t', start) form: rows ADDED by commits
+    from `start` INCLUSIVE (Delta's contract), tagged _commit_version,
+    layout-only commits skipped — readable inside any SELECT."""
     lake.sql("CREATE TABLE pay USING txlog AS SELECT * FROM seed")  # v0
     lake.sql("INSERT INTO pay SELECT id + 100, amount, ccy FROM seed")
     lake.sql("OPTIMIZE pay ZORDER BY (id)")                         # v2
     lake.sql("INSERT INTO pay SELECT id + 200, amount, ccy FROM seed")
     got = lake.sql("""
         SELECT _commit_version, count(*) AS n
-        FROM table_changes('pay', 0)
+        FROM table_changes('pay', 1)
         GROUP BY 1 ORDER BY 1
     """).collect()
     # v1 and v3 inserts appear; v2 OPTIMIZE (layout-only) is skipped
     assert [(r["_commit_version"], r["n"]) for r in got] \
         == [(1, 10), (3, 10)]
+    # start is INCLUSIVE: from 0 the create's rows appear too
+    total = lake.sql(
+        "SELECT count(*) AS n FROM table_changes('pay', 0)").first()
+    assert total["n"] == 30
 
 
 # ------------------------------------------------- full MERGE grammar (r9)
@@ -502,11 +509,11 @@ def test_table_changes_with_deletes_sql(spark, lake, tmp_path):
     cat.sql("DELETE FROM cdf WHERE id IN (2, 100)")            # v2 (dv)
     got = _rows(cat.sql(
         "SELECT _commit_version, _change_type, id "
-        "FROM table_changes('cdf', 0, true) ORDER BY 1, 2, 3"))
+        "FROM table_changes('cdf', 1, true) ORDER BY 1, 2, 3"))
     assert got == [(1, "insert", 100),
                    (2, "delete", 2), (2, "delete", 100)]
     # without the flag: adds only, no _change_type column (back-compat)
-    plain = cat.sql("SELECT * FROM table_changes('cdf', 0)")
+    plain = cat.sql("SELECT * FROM table_changes('cdf', 1)")
     assert "_change_type" not in plain.columns
     # detail exposes the dv facts
     det = cat.sql("DESCRIBE DETAIL cdf").first()
@@ -542,10 +549,10 @@ def test_table_changes_bounded_version_range(spark, lake, tmp_path):
     cat.sql("INSERT INTO pay VALUES (101, 1, 'EUR')")              # v2
     cat.sql("INSERT INTO pay VALUES (102, 1, 'EUR')")              # v3
     got = _rows(cat.sql(
-        "SELECT id FROM table_changes('pay', 0, 2)"))
+        "SELECT id FROM table_changes('pay', 1, 2)"))
     assert got == [(100,), (101,)]
     got = _rows(cat.sql(
-        "SELECT _change_type, id FROM table_changes('pay', 1, 2, true)"))
+        "SELECT _change_type, id FROM table_changes('pay', 2, 2, true)"))
     assert got == [("insert", 101)]
 
 
