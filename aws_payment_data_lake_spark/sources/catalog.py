@@ -131,6 +131,25 @@ class CatalogLog:
                 return new
 
 
+    def vacuum(self, retain_versions: int = 100) -> int:
+        """Prune old catalog versions (each commit is a FULL
+        snapshot, so old files serve only history/UNDROP). Keeps the
+        newest ``retain_versions``; returns how many were deleted.
+        Safe under concurrency: the head is never touched, a reader
+        of a just-deleted old version retries against the head, and
+        deleting is idempotent."""
+        vs = self._versions()
+        victims = vs[:-retain_versions] if retain_versions else vs[:-1]
+        n = 0
+        for v in victims:
+            try:
+                os.unlink(os.path.join(self._dir, f"{v}.json"))
+                n += 1
+            except FileNotFoundError:
+                pass                     # a concurrent vacuum won
+        return n
+
+
 def entry_path(warehouse: str, name: str) -> str:
     """Default data location for a managed table: <warehouse>/<name>.
     (Registration with an explicit path — an 'external' table — is

@@ -303,7 +303,10 @@ class LakehouseCatalog:
             raise TableExistsError(
                 f"'{name}' is not dropped (it resolves)")
         for v in range(self._log.head_version(), -1, -1):
-            _, tables = self._log.load(v)
+            try:
+                _, tables = self._log.load(v)
+            except FileNotFoundError:
+                continue                 # pruned by catalog vacuum
             if name in tables:
                 e = tables[name]
                 self.register(name, e["path"],

@@ -285,3 +285,30 @@ def test_create_table_like(spark, tmp_path):
     cat.sql("INSERT INTO twin (v) VALUES (3.0)")
     row = cat.sql("SELECT * FROM twin").collect()[0]
     assert (row.pk, row.v, row.tag) == (10, 3.0, "hi")
+
+
+def test_catalog_log_vacuum_bounds_history(spark, tmp_path):
+    """Each catalog commit is a full snapshot, so old versions serve
+    only history/UNDROP; vacuum prunes them without touching the
+    head, and UNDROP skips pruned versions."""
+    cat = _cat(spark, tmp_path)
+    for i in range(8):
+        cat.register(f"t{i}", f"/synth/{i}")
+    cat.sql("CREATE TABLE real USING txlog AS SELECT id FROM range(3)")
+    cat.sql("DROP TABLE real")
+    log = CatalogLog(cat.warehouse)
+    head = log.head_version()
+    deleted = log.vacuum(retain_versions=3)
+    assert deleted == head + 1 - 3
+    assert log.head_version() == head          # head untouched
+    # a fresh catalog still resolves everything (head is a snapshot)
+    cat2 = LakehouseCatalog(spark, warehouse=cat.warehouse)
+    assert len(cat2.sql("SHOW TABLES").collect()) == 8
+    # UNDROP still works when its registration survives retention...
+    cat2.sql("UNDROP TABLE real")
+    assert cat2.sql("SELECT COUNT(*) FROM real").collect()[0][0] == 3
+    # ...and degrades to a clean error when history is fully pruned
+    cat2.sql("DROP TABLE real")
+    log.vacuum(retain_versions=1)
+    with pytest.raises(NoSuchTableError):
+        cat2.undrop("real")
