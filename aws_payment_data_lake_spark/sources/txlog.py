@@ -562,6 +562,10 @@ class TxnTable:
                 snap.generated = dict(c["generated"])
             if "protocol" in c:           # full-dict replace (monotone)
                 snap.protocol = dict(c["protocol"])
+            if c.get("copy_sources_reset"):   # REPLACE wipes content,
+                snap.copied = set()           # so ingest idempotence
+            if c.get("txns_reset"):           # state resets with it
+                snap.txns = {}                # (ADVICE r11 #3)
             for sp in c.get("copy_sources", []):   # accumulative
                 snap.copied.add(sp)
             if "properties" in c:         # full-map replace semantics
@@ -2311,6 +2315,12 @@ class TxnTable:
                 "defaults": dict(defaults or {}),
                 "properties": props,
                 "column_mapping": {}, "dropped_physical": [],
+                # the replace wiped the rows those marks guard, so a
+                # COPY INTO re-run / idempotent-stream re-delivery
+                # must be free to load again (Delta recreate
+                # semantics; ADVICE r11 #3). identity_high stays
+                # accumulative BY DESIGN (uniqueness across history).
+                "copy_sources_reset": True, "txns_reset": True,
                 "add": [a.to_json() for a in adds],
                 "remove": sorted(snap.live)}
             v = snap.version + 1

@@ -265,6 +265,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
         self.schema_json = schema.json()
         self.overwrite = overwrite
         self.mapping: dict[str, str] = {}
+        self._planned_dropped: list[str] | None = None
         t = TxnTable(None, self.path)
         if t.exists():
             snap = t._replay()
@@ -288,6 +289,7 @@ class _SnapshotWriter(DataSourceArrowWriter):
             # renamed column silently read NULL afterwards
             if not overwrite:
                 self.mapping = dict(snap.column_mapping)
+                self._planned_dropped = list(snap.dropped_physical)
 
     def _refuse_unsupported(self, snap) -> None:
         demands = []
@@ -370,6 +372,20 @@ class _SnapshotWriter(DataSourceArrowWriter):
         while True:
             snap = t._replay()
             self._refuse_unsupported(snap)   # may have changed
+            if not self.overwrite and (
+                    dict(snap.column_mapping) != self.mapping
+                    or (self._planned_dropped is not None
+                        and list(snap.dropped_physical)
+                        != self._planned_dropped)):
+                # executor files already spell the PLANNED physical
+                # names; publishing under a changed mapping (rename,
+                # or DROP + re-ADD of the same logical name) would
+                # write data into a retired physical slot that reads
+                # silently null afterwards (ADVICE r11 #4)
+                raise ConcurrentWriteError(
+                    f"column mapping of {self.path} changed between "
+                    "write planning and commit (concurrent RENAME/"
+                    "DROP COLUMN); re-run the write")
             commit = {"op": ("overwrite" if self.overwrite
                              else "append"),
                       "ts": _time.time(),

@@ -312,6 +312,17 @@ class TxlogFeedDataSource(DataSource):
                     ).lower() == "true")
 
     def reader(self, schema) -> DataSourceReader:
+        if str(self.options.get("readChangeFeed", "false")
+               ).lower() == "true":
+            # schema() adds _change_type for this option, but the
+            # batch reader emits the current SNAPSHOT (no change
+            # events to type) — refuse loudly instead of failing the
+            # scan with a schema/batch mismatch (ADVICE r11 #2)
+            raise ValueError(
+                "readChangeFeed is a STREAMING option on txlog_feed "
+                "(spark.readStream); for batch change queries use "
+                "table_changes('t', start[, end]) through "
+                "LakehouseCatalog.sql or TxnTable.changes()")
         return _FeedBatchReader(self.options)
 
     def streamReader(self, schema) -> DataSourceStreamReader:

@@ -379,7 +379,14 @@ class LakehouseCatalog:
             return self._show_props(s)
         if two == "ALTER TABLE":
             return self._alter(s)
-        if two in ("CREATE TABLE", "CREATE OR"):
+        if verb == "CREATE" and re.match(
+                r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\b", s,
+                re.IGNORECASE):
+            # only CREATE [OR REPLACE] TABLE is ours — other CREATE
+            # forms (TEMP VIEW, FUNCTION, ...) are ordinary session
+            # statements and pass through to spark.sql (ADVICE r11 #1:
+            # dispatching on the first two words hijacked
+            # CREATE OR REPLACE TEMP VIEW)
             return self._create(s)
         if two == "CONVERT TO":
             return self._convert(s)

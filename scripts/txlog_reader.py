@@ -195,6 +195,8 @@ class IndependentTxlogReader:
                           in c["dv_state"]["dvs"].items()}
                 st.dv_dead = {k: int(x) for k, x
                               in c["dv_state"]["dv_dead"].items()}
+            if c.get("txns_reset"):   # REPLACE resets ingest
+                st.txns = {}          # idempotence state (spec §Replay)
             txn = c.get("txn")
             if txn:
                 st.txns[txn["app"]] = max(st.txns.get(txn["app"], -1),
