@@ -53,8 +53,28 @@ class NoSuchTableError(KeyError):
     """A name the catalog does not map."""
 
 
+class DatabaseExistsError(FileExistsError):
+    """CREATE DATABASE of a name the catalog already maps."""
+
+
+class NoSuchDatabaseError(KeyError):
+    """A database the catalog does not map."""
+
+
+class DatabaseNotEmptyError(RuntimeError):
+    """DROP DATABASE on a database that still holds tables."""
+
+
 class CatalogLog:
-    """Durable name -> {path, delete_mode} map as a versioned log."""
+    """Durable name -> {path, delete_mode} map as a versioned log.
+
+    Namespaces (round 12 — the reference's
+    ``from_catalog(database="payments_db", table_name=...)`` shape):
+    table keys may be QUALIFIED ``db.table``; bare keys ARE the
+    ``default`` database. Databases themselves are a sibling
+    ``databases`` map carried by every full-snapshot commit (old
+    commits without the key read as zero databases — ``default``
+    always exists implicitly and is never stored)."""
 
     def __init__(self, warehouse: str) -> None:
         self.warehouse = os.path.abspath(warehouse)
@@ -81,11 +101,19 @@ class CatalogLog:
     def load(self, version: int | None = None
              ) -> tuple[int, dict[str, dict[str, Any]]]:
         """(version, tables). Full-snapshot commits: one file read."""
+        v, tables, _ = self.load_all(version)
+        return v, tables
+
+    def load_all(self, version: int | None = None
+                 ) -> tuple[int, dict[str, dict[str, Any]],
+                            dict[str, dict[str, Any]]]:
+        """(version, tables, databases) — one file read."""
         v = self.head_version() if version is None else version
         if v < 0:
-            return -1, {}
+            return -1, {}, {}
         with open(os.path.join(self._dir, f"{v}.json")) as f:
-            return v, json.load(f)["tables"]
+            c = json.load(f)
+        return v, c["tables"], c.get("databases", {})
 
     def history(self) -> list[dict[str, Any]]:
         out = []
@@ -115,18 +143,24 @@ class CatalogLog:
 
     def commit(self, op: str, table: str,
                mutate: Callable[[dict[str, dict[str, Any]]],
-                                dict[str, dict[str, Any]]]
-               ) -> dict[str, dict[str, Any]]:
-        """CAS loop: apply ``mutate`` to the head map, publish head+1;
-        on a lost race, re-apply against the winner's map. ``mutate``
-        must be pure (it may run several times) and raises to abort."""
+                                dict[str, dict[str, Any]]] | None,
+               mutate_dbs: Callable[[dict[str, dict[str, Any]]],
+                                    dict[str, dict[str, Any]]]
+               | None = None) -> dict[str, dict[str, Any]]:
+        """CAS loop: apply ``mutate`` (tables) and/or ``mutate_dbs``
+        (databases) to the head state, publish head+1; on a lost
+        race, re-apply against the winner's state. Mutators must be
+        pure (they may run several times) and raise to abort. Every
+        commit carries the FULL state — both maps — so a tables-only
+        mutation preserves databases and vice versa."""
         while True:
-            v, tables = self.load()
-            new = mutate(dict(tables))
-            if new == tables and v >= 0:
+            v, tables, dbs = self.load_all()
+            new = mutate(dict(tables)) if mutate else dict(tables)
+            new_dbs = mutate_dbs(dict(dbs)) if mutate_dbs else dict(dbs)
+            if new == tables and new_dbs == dbs and v >= 0:
                 return new            # no-op: nothing to publish
             c = {"op": op, "table": table, "ts": time.time(),
-                 "tables": new}
+                 "tables": new, "databases": new_dbs}
             if self._publish(v + 1, c):
                 return new
 
@@ -151,7 +185,10 @@ class CatalogLog:
 
 
 def entry_path(warehouse: str, name: str) -> str:
-    """Default data location for a managed table: <warehouse>/<name>.
-    (Registration with an explicit path — an 'external' table — is
-    stored verbatim; drop never deletes data either way.)"""
-    return os.path.join(os.path.abspath(warehouse), name)
+    """Default data location for a managed table: <warehouse>/<name>,
+    or <warehouse>/<db>/<table> for a qualified name — database
+    directories group zones on disk the way the reference's
+    raw/bronze/silver buckets do. (Registration with an explicit path
+    — an 'external' table — is stored verbatim; drop never deletes
+    data either way.)"""
+    return os.path.join(os.path.abspath(warehouse), *name.split("."))

@@ -42,9 +42,16 @@ Grammar subset (case-insensitive keywords):
   CREATE TABLE t2 [SHALLOW|DEEP] CLONE t1
       [VERSION AS OF n | TIMESTAMP AS OF 'ts']
       -- SHALLOW = zero-copy fork; DEEP = independent one-commit copy
-  SHOW TABLES | DROP TABLE [IF EXISTS] t | ALTER TABLE t RENAME TO t2
+  SHOW TABLES [IN db] | DROP TABLE [IF EXISTS] t
+      | ALTER TABLE t RENAME TO t2
       -- catalog verbs; durable when the catalog has a warehouse
       -- (drop/rename never touch data — Glue's external-table posture)
+  CREATE DATABASE [IF NOT EXISTS] db | DROP DATABASE [IF EXISTS] db
+      [CASCADE] | SHOW DATABASES | USE db
+      -- namespaces (round 12): every table verb takes db.table;
+      -- bare names are the `default` database (or the USE'd one);
+      -- the reference's from_catalog(database=..., table_name=...)
+      -- addressing (src/glue_jobs/etl_transactions_bronze.py:123)
   SHOW CREATE TABLE t               -- re-runnable DDL from the snapshot
       -- (catalog.crawl() is the API-side crawler: registers txlog
       -- tables that appeared under the warehouse outside the job path)
@@ -112,12 +119,16 @@ import datetime as dt
 import json
 import os
 import re
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
 from aws_payment_data_lake_spark.sources.catalog import (
     CatalogLog,
+    DatabaseExistsError,
+    DatabaseNotEmptyError,
+    NoSuchDatabaseError,
     NoSuchTableError,
     TableExistsError,
     entry_path,
@@ -125,6 +136,10 @@ from aws_payment_data_lake_spark.sources.catalog import (
 from aws_payment_data_lake_spark.sources.txlog import TxnTable
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+# a table target: optionally database-qualified (db.table) — the
+# reference's from_catalog(database=..., table_name=...) addressing
+_TNAME = rf"{_IDENT}(?:\.{_IDENT})?"
+_DEFAULT_DB = "default"
 
 
 def _ts_to_epoch(ts: str) -> float:
@@ -163,6 +178,8 @@ class LakehouseCatalog:
         self._nview = 0
         self._log = CatalogLog(warehouse) if warehouse else None
         self._durable: set[str] = set()
+        self._databases: set[str] = set()   # beside implicit 'default'
+        self._current_db = _DEFAULT_DB      # USE db changes it
         self._seen_version = -2           # forces the first refresh
         self._refresh()
         # one catalog construction makes the whole surface available:
@@ -191,7 +208,9 @@ class LakehouseCatalog:
         head = self._log.head_version()
         if head == self._seen_version:
             return
-        _, entries = self._log.load(head if head >= 0 else None)
+        _, entries, dbs = self._log.load_all(
+            head if head >= 0 else None)
+        self._databases = set(dbs)
         for name in self._durable - set(entries):
             self._tables.pop(name, None)   # dropped by another process
             self._delete_mode.pop(name, None)
@@ -202,6 +221,125 @@ class LakehouseCatalog:
             self._delete_mode[name] = e.get("delete_mode", "cow")
         self._durable = set(entries)
         self._seen_version = head
+
+    # -------------------------------------------------- namespaces
+    def _qualify(self, name: str) -> str:
+        """Catalog KEY for a (possibly qualified) table name under the
+        current database. Bare keys ARE the default database, so
+        ``default.t`` normalizes to ``t``; an unqualified name under
+        ``USE db`` lives at ``db.t`` (strict Hive/Spark semantics —
+        no silent fallback to default). Raises NoSuchDatabaseError
+        for a database the catalog does not hold."""
+        if "." in name:
+            db, tbl = name.split(".", 1)
+            if db == _DEFAULT_DB:
+                return tbl
+            self._refresh()
+            if db not in self._databases:
+                raise NoSuchDatabaseError(
+                    f"database '{db}' does not exist; CREATE DATABASE "
+                    f"{db} first (have: "
+                    f"{sorted(self._databases) or ['default']})")
+            return name
+        if self._current_db != _DEFAULT_DB:
+            return f"{self._current_db}.{name}"
+        return name
+
+    def _resolve(self, name: str) -> str | None:
+        """Registered catalog key for a table reference, or None —
+        the non-raising twin of _qualify (unknown names must fall
+        through to spark.sql untouched)."""
+        if "." in name:
+            db, tbl = name.split(".", 1)
+            key = tbl if db == _DEFAULT_DB else name
+        elif self._current_db != _DEFAULT_DB:
+            key = f"{self._current_db}.{name}"
+        else:
+            key = name
+        return key if key in self._tables else None
+
+    def use(self, db: str) -> None:
+        """USE db: unqualified names now resolve in ``db``.
+        Session-local (each application picks its own working
+        database, like Spark's session catalog)."""
+        if db != _DEFAULT_DB:
+            self._refresh()
+            if db not in self._databases:
+                raise NoSuchDatabaseError(
+                    f"database '{db}' does not exist")
+        self._current_db = db
+
+    def databases(self) -> list[str]:
+        self._refresh()
+        return [_DEFAULT_DB] + sorted(self._databases)
+
+    def create_database(self, db: str, if_not_exists: bool = False
+                        ) -> bool:
+        """CREATE DATABASE: a durable namespace entry. Returns True
+        when created, False when it already existed (if_not_exists).
+        The CAS commit makes a same-name race lose cleanly."""
+        if self._log is None:
+            raise ValueError("CREATE DATABASE needs a warehouse: "
+                             "LakehouseCatalog(spark, warehouse=...)")
+        if db == _DEFAULT_DB:
+            if if_not_exists:
+                return False
+            raise DatabaseExistsError("'default' always exists")
+        created = {"done": False}
+
+        def put(dbs: dict) -> dict:
+            if db in dbs:
+                if if_not_exists:
+                    created["done"] = False
+                    return dbs
+                raise DatabaseExistsError(f"database '{db}' exists")
+            dbs[db] = {"created_ts": time.time()}
+            created["done"] = True
+            return dbs
+
+        self._log.commit("create_database", db, None, put)
+        self._seen_version = -2
+        self._refresh()
+        return created["done"]
+
+    def drop_database(self, db: str, cascade: bool = False,
+                      if_exists: bool = False) -> int:
+        """DROP DATABASE: refuses while tables remain unless CASCADE
+        (which unregisters the NAMES — data is never deleted, the
+        catalog's uniform posture). Returns tables unregistered."""
+        if self._log is None:
+            raise ValueError("DROP DATABASE needs a warehouse")
+        if db == _DEFAULT_DB:
+            raise ValueError("cannot drop the default database")
+        self._refresh()
+        if db not in self._databases:
+            if if_exists:
+                return 0
+            raise NoSuchDatabaseError(f"database '{db}' does not exist")
+        prefix = f"{db}."
+        dropped = {"n": 0}
+
+        def rm_tables(tables: dict) -> dict:
+            members = [k for k in tables if k.startswith(prefix)]
+            if members and not cascade:
+                raise DatabaseNotEmptyError(
+                    f"database '{db}' holds {sorted(members)}; use "
+                    f"CASCADE to unregister them (data is kept)")
+            for k in members:
+                tables.pop(k)
+            dropped["n"] = len(members)
+            return tables
+
+        def rm_db(dbs: dict) -> dict:
+            dbs.pop(db, None)
+            return dbs
+
+        self._log.commit("drop_database", db, rm_tables, rm_db)
+        self._seen_version = -2
+        if self._current_db == db:
+            self._current_db = _DEFAULT_DB
+        self._refresh()
+        return dropped["n"]
 
     def register(self, name: str, path: str | None = None,
                  delete_mode: str = "cow", persist: bool | None = None,
@@ -221,6 +359,7 @@ class LakehouseCatalog:
         if delete_mode not in ("cow", "dv"):
             raise ValueError(f"delete_mode must be 'cow' or 'dv', "
                              f"got {delete_mode!r}")
+        name = self._qualify(name)        # db must exist; default.t -> t
         durable = (self._log is not None) if persist is None else persist
         if durable and self._log is None:
             raise ValueError("persist=True needs a warehouse: "
@@ -255,6 +394,7 @@ class LakehouseCatalog:
         """DROP TABLE: remove the NAME. Data and log are untouched
         (every registration is 'external' in Delta's sense — the
         catalog never deletes bytes; vacuum is the deletion story)."""
+        name = self._resolve(name) or self._qualify(name)
         if name in self._durable:
             def rm(tables: dict) -> dict:
                 tables.pop(name, None)
@@ -272,6 +412,8 @@ class LakehouseCatalog:
         Raises NoSuchTableError/TableExistsError; the CAS loop makes
         the check-and-swap atomic under concurrent catalogs."""
         self._refresh()
+        old = self._resolve(old) or self._qualify(old)
+        new = self._qualify(new)
         if old in self._durable:
             def mv(tables: dict) -> dict:
                 if old not in tables:
@@ -299,6 +441,7 @@ class LakehouseCatalog:
         if self._log is None:
             raise ValueError("undrop needs a warehouse catalog")
         self._refresh()
+        name = self._qualify(name)
         if name in self._tables:
             raise TableExistsError(
                 f"'{name}' is not dropped (it resolves)")
@@ -316,12 +459,14 @@ class LakehouseCatalog:
             f"'{name}' never existed in this catalog")
 
     def table(self, name: str) -> TxnTable:
-        if name not in self._tables:
+        key = self._resolve(name)
+        if key is None:
             self._refresh()                # maybe another process made it
-        if name not in self._tables:
+            key = self._resolve(name)
+        if key is None:
             raise KeyError(f"'{name}' is not a registered lakehouse table; "
                            f"registered: {sorted(self._tables)}")
-        return self._tables[name]
+        return self._tables[key]
 
     def crawl(self) -> list[str]:
         """The reference's CRAWLER role (README.md:79-80 — Glue
@@ -339,16 +484,32 @@ class LakehouseCatalog:
         known_paths = {t.path for t in self._tables.values()}
         found: list[str] = []
         wh = self._log.warehouse
+
+        def visit(dirpath: str, name: str) -> None:
+            if (os.path.abspath(dirpath) in known_paths
+                    or name in self._tables):
+                return
+            if os.path.isdir(os.path.join(dirpath, "_txlog")):
+                # explicit default./db. prefix: the crawler's
+                # placement is the DIRECTORY layout, never the
+                # session's USE database
+                self.register(name if "." in name
+                              else f"{_DEFAULT_DB}.{name}", dirpath)
+                found.append(name)
+
         for entry in sorted(os.listdir(wh)):
             p = os.path.join(wh, entry)
-            if (entry.startswith(("_", "."))
-                    or not os.path.isdir(p)
-                    or not os.path.isdir(os.path.join(p, "_txlog"))
-                    or os.path.abspath(p) in known_paths
-                    or entry in self._tables):
+            if entry.startswith(("_", ".")) or not os.path.isdir(p):
                 continue
-            self.register(entry, p)
-            found.append(entry)
+            if entry in self._databases:
+                # a database directory: its children are db.table
+                for sub in sorted(os.listdir(p)):
+                    sp = os.path.join(p, sub)
+                    if sub.startswith(("_", ".")) or not os.path.isdir(sp):
+                        continue
+                    visit(sp, f"{entry}.{sub}")
+                continue
+            visit(p, entry)
         return found
 
     # ------------------------------------------------------------- endpoint
@@ -359,13 +520,25 @@ class LakehouseCatalog:
         verb = (head[0].upper() if head else "")
         two = f"{verb} {head[1].upper()}" if len(head) > 1 else verb
         if two == "SHOW TABLES":
-            return self._show_tables()
+            return self._show_tables(s)
+        if two == "SHOW DATABASES":
+            return self._lit_frame(
+                [f"SELECT '{self._sq(d)}' AS namespace"
+                 for d in self.databases()])
+        if verb == "USE" and len(head) == 2 and re.match(
+                rf"USE\s+{_IDENT}\s*$", s, re.IGNORECASE):
+            self.use(head[1])
+            return self._metrics("use", {"ok": 1})
+        if two == "CREATE DATABASE":
+            return self._create_database(s)
+        if two == "DROP DATABASE":
+            return self._drop_database(s)
         if two == "UNDROP TABLE":
             return self._undrop(s)
         if two == "SHOW CREATE":
             return self._show_create(s)
         if two == "DROP TABLE" and self._lake_name(
-                s, rf"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_IDENT})\b"):
+                s, rf"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?({_TNAME})"):
             return self._drop_table(s)
         if two == "MERGE INTO" or two == "MERGE WITH":
             return self._merge(s)
@@ -393,13 +566,13 @@ class LakehouseCatalog:
         if two == "COPY INTO":
             return self._copy(s)
         if two == "INSERT INTO" and self._lake_name(
-                s, rf"INSERT\s+INTO\s+({_IDENT})\b"):
+                s, rf"INSERT\s+INTO\s+({_TNAME})\b"):
             return self._insert(s)
         if two == "INSERT OVERWRITE" and self._lake_name(
-                s, rf"INSERT\s+OVERWRITE\s+({_IDENT})\b"):
+                s, rf"INSERT\s+OVERWRITE\s+({_TNAME})\b"):
             return self._insert_overwrite(s)
         if two == "DELETE FROM" and self._lake_name(
-                s, rf"DELETE\s+FROM\s+({_IDENT})\b"):
+                s, rf"DELETE\s+FROM\s+({_TNAME})\b"):
             return self._delete(s)
         if verb == "UPDATE" and self._is_lake_update(s):
             return self._update(s)
@@ -422,10 +595,10 @@ class LakehouseCatalog:
         ordinary scan (correct, just not metadata-speed)."""
         m = re.match(
             rf"SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+({_IDENT}))?"
-            rf"\s+FROM\s+({_IDENT})"
+            rf"\s+FROM\s+({_TNAME})"
             rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
             s, re.IGNORECASE)
-        if not m or m.group(2) not in self._tables:
+        if not m or self._resolve(m.group(2)) is None:
             return None
         alias, tname, ver = m.group(1), m.group(2), m.group(3)
         n = self.table(tname).count_rows(
@@ -437,16 +610,82 @@ class LakehouseCatalog:
     # ---------------------------------------------------------- read binding
     def _fresh_view(self, df: DataFrame, base: str) -> str:
         self._nview += 1
-        name = f"__lake_{base}_{self._nview}"
+        name = f"__lake_{base.replace('.', '__')}_{self._nview}"
         df.createOrReplaceTempView(name)
         return name
+
+    def _spellings(self, key: str) -> list[str]:
+        """The reference texts that resolve to catalog key ``key``
+        under the current database — longest first, so a qualified
+        reference is consumed before a bare table name that happens
+        to be its suffix."""
+        if "." in key:
+            db, tbl = key.split(".", 1)
+            return ([key, tbl] if db == self._current_db else [key])
+        sp = [f"{_DEFAULT_DB}.{key}"]
+        if self._current_db == _DEFAULT_DB:
+            sp.append(key)
+        return sp
+
+    @staticmethod
+    def _quote_spans(s: str) -> list[tuple[int, int]]:
+        """[start, end] index spans of single-quoted literals (Spark
+        escaping: backslash + doubled '')."""
+        spans, i, n, in_q, start = [], 0, len(s), False, -1
+        while i < n:
+            ch = s[i]
+            if in_q:
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    in_q = False
+                    spans.append((start, i))
+            elif ch == "'":
+                in_q = True
+                start = i
+            i += 1
+        if in_q:
+            spans.append((start, n))
+        return spans
+
+    def _sub_outside_quotes(self, s: str, pattern: str, repl: str
+                            ) -> str:
+        """re.sub that leaves matches inside single-quoted literals
+        alone — a string mentioning a table name is content."""
+        spans = self._quote_spans(s)
+        out, last = [], 0
+        for m in re.finditer(pattern, s):
+            out.append(s[last:m.start()])
+            inside = any(a <= m.start() <= b for a, b in spans)
+            out.append(m.group(0) if inside else repl)
+            last = m.end()
+        out.append(s[last:])
+        return "".join(out)
 
     def _bind_reads(self, s: str) -> str:
         """Substitute registered table references (with optional VERSION
         / TIMESTAMP AS OF suffixes) by snapshot-bound temp views. The
         rewritten text is ordinary Spark SQL: scans carry the pinned
-        parquet file list, everything else is Catalyst's business."""
-        for name, t in self._tables.items():
+        parquet file list, everything else is Catalyst's business.
+        Qualified references (``db.t``, ``default.t``) rewrite to a
+        mangled view name (dots are illegal in temp-view names);
+        qualified keys bind before bare ones so a bare name that is
+        the suffix of a qualified reference never misfires."""
+        for key in sorted(self._tables, key=lambda k: "." not in k):
+            t = self._tables[key]
+            for name in self._spellings(key):
+                s = self._bind_one(s, name, key, t)
+        return s
+
+    def _bind_one(self, s: str, name: str, key: str,
+                  t: TxnTable) -> str:
+        """Bind ONE spelling (``name``) of catalog key ``key`` in the
+        statement text."""
+        if True:
             # Delta's CDF table-valued form:
             # table_changes('t', start [, end] [, true]) — the numeric
             # third arg bounds the version range (Delta's signature);
@@ -499,10 +738,17 @@ class LakehouseCatalog:
 
             s = pat_v.sub(sub_v, s)
             s = pat_t.sub(sub_t, s)
-            if re.search(rf"\b{re.escape(name)}\b", s) and t.exists():
-                # bare reference -> latest snapshot under the table's
-                # own name (stable view name: repeated queries reuse it)
-                t.snapshot().createOrReplaceTempView(name)
+            pat_b = rf"\b{re.escape(name)}\b"
+            if re.search(pat_b, s) and t.exists():
+                # bare reference -> latest snapshot under a stable
+                # view name (repeated queries reuse it). Dots are
+                # illegal in temp-view names, so a qualified spelling
+                # rewrites in-text to the mangled name — outside
+                # string literals only.
+                view = key.replace(".", "__")
+                t.snapshot().createOrReplaceTempView(view)
+                if name != view:
+                    s = self._sub_outside_quotes(s, pat_b, view)
         return s
 
     # ------------------------------------------------------------- DML verbs
@@ -559,7 +805,7 @@ class LakehouseCatalog:
     def _merge(self, s: str) -> DataFrame:
         head = re.match(
             rf"MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?"
-            rf"INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT})|\s+({_IDENT}))?"
+            rf"INTO\s+({_TNAME})(?:\s+AS\s+({_IDENT})|\s+({_IDENT}))?"
             rf"\s+USING\s+", s, re.IGNORECASE | re.DOTALL)
         if not head:
             raise ValueError(f"unsupported MERGE shape: {s[:120]}")
@@ -571,7 +817,7 @@ class LakehouseCatalog:
             end = self._scan_parens(rest, 0)
             usrc, rest = rest[:end], rest[end:]
         else:
-            im = re.match(rf"({_IDENT})", rest)
+            im = re.match(rf"({_TNAME})", rest)
             if not im:
                 raise ValueError(
                     f"unsupported MERGE USING source: {rest[:80]!r}")
@@ -586,7 +832,9 @@ class LakehouseCatalog:
         # Delta's `MERGE WITH SCHEMA EVOLUTION INTO` (autoMerge scoped
         # to one statement): new source columns widen the target
         schema_mode = "merge" if evo else "strict"
-        talias = ta1 or ta2 or tname
+        # qualified target without an alias: the bare table part
+        # is the usable alias (dots cannot qualify in ON exprs)
+        talias = ta1 or ta2 or tname.split(".")[-1]
         salias = sa1 or sa2 or (usrc if not usrc.startswith("(") else "src")
         t = self.table(tname)
 
@@ -790,11 +1038,14 @@ class LakehouseCatalog:
         entry pointing at nothing (the Glue behavior the reference's
         jobs rely on: CREATE binds the name, later applications
         resolve it with zero setup)."""
-        if name in self._tables:
-            return self._tables[name], (lambda: None)
+        key = self._resolve(name)
+        if key is not None:
+            return self._tables[key], (lambda: None)
+        name = self._qualify(name)      # db must exist; default.t -> t
         if self._log is not None:
-            dm = (self._delete_mode.get(clone_of, "cow")
-                  if clone_of else "cow")
+            src_key = self._resolve(clone_of) if clone_of else None
+            dm = self._delete_mode.get(src_key, "cow") if src_key \
+                else "cow"
             # managed location <warehouse>/<name> — unless those bytes
             # are already someone's (a renamed-away or dropped table's
             # data lives on; the catalog never deletes), in which case
@@ -816,9 +1067,9 @@ class LakehouseCatalog:
         # CREATE TABLE t2 [DEEP|SHALLOW] CLONE t1 [VERSION/TIMESTAMP
         # AS OF] — SHALLOW = zero-copy fork; DEEP = independent copy
         m = re.match(
-            rf"CREATE\s+TABLE\s+({_IDENT})\s+(DEEP\s+|SHALLOW\s+)?"
+            rf"CREATE\s+TABLE\s+({_TNAME})\s+(DEEP\s+|SHALLOW\s+)?"
             rf"CLONE\s+"
-            rf"({_IDENT})(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+            rf"({_TNAME})(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
             rf"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*$",
             s, re.IGNORECASE)
         if m:
@@ -832,7 +1083,7 @@ class LakehouseCatalog:
             reg()
             return self._metrics("clone", {"version": 0, "deep": deep})
         m = re.match(
-            rf"CREATE\s+TABLE\s+({_IDENT})\s+LIKE\s+({_IDENT})\s*"
+            rf"CREATE\s+TABLE\s+({_TNAME})\s+LIKE\s+({_TNAME})\s*"
             rf"(?:TBLPROPERTIES\s*\(([^)]*)\)\s*)?$",
             s, re.IGNORECASE)
         if m:
@@ -845,7 +1096,7 @@ class LakehouseCatalog:
             reg()
             return self._metrics("create_like", {"version": 0})
         m = re.match(
-            rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s+"
+            rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_TNAME})\s+"
             rf"USING\s+txlog\s*"
             rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
             rf"(?:TBLPROPERTIES\s*\(([^)]*)\)\s*)?AS\s+(.*)$",
@@ -862,7 +1113,8 @@ class LakehouseCatalog:
                               properties=props or {})
                 # a pre-existing bare-name temp view would serve the
                 # replaced content stale until the next bind
-                self.spark.catalog.dropTempView(tname)
+                self.spark.catalog.dropTempView(
+                    (self._resolve(tname) or tname).replace(".", "__"))
                 reg()
                 return self._metrics("replace", {"version": v})
             t.create(df, partition_by=pby, properties=props)
@@ -874,7 +1126,7 @@ class LakehouseCatalog:
         # (round 10 — the medallion partition date can derive inside
         # the format instead of in every writer)
         m = re.match(
-            rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s*"
+            rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_TNAME})\s*"
             rf"\((.*)\)\s*"
             rf"USING\s+txlog\s*"
             rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
@@ -935,7 +1187,8 @@ class LakehouseCatalog:
                               identity=identity or None,
                               defaults=defaults or None,
                               properties=props or {})
-                self.spark.catalog.dropTempView(tname)
+                self.spark.catalog.dropTempView(
+                    (self._resolve(tname) or tname).replace(".", "__"))
                 reg()
                 return self._metrics("replace", {"version": v})
             t.create(empty,
@@ -951,7 +1204,7 @@ class LakehouseCatalog:
 
     def _copy(self, s: str) -> DataFrame:
         m = re.match(
-            rf"COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'\s+"
+            rf"COPY\s+INTO\s+({_TNAME})\s+FROM\s+'([^']+)'\s+"
             rf"FILEFORMAT\s*=\s*(\w+)"
             rf"(?:\s+PATTERN\s*=\s*'([^']+)')?"
             rf"(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?\s*$",
@@ -975,7 +1228,7 @@ class LakehouseCatalog:
         """CONVERT TO TXLOG t: adopt the registered path's existing
         parquet files as version 0 — zero bytes rewritten (Delta's
         CONVERT TO DELTA)."""
-        m = re.match(rf"CONVERT\s+TO\s+TXLOG\s+({_IDENT})\s*$",
+        m = re.match(rf"CONVERT\s+TO\s+TXLOG\s+({_TNAME})\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported CONVERT shape: {s[:120]}")
@@ -989,7 +1242,7 @@ class LakehouseCatalog:
     def _insert_overwrite(self, s: str) -> DataFrame:
         """INSERT OVERWRITE t <select>: replace content (and schema if
         different) — txlog.overwrite's last-writer-wins contract."""
-        m = re.match(rf"INSERT\s+OVERWRITE\s+({_IDENT})\s+(.*)$",
+        m = re.match(rf"INSERT\s+OVERWRITE\s+({_TNAME})\s+(.*)$",
                      s, re.IGNORECASE | re.DOTALL)
         if not m:
             raise ValueError(f"unsupported INSERT OVERWRITE: {s[:120]}")
@@ -1001,7 +1254,7 @@ class LakehouseCatalog:
 
     def _insert(self, s: str) -> DataFrame:
         m = re.match(
-            rf"INSERT\s+INTO\s+({_IDENT})\s+REPLACE\s+WHERE\s+(.+?)\s+"
+            rf"INSERT\s+INTO\s+({_TNAME})\s+REPLACE\s+WHERE\s+(.+?)\s+"
             rf"((?:SELECT|WITH|VALUES)\b.*)$",
             s, re.IGNORECASE | re.DOTALL)
         if m:
@@ -1033,7 +1286,7 @@ class LakehouseCatalog:
                 df = self.spark.sql(self._bind_reads(body))
             res = t.replace_where(df, cond)
             return self._metrics("replace_where", res)
-        m = re.match(rf"INSERT\s+INTO\s+({_IDENT})\s*"
+        m = re.match(rf"INSERT\s+INTO\s+({_TNAME})\s*"
                      rf"(?:\(([^)]*)\)\s*)?(.+)$",
                      s, re.IGNORECASE | re.DOTALL)
         if not m:
@@ -1105,8 +1358,8 @@ class LakehouseCatalog:
         return self._metrics("insert", {"version": v})
 
     def _is_lake_update(self, s: str) -> bool:
-        m = re.match(rf"UPDATE\s+({_IDENT})\b", s, re.IGNORECASE)
-        return bool(m) and m.group(1) in self._tables
+        m = re.match(rf"UPDATE\s+({_TNAME})\b", s, re.IGNORECASE)
+        return bool(m) and self._resolve(m.group(1)) is not None
 
     def _lake_name(self, s: str, pattern: str) -> bool:
         """True iff the statement's target is a REGISTERED lakehouse
@@ -1115,11 +1368,11 @@ class LakehouseCatalog:
         'INSERT INTO some_parquet_table' with a KeyError would break
         statements plain spark.sql executes fine)."""
         m = re.match(pattern, s, re.IGNORECASE)
-        return bool(m) and m.group(1) in self._tables
+        return bool(m) and self._resolve(m.group(1)) is not None
 
     def _update(self, s: str) -> DataFrame:
         m = re.match(
-            rf"UPDATE\s+({_IDENT})\s+SET\s+(.*)$",
+            rf"UPDATE\s+({_TNAME})\s+SET\s+(.*)$",
             s, re.IGNORECASE | re.DOTALL)
         if not m:
             raise ValueError(f"unsupported UPDATE shape: {s[:120]}")
@@ -1143,25 +1396,27 @@ class LakehouseCatalog:
         # the table's delete_mode property governs UPDATE too (Delta's
         # DV property enables both): dv = old positions masked + the
         # updated rows appended, no file rewritten
+        key = self._resolve(tname) or tname
         res = self.table(tname).update(
             assigns, where or "true",
-            mode=self._delete_mode.get(tname, "cow"))
+            mode=self._delete_mode.get(key, "cow"))
         return self._metrics("update", res)
 
     def _delete(self, s: str) -> DataFrame:
         m = re.match(
-            rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.*))?$",
+            rf"DELETE\s+FROM\s+({_TNAME})(?:\s+WHERE\s+(.*))?$",
             s, re.IGNORECASE | re.DOTALL)
         if not m:
             raise ValueError(f"unsupported DELETE shape: {s[:120]}")
         tname, where = m.groups()
+        key = self._resolve(tname) or tname
         res = self.table(tname).delete(
-            where or "true", mode=self._delete_mode.get(tname, "cow"))
+            where or "true", mode=self._delete_mode.get(key, "cow"))
         return self._metrics("delete", res)
 
     def _restore(self, s: str) -> DataFrame:
         m = re.match(
-            rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+"
+            rf"RESTORE\s+TABLE\s+({_TNAME})\s+TO\s+"
             rf"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
             rf"\s*$", s, re.IGNORECASE)
         if not m:
@@ -1175,7 +1430,7 @@ class LakehouseCatalog:
     def _optimize(self, s: str) -> DataFrame:
         lit = r"(?:'[^']*'|[\w.\-]+)"
         m = re.match(
-            rf"OPTIMIZE\s+({_IDENT})"
+            rf"OPTIMIZE\s+({_TNAME})"
             rf"(?:\s+WHERE\s+({_IDENT})\s+BETWEEN\s+({lit})"
             rf"\s+AND\s+({lit}))?"
             rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
@@ -1209,7 +1464,7 @@ class LakehouseCatalog:
 
     def _vacuum(self, s: str) -> DataFrame:
         m = re.match(
-            rf"VACUUM\s+({_IDENT})"
+            rf"VACUUM\s+({_TNAME})"
             rf"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?"
             rf"(\s+DRY\s+RUN)?\s*$",
             s, re.IGNORECASE)
@@ -1229,7 +1484,7 @@ class LakehouseCatalog:
         purge syntax, with the dead-fraction policy threshold as the
         one extension (Delta buries it in a table property)."""
         m = re.match(
-            rf"REORG\s+TABLE\s+({_IDENT})\s+APPLY\s*\(\s*PURGE"
+            rf"REORG\s+TABLE\s+({_TNAME})\s+APPLY\s*\(\s*PURGE"
             rf"(?:\s+WHERE\s+DEAD_FRAC\s*>\s*(\d+(?:\.\d+)?))?\s*\)\s*$",
             s, re.IGNORECASE)
         if not m:
@@ -1245,23 +1500,57 @@ class LakehouseCatalog:
         warehouse path may legally contain quotes/backslashes)."""
         return s.replace("\\", "\\\\").replace("'", "\\'")
 
-    def _show_tables(self) -> DataFrame:
+    def _show_tables(self, s: str = "SHOW TABLES") -> DataFrame:
         # Arrow-path pandas frame, not a literal UNION ALL: at a few
         # hundred catalog entries the union's Catalyst plan
         # compilation costs SECONDS (measured 4.7s at 500 in
         # CATALOG_SLOPE_r11), while the Arrow conversion is
         # milliseconds and never takes the Python-RDD spin-up path
         import pandas as pd
-        ddl = ("tableName string, location string, "
+        m = re.match(rf"SHOW\s+TABLES(?:\s+IN\s+({_IDENT}))?\s*$",
+                     s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported SHOW TABLES shape: {s[:80]}")
+        in_db = m.group(1)
+        if in_db and in_db != _DEFAULT_DB \
+                and in_db not in self._databases:
+            raise NoSuchDatabaseError(
+                f"database '{in_db}' does not exist")
+
+        def split(key: str) -> tuple[str, str]:
+            return (tuple(key.split(".", 1)) if "." in key
+                    else (_DEFAULT_DB, key))
+
+        ddl = ("database string, tableName string, location string, "
                "deleteMode string, isDurable boolean")
-        rows = [(n, self._tables[n].path,
+        rows = [(split(n)[0], split(n)[1], self._tables[n].path,
                  self._delete_mode.get(n, "cow"), n in self._durable)
-                for n in sorted(self._tables)]
+                for n in sorted(self._tables)
+                if in_db is None or split(n)[0] == in_db]
         if not rows:
             return self.spark.createDataFrame([], ddl)
-        pdf = pd.DataFrame(rows, columns=["tableName", "location",
-                                          "deleteMode", "isDurable"])
+        pdf = pd.DataFrame(rows, columns=["database", "tableName",
+                                          "location", "deleteMode",
+                                          "isDurable"])
         return self.spark.createDataFrame(pdf, schema=ddl)
+
+    def _create_database(self, s: str) -> DataFrame:
+        m = re.match(rf"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?"
+                     rf"({_IDENT})\s*$", s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported CREATE DATABASE: {s[:80]}")
+        made = self.create_database(m.group(2),
+                                    if_not_exists=bool(m.group(1)))
+        return self._metrics("create_database", {"created": int(made)})
+
+    def _drop_database(self, s: str) -> DataFrame:
+        m = re.match(rf"DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?({_IDENT})"
+                     rf"(\s+CASCADE)?\s*$", s, re.IGNORECASE)
+        if not m:
+            raise ValueError(f"unsupported DROP DATABASE: {s[:80]}")
+        n = self.drop_database(m.group(2), cascade=bool(m.group(3)),
+                               if_exists=bool(m.group(1)))
+        return self._metrics("drop_database", {"tables_dropped": n})
 
     def _show_create(self, s: str) -> DataFrame:
         """SHOW CREATE TABLE t: reconstruct the DDL (the Athena/Spark
@@ -1271,7 +1560,7 @@ class LakehouseCatalog:
         and TBLPROPERTIES. User CHECK constraints (non-auto) are
         emitted as trailing ALTER statements since the CREATE grammar
         has no inline CHECK."""
-        m = re.match(rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*$",
+        m = re.match(rf"SHOW\s+CREATE\s+TABLE\s+({_TNAME})\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported SHOW CREATE: {s[:120]}")
@@ -1314,7 +1603,7 @@ class LakehouseCatalog:
             [f"SELECT '{esc}' AS createtab_stmt"])
 
     def _undrop(self, s: str) -> DataFrame:
-        m = re.match(rf"UNDROP\s+TABLE\s+({_IDENT})\s*$",
+        m = re.match(rf"UNDROP\s+TABLE\s+({_TNAME})\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported UNDROP shape: {s[:120]}")
@@ -1322,30 +1611,38 @@ class LakehouseCatalog:
         return self._metrics("undrop_table", {"restored": 1})
 
     def _drop_table(self, s: str) -> DataFrame:
-        m = re.match(rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
+        m = re.match(rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_TNAME})\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported DROP TABLE shape: {s[:120]}")
         if_exists, name = m.groups()
-        if name not in self._tables:
+        key = self._resolve(name)
+        if key is None:
             if if_exists:
                 return self._metrics("drop_table", {"dropped": 0})
             raise KeyError(f"'{name}' is not a registered lakehouse "
                            f"table; registered: {sorted(self._tables)}")
-        self.unregister(name)
-        self.spark.catalog.dropTempView(name)   # stale snapshot view
+        self.unregister(key)
+        # stale snapshot view (bare and qualified spellings mangle
+        # to the same stable view name)
+        self.spark.catalog.dropTempView(key.replace(".", "__"))
         return self._metrics("drop_table", {"dropped": 1})
 
     def _alter(self, s: str) -> DataFrame:
         m = re.match(
-            rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+TO\s+"
-            rf"({_IDENT})\s*$", s, re.IGNORECASE)
+            rf"ALTER\s+TABLE\s+({_TNAME})\s+RENAME\s+TO\s+"
+            rf"({_TNAME})\s*$", s, re.IGNORECASE)
         if m:
             self.rename_table(m.group(1), m.group(2))
-            self.spark.catalog.dropTempView(m.group(1))
+            old_key = (self._resolve(m.group(1))
+                       or m.group(1))        # already renamed: best
+            self.spark.catalog.dropTempView(          # -effort drop
+                m.group(1).replace(".", "__"))
+            self.spark.catalog.dropTempView(
+                old_key.replace(".", "__"))
             return self._metrics("rename_table", {"renamed": 1})
         m = re.match(
-            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+"
+            rf"ALTER\s+TABLE\s+({_TNAME})\s+ADD\s+CONSTRAINT\s+"
             rf"({_IDENT})\s+CHECK\s*\((.*)\)\s*$",
             s, re.IGNORECASE | re.DOTALL)
         if m:
@@ -1353,13 +1650,13 @@ class LakehouseCatalog:
                 m.group(2), m.group(3).strip())
             return self._metrics("add_constraint", {"version": v})
         m = re.match(
-            rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+"
+            rf"ALTER\s+TABLE\s+({_TNAME})\s+DROP\s+CONSTRAINT\s+"
             rf"({_IDENT})\s*$", s, re.IGNORECASE)
         if m:
             v = self.table(m.group(1)).drop_check_constraint(m.group(2))
             return self._metrics("drop_constraint", {"version": v})
         m = re.match(
-            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*"
+            rf"ALTER\s+TABLE\s+({_TNAME})\s+ADD\s+COLUMNS?\s*"
             rf"\(([^)]*)\)\s*$", s, re.IGNORECASE | re.DOTALL)
         if m:
             cols: dict[str, str] = {}
@@ -1372,21 +1669,21 @@ class LakehouseCatalog:
             v = self.table(m.group(1)).add_columns(cols)
             return self._metrics("add_columns", {"version": v})
         m = re.match(
-            rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+"
+            rf"ALTER\s+TABLE\s+({_TNAME})\s+RENAME\s+COLUMN\s+"
             rf"({_IDENT})\s+TO\s+({_IDENT})\s*$", s, re.IGNORECASE)
         if m:
             v = self.table(m.group(1)).rename_column(m.group(2),
                                                      m.group(3))
             return self._metrics("rename_column", {"version": v})
         m = re.match(
-            rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"ALTER\s+TABLE\s+({_TNAME})\s+ALTER\s+COLUMN\s+"
             rf"({_IDENT})\s+TYPE\s+(.+?)\s*$", s, re.IGNORECASE)
         if m:
             v = self.table(m.group(1)).widen_column(m.group(2),
                                                     m.group(3))
             return self._metrics("widen_column", {"version": v})
         m = re.match(
-            rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"ALTER\s+TABLE\s+({_TNAME})\s+ALTER\s+COLUMN\s+"
             rf"({_IDENT})\s+SET\s+DEFAULT\s+(.+?)\s*$",
             s, re.IGNORECASE | re.DOTALL)
         if m:
@@ -1394,13 +1691,13 @@ class LakehouseCatalog:
                 m.group(2), m.group(3).strip())
             return self._metrics("set_default", {"version": v})
         m = re.match(
-            rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+"
+            rf"ALTER\s+TABLE\s+({_TNAME})\s+ALTER\s+COLUMN\s+"
             rf"({_IDENT})\s+DROP\s+DEFAULT\s*$", s, re.IGNORECASE)
         if m:
             v = self.table(m.group(1)).drop_column_default(m.group(2))
             return self._metrics("drop_default", {"version": v})
         m = re.match(
-            rf"ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*"
+            rf"ALTER\s+TABLE\s+({_TNAME})\s+SET\s+TBLPROPERTIES\s*"
             rf"\(([^)]*)\)\s*$", s, re.IGNORECASE | re.DOTALL)
         if m:
             props: dict[str, str] = {}
@@ -1413,7 +1710,7 @@ class LakehouseCatalog:
             v = self.table(m.group(1)).set_properties(props)
             return self._metrics("set_properties", {"version": v})
         m = re.match(
-            rf"ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*"
+            rf"ALTER\s+TABLE\s+({_TNAME})\s+UNSET\s+TBLPROPERTIES\s*"
             rf"\(([^)]*)\)\s*$", s, re.IGNORECASE)
         if m:
             keys = [k.strip().strip("'")
@@ -1421,7 +1718,7 @@ class LakehouseCatalog:
             v = self.table(m.group(1)).unset_properties(keys)
             return self._metrics("unset_properties", {"version": v})
         m = re.match(
-            rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s*"
+            rf"ALTER\s+TABLE\s+({_TNAME})\s+DROP\s+COLUMNS?\s*"
             rf"(?:\(([^)]*)\)|({_IDENT}))\s*$", s, re.IGNORECASE)
         if m:
             t = self.table(m.group(1))
@@ -1434,7 +1731,7 @@ class LakehouseCatalog:
         raise ValueError(f"unsupported ALTER TABLE shape: {s[:120]}")
 
     def _detail(self, s: str) -> DataFrame:
-        m = re.match(rf"DESCRIBE\s+DETAIL\s+({_IDENT})\s*$",
+        m = re.match(rf"DESCRIBE\s+DETAIL\s+({_TNAME})\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported DESCRIBE DETAIL: {s[:120]}")
@@ -1461,7 +1758,7 @@ class LakehouseCatalog:
             f"'{','.join(d['table_features'])}' AS table_features"])
 
     def _show_props(self, s: str) -> DataFrame:
-        m = re.match(rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*$",
+        m = re.match(rf"SHOW\s+TBLPROPERTIES\s+({_TNAME})\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported SHOW TBLPROPERTIES: {s[:120]}")
@@ -1473,7 +1770,7 @@ class LakehouseCatalog:
             or ["SELECT '' AS key, '' AS value WHERE false"])
 
     def _history(self, s: str) -> DataFrame:
-        m = re.match(rf"DESCRIBE\s+HISTORY\s+({_IDENT})\s*$",
+        m = re.match(rf"DESCRIBE\s+HISTORY\s+({_TNAME})\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported DESCRIBE HISTORY: {s[:120]}")
@@ -1530,26 +1827,7 @@ class LakehouseCatalog:
         """Index of the first regex match that starts OUTSIDE any
         single-quoted literal, or -1 — how DML verbs find their
         keyword boundaries without misparsing 'paid where due'."""
-        spans = []
-        i, n, in_q, start = 0, len(s), False, -1
-        while i < n:
-            ch = s[i]
-            if in_q:
-                if ch == "\\":
-                    i += 2
-                    continue
-                if ch == "'":
-                    if i + 1 < n and s[i + 1] == "'":
-                        i += 2
-                        continue
-                    in_q = False
-                    spans.append((start, i))
-            elif ch == "'":
-                in_q = True
-                start = i
-            i += 1
-        if in_q:
-            spans.append((start, n))
+        spans = LakehouseCatalog._quote_spans(s)
         for m in re.finditer(pattern, s, re.IGNORECASE):
             if not any(a <= m.start() <= b for a, b in spans):
                 return m.start()
