@@ -281,17 +281,22 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED THEN INSERT *
         """)
-        sql_merged = shape(cat.sql(
-            "SELECT user_id, event_type, event_id, ts, value FROM txq"),
-            "txn_sql")
+        # read through a catalog VIEW (round 12): the stored SELECT
+        # expands at read time against the then-current snapshot, so
+        # the same view serves both the post-merge and the post-DV
+        # reads below — never stale, output identical to the direct
+        # SELECT (the driver hash pins that equivalence)
+        cat.register_view(
+            "txq_latest",
+            "SELECT user_id, event_type, event_id, ts, value FROM txq")
+        sql_merged = shape(cat.sql("SELECT * FROM txq_latest"),
+                           "txn_sql")
         marks.tick("txn_dv")
         dv_res = {r["metric"]: r["value"] for r in cat.sql(
             "DELETE FROM txq WHERE event_id % 4 = 0").collect()}
         assert dv_res.get("files_rewritten", -1) == 0, \
             "dv delete must touch no data file"
-        sql_dv = shape(cat.sql(
-            "SELECT user_id, event_type, event_id, ts, value FROM txq"),
-            "txn_dv")
+        sql_dv = shape(cat.sql("SELECT * FROM txq_latest"), "txn_dv")
         marks.tick("txn_restore")
         cat.sql("RESTORE TABLE txq TO VERSION AS OF 0")
         # read the restored content via TIME TRAVEL at the post-restore

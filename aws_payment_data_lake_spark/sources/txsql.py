@@ -46,6 +46,11 @@ Grammar subset (case-insensitive keywords):
       | ALTER TABLE t RENAME TO t2
       -- catalog verbs; durable when the catalog has a warehouse
       -- (drop/rename never touch data — Glue's external-table posture)
+  CREATE [OR REPLACE] VIEW v AS <select> | DROP VIEW [IF EXISTS] v
+      -- PERSISTENT views (round 12): the SELECT text lives in the
+      -- catalog log and expands at read time against the
+      -- then-current snapshots (views over views, time travel under
+      -- views); TEMP/TEMPORARY forms stay session statements
   CREATE DATABASE [IF NOT EXISTS] db | DROP DATABASE [IF EXISTS] db
       [CASCADE] | SHOW DATABASES | USE db
       -- namespaces (round 12): every table verb takes db.table;
@@ -179,6 +184,7 @@ class LakehouseCatalog:
         self._log = CatalogLog(warehouse) if warehouse else None
         self._durable: set[str] = set()
         self._databases: set[str] = set()   # beside implicit 'default'
+        self._views: dict[str, str] = {}    # key -> SELECT text
         self._current_db = _DEFAULT_DB      # USE db changes it
         self._seen_version = -2           # forces the first refresh
         self._refresh()
@@ -214,7 +220,14 @@ class LakehouseCatalog:
         for name in self._durable - set(entries):
             self._tables.pop(name, None)   # dropped by another process
             self._delete_mode.pop(name, None)
+            self._views.pop(name, None)
         for name, e in entries.items():
+            if e.get("kind") == "view":    # persistent view: SQL text
+                self._views[name] = e["sql"]
+                self._tables.pop(name, None)
+                self._delete_mode.pop(name, None)
+                continue
+            self._views.pop(name, None)
             cur = self._tables.get(name)
             if cur is None or cur.path != os.path.abspath(e["path"]):
                 self._tables[name] = TxnTable(self.spark, e["path"])
@@ -257,6 +270,83 @@ class LakehouseCatalog:
         else:
             key = name
         return key if key in self._tables else None
+
+    def _resolve_view(self, name: str) -> str | None:
+        """Registered view key for a reference, or None — the view
+        twin of _resolve."""
+        if "." in name:
+            db, tbl = name.split(".", 1)
+            key = tbl if db == _DEFAULT_DB else name
+        elif self._current_db != _DEFAULT_DB:
+            key = f"{self._current_db}.{name}"
+        else:
+            key = name
+        return key if key in self._views else None
+
+    # -------------------------------------------------------- views
+    def register_view(self, name: str, select: str,
+                      or_replace: bool = False) -> str:
+        """CREATE [OR REPLACE] VIEW: the SELECT text stored in the
+        catalog log (a ``kind: view`` entry beside tables), expanded
+        at read time against the THEN-current snapshots — the
+        reference's Athena analytics layer
+        (/root/reference/README.md:88-89) is exactly this: named SQL
+        over silver that analysts resolve fresh per query. The text
+        is analyzed once up front so a broken view fails its author,
+        not its readers. Durable with a warehouse; session-local
+        otherwise. Returns the catalog key."""
+        key = self._qualify(name)
+        self._refresh()
+        if self._resolve(key) is not None:
+            raise TableExistsError(
+                f"'{key}' is a lakehouse TABLE; pick another name")
+        if key in self._views and not or_replace:
+            raise TableExistsError(f"view '{key}' exists "
+                                   "(use CREATE OR REPLACE VIEW)")
+        # fail-fast analysis: bind + plan, no execution
+        self.spark.sql(self._bind_reads(select)).schema
+        if self._log is not None:
+            entry = {"kind": "view", "sql": select}
+
+            def put(tables: dict) -> dict:
+                cur = tables.get(key)
+                if cur is not None and cur.get("kind") != "view":
+                    raise TableExistsError(
+                        f"'{key}' is a lakehouse TABLE")
+                if cur is not None and not or_replace:
+                    raise TableExistsError(f"view '{key}' exists")
+                tables[key] = entry
+                return tables
+
+            self._log.commit("create_view", key, put)
+            self._seen_version = -2
+            self._refresh()
+        else:
+            self._views[key] = select
+        return key
+
+    def drop_view(self, name: str, if_exists: bool = False) -> bool:
+        key = self._resolve_view(name)
+        if key is None:
+            self._refresh()
+            key = self._resolve_view(name)
+        if key is None:
+            if if_exists:
+                return False
+            raise NoSuchTableError(f"view '{name}' does not exist"
+                                   + (" (that name is a TABLE)"
+                                      if self._resolve(name) else ""))
+        if key in self._durable:
+            def rm(tables: dict) -> dict:
+                tables.pop(key, None)
+                return tables
+            self._log.commit("drop_view", key, rm)
+            self._seen_version = -2
+        self._views.pop(key, None)
+        self._durable.discard(key)
+        self._refresh()
+        self.spark.catalog.dropTempView(key.replace(".", "__"))
+        return True
 
     def use(self, db: str) -> None:
         """USE db: unqualified names now resolve in ``db``.
@@ -360,6 +450,9 @@ class LakehouseCatalog:
             raise ValueError(f"delete_mode must be 'cow' or 'dv', "
                              f"got {delete_mode!r}")
         name = self._qualify(name)        # db must exist; default.t -> t
+        if name in self._views:
+            raise TableExistsError(
+                f"'{name}' is a VIEW; DROP VIEW {name} first")
         durable = (self._log is not None) if persist is None else persist
         if durable and self._log is None:
             raise ValueError("persist=True needs a warehouse: "
@@ -442,7 +535,7 @@ class LakehouseCatalog:
             raise ValueError("undrop needs a warehouse catalog")
         self._refresh()
         name = self._qualify(name)
-        if name in self._tables:
+        if name in self._tables or name in self._views:
             raise TableExistsError(
                 f"'{name}' is not dropped (it resolves)")
         for v in range(self._log.head_version(), -1, -1):
@@ -452,6 +545,9 @@ class LakehouseCatalog:
                 continue                 # pruned by catalog vacuum
             if name in tables:
                 e = tables[name]
+                if e.get("kind") == "view":
+                    self.register_view(name, e["sql"])
+                    return e["sql"]
                 self.register(name, e["path"],
                               delete_mode=e.get("delete_mode", "cow"))
                 return e["path"]
@@ -464,6 +560,10 @@ class LakehouseCatalog:
             self._refresh()                # maybe another process made it
             key = self._resolve(name)
         if key is None:
+            if self._resolve_view(name) is not None:
+                raise KeyError(
+                    f"'{name}' is a VIEW — readable in queries, but "
+                    "not a transactional-verb target")
             raise KeyError(f"'{name}' is not a registered lakehouse table; "
                            f"registered: {sorted(self._tables)}")
         return self._tables[key]
@@ -552,6 +652,27 @@ class LakehouseCatalog:
             return self._show_props(s)
         if two == "ALTER TABLE":
             return self._alter(s)
+        m_v = re.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_TNAME})\s+AS\s+(.*)$",
+            s, re.IGNORECASE | re.DOTALL)
+        if m_v:
+            # persistent views only — TEMP/TEMPORARY forms don't match
+            # this pattern and stay ordinary session statements
+            self.register_view(m_v.group(2), m_v.group(3).strip(),
+                               or_replace=bool(m_v.group(1)))
+            return self._metrics("create_view", {"created": 1})
+        if two == "DROP VIEW":
+            m_d = re.match(
+                rf"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_TNAME})\s*$",
+                s, re.IGNORECASE)
+            if m_d and (self._resolve_view(m_d.group(2))
+                        or self._resolve(m_d.group(2))):
+                # ours (a catalog view — or a TABLE, which drop_view
+                # refuses loudly); unknown names stay session temp
+                # view drops through spark.sql
+                ok = self.drop_view(m_d.group(2),
+                                    if_exists=bool(m_d.group(1)))
+                return self._metrics("drop_view", {"dropped": int(ok)})
         if verb == "CREATE" and re.match(
                 r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\b", s,
                 re.IGNORECASE):
@@ -666,7 +787,7 @@ class LakehouseCatalog:
         out.append(s[last:])
         return "".join(out)
 
-    def _bind_reads(self, s: str) -> str:
+    def _bind_reads(self, s: str, _depth: int = 0) -> str:
         """Substitute registered table references (with optional VERSION
         / TIMESTAMP AS OF suffixes) by snapshot-bound temp views. The
         rewritten text is ordinary Spark SQL: scans carry the pinned
@@ -674,7 +795,26 @@ class LakehouseCatalog:
         Qualified references (``db.t``, ``default.t``) rewrite to a
         mangled view name (dots are illegal in temp-view names);
         qualified keys bind before bare ones so a bare name that is
-        the suffix of a qualified reference never misfires."""
+        the suffix of a qualified reference never misfires.
+
+        Persistent VIEWS expand first: their stored SELECT text is
+        itself bind-read (recursively — views over views, time travel
+        under views) and materialized as a statement-time temp view,
+        so every read of a view sees the tables' CURRENT snapshots,
+        never the creation-time ones."""
+        if _depth > 8:
+            raise ValueError(
+                "view expansion exceeded depth 8 — cyclic views?")
+        for key in sorted(self._views, key=lambda k: "." not in k):
+            for name in self._spellings(key):
+                pat = rf"\b{re.escape(name)}\b"
+                if not re.search(pat, s):
+                    continue
+                view = key.replace(".", "__")
+                bound = self._bind_reads(self._views[key], _depth + 1)
+                self.spark.sql(bound).createOrReplaceTempView(view)
+                if name != view:
+                    s = self._sub_outside_quotes(s, pat, view)
         for key in sorted(self._tables, key=lambda k: "." not in k):
             t = self._tables[key]
             for name in self._spellings(key):
@@ -1527,6 +1667,10 @@ class LakehouseCatalog:
                  self._delete_mode.get(n, "cow"), n in self._durable)
                 for n in sorted(self._tables)
                 if in_db is None or split(n)[0] == in_db]
+        rows += [(split(n)[0], split(n)[1], "", "view",
+                  n in self._durable)
+                 for n in sorted(self._views)
+                 if in_db is None or split(n)[0] == in_db]
         if not rows:
             return self.spark.createDataFrame([], ddl)
         pdf = pd.DataFrame(rows, columns=["database", "tableName",
@@ -1565,6 +1709,11 @@ class LakehouseCatalog:
         if not m:
             raise ValueError(f"unsupported SHOW CREATE: {s[:120]}")
         name = m.group(1)
+        vkey = self._resolve_view(name)
+        if vkey is not None:
+            stmt = f"CREATE VIEW {name} AS {self._views[vkey]}"
+            return self._lit_frame(
+                [f"SELECT '{self._sq(stmt)}' AS createtab_stmt"])
         t = self.table(name)
         snap = t._replay()
         if snap.schema is None:
@@ -1633,6 +1782,10 @@ class LakehouseCatalog:
             rf"ALTER\s+TABLE\s+({_TNAME})\s+RENAME\s+TO\s+"
             rf"({_TNAME})\s*$", s, re.IGNORECASE)
         if m:
+            if self._resolve_view(m.group(1)):
+                raise ValueError(
+                    f"'{m.group(1)}' is a VIEW — drop and recreate it "
+                    "(view text is SQL, not a movable location)")
             self.rename_table(m.group(1), m.group(2))
             old_key = (self._resolve(m.group(1))
                        or m.group(1))        # already renamed: best
