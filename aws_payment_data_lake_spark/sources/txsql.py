@@ -185,6 +185,7 @@ class LakehouseCatalog:
         self._durable: set[str] = set()
         self._databases: set[str] = set()   # beside implicit 'default'
         self._views: dict[str, str] = {}    # key -> SELECT text
+        self._ext: dict[str, dict] = {}     # key -> external entry
         self._current_db = _DEFAULT_DB      # USE db changes it
         self._seen_version = -2           # forces the first refresh
         self._refresh()
@@ -221,13 +222,23 @@ class LakehouseCatalog:
             self._tables.pop(name, None)   # dropped by another process
             self._delete_mode.pop(name, None)
             self._views.pop(name, None)
+            self._ext.pop(name, None)
         for name, e in entries.items():
             if e.get("kind") == "view":    # persistent view: SQL text
                 self._views[name] = e["sql"]
                 self._tables.pop(name, None)
                 self._delete_mode.pop(name, None)
+                self._ext.pop(name, None)
+                continue
+            if e.get("format") in ("parquet", "csv"):
+                # crawled raw-zone table: read-only external
+                self._ext[name] = dict(e)
+                self._tables.pop(name, None)
+                self._delete_mode.pop(name, None)
+                self._views.pop(name, None)
                 continue
             self._views.pop(name, None)
+            self._ext.pop(name, None)
             cur = self._tables.get(name)
             if cur is None or cur.path != os.path.abspath(e["path"]):
                 self._tables[name] = TxnTable(self.spark, e["path"])
@@ -269,7 +280,8 @@ class LakehouseCatalog:
             key = f"{self._current_db}.{name}"
         else:
             key = name
-        return key if key in self._tables else None
+        return (key if key in self._tables or key in self._ext
+                else None)
 
     def _resolve_view(self, name: str) -> str | None:
         """Registered view key for a reference, or None — the view
@@ -483,6 +495,60 @@ class LakehouseCatalog:
         self._delete_mode[name] = delete_mode
         return t
 
+    def register_external(self, name: str, path: str,
+                          fmt: str = "parquet",
+                          schema: str | None = None,
+                          options: dict[str, str] | None = None
+                          ) -> str:
+        """Register a RAW-ZONE directory (plain parquet, or CSV with
+        an explicit DDL ``schema``) as a read-only external table —
+        the Glue-crawler half the txlog-only crawl() lacked
+        (/root/reference/README.md:63,79-80: crawlers populate the
+        catalog from S3 data the jobs then read). Parquet layouts may
+        be Hive-partitioned (``k=v`` dirs auto-discover as columns
+        via Spark's reader). CSV WITHOUT a schema is REFUSED loudly —
+        silent all-string inference is the crawler bug everyone has
+        been bitten by. DML targets refuse with a CONVERT pointer.
+        Returns the catalog key."""
+        key = self._qualify(name)
+        self._refresh()
+        if key in self._tables or key in self._views:
+            raise TableExistsError(
+                f"'{key}' already resolves (table/view)")
+        if fmt not in ("parquet", "csv"):
+            raise ValueError(f"external format must be parquet|csv, "
+                             f"got {fmt!r}")
+        if fmt == "csv" and not schema:
+            raise ValueError(
+                f"registering CSV dir {path!r} needs an explicit DDL "
+                "schema= (refusing silent all-string inference)")
+        entry: dict[str, Any] = {"path": os.path.abspath(path),
+                                 "format": fmt}
+        if schema:
+            entry["schema"] = schema
+        if options:
+            entry["options"] = dict(options)
+        if self._log is not None:
+            def put(tables: dict) -> dict:
+                tables[key] = entry
+                return tables
+            self._log.commit("register_external", key, put)
+            self._seen_version = -2
+            self._refresh()
+        else:
+            self._ext[key] = entry
+        return key
+
+    def _ext_frame(self, key: str) -> DataFrame:
+        e = self._ext[key]
+        reader = self.spark.read.options(**e.get("options", {}))
+        if e.get("schema"):
+            reader = reader.schema(e["schema"])
+        if e["format"] == "csv":
+            return reader.option("header", e.get("options", {})
+                                 .get("header", "true")).csv(e["path"])
+        return reader.parquet(e["path"])
+
     def unregister(self, name: str) -> None:
         """DROP TABLE: remove the NAME. Data and log are untouched
         (every registration is 'external' in Delta's sense — the
@@ -496,6 +562,7 @@ class LakehouseCatalog:
             self._seen_version = -2
         self._tables.pop(name, None)
         self._delete_mode.pop(name, None)
+        self._ext.pop(name, None)
         self._durable.discard(name)
         self._refresh()
 
@@ -566,18 +633,30 @@ class LakehouseCatalog:
                     "not a transactional-verb target")
             raise KeyError(f"'{name}' is not a registered lakehouse table; "
                            f"registered: {sorted(self._tables)}")
+        if key in self._ext:
+            raise KeyError(
+                f"'{name}' is a read-only EXTERNAL "
+                f"{self._ext[key].get('format')} table (crawled raw "
+                f"zone); CONVERT TO TXLOG {name} to make it "
+                "transactional")
         return self._tables[key]
 
     def crawl(self) -> list[str]:
-        """The reference's CRAWLER role (README.md:79-80 — Glue
+        """The reference's CRAWLER role (README.md:63,79-80 — Glue
         crawlers keep the catalog current with data that appeared
-        outside the job path): walk the warehouse for directories
-        holding a txlog log (`_txlog/`) that no catalog entry points
-        at, and register each durably under its directory name.
-        Returns the newly registered names. A path already registered
-        under ANOTHER name is left alone (renames stay renames);
-        name collisions keep the existing entry (the catalog is the
-        source of truth, the crawler only fills gaps)."""
+        outside the job path): walk the warehouse for directories no
+        catalog entry points at and register each durably under its
+        directory name — txlog dirs (`_txlog/`) as transactional
+        tables, plain-parquet zones (incl. Hive-partitioned) as
+        READ-ONLY external tables (round 12; CONVERT TO TXLOG
+        promotes them in place), and database directories' children
+        as db.table. CSV dirs are skipped — register_external(...,
+        fmt='csv', schema=...) is the explicit path, because silent
+        all-string inference is the classic crawler bug. Returns the
+        newly registered names. A path already registered under
+        ANOTHER name is left alone (renames stay renames); name
+        collisions keep the existing entry (the catalog is the source
+        of truth, the crawler only fills gaps)."""
         if self._log is None:
             raise ValueError("crawl() needs a warehouse")
         self._refresh()
@@ -585,16 +664,31 @@ class LakehouseCatalog:
         found: list[str] = []
         wh = self._log.warehouse
 
+        def holds_parquet(dirpath: str) -> bool:
+            for dp, dns, fns in os.walk(dirpath):
+                dns[:] = [d for d in dns if not d.startswith((".", "_"))]
+                if any(f.endswith(".parquet") and not f.startswith(".")
+                       for f in fns):
+                    return True
+            return False
+
         def visit(dirpath: str, name: str) -> None:
             if (os.path.abspath(dirpath) in known_paths
-                    or name in self._tables):
+                    or name in self._tables or name in self._ext
+                    or name in self._views):
                 return
+            # explicit default./db. prefix: the crawler's placement
+            # is the DIRECTORY layout, never the session's USE db
+            qname = name if "." in name else f"{_DEFAULT_DB}.{name}"
             if os.path.isdir(os.path.join(dirpath, "_txlog")):
-                # explicit default./db. prefix: the crawler's
-                # placement is the DIRECTORY layout, never the
-                # session's USE database
-                self.register(name if "." in name
-                              else f"{_DEFAULT_DB}.{name}", dirpath)
+                self.register(qname, dirpath)
+                found.append(name)
+            elif holds_parquet(dirpath):
+                # raw-zone parquet (incl. Hive-partitioned): the Glue
+                # crawler's schema-inference half. CSV-only dirs are
+                # SKIPPED — register_external(..., fmt='csv',
+                # schema=...) is the explicit path (inference refused)
+                self.register_external(qname, dirpath, fmt="parquet")
                 found.append(name)
 
         for entry in sorted(os.listdir(wh)):
@@ -719,8 +813,8 @@ class LakehouseCatalog:
             rf"\s+FROM\s+({_TNAME})"
             rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
             s, re.IGNORECASE)
-        if not m or self._resolve(m.group(2)) is None:
-            return None
+        if not m or self._resolve(m.group(2)) not in self._tables:
+            return None     # (externals have no log to count from)
         alias, tname, ver = m.group(1), m.group(2), m.group(3)
         n = self.table(tname).count_rows(
             version=int(ver) if ver is not None else None)
@@ -813,6 +907,17 @@ class LakehouseCatalog:
                 view = key.replace(".", "__")
                 bound = self._bind_reads(self._views[key], _depth + 1)
                 self.spark.sql(bound).createOrReplaceTempView(view)
+                if name != view:
+                    s = self._sub_outside_quotes(s, pat, view)
+        for key in sorted(self._ext, key=lambda k: "." not in k):
+            # crawled raw-zone tables: a plain reader view (Hive
+            # partition discovery et al. are Spark's business)
+            for name in self._spellings(key):
+                pat = rf"\b{re.escape(name)}\b"
+                if not re.search(pat, s):
+                    continue
+                view = key.replace(".", "__")
+                self._ext_frame(key).createOrReplaceTempView(view)
                 if name != view:
                     s = self._sub_outside_quotes(s, pat, view)
         for key in sorted(self._tables, key=lambda k: "." not in k):
@@ -1372,8 +1477,23 @@ class LakehouseCatalog:
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported CONVERT shape: {s[:120]}")
-        t = self.table(m.group(1))
-        t.convert_from_parquet()
+        key = self._resolve(m.group(1))
+        if key is not None and key in self._ext:
+            # promote a CRAWLED parquet table in place: adopt its
+            # files as version 0, then flip the catalog entry to a
+            # transactional registration (same path, zero copy)
+            e = self._ext[key]
+            if e["format"] != "parquet":
+                raise ValueError(
+                    f"CONVERT TO TXLOG adopts parquet only; '{key}' "
+                    f"is external-{e['format']} — CTAS it instead")
+            t = TxnTable(self.spark, e["path"])
+            t.convert_from_parquet()
+            self._ext.pop(key, None)
+            self.register(key, e["path"])
+        else:
+            t = self.table(m.group(1))
+            t.convert_from_parquet()
         d = t.describe_detail()
         return self._metrics("convert", {"version": d["version"],
                                          "num_files": d["num_files"],
@@ -1670,6 +1790,11 @@ class LakehouseCatalog:
         rows += [(split(n)[0], split(n)[1], "", "view",
                   n in self._durable)
                  for n in sorted(self._views)
+                 if in_db is None or split(n)[0] == in_db]
+        rows += [(split(n)[0], split(n)[1], self._ext[n]["path"],
+                  f"external-{self._ext[n]['format']}",
+                  n in self._durable)
+                 for n in sorted(self._ext)
                  if in_db is None or split(n)[0] == in_db]
         if not rows:
             return self.spark.createDataFrame([], ddl)
