@@ -249,7 +249,20 @@ def main() -> int:
     from aws_payment_data_lake_spark.telemetry import (
         drain_phases,
         drain_store_builds,
+        load_stamp,
     )
+
+    # Self-carried load evidence (VERDICT r11): loadavg at both ends
+    # plus a same-code CANARY timed before and after the suite — a
+    # canary delta >> 1x on identical code and data reads "box was
+    # loaded", so the artifact explains its own noise.
+    def canary() -> float:
+        t0 = time.perf_counter()
+        materialize(fns["q1_pricing_summary"](spark, sf_dir))
+        return round(time.perf_counter() - t0, 3)
+
+    load_start = load_stamp()
+    canary_start = canary()
     for name in names:
         # Per-query fault isolation: one throwing query must cost one row,
         # not the whole artifact (BENCH_r02 was nulled by a single
@@ -280,6 +293,13 @@ def main() -> int:
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
 
+    canary_end = canary()
+    load_end = load_stamp()
+    env = {
+        "load_start": load_start, "load_end": load_end,
+        "canary_sec_start": canary_start,
+        "canary_sec_end": canary_end,
+    }
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total_sec",
@@ -287,6 +307,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_from_dir(sf_dir),
+        "env": env,
     }
     # Shared-store build costs land on whichever consumer ran FIRST
     # (BASELINE.md); emit them separately so per-query numbers stay
@@ -321,6 +342,7 @@ def main() -> int:
         "n_queries": len(timings),
         "detail": "BENCH_DETAIL.json",
         "sf": full["sf"],
+        "env": env,
     }
     if errors:
         line["n_errors"] = len(errors)

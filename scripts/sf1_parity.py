@@ -206,9 +206,11 @@ def main() -> int:
     args = ap.parse_args()
 
     spark = get_spark(app_name="sf1-parity")
+    from aws_payment_data_lake_spark.telemetry import load_stamp
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     out = {
         "sf_dir": args.sf_dir,
+        "env": {"load_start": load_stamp()},
         "protocol": (
             "48 queries: full driver comparator. Holdouts (quadratic "
             "oracles): dedup_minhash_lsh via two SEEDED strata "
@@ -265,6 +267,7 @@ def main() -> int:
         out["pass"] = False
 
     with open(args.out, "w") as fh:
+        out["env"]["load_end"] = load_stamp()
         json.dump(out, fh, indent=1)
     print(f"wrote {args.out}; pass={out['pass']}")
     return 0 if out["pass"] else 1
