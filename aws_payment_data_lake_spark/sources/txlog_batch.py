@@ -66,12 +66,15 @@ SOURCE_NAME = "txlog"
 
 class _SnapPart(InputPartition):
     def __init__(self, path: str, key: str, schema_json: str | None,
-                 mapping: dict, dv_files: list[str]) -> None:
+                 mapping: dict, dv_files: list[str],
+                 bounds: dict | None = None) -> None:
         self.path = path              # absolute data file path
         self.key = key                # the file's LOG key (DV target)
         self.schema_json = schema_json
         self.mapping = mapping
         self.dv_files = dv_files      # absolute sidecar paths
+        self.bounds = bounds or {}    # pushed bounds (PHYSICAL names)
+        #                               for row-group-level skipping
 
 
 class _Pinned:
@@ -104,7 +107,8 @@ class _Pinned:
     def schema(self) -> StructType:
         return self.snap.schema or StructType([])
 
-    def parts(self, keep: set[str] | None = None) -> list[_SnapPart]:
+    def parts(self, keep: set[str] | None = None,
+              bounds: dict | None = None) -> list[_SnapPart]:
         snap = self.snap
         root = os.path.abspath(self.table.path)
         out = []
@@ -115,8 +119,29 @@ class _Pinned:
             dvs = [f if os.path.isabs(f) else os.path.join(root, f)
                    for f in snap.dvs.get(key, [])]
             out.append(_SnapPart(p, key, snap.schema_json,
-                                 dict(snap.column_mapping), dvs))
+                                 dict(snap.column_mapping), dvs,
+                                 bounds=bounds))
         return out
+
+
+def _mm_ok(lo, hi, preds) -> bool:
+    """Can a [lo, hi] value range satisfy every pushed predicate?
+    Type mismatches (e.g. a date literal vs JSON-string stats) keep
+    the range — stats cut I/O only, Spark's re-applied filter is the
+    correctness."""
+    for op, val in preds:
+        try:
+            if ((op == "=" and not (lo <= val <= hi))
+                    or (op == ">" and not (hi > val))
+                    or (op == ">=" and not (hi >= val))
+                    or (op == "<" and not (lo < val))
+                    or (op == "<=" and not (lo <= val))
+                    or (op == "in"
+                        and not any(lo <= v <= hi for v in val))):
+                return False
+        except TypeError:
+            continue
+    return True
 
 
 def _stats_keep(snap,
@@ -131,29 +156,45 @@ def _stats_keep(snap,
             mm = a.stats.get(col)
             if not mm or mm[0] is None:
                 continue
-            lo, hi = mm
-            for op, val in preds:
-                try:
-                    if ((op == "=" and not (lo <= val <= hi))
-                            or (op == ">" and not (hi > val))
-                            or (op == ">=" and not (hi >= val))
-                            or (op == "<" and not (lo < val))
-                            or (op == "<=" and not (lo <= val))
-                            or (op == "in"
-                                and not any(lo <= v <= hi
-                                            for v in val))):
-                        ok = False
-                        break
-                except TypeError:
-                    continue   # filter/stats type mismatch (e.g. a
-                    # date literal vs JSON-string stats): keep the
-                    # file — stats cut I/O only, Spark's re-applied
-                    # filter is the correctness
-            if not ok:
+            if not _mm_ok(mm[0], mm[1], preds):
+                ok = False
                 break
         if ok:
             keep.add(key)
     return keep
+
+
+def _rg_offsets_keep(pf, bounds: dict[str, list[tuple]]
+                     ) -> list[tuple[int, int]]:
+    """(row_group_index, global_row_offset) pairs whose parquet
+    row-group statistics can satisfy every pushed bound — the second
+    skip tier under the log's file-level footer cut (VERDICT r11 #6).
+    Groups lacking stats for a bounded column are conservatively
+    kept. Offsets are FILE-GLOBAL row positions, so deletion-vector
+    masks stay correct when groups are skipped."""
+    out: list[tuple[int, int]] = []
+    md = pf.metadata
+    name_to_idx = {md.row_group(0).column(j).path_in_schema: j
+                   for j in range(md.num_columns)} if md.num_row_groups \
+        else {}
+    off = 0
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        ok = True
+        for col, preds in bounds.items():
+            j = name_to_idx.get(col)
+            if j is None:
+                continue
+            st = rg.column(j).statistics
+            if st is None or not st.has_min_max:
+                continue
+            if not _mm_ok(st.min, st.max, preds):
+                ok = False
+                break
+        if ok:
+            out.append((i, off))
+        off += rg.num_rows
+    return out
 
 
 class _SnapshotReader(DataSourceReader):
@@ -194,7 +235,7 @@ class _SnapshotReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         keep = (_stats_keep(self._pinned.snap, self._bounds)
                 if self._bounds else None)
-        return (self._pinned.parts(keep)
+        return (self._pinned.parts(keep, bounds=self._bounds or None)
                 or [_SnapPart("", "", None, {}, [])])
 
     def read(self, partition: _SnapPart) -> Iterator:
@@ -204,7 +245,27 @@ class _SnapshotReader(DataSourceReader):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.path)
+        if partition.bounds:
+            # second skip tier: inside a kept file, read only row
+            # groups whose parquet stats can satisfy the bounds.
+            # Offsets are file-global so DV positions stay aligned.
+            pf = pq.ParquetFile(partition.path)
+            kept = _rg_offsets_keep(pf, partition.bounds)
+            if not kept:
+                return
+            if len(kept) == pf.metadata.num_row_groups:
+                table = pq.read_table(partition.path)
+                offsets = [0]
+            else:
+                tables = [pf.read_row_group(i) for i, _ in kept]
+                offsets = [off for _, off in kept]
+                table = None            # handled group-wise below
+            pf = None
+        else:
+            table = pq.read_table(partition.path)
+            offsets = [0]
+        if table is not None:
+            tables = [table]
         if partition.dv_files:
             dead = set()
             for f in partition.dv_files:
@@ -213,11 +274,17 @@ class _SnapshotReader(DataSourceReader):
                                 pa.scalar(partition.key))
                 dead.update(dv.filter(mask).column("pos").to_pylist())
             if dead:
-                idx = pa.array(range(table.num_rows), type=pa.int64())
-                alive = pc.invert(pc.is_in(
-                    idx, value_set=pa.array(sorted(dead),
-                                            type=pa.int64())))
-                table = table.filter(alive)
+                dead_arr = pa.array(sorted(dead), type=pa.int64())
+                masked = []
+                for t, off in zip(tables, offsets):
+                    idx = pa.array(range(off, off + t.num_rows),
+                                   type=pa.int64())
+                    alive = pc.invert(pc.is_in(idx,
+                                               value_set=dead_arr))
+                    masked.append(t.filter(alive))
+                tables = masked
+        table = (tables[0] if len(tables) == 1
+                 else pa.concat_tables(tables))
         table = reconcile_arrow(table, partition.schema_json,
                                 partition.mapping)
         yield from table.to_batches()

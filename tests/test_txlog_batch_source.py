@@ -309,3 +309,67 @@ def test_overwrite_respecs_partitioning(spark, cat, tmp_path):
                   and n[0].isdigit())[-1]
     with open(_os.path.join(log, head)) as f:
         assert _json.load(f)["partition_by"] == ["id"]
+
+
+# ------------------------------------------------ row-group skip (r12)
+def _multi_rg_table(spark, cat, tmp_path, name, rows=1000, rg=100,
+                    dv=False):
+    """A txlog table whose single data file holds rows/rg row groups
+    with tight, disjoint per-group id ranges (written sorted)."""
+    import os as _os
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    p = str(tmp_path / name)
+    _os.makedirs(p)
+    t = _pa.table({"id": list(range(rows)),
+                   "v": [i * 2 for i in range(rows)]})
+    _pq.write_table(t, _os.path.join(p, "part-0.parquet"),
+                    row_group_size=rg)
+    cat.register(name, p, delete_mode="dv" if dv else "cow")
+    cat.sql(f"CONVERT TO TXLOG {name}")
+    return p
+
+
+def test_row_group_skipping_reads_fewer_rows(spark, cat, tmp_path):
+    """VERDICT r11 #6: a selective pushed bound must read only the
+    qualifying row groups — observed via the reader's raw output
+    (pre Spark-side re-filter) — with identical query results."""
+    from aws_payment_data_lake_spark.sources.txlog_batch import (
+        _SnapshotReader,
+    )
+    import pyarrow as _pa
+    p = _multi_rg_table(spark, cat, tmp_path, "rgskip")
+    # raw reader output with a pushed bound covering ~1 of 10 groups
+    r = _SnapshotReader({"path": p})
+    r._bounds = {"id": [(">=", 250), ("<", 349)]}
+    parts = r.partitions()
+    raw = _pa.concat_tables(
+        [_pa.Table.from_batches(list(r.read(pt)) or [],
+                                schema=None) for pt in parts
+         if pt.path] if parts else [])
+    assert 0 < raw.num_rows < 1000          # skipped most groups
+    assert raw.num_rows <= 200              # at most 2 of 10 groups
+    # end-to-end parity: pushed scan == full-scan filter
+    got = (read_txlog(spark, p)
+           .where("id >= 250 AND id < 349").orderBy("id").collect())
+    assert [r2.id for r2 in got] == list(range(250, 349))
+
+
+def test_row_group_skipping_respects_deletion_vectors(spark, cat,
+                                                      tmp_path):
+    """DV positions are FILE-GLOBAL; skipping row groups must not
+    shift the mask."""
+    p = _multi_rg_table(spark, cat, tmp_path, "rgdv", dv=True)
+    cat.sql("DELETE FROM rgdv WHERE id % 7 = 0")    # dv sidecar
+    want = sorted(r.id for r in cat.sql(
+        "SELECT id FROM rgdv WHERE id >= 500 AND id < 620").collect())
+    got = sorted(r.id for r in read_txlog(spark, p)
+                 .where("id >= 500 AND id < 620").collect())
+    assert got == want
+    assert all(i % 7 != 0 for i in got) and len(got) > 0
+
+
+def test_row_group_skip_keeps_full_file_without_bounds(spark, cat,
+                                                       tmp_path):
+    p = _multi_rg_table(spark, cat, tmp_path, "rgfull")
+    assert read_txlog(spark, p).count() == 1000
