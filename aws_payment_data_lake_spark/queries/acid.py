@@ -310,3 +310,82 @@ def txn_catalog_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _audit_frame(spark, audit)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def catalog_namespace_surface(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Round-12 surface as ONE benched lifecycle at SF scale
+    (bench-only; correctness is pytest-pinned in tests/
+    test_namespaces.py, test_views.py, test_crawler.py,
+    test_txlog_batch_source.py): database namespaces (the reference's
+    ``from_catalog(database=..., table_name=...)`` addressing),
+    qualified CTAS, a persistent VIEW resolved fresh per statement, a
+    crawl over a raw parquet zone + in-place CONVERT promotion, a
+    partitionBy create through the plain-Spark writer, a row-group-
+    pruned batch read, and a fresh catalog instance resolving the
+    qualified name AND the view with zero register() calls. Returns
+    the per-op audit table."""
+    from aws_payment_data_lake_spark.sources.txlog_batch import (
+        read_txlog,
+    )
+    from aws_payment_data_lake_spark.sources.txsql import (
+        LakehouseCatalog,
+    )
+
+    (orders,) = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+    tmp = tempfile.mkdtemp(prefix="txn-ns-")
+    audit: list[tuple[str, int, int]] = []
+    FAM = "catalog_namespace_surface"
+    try:
+        with timed_phase(FAM, "db_qualified_ctas"):
+            cat = LakehouseCatalog(spark, warehouse=tmp)
+            cat.sql("CREATE DATABASE payments_db")
+            orders.select(*cols).createOrReplaceTempView("__ns_src")
+            cat.sql("CREATE TABLE payments_db.silver USING txlog "
+                    "PARTITIONED BY (o_orderdate) AS "
+                    "SELECT * FROM __ns_src WHERE o_orderkey % 4 = 0")
+        audit.append(("db_qualified_ctas", 0,
+                      cat.table("payments_db.silver").count_rows()))
+        with timed_phase(FAM, "persistent_view"):
+            cat.sql("CREATE VIEW payments_db.open_orders AS "
+                    "SELECT o_orderkey, o_custkey "
+                    "FROM payments_db.silver "
+                    "WHERE o_orderstatus = 'O'")
+            nview = cat.sql("SELECT COUNT(*) FROM "
+                            "payments_db.open_orders").collect()[0][0]
+        audit.append(("persistent_view", 0, int(nview)))
+        with timed_phase(FAM, "crawl_convert"):
+            raw = os.path.join(tmp, "raw_zone")
+            (orders.select(*cols)
+             .where("o_orderkey % 16 = 0").coalesce(4)
+             .write.parquet(raw))
+            found = cat.crawl()
+            cat.sql("CONVERT TO TXLOG raw_zone")
+            nconv = cat.sql("SELECT COUNT(*) FROM raw_zone"
+                            ).collect()[0][0]
+        audit.append(("crawl_convert", len(found), int(nconv)))
+        with timed_phase(FAM, "writer_partitionby"):
+            pw = os.path.join(tmp, "payments_db", "writer_pb")
+            (orders.select(*cols).where("o_orderkey % 8 = 0")
+             .repartitionByRange(8, "o_orderdate")
+             .write.format("txlog").mode("append")
+             .option("path", pw)
+             .option("partitionBy", "o_orderdate").save())
+        audit.append(("writer_partitionby", 0,
+                      int(read_txlog(spark, pw).count())))
+        with timed_phase(FAM, "rowgroup_pruned_read"):
+            got = (read_txlog(spark,
+                              cat.table("payments_db.silver").path)
+                   .where("o_orderkey < 1000").count())
+        audit.append(("rowgroup_pruned_read", 0, int(got)))
+        with timed_phase(FAM, "fresh_qualified_resolve"):
+            cat2 = LakehouseCatalog(spark, warehouse=tmp)
+            n = cat2.sql("SELECT COUNT(*) FROM payments_db.silver"
+                         ).collect()[0][0]
+            nv = cat2.sql("SELECT COUNT(*) FROM "
+                          "payments_db.open_orders").collect()[0][0]
+        audit.append(("fresh_qualified_resolve", int(n), int(nv)))
+        return _audit_frame(spark, audit)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

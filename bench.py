@@ -107,6 +107,7 @@ HEADLINE = [
     "txn_table_lifecycle",           # r7: ACID format create/append/merge/compact (EXTRA_FNS)
     "txn_admin_surface",             # r10: clone/copy/properties/defaults/dry-run (EXTRA_FNS)
     "txn_catalog_surface",           # r11: persistent catalog/CTAS/replace/deep-clone/CDF/batch-source (EXTRA_FNS)
+    "catalog_namespace_surface",     # r12: databases/views/crawl+convert/writer-partitionBy/rowgroup-prune (EXTRA_FNS)
     "txlog_sink_ingest",             # r10: native writeStream txlog sink (EXTRA_FNS)
     "queue_source_ingest",           # r7: Kafka-semantics queue consume path (EXTRA_FNS)
     "udtf_order_quarters",
@@ -161,6 +162,7 @@ def _extra_fns():
     from aws_payment_data_lake_spark.queries.acid import (
         txlog_sink_ingest,
         txn_admin_surface,
+        catalog_namespace_surface,
         txn_catalog_surface,
         txn_table_lifecycle,
     )
@@ -184,6 +186,7 @@ def _extra_fns():
         "pysource_stream_resume": pysource_stream_resume,
         "txn_admin_surface": txn_admin_surface,
         "txn_catalog_surface": txn_catalog_surface,
+        "catalog_namespace_surface": catalog_namespace_surface,
         "txn_table_lifecycle": txn_table_lifecycle,
         "txlog_sink_ingest": txlog_sink_ingest,
         "queue_source_ingest": queue_source_ingest,
