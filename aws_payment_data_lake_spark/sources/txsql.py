@@ -225,7 +225,7 @@ class LakehouseCatalog:
             self._ext.pop(name, None)
         for name, e in entries.items():
             if e.get("kind") == "view":    # persistent view: SQL text
-                self._views[name] = e["sql"]
+                self._views[name] = dict(e)
                 self._tables.pop(name, None)
                 self._delete_mode.pop(name, None)
                 self._ext.pop(name, None)
@@ -317,9 +317,13 @@ class LakehouseCatalog:
                                    "(use CREATE OR REPLACE VIEW)")
         # fail-fast analysis: bind + plan, no execution
         self.spark.sql(self._bind_reads(select)).schema
+        # the text's bare references were resolved under the
+        # CREATOR's current database — record it so a reader under a
+        # different USE db expands the view in its DEFINING context
+        # (Hive stores pre-expanded text for the same reason)
+        entry = {"kind": "view", "sql": select,
+                 "ctx_db": self._current_db}
         if self._log is not None:
-            entry = {"kind": "view", "sql": select}
-
             def put(tables: dict) -> dict:
                 cur = tables.get(key)
                 if cur is not None and cur.get("kind") != "view":
@@ -334,7 +338,7 @@ class LakehouseCatalog:
             self._seen_version = -2
             self._refresh()
         else:
-            self._views[key] = select
+            self._views[key] = entry
         return key
 
     def drop_view(self, name: str, if_exists: bool = False) -> bool:
@@ -350,6 +354,14 @@ class LakehouseCatalog:
                                       if self._resolve(name) else ""))
         if key in self._durable:
             def rm(tables: dict) -> dict:
+                cur = tables.get(key)
+                if cur is not None and cur.get("kind") != "view":
+                    # another process dropped the view and re-created
+                    # the name as a TABLE — popping it here would
+                    # silently unregister their table
+                    raise TableExistsError(
+                        f"'{key}' is now a TABLE (concurrent "
+                        "re-create); not dropping it")
                 tables.pop(key, None)
                 return tables
             self._log.commit("drop_view", key, rm)
@@ -602,7 +614,8 @@ class LakehouseCatalog:
             raise ValueError("undrop needs a warehouse catalog")
         self._refresh()
         name = self._qualify(name)
-        if name in self._tables or name in self._views:
+        if (name in self._tables or name in self._views
+                or name in self._ext):
             raise TableExistsError(
                 f"'{name}' is not dropped (it resolves)")
         for v in range(self._log.head_version(), -1, -1):
@@ -612,8 +625,23 @@ class LakehouseCatalog:
                 continue                 # pruned by catalog vacuum
             if name in tables:
                 e = tables[name]
+                if e.get("format") in ("parquet", "csv"):
+                    self.register_external(
+                        f"{_DEFAULT_DB}.{name}" if "." not in name
+                        else name,
+                        e["path"], fmt=e["format"],
+                        schema=e.get("schema"),
+                        options=e.get("options"))
+                    return e["path"]
                 if e.get("kind") == "view":
-                    self.register_view(name, e["sql"])
+                    saved_db = self._current_db
+                    try:
+                        self._current_db = e.get("ctx_db", _DEFAULT_DB)
+                        self.register_view(
+                            f"{_DEFAULT_DB}.{name}" if "." not in name
+                            else name, e["sql"])
+                    finally:
+                        self._current_db = saved_db
                     return e["sql"]
                 self.register(name, e["path"],
                               delete_mode=e.get("delete_mode", "cow"))
@@ -660,7 +688,9 @@ class LakehouseCatalog:
         if self._log is None:
             raise ValueError("crawl() needs a warehouse")
         self._refresh()
-        known_paths = {t.path for t in self._tables.values()}
+        known_paths = ({t.path for t in self._tables.values()}
+                       | {os.path.abspath(e["path"])
+                          for e in self._ext.values()})
         found: list[str] = []
         wh = self._log.warehouse
 
@@ -905,7 +935,17 @@ class LakehouseCatalog:
                 if not re.search(pat, s):
                     continue
                 view = key.replace(".", "__")
-                bound = self._bind_reads(self._views[key], _depth + 1)
+                ent = self._views[key]
+                saved_db = self._current_db
+                try:
+                    # expand in the view's DEFINING database context:
+                    # bare references in the stored text resolve the
+                    # way they did for the author, whatever the
+                    # reader's USE db is
+                    self._current_db = ent.get("ctx_db", _DEFAULT_DB)
+                    bound = self._bind_reads(ent["sql"], _depth + 1)
+                finally:
+                    self._current_db = saved_db
                 self.spark.sql(bound).createOrReplaceTempView(view)
                 if name != view:
                     s = self._sub_outside_quotes(s, pat, view)
@@ -930,70 +970,69 @@ class LakehouseCatalog:
                   t: TxnTable) -> str:
         """Bind ONE spelling (``name``) of catalog key ``key`` in the
         statement text."""
-        if True:
-            # Delta's CDF table-valued form:
-            # table_changes('t', start [, end] [, true]) — the numeric
-            # third arg bounds the version range (Delta's signature);
-            # the boolean adds _change_type and the deletion-vector
-            # 'delete' pre-image events
-            pat_c = re.compile(
-                rf"table_changes\(\s*'?{re.escape(name)}'?\s*,\s*(\d+)"
-                rf"(?:\s*,\s*(\d+))?(?:\s*,\s*(true|false))?\s*\)",
-                re.IGNORECASE)
-            # start is INCLUSIVE (Delta's startingVersion contract);
-            # TxnTable.changes takes an exclusive `since`, hence -1
-            s = pat_c.sub(
-                lambda m, t=t, name=name: self._fresh_view(
-                    t.changes(int(m.group(1)) - 1,
-                              include_deletes=(m.group(3) or ""
-                                               ).lower() == "true",
-                              end_version=(int(m.group(2))
-                                           if m.group(2) else None)),
-                    f"{name}_changes"), s)
-            # Iceberg-style metadata TVFs: the file manifest and the
-            # commit history as ordinary queryable frames
-            pat_f = re.compile(
-                rf"table_files\(\s*'?{re.escape(name)}'?\s*"
-                rf"(?:,\s*(\d+)\s*)?\)", re.IGNORECASE)
-            s = pat_f.sub(
-                lambda m, t=t, name=name: self._fresh_view(
-                    t.files_df(version=(int(m.group(1))
-                                        if m.group(1) else None)),
-                    f"{name}_files"), s)
-            pat_h = re.compile(
-                rf"table_history\(\s*'?{re.escape(name)}'?\s*\)",
-                re.IGNORECASE)
-            s = pat_h.sub(
-                lambda m, t=t, name=name: self._fresh_view(
-                    t.history_df(), f"{name}_history"), s)
-            pat_v = re.compile(
-                rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+(\d+)",
-                re.IGNORECASE)
-            pat_t = re.compile(
-                rf"\b{re.escape(name)}\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
-                re.IGNORECASE)
+        # Delta's CDF table-valued form:
+        # table_changes('t', start [, end] [, true]) — the numeric
+        # third arg bounds the version range (Delta's signature);
+        # the boolean adds _change_type and the deletion-vector
+        # 'delete' pre-image events
+        pat_c = re.compile(
+            rf"table_changes\(\s*'?{re.escape(name)}'?\s*,\s*(\d+)"
+            rf"(?:\s*,\s*(\d+))?(?:\s*,\s*(true|false))?\s*\)",
+            re.IGNORECASE)
+        # start is INCLUSIVE (Delta's startingVersion contract);
+        # TxnTable.changes takes an exclusive `since`, hence -1
+        s = pat_c.sub(
+            lambda m, t=t, name=name: self._fresh_view(
+                t.changes(int(m.group(1)) - 1,
+                          include_deletes=(m.group(3) or ""
+                                           ).lower() == "true",
+                          end_version=(int(m.group(2))
+                                       if m.group(2) else None)),
+                f"{name}_changes"), s)
+        # Iceberg-style metadata TVFs: the file manifest and the
+        # commit history as ordinary queryable frames
+        pat_f = re.compile(
+            rf"table_files\(\s*'?{re.escape(name)}'?\s*"
+            rf"(?:,\s*(\d+)\s*)?\)", re.IGNORECASE)
+        s = pat_f.sub(
+            lambda m, t=t, name=name: self._fresh_view(
+                t.files_df(version=(int(m.group(1))
+                                    if m.group(1) else None)),
+                f"{name}_files"), s)
+        pat_h = re.compile(
+            rf"table_history\(\s*'?{re.escape(name)}'?\s*\)",
+            re.IGNORECASE)
+        s = pat_h.sub(
+            lambda m, t=t, name=name: self._fresh_view(
+                t.history_df(), f"{name}_history"), s)
+        pat_v = re.compile(
+            rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+(\d+)",
+            re.IGNORECASE)
+        pat_t = re.compile(
+            rf"\b{re.escape(name)}\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+            re.IGNORECASE)
 
-            def sub_v(m: re.Match, t=t, name=name) -> str:
-                return self._fresh_view(
-                    t.snapshot(version=int(m.group(1))), name)
+        def sub_v(m: re.Match, t=t, name=name) -> str:
+            return self._fresh_view(
+                t.snapshot(version=int(m.group(1))), name)
 
-            def sub_t(m: re.Match, t=t, name=name) -> str:
-                return self._fresh_view(
-                    t.snapshot(timestamp=_ts_to_epoch(m.group(1))), name)
+        def sub_t(m: re.Match, t=t, name=name) -> str:
+            return self._fresh_view(
+                t.snapshot(timestamp=_ts_to_epoch(m.group(1))), name)
 
-            s = pat_v.sub(sub_v, s)
-            s = pat_t.sub(sub_t, s)
-            pat_b = rf"\b{re.escape(name)}\b"
-            if re.search(pat_b, s) and t.exists():
-                # bare reference -> latest snapshot under a stable
-                # view name (repeated queries reuse it). Dots are
-                # illegal in temp-view names, so a qualified spelling
-                # rewrites in-text to the mangled name — outside
-                # string literals only.
-                view = key.replace(".", "__")
-                t.snapshot().createOrReplaceTempView(view)
-                if name != view:
-                    s = self._sub_outside_quotes(s, pat_b, view)
+        s = pat_v.sub(sub_v, s)
+        s = pat_t.sub(sub_t, s)
+        pat_b = rf"\b{re.escape(name)}\b"
+        if re.search(pat_b, s) and t.exists():
+            # bare reference -> latest snapshot under a stable
+            # view name (repeated queries reuse it). Dots are
+            # illegal in temp-view names, so a qualified spelling
+            # rewrites in-text to the mangled name — outside
+            # string literals only.
+            view = key.replace(".", "__")
+            t.snapshot().createOrReplaceTempView(view)
+            if name != view:
+                s = self._sub_outside_quotes(s, pat_b, view)
         return s
 
     # ------------------------------------------------------------- DML verbs
@@ -1080,7 +1119,8 @@ class LakehouseCatalog:
         # qualified target without an alias: the bare table part
         # is the usable alias (dots cannot qualify in ON exprs)
         talias = ta1 or ta2 or tname.split(".")[-1]
-        salias = sa1 or sa2 or (usrc if not usrc.startswith("(") else "src")
+        salias = sa1 or sa2 or (usrc.split(".")[-1]
+                                if not usrc.startswith("(") else "src")
         t = self.table(tname)
 
         # source: subquery or existing view/table (lakehouse names bind)
@@ -1285,7 +1325,8 @@ class LakehouseCatalog:
         resolve it with zero setup)."""
         key = self._resolve(name)
         if key is not None:
-            return self._tables[key], (lambda: None)
+            # table() raises the guided CONVERT pointer for externals
+            return self.table(key), (lambda: None)
         name = self._qualify(name)      # db must exist; default.t -> t
         if self._log is not None:
             src_key = self._resolve(clone_of) if clone_of else None
@@ -1836,7 +1877,8 @@ class LakehouseCatalog:
         name = m.group(1)
         vkey = self._resolve_view(name)
         if vkey is not None:
-            stmt = f"CREATE VIEW {name} AS {self._views[vkey]}"
+            stmt = (f"CREATE VIEW {name} AS "
+                    f"{self._views[vkey]['sql']}")
             return self._lit_frame(
                 [f"SELECT '{self._sq(stmt)}' AS createtab_stmt"])
         t = self.table(name)
@@ -1911,11 +1953,10 @@ class LakehouseCatalog:
                 raise ValueError(
                     f"'{m.group(1)}' is a VIEW — drop and recreate it "
                     "(view text is SQL, not a movable location)")
+            # resolve BEFORE the rename: afterwards the old key no
+            # longer resolves and the mangled stale view would survive
+            old_key = self._resolve(m.group(1)) or m.group(1)
             self.rename_table(m.group(1), m.group(2))
-            old_key = (self._resolve(m.group(1))
-                       or m.group(1))        # already renamed: best
-            self.spark.catalog.dropTempView(          # -effort drop
-                m.group(1).replace(".", "__"))
             self.spark.catalog.dropTempView(
                 old_key.replace(".", "__"))
             return self._metrics("rename_table", {"renamed": 1})
