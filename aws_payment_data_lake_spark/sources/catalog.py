@@ -146,15 +146,24 @@ class CatalogLog:
                                 dict[str, dict[str, Any]]] | None,
                mutate_dbs: Callable[[dict[str, dict[str, Any]]],
                                     dict[str, dict[str, Any]]]
+               | None = None,
+               validate: Callable[[dict[str, dict[str, Any]],
+                                   dict[str, dict[str, Any]]], None]
                | None = None) -> dict[str, dict[str, Any]]:
         """CAS loop: apply ``mutate`` (tables) and/or ``mutate_dbs``
         (databases) to the head state, publish head+1; on a lost
         race, re-apply against the winner's state. Mutators must be
         pure (they may run several times) and raise to abort. Every
         commit carries the FULL state — both maps — so a tables-only
-        mutation preserves databases and vice versa."""
+        mutation preserves databases and vice versa. ``validate``
+        sees BOTH head maps inside the loop (pre-mutation) — the hook
+        for cross-map invariants like 'a database and a default-db
+        table may not share a name', which a single-map mutator
+        cannot check race-free."""
         while True:
             v, tables, dbs = self.load_all()
+            if validate is not None:
+                validate(tables, dbs)
             new = mutate(dict(tables)) if mutate else dict(tables)
             new_dbs = mutate_dbs(dict(dbs)) if mutate_dbs else dict(dbs)
             if new == tables and new_dbs == dbs and v >= 0:

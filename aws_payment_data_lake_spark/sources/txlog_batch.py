@@ -33,6 +33,7 @@ anti-filtering is a vectorized ``is_in`` mask on the row index.
 from __future__ import annotations
 
 import datetime as dt
+import json
 import os
 from collections.abc import Iterator
 from typing import Any
@@ -254,8 +255,8 @@ class _SnapshotReader(DataSourceReader):
             if not kept:
                 return
             if len(kept) == pf.metadata.num_row_groups:
-                table = pq.read_table(partition.path)
-                offsets = [0]
+                table = pf.read()     # footer already parsed — no
+                offsets = [0]         # second open (common case)
             else:
                 tables = [pf.read_row_group(i) for i, _ in kept]
                 offsets = [off for _, off in kept]
@@ -512,6 +513,23 @@ class _SnapshotWriter(DataSourceArrowWriter):
                     f"column mapping of {self.path} changed between "
                     "write planning and commit (concurrent RENAME/"
                     "DROP COLUMN); re-run the write")
+            if not self.overwrite and snap.schema is not None:
+                # a write planned while the table was ABSENT skipped
+                # the plan-time schema check; if another writer's
+                # create won the race with a different schema, our
+                # files must not publish under it (they would silently
+                # null-fill on read)
+                want = {f.name: f.dataType.simpleString()
+                        for f in snap.schema.fields}
+                got = {f.name: f.dataType.simpleString()
+                       for f in StructType.fromJson(
+                           json.loads(self.schema_json)).fields}
+                if want != got:
+                    raise ConcurrentWriteError(
+                        f"schema of {self.path} changed between write "
+                        f"planning and commit (table "
+                        f"{sorted(want.items())}, frame "
+                        f"{sorted(got.items())}); re-run the write")
             commit = {"op": ("overwrite" if self.overwrite
                              else "append"),
                       "ts": _time.time(),

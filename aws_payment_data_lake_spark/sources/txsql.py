@@ -147,6 +147,15 @@ _TNAME = rf"{_IDENT}(?:\.{_IDENT})?"
 _DEFAULT_DB = "default"
 
 
+def _view_name(key: str) -> str:
+    """Temp-view name for a catalog key. Bare keys keep their own
+    name (stable view, as before); qualified keys mangle under a
+    reserved __lake_q__ prefix so binding ``db.t`` can never collide
+    with a registered table literally named ``db__t``."""
+    return (key if "." not in key
+            else "__lake_q__" + key.replace(".", "__"))
+
+
 def _ts_to_epoch(ts: str) -> float:
     """'2024-01-01 00:00:00[.ffffff]' (naive = UTC, matching the
     session timezone pin) -> unix seconds."""
@@ -266,6 +275,23 @@ class LakehouseCatalog:
                     f"{sorted(self._databases) or ['default']})")
             return name
         if self._current_db != _DEFAULT_DB:
+            # a concurrently dropped USE'd database must not silently
+            # receive new registrations
+            self._refresh()
+            if self._current_db not in self._databases:
+                raise NoSuchDatabaseError(
+                    f"current database '{self._current_db}' was "
+                    "dropped; USE another")
+            return f"{self._current_db}.{name}"
+        return name
+
+    def _key_of(self, name: str) -> str:
+        """Non-raising catalog-KEY derivation shared by the resolve
+        family (one copy of the db-splitting/default rules)."""
+        if "." in name:
+            db, tbl = name.split(".", 1)
+            return tbl if db == _DEFAULT_DB else name
+        if self._current_db != _DEFAULT_DB:
             return f"{self._current_db}.{name}"
         return name
 
@@ -273,26 +299,14 @@ class LakehouseCatalog:
         """Registered catalog key for a table reference, or None —
         the non-raising twin of _qualify (unknown names must fall
         through to spark.sql untouched)."""
-        if "." in name:
-            db, tbl = name.split(".", 1)
-            key = tbl if db == _DEFAULT_DB else name
-        elif self._current_db != _DEFAULT_DB:
-            key = f"{self._current_db}.{name}"
-        else:
-            key = name
+        key = self._key_of(name)
         return (key if key in self._tables or key in self._ext
                 else None)
 
     def _resolve_view(self, name: str) -> str | None:
         """Registered view key for a reference, or None — the view
         twin of _resolve."""
-        if "." in name:
-            db, tbl = name.split(".", 1)
-            key = tbl if db == _DEFAULT_DB else name
-        elif self._current_db != _DEFAULT_DB:
-            key = f"{self._current_db}.{name}"
-        else:
-            key = name
+        key = self._key_of(name)
         return key if key in self._views else None
 
     # -------------------------------------------------------- views
@@ -369,7 +383,7 @@ class LakehouseCatalog:
         self._views.pop(key, None)
         self._durable.discard(key)
         self._refresh()
-        self.spark.catalog.dropTempView(key.replace(".", "__"))
+        self.spark.catalog.dropTempView(_view_name(key))
         return True
 
     def use(self, db: str) -> None:
@@ -411,7 +425,15 @@ class LakehouseCatalog:
             created["done"] = True
             return dbs
 
-        self._log.commit("create_database", db, None, put)
+        def guard(tables: dict, dbs: dict) -> None:
+            if db in tables:
+                raise TableExistsError(
+                    f"a default-db table/view named '{db}' exists; "
+                    "a database may not share its name (crawl would "
+                    "descend the table's directory as a database)")
+
+        self._log.commit("create_database", db, None, put,
+                         validate=guard)
         self._seen_version = -2
         self._refresh()
         return created["done"]
@@ -492,10 +514,21 @@ class LakehouseCatalog:
                      "delete_mode": delete_mode}
 
             def put(tables: dict) -> dict:
+                cur = tables.get(name)
+                if cur is not None and cur.get("kind") == "view":
+                    raise TableExistsError(
+                        f"'{name}' is a VIEW (possibly created "
+                        "concurrently); DROP VIEW first")
                 tables[name] = entry
                 return tables
 
-            self._log.commit("register", name, put)
+            def guard(tables: dict, dbs: dict) -> None:
+                if "." not in name and name in dbs:
+                    raise TableExistsError(
+                        f"'{name}' is a DATABASE; a default-db table "
+                        "may not share its name")
+
+            self._log.commit("register", name, put, validate=guard)
             self._seen_version = -2        # re-sync from the new head
             self._refresh()
             if kw:                         # construction kwargs are
@@ -542,9 +575,25 @@ class LakehouseCatalog:
             entry["options"] = dict(options)
         if self._log is not None:
             def put(tables: dict) -> dict:
+                cur = tables.get(key)
+                if cur is not None and (cur.get("kind") == "view"
+                                        or "format" not in cur):
+                    raise TableExistsError(
+                        f"'{key}' resolves as a "
+                        + ("VIEW" if cur.get("kind") == "view"
+                           else "txlog TABLE")
+                        + " (possibly created concurrently)")
                 tables[key] = entry
                 return tables
-            self._log.commit("register_external", key, put)
+
+            def guard(tables: dict, dbs: dict) -> None:
+                if "." not in key and key in dbs:
+                    raise TableExistsError(
+                        f"'{key}' is a DATABASE; a default-db table "
+                        "may not share its name")
+
+            self._log.commit("register_external", key, put,
+                             validate=guard)
             self._seen_version = -2
             self._refresh()
         else:
@@ -566,8 +615,16 @@ class LakehouseCatalog:
         (every registration is 'external' in Delta's sense — the
         catalog never deletes bytes; vacuum is the deletion story)."""
         name = self._resolve(name) or self._qualify(name)
+        if name in self._views:
+            raise ValueError(
+                f"'{name}' is a VIEW; use drop_view()/DROP VIEW")
         if name in self._durable:
             def rm(tables: dict) -> dict:
+                cur = tables.get(name)
+                if cur is not None and cur.get("kind") == "view":
+                    raise ValueError(
+                        f"'{name}' is now a VIEW (concurrent "
+                        "re-create); use DROP VIEW")
                 tables.pop(name, None)
                 return tables
             self._log.commit("drop", name, rm)
@@ -584,6 +641,9 @@ class LakehouseCatalog:
         Raises NoSuchTableError/TableExistsError; the CAS loop makes
         the check-and-swap atomic under concurrent catalogs."""
         self._refresh()
+        if self._resolve_view(old) is not None:
+            raise ValueError(
+                f"'{old}' is a VIEW; drop and recreate it")
         old = self._resolve(old) or self._qualify(old)
         new = self._qualify(new)
         if old in self._durable:
@@ -643,8 +703,11 @@ class LakehouseCatalog:
                     finally:
                         self._current_db = saved_db
                     return e["sql"]
-                self.register(name, e["path"],
-                              delete_mode=e.get("delete_mode", "cow"))
+                self.register(
+                    f"{_DEFAULT_DB}.{name}" if "." not in name
+                    else name,
+                    e["path"],
+                    delete_mode=e.get("delete_mode", "cow"))
                 return e["path"]
         raise NoSuchTableError(
             f"'{name}' never existed in this catalog")
@@ -897,6 +960,15 @@ class LakehouseCatalog:
             spans.append((start, n))
         return spans
 
+    def _search_outside_quotes(self, s: str, pattern: str) -> bool:
+        """True iff the pattern matches OUTSIDE every single-quoted
+        literal — a statement that merely mentions a view/table name
+        inside a string must not trigger binding (or view expansion,
+        which would fail the whole query if the view is broken)."""
+        spans = self._quote_spans(s)
+        return any(not any(a <= m.start() <= b for a, b in spans)
+                   for m in re.finditer(pattern, s))
+
     def _sub_outside_quotes(self, s: str, pattern: str, repl: str
                             ) -> str:
         """re.sub that leaves matches inside single-quoted literals
@@ -932,9 +1004,9 @@ class LakehouseCatalog:
         for key in sorted(self._views, key=lambda k: "." not in k):
             for name in self._spellings(key):
                 pat = rf"\b{re.escape(name)}\b"
-                if not re.search(pat, s):
+                if not self._search_outside_quotes(s, pat):
                     continue
-                view = key.replace(".", "__")
+                view = _view_name(key)
                 ent = self._views[key]
                 saved_db = self._current_db
                 try:
@@ -954,9 +1026,9 @@ class LakehouseCatalog:
             # partition discovery et al. are Spark's business)
             for name in self._spellings(key):
                 pat = rf"\b{re.escape(name)}\b"
-                if not re.search(pat, s):
+                if not self._search_outside_quotes(s, pat):
                     continue
-                view = key.replace(".", "__")
+                view = _view_name(key)
                 self._ext_frame(key).createOrReplaceTempView(view)
                 if name != view:
                     s = self._sub_outside_quotes(s, pat, view)
@@ -1023,13 +1095,13 @@ class LakehouseCatalog:
         s = pat_v.sub(sub_v, s)
         s = pat_t.sub(sub_t, s)
         pat_b = rf"\b{re.escape(name)}\b"
-        if re.search(pat_b, s) and t.exists():
+        if self._search_outside_quotes(s, pat_b) and t.exists():
             # bare reference -> latest snapshot under a stable
             # view name (repeated queries reuse it). Dots are
             # illegal in temp-view names, so a qualified spelling
             # rewrites in-text to the mangled name — outside
             # string literals only.
-            view = key.replace(".", "__")
+            view = _view_name(key)
             t.snapshot().createOrReplaceTempView(view)
             if name != view:
                 s = self._sub_outside_quotes(s, pat_b, view)
@@ -1400,7 +1472,7 @@ class LakehouseCatalog:
                 # a pre-existing bare-name temp view would serve the
                 # replaced content stale until the next bind
                 self.spark.catalog.dropTempView(
-                    (self._resolve(tname) or tname).replace(".", "__"))
+                    _view_name(self._resolve(tname) or tname))
                 reg()
                 return self._metrics("replace", {"version": v})
             t.create(df, partition_by=pby, properties=props)
@@ -1474,7 +1546,7 @@ class LakehouseCatalog:
                               defaults=defaults or None,
                               properties=props or {})
                 self.spark.catalog.dropTempView(
-                    (self._resolve(tname) or tname).replace(".", "__"))
+                    _view_name(self._resolve(tname) or tname))
                 reg()
                 return self._metrics("replace", {"version": v})
             t.create(empty,
@@ -1941,7 +2013,7 @@ class LakehouseCatalog:
         self.unregister(key)
         # stale snapshot view (bare and qualified spellings mangle
         # to the same stable view name)
-        self.spark.catalog.dropTempView(key.replace(".", "__"))
+        self.spark.catalog.dropTempView(_view_name(key))
         return self._metrics("drop_table", {"dropped": 1})
 
     def _alter(self, s: str) -> DataFrame:
@@ -1957,8 +2029,7 @@ class LakehouseCatalog:
             # longer resolves and the mangled stale view would survive
             old_key = self._resolve(m.group(1)) or m.group(1)
             self.rename_table(m.group(1), m.group(2))
-            self.spark.catalog.dropTempView(
-                old_key.replace(".", "__"))
+            self.spark.catalog.dropTempView(_view_name(old_key))
             return self._metrics("rename_table", {"renamed": 1})
         m = re.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+ADD\s+CONSTRAINT\s+"

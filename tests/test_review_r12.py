@@ -158,8 +158,140 @@ def test_rename_drops_stale_qualified_snapshot_view(spark, cat):
     # a real scan (NOT the metadata-only COUNT(*) shape, which never
     # binds a view) pins the mangled snapshot view rdb__t
     cat.sql("SELECT SUM(id) AS s FROM rdb.t").collect()
-    assert spark.catalog.tableExists("rdb__t")
+    assert spark.catalog.tableExists("__lake_q__rdb__t")
     cat.sql("ALTER TABLE rdb.t RENAME TO rdb.t2")
-    assert not spark.catalog.tableExists("rdb__t")
+    assert not spark.catalog.tableExists("__lake_q__rdb__t")
     assert cat.sql("SELECT COUNT(*) FROM rdb.t2"
                    ).collect()[0][0] == 4
+
+
+# ---------------------------------------------- second pass (modules)
+def test_undrop_restores_table_into_original_db(spark, cat):
+    """2nd-pass finding 1: UNDROP under USE db must restore a
+    default-db table as default.t, not db.t."""
+    cat.sql("CREATE DATABASE elsewhere")
+    cat.sql("CREATE TABLE orders0 USING txlog AS "
+            "SELECT id FROM range(5)")
+    cat.sql("DROP TABLE orders0")
+    cat.sql("USE elsewhere")
+    try:
+        cat.sql("UNDROP TABLE default.orders0")
+        assert cat.sql("SELECT COUNT(*) FROM default.orders0"
+                       ).collect()[0][0] == 5
+        rows = [(r.database, r.tableName) for r in
+                cat.sql("SHOW TABLES").collect()]
+        assert ("default", "orders0") in rows
+        assert ("elsewhere", "orders0") not in rows
+    finally:
+        cat.sql("USE default")
+
+
+def test_register_cas_refuses_clobbering_concurrent_view(spark, cat):
+    """2nd-pass finding 2: a stale register() must not overwrite a
+    view entry another process committed."""
+    cat.sql("CREATE TABLE base USING txlog AS SELECT id FROM range(2)")
+    # another process creates view 'w2' (this catalog never refreshes
+    # between its local check and its CAS commit)
+    log = CatalogLog(cat.warehouse)
+    def put_view(tables):
+        tables["w2"] = {"kind": "view", "sql": "SELECT id FROM base",
+                        "ctx_db": "default"}
+        return tables
+    log.commit("create_view", "w2", put_view)
+    with pytest.raises(TableExistsError, match="VIEW"):
+        cat.register("w2", os.path.join(cat.warehouse, "w2x"))
+    _, tables = log.load()
+    assert tables["w2"].get("kind") == "view"   # survived
+
+
+def test_writer_create_race_schema_mismatch_refused(spark, cat,
+                                                    tmp_path):
+    """2nd-pass finding 3: an append planned against an ABSENT table
+    must not publish mismatched-schema files when another writer's
+    create wins the race."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from aws_payment_data_lake_spark.sources.txlog import (
+        ConcurrentWriteError,
+    )
+    from aws_payment_data_lake_spark.sources.txlog_batch import (
+        _SnapshotWriter,
+        _Staged,
+    )
+    p = str(tmp_path / "race_create")
+    w = _SnapshotWriter({"path": p},
+                        StructType([StructField("other", LongType())]),
+                        overwrite=False)      # planned: table absent
+    # another writer creates the table first, different schema
+    (spark.range(3).selectExpr("id")
+     .write.format("txlog").mode("append").option("path", p).save())
+    with pytest.raises(ConcurrentWriteError, match="schema"):
+        w.commit([_Staged([])])
+
+
+def test_mangled_view_name_cannot_collide_with_table(spark, cat):
+    """2nd-pass finding 4: binding db.t uses a reserved __lake_q__
+    name, so a real table named db__t keeps its own rows."""
+    cat.sql("CREATE DATABASE db")
+    cat.sql("CREATE TABLE db.t USING txlog AS "
+            "SELECT id, 'dotted' AS src FROM range(3)")
+    cat.sql("CREATE TABLE db__t USING txlog AS "
+            "SELECT id, 'flat' AS src FROM range(7)")
+    both = cat.sql(
+        "SELECT (SELECT COUNT(*) FROM db.t) AS dotted, "
+        "(SELECT COUNT(*) FROM db__t) AS flat").collect()[0]
+    assert (both.dotted, both.flat) == (3, 7)
+    assert {r.src for r in cat.sql("SELECT src FROM db__t").collect()} \
+        == {"flat"}
+
+
+def test_database_and_default_table_names_exclusive(spark, cat):
+    """2nd-pass finding 5: a database and a default-db table may not
+    share a name (crawl would descend the table dir as a database)."""
+    cat.sql("CREATE TABLE clash USING txlog AS SELECT id FROM range(2)")
+    with pytest.raises(TableExistsError, match="share its name"):
+        cat.sql("CREATE DATABASE clash")
+    cat.sql("CREATE DATABASE zone9")
+    with pytest.raises(TableExistsError, match="DATABASE"):
+        cat.register("zone9", os.path.join(cat.warehouse, "zx"))
+
+
+def test_view_mention_inside_string_literal_not_expanded(spark, cat):
+    """2nd-pass finding 6: a statement that mentions a (broken) view
+    name only inside a literal must not expand the view."""
+    cat.sql("CREATE TABLE vbase USING txlog AS SELECT id FROM range(2)")
+    cat.sql("CREATE VIEW fragile AS SELECT id FROM vbase")
+    cat.sql("DROP TABLE vbase")        # the view is now broken
+    rows = cat.sql("SELECT 'fragile' AS tag").collect()
+    assert rows[0].tag == "fragile"    # never tried to expand
+    with pytest.raises(Exception):     # a REAL reference still fails
+        cat.sql("SELECT * FROM fragile").collect()
+
+
+def test_create_into_concurrently_dropped_use_db_refused(spark, cat):
+    """2nd-pass finding 7: registrations into a USE'd database that
+    another process dropped are refused, not silently committed."""
+    from aws_payment_data_lake_spark.sources.catalog import (
+        NoSuchDatabaseError,
+    )
+    cat.sql("CREATE DATABASE doomed")
+    cat.sql("USE doomed")
+    try:
+        log = CatalogLog(cat.warehouse)
+        log.commit("drop_database", "doomed", None,
+                   lambda dbs: {k: v for k, v in dbs.items()
+                                if k != "doomed"})
+        with pytest.raises(NoSuchDatabaseError, match="dropped"):
+            cat.sql("CREATE TABLE t9 (id bigint) USING txlog")
+    finally:
+        cat._current_db = "default"
+
+
+def test_api_unregister_and_rename_refuse_views(spark, cat):
+    """2nd-pass finding 8: the API paths match the SQL verbs' guards."""
+    cat.sql("CREATE TABLE b2 USING txlog AS SELECT id FROM range(2)")
+    cat.sql("CREATE VIEW v8 AS SELECT id FROM b2")
+    with pytest.raises(ValueError, match="VIEW"):
+        cat.unregister("v8")
+    with pytest.raises(ValueError, match="VIEW"):
+        cat.rename_table("v8", "v9")
+    assert cat._resolve_view("v8") == "v8"     # untouched
