@@ -145,6 +145,11 @@ _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 # reference's from_catalog(database=..., table_name=...) addressing
 _TNAME = rf"{_IDENT}(?:\.{_IDENT})?"
 _DEFAULT_DB = "default"
+# a parenthesized body whose single-quoted runs may legally contain
+# ')' — e.g. TBLPROPERTIES ('k' = ')') (fuzz-found, round 12); the
+# quoted alternative consumes literals whole so the closing paren
+# that ends the group is always structural
+_PBODY = r"\(((?:'[^']*'|[^)'])*)\)"
 
 
 def _view_name(key: str) -> str:
@@ -1442,7 +1447,7 @@ class LakehouseCatalog:
             return self._metrics("clone", {"version": 0, "deep": deep})
         m = re.match(
             rf"CREATE\s+TABLE\s+({_TNAME})\s+LIKE\s+({_TNAME})\s*"
-            rf"(?:TBLPROPERTIES\s*\(([^)]*)\)\s*)?$",
+            rf"(?:TBLPROPERTIES\s*{_PBODY}\s*)?$",
             s, re.IGNORECASE)
         if m:
             tname, sname, propstr = m.groups()
@@ -1457,7 +1462,7 @@ class LakehouseCatalog:
             rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_TNAME})\s+"
             rf"USING\s+txlog\s*"
             rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
-            rf"(?:TBLPROPERTIES\s*\(([^)]*)\)\s*)?AS\s+(.*)$",
+            rf"(?:TBLPROPERTIES\s*{_PBODY}\s*)?AS\s+(.*)$",
             s, re.IGNORECASE | re.DOTALL)
         if m:
             replace, tname, parts, propstr, select = m.groups()
@@ -1488,7 +1493,7 @@ class LakehouseCatalog:
             rf"\((.*)\)\s*"
             rf"USING\s+txlog\s*"
             rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
-            rf"(?:TBLPROPERTIES\s*\(([^)]*)\)\s*)?$",
+            rf"(?:TBLPROPERTIES\s*{_PBODY}\s*)?$",
             s, re.IGNORECASE | re.DOTALL)
         if m:
             replace, tname, cols, parts, propstr = m.groups()
@@ -1565,7 +1570,7 @@ class LakehouseCatalog:
             rf"COPY\s+INTO\s+({_TNAME})\s+FROM\s+'([^']+)'\s+"
             rf"FILEFORMAT\s*=\s*(\w+)"
             rf"(?:\s+PATTERN\s*=\s*'([^']+)')?"
-            rf"(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?\s*$",
+            rf"(?:\s+FORMAT_OPTIONS\s*{_PBODY})?\s*$",
             s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported COPY INTO shape: {s[:120]}")
@@ -2047,7 +2052,7 @@ class LakehouseCatalog:
             return self._metrics("drop_constraint", {"version": v})
         m = re.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+ADD\s+COLUMNS?\s*"
-            rf"\(([^)]*)\)\s*$", s, re.IGNORECASE | re.DOTALL)
+            rf"{_PBODY}\s*$", s, re.IGNORECASE | re.DOTALL)
         if m:
             cols: dict[str, str] = {}
             for part in self._split_top(m.group(2)):
@@ -2088,7 +2093,7 @@ class LakehouseCatalog:
             return self._metrics("drop_default", {"version": v})
         m = re.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+SET\s+TBLPROPERTIES\s*"
-            rf"\(([^)]*)\)\s*$", s, re.IGNORECASE | re.DOTALL)
+            rf"{_PBODY}\s*$", s, re.IGNORECASE | re.DOTALL)
         if m:
             props: dict[str, str] = {}
             for pair in self._split_top(m.group(2)):
@@ -2101,7 +2106,7 @@ class LakehouseCatalog:
             return self._metrics("set_properties", {"version": v})
         m = re.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+UNSET\s+TBLPROPERTIES\s*"
-            rf"\(([^)]*)\)\s*$", s, re.IGNORECASE)
+            rf"{_PBODY}\s*$", s, re.IGNORECASE)
         if m:
             keys = [k.strip().strip("'")
                     for k in self._split_top(m.group(2))]
