@@ -20,6 +20,11 @@ Stream semantics:
     touched files (the same rewrite amplification Delta CDF has
     without row tracking; documented, bounded by file granularity).
   * `startingVersion` picks up mid-log (default 0 = full history).
+  * `maxFilesPerTrigger` (round 12, Delta's rate limit) bounds the
+    ADDED FILES one micro-batch plans — a backlog drains as many
+    bounded batches under a processing-time trigger (availableNow
+    snapshots one bounded batch per run: the Python DS API has no
+    prepareForTriggerAvailableNow hook).
 
 Scale: planning reads only the commit JSONs in the version range
 (driver-side metadata, ~KB per commit); each ADDED FILE becomes one
@@ -267,6 +272,20 @@ class _FeedStreamReader(DataSourceStreamReader):
         self.start = int(options.get("startingVersion", 0))
         self.cdf = str(options.get("readChangeFeed", "false")
                        ).lower() == "true"
+        # Delta's maxFilesPerTrigger (rate limiting): bound how many
+        # ADDED FILES one micro-batch may plan, so a backfill over a
+        # long history runs as many bounded batches instead of one
+        # giant first batch — the knob that keeps executor working
+        # sets flat when a stream starts 10k commits behind.
+        # NOTE: drain a rate-limited backlog with a processing-time
+        # trigger; trigger(availableNow) snapshots latestOffset once
+        # for a Python data source (no prepareForTriggerAvailableNow
+        # hook), so it stops after ONE bounded batch per run.
+        self.max_files = int(options.get(
+            "maxfilespertrigger", options.get("maxFilesPerTrigger", 0)
+        ) or 0)
+        self._last_end = None      # highest offset this reader issued
+        self._floor = self.start   # checkpointed progress floor
 
     def initialOffset(self) -> dict:
         return {"version": self.start}
@@ -274,9 +293,33 @@ class _FeedStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         log = _Log(self.options)
         vs = log.table._versions_on_disk()
-        return {"version": (vs[-1] + 1) if vs else self.start}
+        head_next = (vs[-1] + 1) if vs else self.start
+        if not self.max_files:
+            return {"version": head_next}
+        lo = max(self._last_end or self.start, self._floor)
+        if lo >= head_next:
+            return {"version": head_next}
+        import json as _json
+        bounded, files = lo, 0
+        for v in vs:
+            if v < lo:
+                continue
+            with open(log.table._commit_path(v)) as f:
+                c = _json.load(f)
+            n = (0 if c.get("op") in log.table._LAYOUT_OPS
+                 else len(c.get("add", [])))
+            if files and files + n > self.max_files:
+                break              # cap reached — but never starve:
+            files += n             # at least one commit per batch
+            bounded = v + 1
+        self._last_end = max(self._last_end or 0, bounded)
+        return {"version": bounded}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # checkpointed progress floors the throttle counter, so a
+        # RESTARTED rate-limited reader resumes counting from the
+        # checkpoint instead of re-walking from startingVersion
+        self._floor = max(self._floor, int(start["version"]))
         parts = _Log(self.options).commit_adds(int(start["version"]),
                                                int(end["version"]),
                                                cdf=self.cdf)
@@ -296,7 +339,8 @@ class _FeedStreamReader(DataSourceStreamReader):
 
 class TxlogFeedDataSource(DataSource):
     """`format("txlog_feed")`, options: path (required),
-    startingVersion (stream), readChangeFeed (stream — Delta's
+    startingVersion (stream), maxFilesPerTrigger (stream rate
+    limit), readChangeFeed (stream — Delta's
     streaming CDF: rows carry _change_type; commits with write-side
     cdc images stream them verbatim, DV deletes stream their
     pre-images). Schema = table schema [+ _change_type]

@@ -118,3 +118,60 @@ def test_feed_reconciles_evolution_mapping_and_widening(spark,
              for r in spark.sql("select * from feed_evo").collect()}
     assert srows[1] == (10, None, 0)
     assert srows[2] == (2 ** 40, "eu", 1)
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """Delta's maxFilesPerTrigger on the feed (round 12): a stream
+    starting far behind processes the backlog as MULTIPLE bounded
+    micro-batches (availableNow drains them all), with every row
+    still delivered exactly once."""
+    from aws_payment_data_lake_spark.sources.txlog import TxnTable
+    from aws_payment_data_lake_spark.sources.txlog_stream import (
+        register_txlog_feed,
+    )
+    t = TxnTable(spark, str(tmp_path / "throttled"))
+    t.create(spark.range(0, 10).selectExpr("id"))
+    for k in range(1, 6):                # 5 more commits
+        t.append(spark.range(10 * k, 10 * (k + 1)).selectExpr("id"))
+    register_txlog_feed(spark)
+    batches: list[int] = []
+
+    def sink(df, epoch_id):
+        n = df.count()
+        if n:
+            batches.append(n)
+
+    # NOTE availableNow snapshots latestOffset ONCE for a Python
+    # data source (no prepareForTriggerAvailableNow hook), so a
+    # rate-limited drain uses a processing-time trigger
+    import time as _time
+    q = (spark.readStream.format("txlog_feed")
+         .option("path", t.path)
+         .option("maxFilesPerTrigger", "1")
+         .load()
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="200 milliseconds").start())
+    deadline = _time.time() + 120
+    while _time.time() < deadline and sum(batches) < 60:
+        _time.sleep(0.5)
+    q.stop()
+    assert sum(batches) == 60            # nothing lost or duplicated
+    assert len(batches) >= 3, batches    # the backlog was SPLIT
+    # cap=1 file admits exactly one commit per batch -> 10 rows each
+    assert max(batches) <= 10, batches
+    # unthrottled control: same data, one batch
+    batches2: list[int] = []
+
+    def sink2(df, epoch_id):
+        n = df.count()
+        if n:
+            batches2.append(n)
+
+    q2 = (spark.readStream.format("txlog_feed")
+          .option("path", t.path).load()
+          .writeStream.foreachBatch(sink2)
+          .option("checkpointLocation", str(tmp_path / "ckpt2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+    assert sum(batches2) == 60 and len(batches2) == 1
