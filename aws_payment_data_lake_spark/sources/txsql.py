@@ -53,6 +53,7 @@ Grammar subset (case-insensitive keywords):
       -- views); TEMP/TEMPORARY forms stay session statements
   CREATE DATABASE [IF NOT EXISTS] db | DROP DATABASE [IF EXISTS] db
       [CASCADE] | SHOW DATABASES | USE db
+      | SHOW VIEWS [IN db] | DESCRIBE DATABASE db
       -- namespaces (round 12): every table verb takes db.table;
       -- bare names are the `default` database (or the USE'd one);
       -- the reference's from_catalog(database=..., table_name=...)
@@ -817,6 +818,42 @@ class LakehouseCatalog:
             return self._lit_frame(
                 [f"SELECT '{self._sq(d)}' AS namespace"
                  for d in self.databases()])
+        if two == "SHOW VIEWS":
+            m = re.match(rf"SHOW\s+VIEWS(?:\s+IN\s+({_IDENT}))?\s*$",
+                         s, re.IGNORECASE)
+            if not m:
+                raise ValueError(f"unsupported SHOW VIEWS: {s[:80]}")
+            return (self._show_tables(
+                f"SHOW TABLES IN {m.group(1)}" if m.group(1)
+                else "SHOW TABLES")
+                .where("deleteMode = 'view'")
+                .drop("location", "deleteMode"))
+        if two == "DESCRIBE DATABASE":
+            m = re.match(rf"DESCRIBE\s+DATABASE\s+({_IDENT})\s*$",
+                         s, re.IGNORECASE)
+            if not m:
+                raise ValueError(
+                    f"unsupported DESCRIBE DATABASE: {s[:80]}")
+            db = m.group(1)
+            self._refresh()
+            if db != _DEFAULT_DB and db not in self._databases:
+                raise NoSuchDatabaseError(
+                    f"database '{db}' does not exist")
+            prefix = f"{db}."
+            nt = sum(1 for k in self._tables
+                     if (k.startswith(prefix) if db != _DEFAULT_DB
+                         else "." not in k))
+            nv = sum(1 for k in self._views
+                     if (k.startswith(prefix) if db != _DEFAULT_DB
+                         else "." not in k))
+            loc = (os.path.join(self.warehouse, db)
+                   if self.warehouse and db != _DEFAULT_DB
+                   else (self.warehouse or ""))
+            return self._lit_frame([
+                f"SELECT '{self._sq(db)}' AS namespace, "
+                f"'{self._sq(loc)}' AS location, "
+                f"CAST({nt} AS BIGINT) AS tables, "
+                f"CAST({nv} AS BIGINT) AS views"])
         if verb == "USE" and len(head) == 2 and re.match(
                 rf"USE\s+{_IDENT}\s*$", s, re.IGNORECASE):
             self.use(head[1])

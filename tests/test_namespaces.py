@@ -250,3 +250,28 @@ def test_managed_location_nests_under_database_dir(cat):
     cat.sql("CREATE TABLE locdb.t (id bigint) USING txlog")
     path = cat.table("locdb.t").path
     assert path == os.path.join(cat.warehouse, "locdb", "t")
+
+
+def test_show_views_and_describe_database(cat):
+    cat.sql("CREATE DATABASE rep")
+    cat.sql("CREATE TABLE rep.t1 (id bigint) USING txlog")
+    cat.sql("CREATE TABLE loose (id bigint) USING txlog")
+    cat.sql("CREATE VIEW rep.v1 AS SELECT id FROM rep.t1")
+    cat.sql("CREATE VIEW vtop AS SELECT id FROM loose")
+    allv = [(r.database, r.tableName)
+            for r in cat.sql("SHOW VIEWS").collect()]
+    assert set(allv) == {("rep", "v1"), ("default", "vtop")}
+    inrep = [(r.database, r.tableName)
+             for r in cat.sql("SHOW VIEWS IN rep").collect()]
+    assert inrep == [("rep", "v1")]
+    d = cat.sql("DESCRIBE DATABASE rep").collect()[0]
+    assert (d.namespace, d.tables, d.views) == ("rep", 1, 1)
+    assert d.location.endswith("/rep")
+    ddef = cat.sql("DESCRIBE DATABASE default").collect()[0]
+    assert (ddef.tables, ddef.views) == (1, 1)
+    import pytest as _pytest
+    from aws_payment_data_lake_spark.sources.catalog import (
+        NoSuchDatabaseError,
+    )
+    with _pytest.raises(NoSuchDatabaseError):
+        cat.sql("DESCRIBE DATABASE nope")
