@@ -265,14 +265,21 @@ class AddFile:
     rows: int
     bytes: int
     stats: dict[str, list[Any]]    # col -> [min, max] (JSON-safe)
+    # col -> null_count (v1.4, OPTIONAL/additive: absence = unknown,
+    # never wrong) — lets IS NULL / IS NOT NULL predicates skip files
+    nulls: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
-        return {"path": self.path, "rows": self.rows,
-                "bytes": self.bytes, "stats": self.stats}
+        d = {"path": self.path, "rows": self.rows,
+             "bytes": self.bytes, "stats": self.stats}
+        if self.nulls:
+            d["nulls"] = self.nulls
+        return d
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "AddFile":
-        return AddFile(d["path"], d["rows"], d["bytes"], d.get("stats", {}))
+        return AddFile(d["path"], d["rows"], d["bytes"],
+                       d.get("stats", {}), d.get("nulls", {}))
 
 
 @dataclass
@@ -384,14 +391,19 @@ def _json_safe(v: Any) -> Any:
         return None
 
 
-def _footer_stats(local_path: str) -> tuple[int, dict[str, list[Any]]]:
-    """(row_count, {col: [min, max]}) from the parquet footer — a
-    metadata read; never touches data pages."""
+def _footer_stats(local_path: str
+                  ) -> tuple[int, dict[str, list[Any]], dict[str, int]]:
+    """(row_count, {col: [min, max]}, {col: null_count}) from the
+    parquet footer — a metadata read; never touches data pages.
+    null counts are omitted for any column whose row groups don't all
+    report one (absence = unknown, never wrong)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(local_path).metadata
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    bad_nulls: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -400,6 +412,12 @@ def _footer_stats(local_path: str) -> tuple[int, dict[str, list[Any]]]:
             if "." in name:          # nested: no pruning
                 continue
             st = col.statistics
+            if (st is not None and st.null_count is not None
+                    and name not in bad_nulls):
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            else:
+                bad_nulls.add(name)
+                nulls.pop(name, None)
             if st is None or not st.has_min_max:
                 mins[name] = maxs[name] = None
                 continue
@@ -422,7 +440,7 @@ def _footer_stats(local_path: str) -> tuple[int, dict[str, list[Any]]]:
                 maxs[name] = max(maxs[name], hi)
     stats = {c: [mins[c], maxs[c]] for c in mins
              if mins[c] is not None}
-    return md.num_rows, stats
+    return md.num_rows, stats, nulls
 
 
 class TxnTable:
@@ -507,7 +525,9 @@ class TxnTable:
                     rows.extend(pq.read_table(p).to_pylist())
             meta = json.loads(t.schema.metadata[b"txlog"].decode())
             live = {r["path"]: AddFile(r["path"], r["rows"], r["bytes"],
-                                       json.loads(r["stats"]))
+                                       json.loads(r["stats"]),
+                                       json.loads(r.get("nulls")
+                                                  or "{}"))
                     for r in rows}
             return Snapshot(v, meta["schema_json"], live,
                             dict(meta.get("txns", {})),
@@ -664,13 +684,15 @@ class TxnTable:
         import pyarrow as pa
         import pyarrow.parquet as pq
         rows = [{"path": a.path, "rows": a.rows, "bytes": a.bytes,
-                 "stats": json.dumps(a.stats)}
+                 "stats": json.dumps(a.stats),
+                 "nulls": json.dumps(a.nulls)}
                 for a in snap.live.values()]
         t = pa.Table.from_pylist(
             rows, schema=pa.schema([("path", pa.string()),
                                     ("rows", pa.int64()),
                                     ("bytes", pa.int64()),
-                                    ("stats", pa.string())]))
+                                    ("stats", pa.string()),
+                                    ("nulls", pa.string())]))
         meta = json.dumps({"schema_json": snap.schema_json,
                            "txns": snap.txns,
                            "partition_by": snap.partition_by,
@@ -750,9 +772,10 @@ class TxnTable:
             if not name.endswith(".parquet"):
                 continue
             local = os.path.join(out_dir, name)
-            nrows, stats = _footer_stats(local)
+            nrows, stats, nulls = _footer_stats(local)
             rel = os.path.join(_DATA_DIR, wid, name)
-            adds.append(AddFile(rel, nrows, os.path.getsize(local), stats))
+            adds.append(AddFile(rel, nrows, os.path.getsize(local),
+                                stats, nulls))
         return adds
 
     @staticmethod
@@ -1635,8 +1658,9 @@ class TxnTable:
 
         def harvest(rel: str) -> AddFile:
             local = os.path.join(self.path, rel)
-            nrows, stats = _footer_stats(local)
-            return AddFile(rel, nrows, os.path.getsize(local), stats)
+            nrows, stats, nulls = _footer_stats(local)
+            return AddFile(rel, nrows, os.path.getsize(local), stats,
+                           nulls)
 
         with ThreadPoolExecutor(max_workers=16) as pool:
             adds = list(pool.map(harvest, sorted(rels)))
@@ -1687,7 +1711,7 @@ class TxnTable:
         def key_of(p: str) -> str:
             return p if os.path.isabs(p) else os.path.join(src_root, p)
 
-        adds = [AddFile(key_of(p), a.rows, a.bytes, a.stats)
+        adds = [AddFile(key_of(p), a.rows, a.bytes, a.stats, a.nulls)
                 for p, a in sorted(snap.live.items())]
         dv_files: list[str] = []
         per_target = {key_of(p): int(n)
@@ -1870,7 +1894,8 @@ class TxnTable:
         for i, (p, a) in enumerate(live):
             rel = os.path.join(_DATA_DIR, wid, f"part-{i:05d}.parquet")
             remap[p] = remap[key_of(p)] = rel
-            adds.append(AddFile(rel, a.rows, a.bytes, a.stats))
+            adds.append(AddFile(rel, a.rows, a.bytes, a.stats,
+                                a.nulls))
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -4021,7 +4046,7 @@ class TxnTable:
             if os.path.getsize(local) != add.bytes:
                 size_drift.append(rel)
             elif verify_footers:
-                nrows, _ = _footer_stats(local)
+                nrows, _, _n = _footer_stats(local)
                 if nrows != add.rows:
                     row_drift.append(rel)
         # live DV sidecars are load-bearing (a lost one silently

@@ -51,6 +51,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -145,6 +147,18 @@ def _mm_ok(lo, hi, preds) -> bool:
     return True
 
 
+def _nulls_ok(null_count: int, rows: int, preds) -> bool:
+    """Can a file/row-group with ``null_count`` nulls over ``rows``
+    rows satisfy the null-shaped predicates? (Value predicates are
+    _mm_ok's business.)"""
+    for op, _ in preds:
+        if op == "isnull" and null_count == 0:
+            return False
+        if op == "notnull" and null_count >= rows:
+            return False
+    return True
+
+
 def _stats_keep(snap,
                 bounds: dict[str, list[tuple]]) -> set[str]:
     """Files whose footer [min,max] can satisfy every pushed bound —
@@ -154,10 +168,15 @@ def _stats_keep(snap,
     for key, a in snap.live.items():
         ok = True
         for col, preds in bounds.items():
+            vals = [p for p in preds if p[0] not in ("isnull",
+                                                     "notnull")]
             mm = a.stats.get(col)
-            if not mm or mm[0] is None:
-                continue
-            if not _mm_ok(mm[0], mm[1], preds):
+            if mm and mm[0] is not None and not _mm_ok(mm[0], mm[1],
+                                                       vals):
+                ok = False
+                break
+            nc = a.nulls.get(col)       # absent = unknown -> keep
+            if nc is not None and not _nulls_ok(nc, a.rows, preds):
                 ok = False
                 break
         if ok:
@@ -187,9 +206,17 @@ def _rg_offsets_keep(pf, bounds: dict[str, list[tuple]]
             if j is None:
                 continue
             st = rg.column(j).statistics
-            if st is None or not st.has_min_max:
+            if st is None:
                 continue
-            if not _mm_ok(st.min, st.max, preds):
+            vals = [p for p in preds if p[0] not in ("isnull",
+                                                     "notnull")]
+            if (st.has_min_max
+                    and not _mm_ok(st.min, st.max, vals)):
+                ok = False
+                break
+            if (st.null_count is not None
+                    and not _nulls_ok(int(st.null_count),
+                                      rg.num_rows, preds)):
                 ok = False
                 break
         if ok:
@@ -231,6 +258,14 @@ class _SnapshotReader(DataSourceReader):
                 elif isinstance(f, In):
                     self._bounds.setdefault(col, []).append(
                         ("in", list(f.value)))
+                elif isinstance(f, IsNull):
+                    # v1.4 null-count stats: a file with zero nulls
+                    # in col cannot satisfy IS NULL
+                    self._bounds.setdefault(col, []).append(
+                        ("isnull", None))
+                elif isinstance(f, IsNotNull):
+                    self._bounds.setdefault(col, []).append(
+                        ("notnull", None))
             yield f                        # all re-applied by Spark
 
     def partitions(self) -> list[InputPartition]:
@@ -469,9 +504,10 @@ class _SnapshotWriter(DataSourceArrowWriter):
             if writer is None:
                 return _Staged([])      # empty partition: nothing staged
             writer.close()
-        rows, stats = _footer_stats(local)
+        rows, stats, nulls = _footer_stats(local)
         rel = os.path.join(_DATA_DIR, wid, "part-0.parquet")
-        return _Staged([(rel, rows, os.path.getsize(local), stats)])
+        return _Staged([(rel, rows, os.path.getsize(local), stats,
+                         nulls)])
 
     # -------------------------------------------------------- driver
     def commit(self, messages) -> None:
@@ -481,9 +517,9 @@ class _SnapshotWriter(DataSourceArrowWriter):
             AddFile,
             ConcurrentWriteError,
         )
-        adds = [AddFile(rel, rows, nbytes, stats)
+        adds = [AddFile(rel, rows, nbytes, stats, nulls)
                 for m in messages if m is not None
-                for rel, rows, nbytes, stats in m.adds]
+                for rel, rows, nbytes, stats, nulls in m.adds]
         t = TxnTable(None, self.path)
         if not t.exists():
             commit = {"op": "create", "ts": _time.time(),

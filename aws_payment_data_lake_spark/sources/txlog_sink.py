@@ -89,11 +89,13 @@ def _arrow_schema(schema: StructType, mapping: dict[str, str]):
 
 class _TxlogCommit(WriterCommitMessage):
     def __init__(self, rel: str, rows: int, nbytes: int,
-                 stats: dict[str, Any]) -> None:
+                 stats: dict[str, Any],
+                 nulls: dict[str, int] | None = None) -> None:
         self.rel = rel
         self.rows = rows
         self.nbytes = nbytes
         self.stats = stats
+        self.nulls = nulls or {}
 
 
 class _TxlogStreamWriter(DataSourceStreamWriter):
@@ -201,9 +203,10 @@ class _TxlogStreamWriter(DataSourceStreamWriter):
                 [self.mapping.get(f.name, f.name)
                  for f in self.schema.fields])
         pq.write_table(table, local)
-        nrows, stats = _footer_stats(local)
+        nrows, stats, nulls = _footer_stats(local)
         rel = os.path.join(_DATA_DIR, self.wid, name)
-        return _TxlogCommit(rel, nrows, os.path.getsize(local), stats)
+        return _TxlogCommit(rel, nrows, os.path.getsize(local), stats,
+                            nulls)
 
     # -- driver-runner side -----------------------------------------------
     def _drop_staged(self, messages) -> None:
@@ -260,7 +263,7 @@ class _TxlogStreamWriter(DataSourceStreamWriter):
                 "(concurrent RENAME/DROP COLUMN); restart the query")
         shim = SimpleNamespace(schema=self.schema)
         evolved = t._check_schema(shim, snap, self.schema_mode)
-        adds = [AddFile(m.rel, m.rows, m.nbytes, m.stats)
+        adds = [AddFile(m.rel, m.rows, m.nbytes, m.stats, m.nulls)
                 for m in messages if m is not None and m.rows > 0]
         empties = [m for m in messages
                    if m is not None and m.rows == 0]

@@ -373,3 +373,95 @@ def test_row_group_skip_keeps_full_file_without_bounds(spark, cat,
                                                        tmp_path):
     p = _multi_rg_table(spark, cat, tmp_path, "rgfull")
     assert read_txlog(spark, p).count() == 1000
+
+
+# ------------------------------------------------- null skipping (r12)
+def test_null_count_stats_harvested_and_optional(spark, cat):
+    import json as _json
+    import os as _os
+    cat.sql("CREATE TABLE ns USING txlog AS "
+            "SELECT id, IF(id % 2 = 0, NULL, id) AS v "
+            "FROM range(10)")
+    p = cat.table("ns").path
+    log = _os.path.join(p, "_txlog")
+    v0 = sorted(n for n in _os.listdir(log) if n.endswith(".json")
+                and n[0].isdigit())[0]
+    with open(_os.path.join(log, v0)) as f:
+        adds = _json.load(f)["add"]
+    total_nulls = sum(a.get("nulls", {}).get("v", 0) for a in adds)
+    assert total_nulls == 5
+    # an add entry WITHOUT the key replays as unknown (old logs)
+    from aws_payment_data_lake_spark.sources.txlog import AddFile
+    legacy = AddFile.from_json({"path": "x", "rows": 3, "bytes": 9,
+                                "stats": {"v": [1, 2]}})
+    assert legacy.nulls == {}
+
+
+def test_is_null_prunes_files(spark, cat, tmp_path):
+    """Two files: one fully non-null in v, one holding nulls. An
+    IS NULL scan must read only the null-bearing file's rows
+    (observed pre-Spark-refilter), with end-to-end parity."""
+    from aws_payment_data_lake_spark.sources.txlog_batch import (
+        _SnapshotReader,
+    )
+    import pyarrow as _pa
+    cat.sql("CREATE TABLE nf (id BIGINT, v BIGINT) USING txlog")
+    cat.sql("INSERT INTO nf SELECT id, id FROM range(50)")
+    cat.sql("INSERT INTO nf SELECT id + 100, "
+            "IF(id % 5 = 0, NULL, id) FROM range(50)")
+    p = cat.table("nf").path
+    def _raw(reader):
+        tabs = []
+        for pt in reader.partitions():
+            if not pt.path:
+                continue
+            bs = list(reader.read(pt))
+            if bs:
+                tabs.append(_pa.Table.from_batches(bs))
+        return _pa.concat_tables(tabs) if tabs else _pa.table({})
+
+    r = _SnapshotReader({"path": p})
+    r._bounds = {"v": [("isnull", None)]}
+    raw = _raw(r)
+    assert raw.num_rows <= 50        # the all-non-null file skipped
+    got = sorted(x.id for x in spark.read.format("txlog")
+                 .option("path", p).load()
+                 .where("v IS NULL").collect())
+    assert got == [100 + i for i in range(50) if i % 5 == 0]
+    # IS NOT NULL keeps both files (the second holds non-nulls too)
+    r2 = _SnapshotReader({"path": p})
+    r2._bounds = {"v": [("notnull", None)]}
+    assert _raw(r2).num_rows == 100
+
+
+def test_is_null_prunes_row_groups(spark, cat, tmp_path):
+    """Inside one kept file, only null-bearing ROW GROUPS read."""
+    import os as _os
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from aws_payment_data_lake_spark.sources.txlog_batch import (
+        _SnapshotReader,
+    )
+    p = str(tmp_path / "nrg")
+    _os.makedirs(p)
+    # 10 groups of 100; only group 3 holds nulls
+    v = [None if 300 <= i < 400 and i % 2 == 0 else i
+         for i in range(1000)]
+    _pq.write_table(_pa.table({"id": list(range(1000)), "v": v}),
+                    _os.path.join(p, "part-0.parquet"),
+                    row_group_size=100)
+    cat.register("nrg", p)
+    cat.sql("CONVERT TO TXLOG nrg")
+    r = _SnapshotReader({"path": p})
+    r._bounds = {"v": [("isnull", None)]}
+    tabs = []
+    for pt in r.partitions():
+        if pt.path:
+            bs = list(r.read(pt))
+            if bs:
+                tabs.append(_pa.Table.from_batches(bs))
+    raw = _pa.concat_tables(tabs)
+    assert raw.num_rows == 100       # exactly the one group
+    got = (spark.read.format("txlog").option("path", p).load()
+           .where("v IS NULL").count())
+    assert got == 50
