@@ -165,11 +165,12 @@ def _stats_keep(snap,
     TxnTable._overlaps generalized to a filter list. Files missing
     stats for a column are conservatively kept."""
     keep = set()
-    for key, a in snap.live.items():
+    split = {col: ([p for p in preds
+                    if p[0] not in ("isnull", "notnull")], preds)
+             for col, preds in bounds.items()}   # hoisted: once per
+    for key, a in snap.live.items():             # call, not per file
         ok = True
-        for col, preds in bounds.items():
-            vals = [p for p in preds if p[0] not in ("isnull",
-                                                     "notnull")]
+        for col, (vals, preds) in split.items():
             mm = a.stats.get(col)
             if mm and mm[0] is not None and not _mm_ok(mm[0], mm[1],
                                                        vals):
@@ -198,18 +199,19 @@ def _rg_offsets_keep(pf, bounds: dict[str, list[tuple]]
                    for j in range(md.num_columns)} if md.num_row_groups \
         else {}
     off = 0
+    split = {col: ([p for p in preds
+                    if p[0] not in ("isnull", "notnull")], preds)
+             for col, preds in bounds.items()}
     for i in range(md.num_row_groups):
         rg = md.row_group(i)
         ok = True
-        for col, preds in bounds.items():
+        for col, (vals, preds) in split.items():
             j = name_to_idx.get(col)
             if j is None:
                 continue
             st = rg.column(j).statistics
             if st is None:
                 continue
-            vals = [p for p in preds if p[0] not in ("isnull",
-                                                     "notnull")]
             if (st.has_min_max
                     and not _mm_ok(st.min, st.max, vals)):
                 ok = False

@@ -21,10 +21,16 @@ Stream semantics:
     without row tracking; documented, bounded by file granularity).
   * `startingVersion` picks up mid-log (default 0 = full history).
   * `maxFilesPerTrigger` (round 12, Delta's rate limit) bounds the
-    ADDED FILES one micro-batch plans — a backlog drains as many
+    FILES one micro-batch plans (adds; cdc images / DV pre-image
+    parts under readChangeFeed) — a burst of commits drains as many
     bounded batches under a processing-time trigger (availableNow
     snapshots one bounded batch per run: the Python DS API has no
-    prepareForTriggerAvailableNow hook).
+    prepareForTriggerAvailableNow hook). The FIRST batch of a
+    query's life is always unbounded: Spark asks for the latest
+    offset before revealing any start offset (probed: latest ->
+    initial -> latest), and a bounded answer computed blind could
+    regress below a restart's checkpoint and re-deliver committed
+    rows — correctness beats smoothing for one batch.
 
 Scale: planning reads only the commit JSONs in the version range
 (driver-side metadata, ~KB per commit); each ADDED FILE becomes one
@@ -285,9 +291,11 @@ class _FeedStreamReader(DataSourceStreamReader):
             "maxfilespertrigger", options.get("maxFilesPerTrigger", 0)
         ) or 0)
         self._last_end = None      # highest offset this reader issued
-        self._floor = self.start   # checkpointed progress floor
+        self._floor = None         # progress learned from Spark
+        #                            (initialOffset or partitions())
 
     def initialOffset(self) -> dict:
+        self._floor = max(self._floor or 0, self.start)
         return {"version": self.start}
 
     def latestOffset(self) -> dict:
@@ -296,18 +304,37 @@ class _FeedStreamReader(DataSourceStreamReader):
         head_next = (vs[-1] + 1) if vs else self.start
         if not self.max_files:
             return {"version": head_next}
-        lo = max(self._last_end or self.start, self._floor)
+        if self._floor is None:
+            # The FIRST latestOffset of a reader's life arrives before
+            # Spark reveals any start offset (probed on 4.1: latest ->
+            # initial -> latest on a fresh stream; on a RESTART
+            # initialOffset is never called). An offset computed blind
+            # from startingVersion could REGRESS below a restart's
+            # checkpoint, poisoning the offset WAL into re-delivering
+            # committed commits — so the first answer is always the
+            # unbounded head (safe: >= every possible checkpoint),
+            # and throttling begins once partitions()/initialOffset
+            # teach us the real floor.
+            return {"version": head_next}
+        lo = max(self._last_end or 0, self._floor)
         if lo >= head_next:
             return {"version": head_next}
-        import json as _json
         bounded, files = lo, 0
         for v in vs:
             if v < lo:
                 continue
             with open(log.table._commit_path(v)) as f:
-                c = _json.load(f)
-            n = (0 if c.get("op") in log.table._LAYOUT_OPS
-                 else len(c.get("add", [])))
+                c = json.load(f)
+            if c.get("op") in log.table._LAYOUT_OPS:
+                n = 0
+            elif c.get("cdc"):
+                # cdc commits PLAN their image files (commit_adds),
+                # not their adds — count what the batch will hold
+                n = len(c["cdc"]["files"])
+            else:
+                n = len(c.get("add", []))
+                if self.cdf and c.get("dv"):
+                    n += len(c["dv"].get("per_target", {}))
             if files and files + n > self.max_files:
                 break              # cap reached — but never starve:
             files += n             # at least one commit per batch
@@ -319,7 +346,7 @@ class _FeedStreamReader(DataSourceStreamReader):
         # checkpointed progress floors the throttle counter, so a
         # RESTARTED rate-limited reader resumes counting from the
         # checkpoint instead of re-walking from startingVersion
-        self._floor = max(self._floor, int(start["version"]))
+        self._floor = max(self._floor or 0, int(start["version"]))
         parts = _Log(self.options).commit_adds(int(start["version"]),
                                                int(end["version"]),
                                                cdf=self.cdf)

@@ -821,26 +821,30 @@ class LakehouseCatalog:
         if two == "SHOW VIEWS":
             m = re.match(rf"SHOW\s+VIEWS(?:\s+IN\s+({_IDENT}))?\s*$",
                          s, re.IGNORECASE)
-            if not m:
-                raise ValueError(f"unsupported SHOW VIEWS: {s[:80]}")
-            return (self._show_tables(
-                f"SHOW TABLES IN {m.group(1)}" if m.group(1)
-                else "SHOW TABLES")
-                .where("deleteMode = 'view'")
-                .drop("location", "deleteMode"))
+            # unknown shapes/databases pass through to the session
+            # catalog (the class contract) — ours lists LAKEHOUSE
+            # views; session temp views stay spark.sql's business
+            if m and (m.group(1) is None
+                      or m.group(1) == _DEFAULT_DB
+                      or m.group(1) in self._databases):
+                return (self._show_tables(
+                    f"SHOW TABLES IN {m.group(1)}" if m.group(1)
+                    else "SHOW TABLES")
+                    .where("deleteMode = 'view'")
+                    .drop("location", "deleteMode"))
+            return self.spark.sql(s)
         if two == "DESCRIBE DATABASE":
             m = re.match(rf"DESCRIBE\s+DATABASE\s+({_IDENT})\s*$",
                          s, re.IGNORECASE)
-            if not m:
-                raise ValueError(
-                    f"unsupported DESCRIBE DATABASE: {s[:80]}")
-            db = m.group(1)
             self._refresh()
-            if db != _DEFAULT_DB and db not in self._databases:
-                raise NoSuchDatabaseError(
-                    f"database '{db}' does not exist")
+            if (not m or (m.group(1) != _DEFAULT_DB
+                          and m.group(1) not in self._databases)):
+                # EXTENDED shapes / session-catalog databases pass
+                # through untouched
+                return self.spark.sql(self._bind_reads(s))
+            db = m.group(1)
             prefix = f"{db}."
-            nt = sum(1 for k in self._tables
+            nt = sum(1 for k in list(self._tables) + list(self._ext)
                      if (k.startswith(prefix) if db != _DEFAULT_DB
                          else "." not in k))
             nv = sum(1 for k in self._views
@@ -1048,8 +1052,9 @@ class LakehouseCatalog:
         # SUBSTRING of the statement can't bind — one `in` check
         # replaces ~5 regex compiles per key (measured: view binding
         # at 500 tables dropped ~0.9s -> analysis-bound)
+        s_low = s.lower()
         for key in sorted(self._views, key=lambda k: "." not in k):
-            if key.split(".")[-1] not in s:
+            if key.split(".")[-1].lower() not in s_low:
                 continue
             for name in self._spellings(key):
                 pat = rf"\b{re.escape(name)}\b"
@@ -1073,7 +1078,7 @@ class LakehouseCatalog:
         for key in sorted(self._ext, key=lambda k: "." not in k):
             # crawled raw-zone tables: a plain reader view (Hive
             # partition discovery et al. are Spark's business)
-            if key.split(".")[-1] not in s:
+            if key.split(".")[-1].lower() not in s_low:
                 continue
             for name in self._spellings(key):
                 pat = rf"\b{re.escape(name)}\b"
@@ -1084,7 +1089,7 @@ class LakehouseCatalog:
                 if name != view:
                     s = self._sub_outside_quotes(s, pat, view)
         for key in sorted(self._tables, key=lambda k: "." not in k):
-            if key.split(".")[-1] not in s:
+            if key.split(".")[-1].lower() not in s_low:
                 continue
             t = self._tables[key]
             for name in self._spellings(key):
@@ -2099,11 +2104,18 @@ class LakehouseCatalog:
             v = self.table(m.group(1)).drop_check_constraint(m.group(2))
             return self._metrics("drop_constraint", {"version": v})
         m = re.match(
-            rf"ALTER\s+TABLE\s+({_TNAME})\s+ADD\s+COLUMNS?\s*"
-            rf"{_PBODY}\s*$", s, re.IGNORECASE | re.DOTALL)
+            rf"ALTER\s+TABLE\s+({_TNAME})\s+ADD\s+COLUMNS?\s*\(",
+            s, re.IGNORECASE)
         if m:
+            # balanced scan, not a regex capture: column TYPES nest
+            # parens (DECIMAL(10,2)) and DEFAULT literals may hold ')'
+            end = self._scan_parens(s, m.end() - 1)
+            if s[end:].strip():
+                raise ValueError(
+                    f"unsupported ALTER TABLE shape: {s[:120]}")
+            body = s[m.end():end - 1]
             cols: dict[str, str] = {}
-            for part in self._split_top(m.group(2)):
+            for part in self._split_top(body):
                 cm = re.match(rf"\s*({_IDENT})\s+(.+?)\s*$", part,
                               re.DOTALL)
                 if not cm:

@@ -295,3 +295,49 @@ def test_api_unregister_and_rename_refuse_views(spark, cat):
     with pytest.raises(ValueError, match="VIEW"):
         cat.rename_table("v8", "v9")
     assert cat._resolve_view("v8") == "v8"     # untouched
+
+
+# ------------------------------------------- third pass (post-close)
+# (the throttled-restart regression lives in tests/test_txlog_feed.py
+#  beside the feature, with the epoch-replay-tolerant harness)
+def test_bind_gate_is_case_insensitive(spark, cat):
+    """3rd-pass finding 2: the substring gate must not defeat the
+    case-insensitive time-travel / TVF patterns."""
+    cat.sql("CREATE TABLE fzc USING txlog AS SELECT id FROM range(4)")
+    cat.sql("DELETE FROM fzc WHERE id = 0")
+    assert cat.sql("SELECT COUNT(*) AS n FROM FZC VERSION AS OF 0"
+                   ).collect()[0].n == 4
+    assert cat.sql("SELECT COUNT(*) AS n FROM table_history('fzc')"
+                   ).collect()[0].n >= 2
+
+
+def test_show_views_describe_db_fall_through(spark, cat):
+    """3rd-pass finding 4: shapes/databases that are not ours pass
+    through to the session catalog instead of raising."""
+    # DESCRIBE DATABASE default exists in Spark's session catalog too
+    # — ours answers known dbs; an unknown one delegates to spark.sql
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+    with _pytest.raises(AnalysisException):   # spark's error, not ours
+        cat.sql("DESCRIBE DATABASE no_such_db_anywhere")
+    # SHOW VIEWS IN an unknown db likewise delegates
+    with _pytest.raises(AnalysisException):
+        cat.sql("SHOW VIEWS IN no_such_db_anywhere")
+
+
+def test_describe_database_counts_externals(spark, cat):
+    import os as _os
+    cat.sql("CREATE DATABASE xd")
+    raw = _os.path.join(cat.warehouse, "xd", "rawz")
+    spark.range(3).coalesce(1).write.parquet(raw)
+    cat.register_external("xd.rawz", raw)
+    d = cat.sql("DESCRIBE DATABASE xd").collect()[0]
+    assert d.tables == 1
+
+
+def test_alter_add_columns_nested_paren_types(spark, cat):
+    """3rd-pass finding 6: DECIMAL(10,2) (nested parens) now ALTERs."""
+    cat.sql("CREATE TABLE adp (id bigint) USING txlog")
+    cat.sql("ALTER TABLE adp ADD COLUMNS (d DECIMAL(10,2), s string)")
+    assert dict(cat.sql("SELECT * FROM adp").dtypes)["d"] \
+        == "decimal(10,2)"
