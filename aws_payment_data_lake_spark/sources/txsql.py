@@ -718,6 +718,29 @@ class LakehouseCatalog:
         raise NoSuchTableError(
             f"'{name}' never existed in this catalog")
 
+    def stream_table(self, name: str, starting_version: int = 0,
+                     read_change_feed: bool = False,
+                     max_files_per_trigger: int = 0) -> DataFrame:
+        """``spark.readStream.table(name)`` for the lakehouse: the
+        catalog-name twin of ``stream_table_feed`` (Delta's
+        table-as-a-stream addressed the Glue way — by name, not
+        path). Resolves qualified names through the durable catalog,
+        so a fresh process streams ``payments_db.silver`` with zero
+        setup."""
+        from aws_payment_data_lake_spark.sources.txlog_stream import (
+            register_txlog_feed,
+        )
+        t = self.table(name)          # guided errors for views/ext
+        register_txlog_feed(self.spark)
+        r = (self.spark.readStream.format("txlog_feed")
+             .option("path", t.path)
+             .option("startingVersion", str(starting_version))
+             .option("readChangeFeed", str(read_change_feed).lower()))
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger",
+                         str(max_files_per_trigger))
+        return r.load()
+
     def table(self, name: str) -> TxnTable:
         key = self._resolve(name)
         if key is None:

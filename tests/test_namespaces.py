@@ -275,3 +275,23 @@ def test_show_views_and_describe_database(cat):
     )
     with _pytest.raises(NoSuchDatabaseError):
         cat.sql("DESCRIBE DATABASE nope")
+
+
+def test_stream_table_by_qualified_name(spark, cat, tmp_path):
+    """cat.stream_table('db.t'): table-as-a-stream addressed by
+    catalog name (Delta's readStream.table, the Glue way)."""
+    cat.sql("CREATE DATABASE live")
+    cat.sql("CREATE TABLE live.ev USING txlog AS "
+            "SELECT id FROM range(5)")
+    q = (cat.stream_table("live.ev")
+         .writeStream.format("memory").queryName("ns_stream")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT id FROM ns_stream ORDER BY id").collect()
+    assert [r.id for r in got] == [0, 1, 2, 3, 4]
+    # a VIEW refuses with the guided error
+    cat.sql("CREATE VIEW live.vv AS SELECT id FROM live.ev")
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="VIEW"):
+        cat.stream_table("live.vv")
