@@ -438,9 +438,36 @@ def _footer_stats(local_path: str
             elif mins[name] is not None:
                 mins[name] = min(mins[name], lo)
                 maxs[name] = max(maxs[name], hi)
-    stats = {c: [mins[c], maxs[c]] for c in mins
-             if mins[c] is not None}
+    stats = {c: [_trunc_lo(mins[c]), _trunc_hi(maxs[c])]
+             for c in mins if mins[c] is not None}
     return md.num_rows, stats, nulls
+
+
+# Delta bounds its string stats the same way
+# (dataSkippingStringPrefixLength): untruncated min/max of a long
+# text column would copy document-sized values into EVERY commit,
+# growing the log with the data instead of the metadata. 64 chars
+# keeps a million-file log in the KB-per-commit regime.
+_STATS_STR_PREFIX = 64
+# sorts >= any continuation of a prefix (max code point), so a
+# truncated UPPER bound stays a true upper bound
+_STATS_STR_CEIL = "\U0010ffff"
+
+
+def _trunc_lo(v: Any) -> Any:
+    """A PREFIX of the min is a valid (weaker) lower bound."""
+    if isinstance(v, str) and len(v) > _STATS_STR_PREFIX:
+        return v[:_STATS_STR_PREFIX]
+    return v
+
+
+def _trunc_hi(v: Any) -> Any:
+    """A truncated max must be ROUNDED UP or pruning would skip
+    files whose true max extends the prefix: append the max code
+    point, which sorts above every continuation."""
+    if isinstance(v, str) and len(v) > _STATS_STR_PREFIX:
+        return v[:_STATS_STR_PREFIX] + _STATS_STR_CEIL
+    return v
 
 
 class TxnTable:
