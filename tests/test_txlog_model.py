@@ -231,6 +231,20 @@ def test_random_op_sequences_match_model(spark, ops):
             got = {r.id: r.v for r in t.snapshot().collect()}
             assert got == model, f"after {op}: {got} != {model}"
             assert t.count_rows() == len(model)
+            # stats-metadata invariants hold after EVERY op (r12):
+            # min <= max, string stats prefix-bounded (64 + the
+            # round-up ceil char), null counts within [0, rows]
+            for a in t._replay().live.values():
+                assert a.rows >= 0 and a.bytes > 0
+                for mm in a.stats.values():
+                    try:
+                        assert mm[0] <= mm[1], (a.path, mm)
+                    except TypeError:
+                        pass             # mixed JSON forms: no order
+                    if isinstance(mm[0], str):
+                        assert len(mm[0]) <= 64 and len(mm[1]) <= 65
+                for nc in a.nulls.values():
+                    assert 0 <= nc <= a.rows, (a.path, a.nulls)
         # every recorded version time-travels to the model's rows
         for ver, (rows, _) in hist.items():
             got = {r.id: r.v for r in
