@@ -944,3 +944,63 @@ def remove_duplicate_spans(docs: DataFrame, n: int = SPAN_NGRAM,
         "doc_id", "tk",
         F.coalesce(F.col("spans"), F.expr(EMPTY_SPANS)).alias("spans"))
     return split_tokens_by_spans(d, text_col, min_tokens)
+
+
+def cluster_aware_split(docs: DataFrame,
+                        components: DataFrame,
+                        id_col: str = "doc_id",
+                        weights: tuple = (0.8, 0.1, 0.1),
+                        labels: tuple = ("train", "valid", "test"),
+                        salt: str = "split") -> DataFrame:
+    """LEAKAGE-FREE train/valid/test assignment (round 12): documents
+    split by the salted hash of their duplicate CLUSTER's canonical
+    id, so a near-dup pair can never straddle the train/test boundary
+    — the contamination a per-document hash split silently creates
+    (a test document whose near-copy sits in train is a leaked
+    answer). ``components`` is the connected-components table
+    (doc_id, canonical_doc_id[, group_size]) from the verified
+    near-dup pair graph; documents in no cluster are their own
+    canonical (left join + coalesce), so the assignment degrades to
+    the ordinary hash split exactly where no duplication exists.
+
+    Deterministic and order-free: membership depends only on
+    (salt, canonical id) — never on row order, partitioning or
+    corpus size — so reruns, incremental refreshes and a 1000-
+    executor cluster all agree. One broadcast-sized join against the
+    cluster table (pairs ∝ true duplicates, orders of magnitude
+    smaller than the corpus) + row-local hashing: no extra shuffle
+    at 100 TB beyond the join itself.
+
+    Returns ``docs`` + (split_canonical, split_bucket 0..99, split).
+    """
+    if len(weights) != len(labels):
+        raise ValueError(f"{len(weights)} weights for "
+                         f"{len(labels)} labels")
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {sum(weights)}")
+    comp = components.select(
+        F.col("doc_id").alias(id_col),
+        F.col("canonical_doc_id").alias("__canon"))
+    out = (docs.join(comp, id_col, "left")
+           .withColumn("split_canonical",
+                       F.coalesce(F.col("__canon"), F.col(id_col)))
+           .drop("__canon")
+           .withColumn(
+               "split_bucket",
+               F.pmod(F.xxhash64(F.lit(salt),
+                                 F.col("split_canonical")),
+                      F.lit(100)).cast("int")))
+    edges = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w
+        edges.append(int(round(acc * 100)))
+    # CASE over cumulative bucket edges, first label upward
+    expr = None
+    lo = 0
+    for lbl, hi in zip(labels, edges + [100]):
+        cond = (F.col("split_bucket") >= lo) & (F.col("split_bucket") < hi)
+        expr = F.when(cond, F.lit(lbl)) if expr is None \
+            else expr.when(cond, F.lit(lbl))
+        lo = hi
+    return out.withColumn("split", expr)

@@ -692,3 +692,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate/verify/CC build it never reads (ADVICE r4)."""
     sh = shared_base_tables(spark, sf_dir)[0]
     return D.simhash_pairs(None, sh=sh).orderBy("doc_a", "doc_b")
+
+
+def corpus_leakfree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/valid/test over `documents` (round 12,
+    bench-only; the leakage property is pytest-pinned in
+    tests/test_connected_components.py): assignment hashes the
+    duplicate CLUSTER's canonical id from the shared verified LSH
+    pair graph, so no near-dup pair straddles train/test — the
+    contamination a per-document split silently creates. Reuses the
+    session's MinHash family store; the split itself adds one join
+    against the (pairs-sized) cluster table + row-local hashing."""
+    (docs,) = load(spark, sf_dir, "documents")
+    comp = shared_minhash_tables(spark, sf_dir)[4]
+    out = D.cluster_aware_split(docs.select("doc_id"), comp)
+    return (out.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("split_canonical").alias("n_clusters"))
+            .orderBy("split"))

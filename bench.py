@@ -71,6 +71,7 @@ HEADLINE = [
     "dedup_span_removal",            # unregistered ExactSubstr removal (EXTRA_FNS)
     "dedup_span_incremental",        # unregistered delta-vs-index probe (EXTRA_FNS)
     "dedup_connected_components",
+    "corpus_leakfree_split",         # r12: cluster-aware no-leak split (EXTRA_FNS)
     "text_profile",                  # round 2: lang-id + quality + tokens
     "text_repetition_profile",       # Gopher gates (registered since r5)
     "text_vocab_topk",
@@ -124,6 +125,7 @@ def _extra_fns():
         text_decontamination_scrub,
     )
     from aws_payment_data_lake_spark.queries.dedup import (
+        corpus_leakfree_split,
         dedup_shingle_jaccard,
         dedup_span_incremental,
         dedup_span_removal,
@@ -192,6 +194,7 @@ def _extra_fns():
         "queue_source_ingest": queue_source_ingest,
         "quality_model_filter": quality_model_filter,
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
+        "corpus_leakfree_split": corpus_leakfree_split,
         "dedup_span_incremental": dedup_span_incremental,
         "dedup_span_removal": dedup_span_removal,
         "ann_index_ingest": ann_index_ingest,

@@ -111,3 +111,51 @@ def test_matches_label_propagation_semantics(spark):
     expect = {n: (root, len(members))
               for root, members in comps.items() for n in members}
     assert _cc(spark, edges) == expect
+
+
+def test_cluster_aware_split_is_leakage_free(spark):
+    """round 12: near-dup pairs NEVER straddle the split boundary;
+    singleton docs degrade to the plain hash split; deterministic."""
+    import pyspark.sql.functions as F
+    from aws_payment_data_lake_spark.operators.dedup import (
+        cluster_aware_split,
+        connected_components,
+    )
+    docs = spark.range(1000).selectExpr("id AS doc_id",
+                                        "CONCAT('d', id) AS text")
+    # chain clusters: (0,1,2), (10,11,12), ... every 10th triple
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 1000, 10)]
+        + [(i + 1, i + 2) for i in range(0, 1000, 10)],
+        "doc_a long, doc_b long")
+    comp = connected_components(pairs)
+    out = cluster_aware_split(docs, comp).persist()
+    # leakage property: both endpoints of every pair share the split
+    lab = out.select("doc_id", "split")
+    a = lab.withColumnRenamed("doc_id", "doc_a") \
+           .withColumnRenamed("split", "sa")
+    b = lab.withColumnRenamed("doc_id", "doc_b") \
+           .withColumnRenamed("split", "sb")
+    straddle = (pairs.join(a, "doc_a").join(b, "doc_b")
+                .where("sa <> sb").count())
+    assert straddle == 0
+    # whole clusters share one label
+    assert (out.groupBy("split_canonical")
+            .agg(F.countDistinct("split").alias("n"))
+            .where("n > 1").count()) == 0
+    # proportions roughly honor the weights (hash noise tolerated)
+    frac = {r.split: r.c / 1000 for r in
+            out.groupBy("split").count()
+            .selectExpr("split", "count AS c").collect()}
+    assert 0.7 < frac["train"] < 0.9
+    assert 0.05 < frac["valid"] < 0.16
+    assert 0.05 < frac["test"] < 0.16
+    # deterministic: a rerun assigns identically
+    again = cluster_aware_split(docs, comp)
+    assert (out.select("doc_id", "split")
+            .exceptAll(again.select("doc_id", "split")).count()) == 0
+    # bad weights refuse loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sum"):
+        cluster_aware_split(docs, comp, weights=(0.5, 0.1, 0.1))
+    out.unpersist()
