@@ -68,8 +68,19 @@ def curate_status(df: DataFrame) -> DataFrame:
     return df.withColumn("status_curated", expr.otherwise(STATUS_UNKNOWN))
 
 
-def run_silver(df: DataFrame) -> DataFrame:
-    """validate -> curate (ordered, etl_transactions_silver.py:115-130)."""
+def run_silver(df: DataFrame, dq_rules=None, dq_runner=None) -> DataFrame:
+    """validate -> curate (ordered, etl_transactions_silver.py:115-130).
+
+    ``dq_rules`` (operators/dq.py Rules or dicts) optionally gates the
+    hop: the rule set runs as ONE single-pass aggregate over the input
+    and raises DQViolationError BEFORE any silver rows are produced
+    when a blocking rule fails — the declarative layer of the
+    reference's declared Deequ upgrade (README.md:131). ``dq_runner``
+    persists the run's metrics (pass or fail) to the history table
+    first, so a stopped pipeline leaves its evidence."""
+    if dq_rules is not None:
+        from aws_payment_data_lake_spark.operators.dq import gate
+        df = gate(df, dq_rules, runner=dq_runner, dataset="silver_input")
     return curate_status(validate(df))
 
 

@@ -114,6 +114,7 @@ HEADLINE = [
     "udtf_order_quarters",
     "corpus_curation_decisions",
     "corpus_source_report",          # unregistered per-source dashboard (EXTRA_FNS)
+    "dq_check_payments",             # r13: declarative DQ rules + history + anomaly (EXTRA_FNS)
 ]
 
 
@@ -171,6 +172,7 @@ def _extra_fns():
     from aws_payment_data_lake_spark.queries.queue import (
         queue_source_ingest,
     )
+    from aws_payment_data_lake_spark.queries.dq import dq_check_payments
     from aws_payment_data_lake_spark.queries.quality import (
         quality_model_filter,
     )
@@ -193,6 +195,7 @@ def _extra_fns():
         "txlog_sink_ingest": txlog_sink_ingest,
         "queue_source_ingest": queue_source_ingest,
         "quality_model_filter": quality_model_filter,
+        "dq_check_payments": dq_check_payments,
         "dedup_shingle_jaccard": dedup_shingle_jaccard,
         "corpus_leakfree_split": corpus_leakfree_split,
         "dedup_span_incremental": dedup_span_incremental,
