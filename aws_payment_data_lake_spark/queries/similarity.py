@@ -519,3 +519,67 @@ def cluster_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = max(1, int(emb.count()) // 20)
     return cluster_balanced_sample(emb, centroids=cents,
                                    cap_per_cluster=cap)
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every approximate ANN tier against the exact
+    brute-force baseline on the same embeddings (VERDICT r12 "What's
+    missing" #2: IVF/PQ/RP-LSH had no quality dial to read). One
+    exact top-10 pass for 20 queries, then each tier at its canonical
+    and one upgraded setting; numbers land in BENCH_DETAIL's ``stats``
+    block (telemetry.record_stat) so a tuning regression shows up
+    round-over-round next to the timings. Floors are pinned at sf0.01
+    in tests/test_ann_recall.py; this slot keeps the measurement
+    continuous at whatever SF the bench runs."""
+    from aws_payment_data_lake_spark.telemetry import (
+        record_stat,
+        timed_phase,
+    )
+
+    K, NQ = 10, 20
+    FAM = "ann_recall_report"
+    (emb,) = load(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") < NQ)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe")))
+    results: list[tuple[str, str, float]] = []
+
+    def note(tier: str, setting: str, r: float) -> None:
+        record_stat(FAM, f"{tier}[{setting}]@{K}", r)
+        results.append((tier, setting, r))
+
+    with timed_phase(FAM, "exact_baseline"):
+        exact = S.brute_force_topk(emb, k=K, n_queries=NQ).persist()
+        exact.count()
+    try:
+        with timed_phase(FAM, "ivf"):
+            cents, assigned = shared_ivf_index(spark, sf_dir)
+            for n_probe in (1, 4, 8):
+                note("ivf", f"n_probe={n_probe}", S.mean_recall(
+                    exact, S.ivf_probe_topk(cents, assigned, q, k=K,
+                                            n_probe=n_probe), k=K))
+        with timed_phase(FAM, "pq"):
+            books = S.train_pq_codebooks(emb)
+            codes = S.pq_encode(emb, books).persist()
+            note("pq", "adc_only", S.mean_recall(
+                exact, S.pq_topk(codes, q, books, k=K), k=K))
+            note("pq", "rerank=8x", S.mean_recall(
+                exact, S.pq_topk(codes, q, books, k=K, rerank=emb),
+                k=K))
+            note("ivfpq", "n_probe=4,rerank=8x", S.mean_recall(
+                exact, S.ivfpq_topk(cents, assigned, codes, q, books,
+                                    k=K, n_probe=4, rerank=emb), k=K))
+            codes.unpersist()
+        with timed_phase(FAM, "rp_lsh"):
+            note("rp_lsh", "bands=4", S.mean_recall(
+                exact, S.rp_lsh_topk(emb, k=K, n_queries=NQ,
+                                     n_planes=16, n_bands=4), k=K))
+            note("rp_lsh", "bands=8", S.mean_recall(
+                exact, S.rp_lsh_topk(emb, k=K, n_queries=NQ,
+                                     n_planes=16, n_bands=8), k=K))
+    finally:
+        exact.unpersist()
+    sel = [f"SELECT '{t}' AS tier, '{s}' AS setting, "
+           f"CAST({r:.6f} AS DOUBLE) AS recall_at_{K}"
+           for t, s, r in results]
+    return spark.sql(" UNION ALL ".join(sel)).coalesce(1)

@@ -90,6 +90,7 @@ HEADLINE = [
     "knn_pq",                        # unregistered PQ+rerank ANN (EXTRA_FNS)
     "knn_ivfpq",                     # unregistered IVF-PQ composition (EXTRA_FNS)
     "ann_index_ingest",              # frozen-artifact index roll (EXTRA_FNS)
+    "ann_recall_report",             # r13: recall@10 per approx tier vs exact (EXTRA_FNS)
     "semantic_dedup_embeddings",     # unregistered SemDeDup (EXTRA_FNS)
     "cluster_balance_sample",        # unregistered cluster-cap stage (EXTRA_FNS)
     "rag_chunk_retrieval",           # unregistered chunk->embed->IVF (EXTRA_FNS)
@@ -139,6 +140,7 @@ def _extra_fns():
     )
     from aws_payment_data_lake_spark.queries.similarity import (
         ann_index_ingest,
+        ann_recall_report,
         cluster_balance_sample,
         knn_ivf_probe,
         knn_ivfpq,
@@ -201,6 +203,7 @@ def _extra_fns():
         "dedup_span_incremental": dedup_span_incremental,
         "dedup_span_removal": dedup_span_removal,
         "ann_index_ingest": ann_index_ingest,
+        "ann_recall_report": ann_recall_report,
         "knn_ivf_probe": knn_ivf_probe,
         "knn_ivfpq": knn_ivfpq,
         "knn_pq": knn_pq,
@@ -255,8 +258,10 @@ def main() -> int:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     phases: dict[str, dict[str, float]] = {}
+    stats: dict[str, dict[str, float]] = {}
     from aws_payment_data_lake_spark.telemetry import (
         drain_phases,
+        drain_stats,
         drain_store_builds,
         load_stamp,
     )
@@ -290,6 +295,10 @@ def main() -> int:
                             or sum(ph.values()) < sum(
                                 phases[fam].values())):
                         phases[fam] = ph
+                # Quality numbers (ANN recall@k): deterministic per
+                # run — latest wins.
+                for fam, st in drain_stats().items():
+                    stats.setdefault(fam, {}).update(st)
                 # Operators may persist() intermediates; drop them so no
                 # query's timing pays for (or benefits from) cached state.
                 spark.catalog.clearCache()
@@ -297,6 +306,7 @@ def main() -> int:
             errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
             spark.catalog.clearCache()
             drain_phases()
+            drain_stats()
             print(f"  {name}: ERR {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(best, 3)
@@ -327,6 +337,8 @@ def main() -> int:
         full["store_build_sec"] = builds
     if phases:
         full["phase_sec"] = phases
+    if stats:
+        full["stats"] = stats
     if errors:
         full["errors"] = errors
 
