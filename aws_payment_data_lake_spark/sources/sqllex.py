@@ -196,35 +196,36 @@ class Match:
         return self._m.span(i)
 
 
-def match(s: str, pattern: str, flags: int = 0) -> Match | None:
+def match(pattern: str, s: str, flags: int = 0) -> Match | None:
+    """``re.match`` over ``mask(s)`` — same argument order as ``re``,
+    so a callsite migration is a pure name substitution."""
     m = re.match(pattern, mask(s), flags)
     return Match(m, s) if m else None
 
 
-def search(s: str, pattern: str, flags: int = 0) -> Match | None:
+def search(pattern: str, s: str, flags: int = 0) -> Match | None:
     m = re.search(pattern, mask(s), flags)
     return Match(m, s) if m else None
 
 
-def finditer(s: str, pattern: str,
+def finditer(pattern: str, s: str,
              flags: int = 0) -> Iterator[Match]:
     for m in re.finditer(pattern, mask(s), flags):
         yield Match(m, s)
 
 
-def contains(s: str, pattern: str, flags: int = 0) -> bool:
+def contains(pattern: str, s: str, flags: int = 0) -> bool:
     return re.search(pattern, mask(s), flags) is not None
 
 
-def find(s: str, pattern: str, flags: int = 0) -> int:
+def find(pattern: str, s: str, flags: int = 0) -> int:
     """Start index of the first structural match, or -1."""
     m = re.search(pattern, mask(s), flags)
     return m.start() if m else -1
 
 
-def sub(s: str, pattern: str,
-        repl: str | Callable[[Match], str],
-        flags: int = 0) -> str:
+def sub(pattern: str, repl: str | Callable[[Match], str],
+        s: str, flags: int = 0) -> str:
     """Replace structural matches, rebuilding around ORIGINAL text.
     ``repl`` may be a plain string or a callable taking the wrapped
     match (no backreference expansion — callers pass literal text)."""

@@ -133,6 +133,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aws_payment_data_lake_spark.sources import sqllex
 from aws_payment_data_lake_spark.sources.catalog import (
     CatalogLog,
     DatabaseExistsError,
@@ -149,11 +150,11 @@ _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 # reference's from_catalog(database=..., table_name=...) addressing
 _TNAME = rf"{_IDENT}(?:\.{_IDENT})?"
 _DEFAULT_DB = "default"
-# a parenthesized body whose single-quoted runs may legally contain
-# ')' — e.g. TBLPROPERTIES ('k' = ')') (fuzz-found, round 12); the
-# quoted alternative consumes literals whole so the closing paren
-# that ends the group is always structural
-_PBODY = r"\(((?:'[^']*'|[^)'])*)\)"
+# a parenthesized body — matched over the lexer's literal-masked
+# projection (sqllex), where a ')' inside a string is \x00, so the
+# closing paren that ends the group is always structural (the round-12
+# fuzz-found quoted-paren case is handled by construction now)
+_PBODY = r"\(([^)]*)\)"
 
 
 def _view_name(key: str) -> str:
@@ -845,7 +846,7 @@ class LakehouseCatalog:
                 [f"SELECT '{self._sq(d)}' AS namespace"
                  for d in self.databases()])
         if two == "SHOW VIEWS":
-            m = re.match(rf"SHOW\s+VIEWS(?:\s+IN\s+({_IDENT}))?\s*$",
+            m = sqllex.match(rf"SHOW\s+VIEWS(?:\s+IN\s+({_IDENT}))?\s*$",
                          s, re.IGNORECASE)
             # unknown shapes/databases pass through to the session
             # catalog (the class contract) — ours lists LAKEHOUSE
@@ -860,7 +861,7 @@ class LakehouseCatalog:
                     .drop("location", "deleteMode"))
             return self.spark.sql(s)
         if two == "DESCRIBE DATABASE":
-            m = re.match(rf"DESCRIBE\s+DATABASE\s+({_IDENT})\s*$",
+            m = sqllex.match(rf"DESCRIBE\s+DATABASE\s+({_IDENT})\s*$",
                          s, re.IGNORECASE)
             self._refresh()
             if (not m or (m.group(1) != _DEFAULT_DB
@@ -884,7 +885,7 @@ class LakehouseCatalog:
                 f"'{self._sq(loc)}' AS location, "
                 f"CAST({nt} AS BIGINT) AS tables, "
                 f"CAST({nv} AS BIGINT) AS views"])
-        if verb == "USE" and len(head) == 2 and re.match(
+        if verb == "USE" and len(head) == 2 and sqllex.match(
                 rf"USE\s+{_IDENT}\s*$", s, re.IGNORECASE):
             self.use(head[1])
             return self._metrics("use", {"ok": 1})
@@ -911,7 +912,7 @@ class LakehouseCatalog:
             return self._show_props(s)
         if two == "ALTER TABLE":
             return self._alter(s)
-        m_v = re.match(
+        m_v = sqllex.match(
             rf"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_TNAME})\s+AS\s+(.*)$",
             s, re.IGNORECASE | re.DOTALL)
         if m_v:
@@ -921,7 +922,7 @@ class LakehouseCatalog:
                                or_replace=bool(m_v.group(1)))
             return self._metrics("create_view", {"created": 1})
         if two == "DROP VIEW":
-            m_d = re.match(
+            m_d = sqllex.match(
                 rf"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_TNAME})\s*$",
                 s, re.IGNORECASE)
             if m_d and (self._resolve_view(m_d.group(2))
@@ -932,7 +933,7 @@ class LakehouseCatalog:
                 ok = self.drop_view(m_d.group(2),
                                     if_exists=bool(m_d.group(1)))
                 return self._metrics("drop_view", {"dropped": int(ok)})
-        if verb == "CREATE" and re.match(
+        if verb == "CREATE" and sqllex.match(
                 r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\b", s,
                 re.IGNORECASE):
             # only CREATE [OR REPLACE] TABLE is ours — other CREATE
@@ -973,7 +974,7 @@ class LakehouseCatalog:
         the sum of live files' footer row counts — zero data files
         opened. Anything beyond the exact shape falls through to the
         ordinary scan (correct, just not metadata-speed)."""
-        m = re.match(
+        m = sqllex.match(
             rf"SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+({_IDENT}))?"
             rf"\s+FROM\s+({_TNAME})"
             rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
@@ -1007,54 +1008,6 @@ class LakehouseCatalog:
             sp.append(key)
         return sp
 
-    @staticmethod
-    def _quote_spans(s: str) -> list[tuple[int, int]]:
-        """[start, end] index spans of single-quoted literals (Spark
-        escaping: backslash + doubled '')."""
-        spans, i, n, in_q, start = [], 0, len(s), False, -1
-        while i < n:
-            ch = s[i]
-            if in_q:
-                if ch == "\\":
-                    i += 2
-                    continue
-                if ch == "'":
-                    if i + 1 < n and s[i + 1] == "'":
-                        i += 2
-                        continue
-                    in_q = False
-                    spans.append((start, i))
-            elif ch == "'":
-                in_q = True
-                start = i
-            i += 1
-        if in_q:
-            spans.append((start, n))
-        return spans
-
-    def _search_outside_quotes(self, s: str, pattern: str) -> bool:
-        """True iff the pattern matches OUTSIDE every single-quoted
-        literal — a statement that merely mentions a view/table name
-        inside a string must not trigger binding (or view expansion,
-        which would fail the whole query if the view is broken)."""
-        spans = self._quote_spans(s)
-        return any(not any(a <= m.start() <= b for a, b in spans)
-                   for m in re.finditer(pattern, s))
-
-    def _sub_outside_quotes(self, s: str, pattern: str, repl: str
-                            ) -> str:
-        """re.sub that leaves matches inside single-quoted literals
-        alone — a string mentioning a table name is content."""
-        spans = self._quote_spans(s)
-        out, last = [], 0
-        for m in re.finditer(pattern, s):
-            out.append(s[last:m.start()])
-            inside = any(a <= m.start() <= b for a, b in spans)
-            out.append(m.group(0) if inside else repl)
-            last = m.end()
-        out.append(s[last:])
-        return "".join(out)
-
     def _bind_reads(self, s: str, _depth: int = 0) -> str:
         """Substitute registered table references (with optional VERSION
         / TIMESTAMP AS OF suffixes) by snapshot-bound temp views. The
@@ -1084,7 +1037,7 @@ class LakehouseCatalog:
                 continue
             for name in self._spellings(key):
                 pat = rf"\b{re.escape(name)}\b"
-                if not self._search_outside_quotes(s, pat):
+                if not sqllex.contains(pat, s):
                     continue
                 view = _view_name(key)
                 ent = self._views[key]
@@ -1100,7 +1053,7 @@ class LakehouseCatalog:
                     self._current_db = saved_db
                 self.spark.sql(bound).createOrReplaceTempView(view)
                 if name != view:
-                    s = self._sub_outside_quotes(s, pat, view)
+                    s = sqllex.sub(pat, view, s)
         for key in sorted(self._ext, key=lambda k: "." not in k):
             # crawled raw-zone tables: a plain reader view (Hive
             # partition discovery et al. are Spark's business)
@@ -1108,12 +1061,12 @@ class LakehouseCatalog:
                 continue
             for name in self._spellings(key):
                 pat = rf"\b{re.escape(name)}\b"
-                if not self._search_outside_quotes(s, pat):
+                if not sqllex.contains(pat, s):
                     continue
                 view = _view_name(key)
                 self._ext_frame(key).createOrReplaceTempView(view)
                 if name != view:
-                    s = self._sub_outside_quotes(s, pat, view)
+                    s = sqllex.sub(pat, view, s)
         for key in sorted(self._tables, key=lambda k: "." not in k):
             if key.split(".")[-1].lower() not in s_low:
                 continue
@@ -1122,64 +1075,125 @@ class LakehouseCatalog:
                 s = self._bind_one(s, name, key, t)
         return s
 
+    _TVF_NAMES = ("table_changes", "table_files", "table_history")
+
+    def _sub_tvfs(self, s: str, name: str, t: TxnTable) -> str:
+        """Replace metadata TVF calls naming this table — consumed
+        from the TOKEN stream, because the table argument is usually
+        a STRING LITERAL ('t'), which the masked-regex projection
+        structurally cannot (and must not) see. Argument shapes that
+        don't fit a TVF's signature are left untouched (they fall to
+        Catalyst, which errors on the unknown function — the old
+        regexes' no-match behavior)."""
+        toks = sqllex.lex(s)
+        n = len(toks)
+        repls: list[tuple[int, int, str]] = []
+        i = 0
+        while i < n:
+            tk = toks[i]
+            if (tk.kind != sqllex.WORD
+                    or tk.text.lower() not in self._TVF_NAMES
+                    or i + 1 >= n or toks[i + 1].text != "("
+                    or toks[i + 1].kind != sqllex.PUNCT):
+                i += 1
+                continue
+            # flat argument scan to the matching ')' (TVF args are
+            # names / ints / bools — nested parens end the candidate)
+            args: list[str] = []
+            j, ok = i + 2, False
+            while j < n:
+                tj = toks[j]
+                if tj.kind == sqllex.PUNCT and tj.text == ")":
+                    ok = True
+                    break
+                if tj.kind == sqllex.PUNCT and tj.text == ",":
+                    j += 1
+                    continue
+                if tj.kind == sqllex.PUNCT and tj.text == ".":
+                    # qualified name: glue db '.' table into one arg
+                    if args:
+                        args[-1] += "."
+                        j += 1
+                        continue
+                    break
+                if tj.kind not in (sqllex.WORD, sqllex.NUM,
+                                   sqllex.STRING):
+                    break
+                v = tj.unquoted()
+                if args and args[-1].endswith("."):
+                    args[-1] += v
+                else:
+                    args.append(v)
+                j += 1
+            if not ok or not args \
+                    or args[0].lower() != name.lower():
+                i += 1
+                continue
+            df = self._tvf_frame(tk.text.lower(), args[1:], name, t)
+            if df is None:                 # shape mismatch: no match
+                i += 1
+                continue
+            repls.append((tk.start, toks[j].end, df))
+            i = j + 1
+        for a, b, r in reversed(repls):
+            s = s[:a] + r + s[b:]
+        return s
+
+    def _tvf_frame(self, fn: str, args: list[str], name: str,
+                   t: TxnTable) -> str | None:
+        """Materialize one TVF call as a fresh temp view; None when
+        the argument shape doesn't fit the signature."""
+        low = [a.lower() for a in args]
+        if fn == "table_changes":
+            # (start [, end] [, true|false]) — start INCLUSIVE
+            # (Delta's contract; changes() takes exclusive `since`)
+            include = False
+            if low and low[-1] in ("true", "false"):
+                include = low[-1] == "true"
+                low = low[:-1]
+            if not (1 <= len(low) <= 2
+                    and all(a.isdigit() for a in low)):
+                return None
+            return self._fresh_view(
+                t.changes(int(low[0]) - 1, include_deletes=include,
+                          end_version=(int(low[1]) if len(low) == 2
+                                       else None)),
+                f"{name}_changes")
+        if fn == "table_files":
+            if len(low) > 1 or (low and not low[0].isdigit()):
+                return None
+            return self._fresh_view(
+                t.files_df(version=int(low[0]) if low else None),
+                f"{name}_files")
+        if low:                            # table_history takes none
+            return None
+        return self._fresh_view(t.history_df(), f"{name}_history")
+
     def _bind_one(self, s: str, name: str, key: str,
                   t: TxnTable) -> str:
         """Bind ONE spelling (``name``) of catalog key ``key`` in the
         statement text."""
-        # Delta's CDF table-valued form:
-        # table_changes('t', start [, end] [, true]) — the numeric
-        # third arg bounds the version range (Delta's signature);
-        # the boolean adds _change_type and the deletion-vector
-        # 'delete' pre-image events
-        pat_c = re.compile(
-            rf"table_changes\(\s*'?{re.escape(name)}'?\s*,\s*(\d+)"
-            rf"(?:\s*,\s*(\d+))?(?:\s*,\s*(true|false))?\s*\)",
-            re.IGNORECASE)
-        # start is INCLUSIVE (Delta's startingVersion contract);
-        # TxnTable.changes takes an exclusive `since`, hence -1
-        s = pat_c.sub(
-            lambda m, t=t, name=name: self._fresh_view(
-                t.changes(int(m.group(1)) - 1,
-                          include_deletes=(m.group(3) or ""
-                                           ).lower() == "true",
-                          end_version=(int(m.group(2))
-                                       if m.group(2) else None)),
-                f"{name}_changes"), s)
-        # Iceberg-style metadata TVFs: the file manifest and the
-        # commit history as ordinary queryable frames
-        pat_f = re.compile(
-            rf"table_files\(\s*'?{re.escape(name)}'?\s*"
-            rf"(?:,\s*(\d+)\s*)?\)", re.IGNORECASE)
-        s = pat_f.sub(
-            lambda m, t=t, name=name: self._fresh_view(
-                t.files_df(version=(int(m.group(1))
-                                    if m.group(1) else None)),
-                f"{name}_files"), s)
-        pat_h = re.compile(
-            rf"table_history\(\s*'?{re.escape(name)}'?\s*\)",
-            re.IGNORECASE)
-        s = pat_h.sub(
-            lambda m, t=t, name=name: self._fresh_view(
-                t.history_df(), f"{name}_history"), s)
-        pat_v = re.compile(
-            rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+(\d+)",
-            re.IGNORECASE)
-        pat_t = re.compile(
-            rf"\b{re.escape(name)}\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
-            re.IGNORECASE)
-
-        def sub_v(m: re.Match, t=t, name=name) -> str:
-            return self._fresh_view(
-                t.snapshot(version=int(m.group(1))), name)
-
-        def sub_t(m: re.Match, t=t, name=name) -> str:
-            return self._fresh_view(
-                t.snapshot(timestamp=_ts_to_epoch(m.group(1))), name)
-
-        s = pat_v.sub(sub_v, s)
-        s = pat_t.sub(sub_t, s)
+        # metadata table-valued forms consume the TOKEN STREAM (a
+        # quoted first argument is literal CONTENT naming the table,
+        # which the masked-regex projection structurally cannot see):
+        # table_changes('t', start [, end] [, true]) — Delta's CDF
+        # signature (start INCLUSIVE; TxnTable.changes takes an
+        # exclusive `since`, hence -1), plus Iceberg-style
+        # table_files('t' [, version]) and table_history('t')
+        s = self._sub_tvfs(s, name, t)
+        pat_v = rf"\b{re.escape(name)}\s+VERSION\s+AS\s+OF\s+(\d+)"
+        pat_t = (rf"\b{re.escape(name)}"
+                 rf"\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'")
+        s = sqllex.sub(
+            pat_v, lambda m, t=t: self._fresh_view(
+                t.snapshot(version=int(m.group(1))), name),
+            s, re.IGNORECASE)
+        s = sqllex.sub(
+            pat_t, lambda m, t=t: self._fresh_view(
+                t.snapshot(timestamp=_ts_to_epoch(m.group(1))), name),
+            s, re.IGNORECASE)
         pat_b = rf"\b{re.escape(name)}\b"
-        if self._search_outside_quotes(s, pat_b) and t.exists():
+        if sqllex.contains(pat_b, s) and t.exists():
             # bare reference -> latest snapshot under a stable
             # view name (repeated queries reuse it). Dots are
             # illegal in temp-view names, so a qualified spelling
@@ -1188,7 +1202,7 @@ class LakehouseCatalog:
             view = _view_name(key)
             t.snapshot().createOrReplaceTempView(view)
             if name != view:
-                s = self._sub_outside_quotes(s, pat_b, view)
+                s = sqllex.sub(pat_b, view, s)
         return s
 
     # ------------------------------------------------------------- DML verbs
@@ -1211,39 +1225,8 @@ class LakehouseCatalog:
                if isinstance(v, (int, float))]
         return self._lit_frame(sel)
 
-    @staticmethod
-    def _scan_parens(s: str, i: int) -> int:
-        """End index (exclusive) of the balanced parenthesized group
-        starting at s[i] == '(' — ARBITRARY nesting depth, quote-aware
-        (a ')' inside a string literal is content). A regex can only
-        express finite nesting; MERGE USING (SELECT COALESCE(NULLIF(
-        ...)...)...) is depth 3 already."""
-        depth, in_q, n = 0, False, len(s)
-        j = i
-        while j < n:
-            ch = s[j]
-            if in_q:
-                if ch == "\\":
-                    j += 2
-                    continue
-                if ch == "'":
-                    if j + 1 < n and s[j + 1] == "'":
-                        j += 2
-                        continue
-                    in_q = False
-            elif ch == "'":
-                in_q = True
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    return j + 1
-            j += 1
-        raise ValueError(f"unbalanced parentheses: {s[i:i + 80]!r}")
-
     def _merge(self, s: str) -> DataFrame:
-        head = re.match(
+        head = sqllex.match(
             rf"MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?"
             rf"INTO\s+({_TNAME})(?:\s+AS\s+({_IDENT})|\s+({_IDENT}))?"
             rf"\s+USING\s+", s, re.IGNORECASE | re.DOTALL)
@@ -1254,15 +1237,15 @@ class LakehouseCatalog:
         if rest.startswith("("):
             # subquery source: a BALANCED scan, not a finite-depth
             # regex — doubly-nested function calls are ordinary SQL
-            end = self._scan_parens(rest, 0)
+            end = sqllex.scan_parens(rest, 0)
             usrc, rest = rest[:end], rest[end:]
         else:
-            im = re.match(rf"({_TNAME})", rest)
+            im = sqllex.match(rf"({_TNAME})", rest)
             if not im:
                 raise ValueError(
                     f"unsupported MERGE USING source: {rest[:80]!r}")
             usrc, rest = im.group(1), rest[im.end():]
-        tail = re.match(
+        tail = sqllex.match(
             rf"(?:\s+AS\s+({_IDENT})|\s+({_IDENT}))?"
             rf"\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
             rest, re.IGNORECASE | re.DOTALL)
@@ -1288,7 +1271,7 @@ class LakehouseCatalog:
         # ON: AND-conjunction of same-named equalities
         keys: list[str] = []
         for part in re.split(r"\s+AND\s+", on.strip(), flags=re.IGNORECASE):
-            em = re.match(
+            em = sqllex.match(
                 rf"\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*$",
                 part)
             if not em:
@@ -1328,7 +1311,7 @@ class LakehouseCatalog:
                 # the condition references source columns, optionally
                 # alias-qualified; strip the qualifier (it runs on the
                 # source frame)
-                delete_when = re.sub(rf"\b{re.escape(salias)}\.", "",
+                delete_when = sqllex.sub(rf"\b{re.escape(salias)}\.", "",
                                      matched[0]["cond"])
             res = t.merge(source, on=keys, delete_when=delete_when,
                           schema_mode=schema_mode)
@@ -1354,21 +1337,21 @@ class LakehouseCatalog:
         nmbs: list[dict] = []
         for body in bodies:
             b = body.strip().rstrip(";").strip()
-            m = re.match(r"NOT\s+MATCHED\s+BY\s+SOURCE"
+            m = sqllex.match(r"NOT\s+MATCHED\s+BY\s+SOURCE"
                          r"(?:\s+AND\s+(.*?))?\s+THEN\s+(.*)$",
                          b, re.IGNORECASE | re.DOTALL)
             if m:
                 nmbs.append(self._merge_action(
                     m.group(1), m.group(2), allow=("delete", "update")))
                 continue
-            m = re.match(r"NOT\s+MATCHED(?:\s+BY\s+TARGET)?"
+            m = sqllex.match(r"NOT\s+MATCHED(?:\s+BY\s+TARGET)?"
                          r"(?:\s+AND\s+(.*?))?\s+THEN\s+(.*)$",
                          b, re.IGNORECASE | re.DOTALL)
             if m:
                 not_matched.append(self._merge_action(
                     m.group(1), m.group(2), allow=("insert",)))
                 continue
-            m = re.match(r"MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+(.*)$",
+            m = sqllex.match(r"MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+(.*)$",
                          b, re.IGNORECASE | re.DOTALL)
             if m:
                 matched.append(self._merge_action(
@@ -1383,21 +1366,21 @@ class LakehouseCatalog:
         a = action.strip()
         cl: dict = {"cond": cond.strip() if cond else None,
                     "action": None, "set": None}
-        if re.match(r"DELETE\s*$", a, re.IGNORECASE):
+        if sqllex.match(r"DELETE\s*$", a, re.IGNORECASE):
             cl["action"] = "delete"
-        elif re.match(r"UPDATE\s+SET\s+\*\s*$", a, re.IGNORECASE):
+        elif sqllex.match(r"UPDATE\s+SET\s+\*\s*$", a, re.IGNORECASE):
             cl["action"] = "update_star"
-        elif (m := re.match(r"UPDATE\s+SET\s+(.*)$", a,
+        elif (m := sqllex.match(r"UPDATE\s+SET\s+(.*)$", a,
                             re.IGNORECASE | re.DOTALL)):
             cl["action"] = "update"
             cl["set"] = LakehouseCatalog._parse_assignments(m.group(1))
-        elif re.match(r"INSERT\s+\*\s*$", a, re.IGNORECASE):
+        elif sqllex.match(r"INSERT\s+\*\s*$", a, re.IGNORECASE):
             cl["action"] = "insert_star"
-        elif (m := re.match(r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$",
+        elif (m := sqllex.match(r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$",
                             a, re.IGNORECASE | re.DOTALL)):
             cl["action"] = "insert"
             cols = [c.strip() for c in m.group(1).split(",")]
-            exprs = LakehouseCatalog._split_top(m.group(2))
+            exprs = sqllex.split_top(m.group(2))
             if len(cols) != len(exprs):
                 raise ValueError(
                     f"MERGE INSERT: {len(cols)} columns but "
@@ -1415,8 +1398,8 @@ class LakehouseCatalog:
     @staticmethod
     def _parse_assignments(text: str) -> dict[str, str]:
         out: dict[str, str] = {}
-        for part in LakehouseCatalog._split_top(text):
-            am = re.match(rf"\s*(?:{_IDENT}\.)?({_IDENT})\s*=\s*(.*)$",
+        for part in sqllex.split_top(text):
+            am = sqllex.match(rf"\s*(?:{_IDENT}\.)?({_IDENT})\s*=\s*(.*)$",
                           part, re.DOTALL)
             if not am:
                 raise ValueError(f"bad SET assignment: {part!r}")
@@ -1425,44 +1408,21 @@ class LakehouseCatalog:
 
     @staticmethod
     def _split_when(text: str) -> list[str]:
-        """Split a MERGE clause tail on depth-0, non-quoted WHEN
-        keywords; returns the clause bodies (text after each WHEN)."""
-        starts: list[int] = []
-        depth = 0
-        in_str = False
-        i = 0
-        n = len(text)
-        while i < n:
-            ch = text[i]
-            if in_str:
-                if ch == "'":
-                    in_str = False
-            elif ch == "'":
-                in_str = True
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif (depth == 0 and text[i:i + 4].upper() == "WHEN"
-                  and (i == 0 or not (text[i - 1].isalnum()
-                                      or text[i - 1] == "_"))
-                  and (i + 4 >= n or not (text[i + 4].isalnum()
-                                          or text[i + 4] == "_"))):
-                starts.append(i)
-                i += 4
-                continue
-            i += 1
+        """Split a MERGE clause tail at depth-0, literal-safe WHEN
+        keywords (the shared lexer's projection); returns the clause
+        bodies (text after each WHEN)."""
+        starts = sqllex.split_keyword_top(text, "WHEN")
         if not starts or text[:starts[0]].strip():
             raise ValueError(f"MERGE clauses must start with WHEN; "
                              f"got: {text[:80]}")
-        bounds = starts + [n]
+        bounds = starts + [len(text)]
         return [text[bounds[k] + 4:bounds[k + 1]]
                 for k in range(len(starts))]
 
     def _parse_props(self, body: str) -> dict[str, str]:
         props: dict[str, str] = {}
-        for pair in self._split_top(body):
-            pm = re.match(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*$", pair)
+        for pair in sqllex.split_top(body):
+            pm = sqllex.match(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*$", pair)
             if not pm:
                 raise ValueError(f"bad TBLPROPERTIES entry: {pair!r}")
             props[pm.group(1)] = pm.group(2)
@@ -1524,7 +1484,7 @@ class LakehouseCatalog:
     def _create(self, s: str) -> DataFrame:
         # CREATE TABLE t2 [DEEP|SHALLOW] CLONE t1 [VERSION/TIMESTAMP
         # AS OF] — SHALLOW = zero-copy fork; DEEP = independent copy
-        m = re.match(
+        m = sqllex.match(
             rf"CREATE\s+TABLE\s+({_TNAME})\s+(DEEP\s+|SHALLOW\s+)?"
             rf"CLONE\s+"
             rf"({_TNAME})(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
@@ -1540,7 +1500,7 @@ class LakehouseCatalog:
                timestamp=_ts_to_epoch(ts) if ts is not None else None)
             reg()
             return self._metrics("clone", {"version": 0, "deep": deep})
-        m = re.match(
+        m = sqllex.match(
             rf"CREATE\s+TABLE\s+({_TNAME})\s+LIKE\s+({_TNAME})\s*"
             rf"(?:TBLPROPERTIES\s*{_PBODY}\s*)?$",
             s, re.IGNORECASE)
@@ -1560,7 +1520,7 @@ class LakehouseCatalog:
         # through, so it must be served here, not rejected). A non-
         # txlog USING is refused with a pointer rather than silently
         # hijacked.
-        m = re.match(
+        m = sqllex.match(
             rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_TNAME})\s+"
             rf"(?:USING\s+(\w+)\s+)?"
             rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
@@ -1591,15 +1551,27 @@ class LakehouseCatalog:
         # incl. column-level NOT NULL and GENERATED ALWAYS AS (expr)
         # (round 10 — the medallion partition date can derive inside
         # the format instead of in every writer)
-        m = re.match(
-            rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_TNAME})\s*"
-            rf"\((.*)\)\s*"
-            rf"(?:USING\s+(\w+)\s*)?"
-            rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
-            rf"(?:TBLPROPERTIES\s*{_PBODY}\s*)?$",
-            s, re.IGNORECASE | re.DOTALL)
+        # The column body is a BALANCED group (types nest parens,
+        # GENERATED exprs nest deeper), and with USING now optional a
+        # greedy regex capture would swallow the tail clauses into the
+        # body whenever every tail clause is optional (regression from
+        # the bare-USING default, caught in round 13): scan the body
+        # structurally, then parse only the tail.
+        m = sqllex.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_TNAME})\s*\(",
+            s, re.IGNORECASE)
+        tm = None
         if m:
-            replace, tname, cols, fmt, parts, propstr = m.groups()
+            body_end = sqllex.scan_parens(s, m.end() - 1)
+            tm = sqllex.match(
+                rf"\s*(?:USING\s+(\w+)\s*)?"
+                rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+                rf"(?:TBLPROPERTIES\s*{_PBODY}\s*)?$",
+                s[body_end:], re.IGNORECASE | re.DOTALL)
+        if m and tm:
+            replace, tname = m.groups()
+            cols = s[m.end():body_end - 1]
+            fmt, parts, propstr = tm.groups()
             self._require_txlog_format(fmt, s)
             t, reg = self._create_target(tname)
             not_null: list[str] = []
@@ -1607,9 +1579,9 @@ class LakehouseCatalog:
             identity: dict[str, dict[str, int]] = {}
             defaults: dict[str, str] = {}
             col_ddls: list[str] = []
-            for p in self._split_top(cols):
+            for p in sqllex.split_top(cols):
                 p = p.strip()
-                im = re.match(
+                im = sqllex.match(
                     r"(.*?)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
                     r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)"
                     r"(?:\s+INCREMENT\s+BY\s+(\d+))?\s*\))?\s*$",
@@ -1621,16 +1593,16 @@ class LakehouseCatalog:
                         "step": int(im.group(3) or 1)}
                     col_ddls.append(p)
                     continue
-                gm = re.match(r"(.*?)\s+GENERATED\s+ALWAYS\s+AS\s*"
+                gm = sqllex.match(r"(.*?)\s+GENERATED\s+ALWAYS\s+AS\s*"
                               r"\((.*)\)\s*$",
                               p, re.IGNORECASE | re.DOTALL)
                 gexpr = None
                 if gm:
                     p, gexpr = gm.group(1).strip(), gm.group(2).strip()
-                nn = re.search(r"\s+NOT\s+NULL\s*$", p, re.IGNORECASE)
+                nn = sqllex.search(r"\s+NOT\s+NULL\s*$", p, re.IGNORECASE)
                 if nn:
                     p = p[:nn.start()].strip()
-                dm = re.match(r"(.*?)\s+DEFAULT\s+(.+)$", p,
+                dm = sqllex.match(r"(.*?)\s+DEFAULT\s+(.+)$", p,
                               re.IGNORECASE | re.DOTALL)
                 dexpr = None
                 if dm:
@@ -1673,7 +1645,7 @@ class LakehouseCatalog:
             f"explicit column DDL, LIKE, and [DEEP|SHALLOW] CLONE")
 
     def _copy(self, s: str) -> DataFrame:
-        m = re.match(
+        m = sqllex.match(
             rf"COPY\s+INTO\s+({_TNAME})\s+FROM\s+'([^']+)'\s+"
             rf"FILEFORMAT\s*=\s*(\w+)"
             rf"(?:\s+PATTERN\s*=\s*'([^']+)')?"
@@ -1684,8 +1656,8 @@ class LakehouseCatalog:
         tname, src, fmt, pat, opts = m.groups()
         options: dict[str, str] = {}
         if opts:
-            for pair in self._split_top(opts):
-                km = re.match(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*$", pair)
+            for pair in sqllex.split_top(opts):
+                km = sqllex.match(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*$", pair)
                 if not km:
                     raise ValueError(
                         f"bad FORMAT_OPTIONS entry: {pair!r}")
@@ -1698,7 +1670,7 @@ class LakehouseCatalog:
         """CONVERT TO TXLOG t: adopt the registered path's existing
         parquet files as version 0 — zero bytes rewritten (Delta's
         CONVERT TO DELTA)."""
-        m = re.match(rf"CONVERT\s+TO\s+TXLOG\s+({_TNAME})\s*$",
+        m = sqllex.match(rf"CONVERT\s+TO\s+TXLOG\s+({_TNAME})\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported CONVERT shape: {s[:120]}")
@@ -1727,7 +1699,7 @@ class LakehouseCatalog:
     def _insert_overwrite(self, s: str) -> DataFrame:
         """INSERT OVERWRITE t <select>: replace content (and schema if
         different) — txlog.overwrite's last-writer-wins contract."""
-        m = re.match(rf"INSERT\s+OVERWRITE\s+({_TNAME})\s+(.*)$",
+        m = sqllex.match(rf"INSERT\s+OVERWRITE\s+({_TNAME})\s+(.*)$",
                      s, re.IGNORECASE | re.DOTALL)
         if not m:
             raise ValueError(f"unsupported INSERT OVERWRITE: {s[:120]}")
@@ -1738,7 +1710,7 @@ class LakehouseCatalog:
         return self._metrics("insert_overwrite", {"version": v})
 
     def _insert(self, s: str) -> DataFrame:
-        m = re.match(
+        m = sqllex.match(
             rf"INSERT\s+INTO\s+({_TNAME})\s+REPLACE\s+WHERE\s+(.+?)\s+"
             rf"((?:SELECT|WITH|VALUES)\b.*)$",
             s, re.IGNORECASE | re.DOTALL)
@@ -1748,7 +1720,7 @@ class LakehouseCatalog:
             tname, cond, body = m.groups()
             t = self.table(tname)
             body = body.strip()
-            if re.match(r"VALUES\b", body, re.IGNORECASE):
+            if sqllex.match(r"VALUES\b", body, re.IGNORECASE):
                 # inline rows arrive as col1..colN: align POSITIONALLY
                 # to the table's writable columns (identity/generated
                 # are engine-derived), cast to declared types — same
@@ -1771,7 +1743,7 @@ class LakehouseCatalog:
                 df = self.spark.sql(self._bind_reads(body))
             res = t.replace_where(df, cond)
             return self._metrics("replace_where", res)
-        m = re.match(rf"INSERT\s+INTO\s+({_TNAME})\s*"
+        m = sqllex.match(rf"INSERT\s+INTO\s+({_TNAME})\s*"
                      rf"(?:\(([^)]*)\)\s*)?(.+)$",
                      s, re.IGNORECASE | re.DOTALL)
         if not m:
@@ -1779,7 +1751,7 @@ class LakehouseCatalog:
         tname, collist, body = m.groups()
         t = self.table(tname)
         body = body.strip()
-        if re.match(r"VALUES\b", body, re.IGNORECASE):
+        if sqllex.match(r"VALUES\b", body, re.IGNORECASE):
             # row literals: VALUES is Spark's inline-table form
             df = self.spark.sql(f"SELECT * FROM {body}")
         else:
@@ -1843,7 +1815,7 @@ class LakehouseCatalog:
         return self._metrics("insert", {"version": v})
 
     def _is_lake_update(self, s: str) -> bool:
-        m = re.match(rf"UPDATE\s+({_TNAME})\b", s, re.IGNORECASE)
+        m = sqllex.match(rf"UPDATE\s+({_TNAME})\b", s, re.IGNORECASE)
         return bool(m) and self._resolve(m.group(1)) is not None
 
     def _lake_name(self, s: str, pattern: str) -> bool:
@@ -1852,11 +1824,11 @@ class LakehouseCatalog:
         session catalog untouched (the class contract; hijacking
         'INSERT INTO some_parquet_table' with a KeyError would break
         statements plain spark.sql executes fine)."""
-        m = re.match(pattern, s, re.IGNORECASE)
+        m = sqllex.match(pattern, s, re.IGNORECASE)
         return bool(m) and self._resolve(m.group(1)) is not None
 
     def _update(self, s: str) -> DataFrame:
-        m = re.match(
+        m = sqllex.match(
             rf"UPDATE\s+({_TNAME})\s+SET\s+(.*)$",
             s, re.IGNORECASE | re.DOTALL)
         if not m:
@@ -1865,16 +1837,16 @@ class LakehouseCatalog:
         # the WHERE boundary must be found OUTSIDE string literals:
         # UPDATE t SET status = 'paid where due' WHERE id = 1 splits
         # at the second WHERE, not the one inside the literal
-        w = self._find_outside_quotes(tail, r"\s+WHERE\s+")
+        w = sqllex.find(r"\s+WHERE\s+", tail, re.IGNORECASE)
         if w >= 0:
             sets = tail[:w]
-            where = re.match(r"\s+WHERE\s+(.*)$", tail[w:],
+            where = sqllex.match(r"\s+WHERE\s+(.*)$", tail[w:],
                              re.IGNORECASE | re.DOTALL).group(1)
         else:
             sets, where = tail, None
         assigns: dict[str, str] = {}
-        for part in self._split_top(sets):
-            am = re.match(rf"\s*({_IDENT})\s*=\s*(.*)$", part, re.DOTALL)
+        for part in sqllex.split_top(sets):
+            am = sqllex.match(rf"\s*({_IDENT})\s*=\s*(.*)$", part, re.DOTALL)
             if not am:
                 raise ValueError(f"bad SET assignment: {part!r}")
             assigns[am.group(1)] = am.group(2).strip()
@@ -1888,7 +1860,7 @@ class LakehouseCatalog:
         return self._metrics("update", res)
 
     def _delete(self, s: str) -> DataFrame:
-        m = re.match(
+        m = sqllex.match(
             rf"DELETE\s+FROM\s+({_TNAME})(?:\s+WHERE\s+(.*))?$",
             s, re.IGNORECASE | re.DOTALL)
         if not m:
@@ -1900,7 +1872,7 @@ class LakehouseCatalog:
         return self._metrics("delete", res)
 
     def _restore(self, s: str) -> DataFrame:
-        m = re.match(
+        m = sqllex.match(
             rf"RESTORE\s+TABLE\s+({_TNAME})\s+TO\s+"
             rf"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
             rf"\s*$", s, re.IGNORECASE)
@@ -1914,7 +1886,7 @@ class LakehouseCatalog:
 
     def _optimize(self, s: str) -> DataFrame:
         lit = r"(?:'[^']*'|[\w.\-]+)"
-        m = re.match(
+        m = sqllex.match(
             rf"OPTIMIZE\s+({_TNAME})"
             rf"(?:\s+WHERE\s+({_IDENT})\s+BETWEEN\s+({lit})"
             rf"\s+AND\s+({lit}))?"
@@ -1948,7 +1920,7 @@ class LakehouseCatalog:
                 return text
 
     def _vacuum(self, s: str) -> DataFrame:
-        m = re.match(
+        m = sqllex.match(
             rf"VACUUM\s+({_TNAME})"
             rf"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS|HOURS))?"
             rf"(\s+DRY\s+RUN)?\s*$",
@@ -1968,7 +1940,7 @@ class LakehouseCatalog:
         """REORG TABLE t APPLY (PURGE [WHERE DEAD_FRAC > x]) — Delta's
         purge syntax, with the dead-fraction policy threshold as the
         one extension (Delta buries it in a table property)."""
-        m = re.match(
+        m = sqllex.match(
             rf"REORG\s+TABLE\s+({_TNAME})\s+APPLY\s*\(\s*PURGE"
             rf"(?:\s+WHERE\s+DEAD_FRAC\s*>\s*(\d+(?:\.\d+)?))?\s*\)\s*$",
             s, re.IGNORECASE)
@@ -1992,7 +1964,7 @@ class LakehouseCatalog:
         # CATALOG_SLOPE_r11), while the Arrow conversion is
         # milliseconds and never takes the Python-RDD spin-up path
         import pandas as pd
-        m = re.match(rf"SHOW\s+TABLES(?:\s+IN\s+({_IDENT}))?\s*$",
+        m = sqllex.match(rf"SHOW\s+TABLES(?:\s+IN\s+({_IDENT}))?\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported SHOW TABLES shape: {s[:80]}")
@@ -2029,7 +2001,7 @@ class LakehouseCatalog:
         return self.spark.createDataFrame(pdf, schema=ddl)
 
     def _create_database(self, s: str) -> DataFrame:
-        m = re.match(rf"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        m = sqllex.match(rf"CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?"
                      rf"({_IDENT})\s*$", s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported CREATE DATABASE: {s[:80]}")
@@ -2038,7 +2010,7 @@ class LakehouseCatalog:
         return self._metrics("create_database", {"created": int(made)})
 
     def _drop_database(self, s: str) -> DataFrame:
-        m = re.match(rf"DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?({_IDENT})"
+        m = sqllex.match(rf"DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?({_IDENT})"
                      rf"(\s+CASCADE)?\s*$", s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported DROP DATABASE: {s[:80]}")
@@ -2054,7 +2026,7 @@ class LakehouseCatalog:
         and TBLPROPERTIES. User CHECK constraints (non-auto) are
         emitted as trailing ALTER statements since the CREATE grammar
         has no inline CHECK."""
-        m = re.match(rf"SHOW\s+CREATE\s+TABLE\s+({_TNAME})\s*$",
+        m = sqllex.match(rf"SHOW\s+CREATE\s+TABLE\s+({_TNAME})\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported SHOW CREATE: {s[:120]}")
@@ -2103,7 +2075,7 @@ class LakehouseCatalog:
             [f"SELECT '{esc}' AS createtab_stmt"])
 
     def _undrop(self, s: str) -> DataFrame:
-        m = re.match(rf"UNDROP\s+TABLE\s+({_TNAME})\s*$",
+        m = sqllex.match(rf"UNDROP\s+TABLE\s+({_TNAME})\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported UNDROP shape: {s[:120]}")
@@ -2111,7 +2083,7 @@ class LakehouseCatalog:
         return self._metrics("undrop_table", {"restored": 1})
 
     def _drop_table(self, s: str) -> DataFrame:
-        m = re.match(rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_TNAME})\s*$",
+        m = sqllex.match(rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_TNAME})\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported DROP TABLE shape: {s[:120]}")
@@ -2129,7 +2101,7 @@ class LakehouseCatalog:
         return self._metrics("drop_table", {"dropped": 1})
 
     def _alter(self, s: str) -> DataFrame:
-        m = re.match(
+        m = sqllex.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+RENAME\s+TO\s+"
             rf"({_TNAME})\s*$", s, re.IGNORECASE)
         if m:
@@ -2143,7 +2115,7 @@ class LakehouseCatalog:
             self.rename_table(m.group(1), m.group(2))
             self.spark.catalog.dropTempView(_view_name(old_key))
             return self._metrics("rename_table", {"renamed": 1})
-        m = re.match(
+        m = sqllex.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+ADD\s+CONSTRAINT\s+"
             rf"({_IDENT})\s+CHECK\s*\((.*)\)\s*$",
             s, re.IGNORECASE | re.DOTALL)
@@ -2151,47 +2123,47 @@ class LakehouseCatalog:
             v = self.table(m.group(1)).add_check_constraint(
                 m.group(2), m.group(3).strip())
             return self._metrics("add_constraint", {"version": v})
-        m = re.match(
+        m = sqllex.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+DROP\s+CONSTRAINT\s+"
             rf"({_IDENT})\s*$", s, re.IGNORECASE)
         if m:
             v = self.table(m.group(1)).drop_check_constraint(m.group(2))
             return self._metrics("drop_constraint", {"version": v})
-        m = re.match(
+        m = sqllex.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+ADD\s+COLUMNS?\s*\(",
             s, re.IGNORECASE)
         if m:
             # balanced scan, not a regex capture: column TYPES nest
             # parens (DECIMAL(10,2)) and DEFAULT literals may hold ')'
-            end = self._scan_parens(s, m.end() - 1)
+            end = sqllex.scan_parens(s, m.end() - 1)
             if s[end:].strip():
                 raise ValueError(
                     f"unsupported ALTER TABLE shape: {s[:120]}")
             body = s[m.end():end - 1]
             cols: dict[str, str] = {}
-            for part in self._split_top(body):
-                cm = re.match(rf"\s*({_IDENT})\s+(.+?)\s*$", part,
+            for part in sqllex.split_top(body):
+                cm = sqllex.match(rf"\s*({_IDENT})\s+(.+?)\s*$", part,
                               re.DOTALL)
                 if not cm:
                     raise ValueError(f"bad column spec: {part!r}")
                 cols[cm.group(1)] = cm.group(2)
             v = self.table(m.group(1)).add_columns(cols)
             return self._metrics("add_columns", {"version": v})
-        m = re.match(
+        m = sqllex.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+RENAME\s+COLUMN\s+"
             rf"({_IDENT})\s+TO\s+({_IDENT})\s*$", s, re.IGNORECASE)
         if m:
             v = self.table(m.group(1)).rename_column(m.group(2),
                                                      m.group(3))
             return self._metrics("rename_column", {"version": v})
-        m = re.match(
+        m = sqllex.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+ALTER\s+COLUMN\s+"
             rf"({_IDENT})\s+TYPE\s+(.+?)\s*$", s, re.IGNORECASE)
         if m:
             v = self.table(m.group(1)).widen_column(m.group(2),
                                                     m.group(3))
             return self._metrics("widen_column", {"version": v})
-        m = re.match(
+        m = sqllex.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+ALTER\s+COLUMN\s+"
             rf"({_IDENT})\s+SET\s+DEFAULT\s+(.+?)\s*$",
             s, re.IGNORECASE | re.DOTALL)
@@ -2199,34 +2171,34 @@ class LakehouseCatalog:
             v = self.table(m.group(1)).set_column_default(
                 m.group(2), m.group(3).strip())
             return self._metrics("set_default", {"version": v})
-        m = re.match(
+        m = sqllex.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+ALTER\s+COLUMN\s+"
             rf"({_IDENT})\s+DROP\s+DEFAULT\s*$", s, re.IGNORECASE)
         if m:
             v = self.table(m.group(1)).drop_column_default(m.group(2))
             return self._metrics("drop_default", {"version": v})
-        m = re.match(
+        m = sqllex.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+SET\s+TBLPROPERTIES\s*"
             rf"{_PBODY}\s*$", s, re.IGNORECASE | re.DOTALL)
         if m:
             props: dict[str, str] = {}
-            for pair in self._split_top(m.group(2)):
-                pm = re.match(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*$", pair)
+            for pair in sqllex.split_top(m.group(2)):
+                pm = sqllex.match(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*$", pair)
                 if not pm:
                     raise ValueError(
                         f"bad TBLPROPERTIES entry: {pair!r}")
                 props[pm.group(1)] = pm.group(2)
             v = self.table(m.group(1)).set_properties(props)
             return self._metrics("set_properties", {"version": v})
-        m = re.match(
+        m = sqllex.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+UNSET\s+TBLPROPERTIES\s*"
             rf"{_PBODY}\s*$", s, re.IGNORECASE)
         if m:
             keys = [k.strip().strip("'")
-                    for k in self._split_top(m.group(2))]
+                    for k in sqllex.split_top(m.group(2))]
             v = self.table(m.group(1)).unset_properties(keys)
             return self._metrics("unset_properties", {"version": v})
-        m = re.match(
+        m = sqllex.match(
             rf"ALTER\s+TABLE\s+({_TNAME})\s+DROP\s+COLUMNS?\s*"
             rf"(?:\(([^)]*)\)|({_IDENT}))\s*$", s, re.IGNORECASE)
         if m:
@@ -2240,7 +2212,7 @@ class LakehouseCatalog:
         raise ValueError(f"unsupported ALTER TABLE shape: {s[:120]}")
 
     def _detail(self, s: str) -> DataFrame:
-        m = re.match(rf"DESCRIBE\s+DETAIL\s+({_TNAME})\s*$",
+        m = sqllex.match(rf"DESCRIBE\s+DETAIL\s+({_TNAME})\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported DESCRIBE DETAIL: {s[:120]}")
@@ -2267,7 +2239,7 @@ class LakehouseCatalog:
             f"'{','.join(d['table_features'])}' AS table_features"])
 
     def _show_props(self, s: str) -> DataFrame:
-        m = re.match(rf"SHOW\s+TBLPROPERTIES\s+({_TNAME})\s*$",
+        m = sqllex.match(rf"SHOW\s+TBLPROPERTIES\s+({_TNAME})\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported SHOW TBLPROPERTIES: {s[:120]}")
@@ -2279,7 +2251,7 @@ class LakehouseCatalog:
             or ["SELECT '' AS key, '' AS value WHERE false"])
 
     def _history(self, s: str) -> DataFrame:
-        m = re.match(rf"DESCRIBE\s+HISTORY\s+({_TNAME})\s*$",
+        m = sqllex.match(rf"DESCRIBE\s+HISTORY\s+({_TNAME})\s*$",
                      s, re.IGNORECASE)
         if not m:
             raise ValueError(f"unsupported DESCRIBE HISTORY: {s[:120]}")
@@ -2287,57 +2259,3 @@ class LakehouseCatalog:
         # union: at a few hundred commits the union costs seconds of
         # Catalyst plan compilation (the SHOW TABLES lesson)
         return self.table(m.group(1)).history_df()
-
-    @staticmethod
-    def _split_top(s: str) -> list[str]:
-        """Split on commas at parenthesis depth 0, QUOTE-AWARE: a
-        comma or parenthesis inside a string literal ('a,b', 'x)')
-        is content, not structure (Spark literals: backslash escapes
-        processed, '' doubles a quote)."""
-        out, depth, cur = [], 0, []
-        i, n, in_q = 0, len(s), False
-        while i < n:
-            ch = s[i]
-            if in_q:
-                cur.append(ch)
-                if ch == "\\" and i + 1 < n:     # escaped next char
-                    cur.append(s[i + 1])
-                    i += 2
-                    continue
-                if ch == "'":
-                    if i + 1 < n and s[i + 1] == "'":  # doubled ''
-                        cur.append("'")
-                        i += 2
-                        continue
-                    in_q = False
-                i += 1
-                continue
-            if ch == "'":
-                in_q = True
-                cur.append(ch)
-            elif ch == "(":
-                depth += 1
-                cur.append(ch)
-            elif ch == ")":
-                depth -= 1
-                cur.append(ch)
-            elif ch == "," and depth == 0:
-                out.append("".join(cur))
-                cur = []
-            else:
-                cur.append(ch)
-            i += 1
-        if cur:
-            out.append("".join(cur))
-        return out
-
-    @staticmethod
-    def _find_outside_quotes(s: str, pattern: str) -> int:
-        """Index of the first regex match that starts OUTSIDE any
-        single-quoted literal, or -1 — how DML verbs find their
-        keyword boundaries without misparsing 'paid where due'."""
-        spans = LakehouseCatalog._quote_spans(s)
-        for m in re.finditer(pattern, s, re.IGNORECASE):
-            if not any(a <= m.start() <= b for a, b in spans):
-                return m.start()
-        return -1
