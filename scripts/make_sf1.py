@@ -25,6 +25,9 @@ QUERY COST MODEL scales linearly like a real 10x corpus would:
 
 Run: python scripts/make_sf1.py [outdir]   (default .localdata/sf1.0)
      python scripts/make_sf1.py .localdata/sf1.0-hot --hot 20000
+     python scripts/make_sf1.py .localdata/sf10 --replicas 100
+         (sf10: 100 key-offset replicas — same linearity argument;
+          key strides comfortably exceed 100x the sf0.1 key ranges)
 
 ``--hot N`` appends N boilerplate-heavy documents (shared 40-token
 block + unique 20-token tails, doc_ids far above every replica). Their
@@ -48,7 +51,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = Path("/root/testdata/sf0.1")
-REPLICAS = 10
+REPLICAS = 10                       # --replicas overrides (100 = sf10)
 
 # key column -> stride; every other int column passes through.
 OFFSETS = {
@@ -117,7 +120,7 @@ def _hot_documents(n: int, schema: pa.Schema) -> pa.Table:
     return pa.table(cols, schema=schema)
 
 
-def main(outdir: str, hot: int = 0) -> None:
+def main(outdir: str, hot: int = 0, replicas: int = REPLICAS) -> None:
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     for src in sorted(SRC.glob("*.parquet")):
@@ -127,7 +130,7 @@ def main(outdir: str, hot: int = 0) -> None:
             pq.write_table(tbl, out / src.name)
             print(f"{name}: {tbl.num_rows} rows (sf-invariant)")
             continue
-        parts = [_replicate(name, tbl, r) for r in range(REPLICAS)]
+        parts = [_replicate(name, tbl, r) for r in range(replicas)]
         if name == "documents" and hot > 0:
             parts.append(_hot_documents(hot, tbl.schema))
         big = pa.concat_tables(parts)
@@ -142,5 +145,6 @@ if __name__ == "__main__":
     ap.add_argument("outdir", nargs="?", default=str(
         Path(__file__).resolve().parents[1] / ".localdata" / "sf1.0"))
     ap.add_argument("--hot", type=int, default=0)
+    ap.add_argument("--replicas", type=int, default=REPLICAS)
     a = ap.parse_args()
-    main(a.outdir, hot=a.hot)
+    main(a.outdir, hot=a.hot, replicas=a.replicas)
