@@ -278,11 +278,15 @@ class DQRunner:
             F.count(F.lit(1)).alias("hist_n"))
         j = newest.join(stats, ["dataset", "rule"], "left")
         dev = F.abs(F.col("metric") - F.col("hist_mean"))
+        # a rule with NO history at all left-joins to NULL stats; the
+        # verdict must be a definite False (insufficient history), not
+        # a NULL that only behaves like False inside filters
+        hist_n = F.coalesce("hist_n", F.lit(0))
         return j.select(
             "dataset", "rule", "kind", "column", "metric", "passed",
             "run_ts", "hist_mean", "hist_sigma",
-            F.coalesce("hist_n", F.lit(0)).alias("hist_n"),
-            F.when(F.col("hist_n") < self.min_history, F.lit(False))
+            hist_n.alias("hist_n"),
+            F.when(hist_n < self.min_history, F.lit(False))
             .when(F.col("hist_sigma") > 0,
                   dev > self.k_sigma * F.col("hist_sigma"))
             .otherwise(dev > F.lit(1e-12))
