@@ -13,7 +13,7 @@ over 10 databases (plus N/10 persistent views):
                     view create + analysis — the read-time price of
                     never-stale views).
 
-Writes CATALOG_SLOPE_r12.json with env load stamps. Entries point at
+Writes CATALOG_SLOPE_r13.json with env load stamps (r13: same probe re-run through the shared-lexer SQL surface). Entries point at
 synthetic paths; view bodies are literal SELECTs so the probe
 isolates CATALOG cost from table I/O."""
 
@@ -102,7 +102,7 @@ def main() -> None:
         < 3 * max(p[0]["view_bind_sec"], 0.05),
     }
     out["env"]["load_end"] = load_stamp()
-    with open(os.path.join(REPO, "CATALOG_SLOPE_r12.json"), "w") as f:
+    with open(os.path.join(REPO, "CATALOG_SLOPE_r13.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out["verdict"]))
 
