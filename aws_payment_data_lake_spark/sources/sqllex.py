@@ -37,6 +37,15 @@ runs to end-of-statement (the prior ``_quote_spans`` contract).
 Backtick-quoted identifiers lex as ``word`` tokens and are NOT
 masked — they are identifiers, not data.
 
+SQL comments (``--`` to end-of-line; ``/* */``, nested per Spark's
+SPARK-28880) lex as ``comment`` tokens and project to SPACES in
+``mask()`` — so every verb pattern sees a comment as whitespace, a
+comma/paren/keyword inside a comment is never structure, and
+``strip_statement`` removes the leading/trailing ones (plus trailing
+semicolons) before dispatch. A ``--`` or ``/*`` inside a string
+literal is content (the string token is consumed first), and
+vice versa.
+
 The lexer is pure and the statement strings are small, so ``lex`` /
 ``mask`` are memoized; the catalog's O(catalog) substring gate in
 ``_bind_reads`` still runs before any of this.
@@ -52,6 +61,7 @@ WORD = "word"
 STRING = "string"
 NUM = "num"
 PUNCT = "punct"
+COMMENT = "comment"
 
 _MASK_CH = "\x00"
 
@@ -123,6 +133,30 @@ def lex(s: str) -> tuple[Token, ...]:
             toks.append(Token(WORD, s[i:j], i, j))
             i = j
             continue
+        if ch == "-" and i + 1 < n and s[i + 1] == "-":
+            # line comment: to end-of-line (ANSI; `5--3` is `5` then a
+            # comment, which is also Spark's reading)
+            j = s.find("\n", i + 2)
+            j = n if j < 0 else j
+            toks.append(Token(COMMENT, s[i:j], i, j))
+            i = j
+            continue
+        if ch == "/" and i + 1 < n and s[i + 1] == "*":
+            # bracketed comment, NESTED per Spark (SPARK-28880);
+            # unterminated runs to end-of-statement
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if s[j] == "/" and j + 1 < n and s[j + 1] == "*":
+                    depth += 1
+                    j += 2
+                elif s[j] == "*" and j + 1 < n and s[j + 1] == "/":
+                    depth -= 1
+                    j += 2
+                else:
+                    j += 1
+            toks.append(Token(COMMENT, s[i:j], i, j, depth == 0))
+            i = j
+            continue
         if ch.isalpha() or ch == "_":
             j = i + 1
             while j < n and (s[j].isalnum() or s[j] == "_"):
@@ -159,6 +193,13 @@ def mask(s: str) -> str:
             hi = t.end - 1 if t.closed else t.end
             for k in range(lo, hi):
                 out[k] = _MASK_CH
+        elif t.kind == COMMENT:
+            # comments project to SPACES (delimiters included), so a
+            # `UPDATE /*x*/ t` matches `UPDATE\s+t` and a comma or
+            # paren inside a comment is never structure
+            for k in range(t.start, t.end):
+                if not s[k].isspace():   # keep newlines as-is
+                    out[k] = " "
     return "".join(out)
 
 
@@ -236,6 +277,32 @@ def sub(pattern: str, repl: str | Callable[[Match], str],
         last = m.end()
     out.append(s[last:])
     return "".join(out)
+
+
+def words(s: str) -> list[Token]:
+    """The WORD tokens of a statement — verb dispatch that comments
+    and literals cannot fool."""
+    return [t for t in lex(s) if t.kind == WORD]
+
+
+def strip_statement(s: str) -> str:
+    """Normalize a statement for the verb arms: drop surrounding
+    whitespace, LEADING and TRAILING comments, and trailing
+    semicolons (in any interleaving). Inline comments stay — the
+    masked projection turns them into whitespace for every pattern."""
+    s = s.strip()
+    while True:
+        toks = lex(s)
+        if toks and toks[0].kind == COMMENT:
+            s = s[toks[0].end:].lstrip()
+            continue
+        if toks and toks[-1].kind == COMMENT:
+            s = s[:toks[-1].start].rstrip()
+            continue
+        stripped = s.rstrip(";").rstrip()
+        if stripped == s:
+            return s
+        s = stripped
 
 
 def scan_parens(s: str, i: int) -> int:

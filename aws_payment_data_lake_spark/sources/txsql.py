@@ -835,10 +835,17 @@ class LakehouseCatalog:
     # ------------------------------------------------------------- endpoint
     def sql(self, text: str) -> DataFrame:
         self._refresh()                # pick up cross-process DDL
-        s = text.strip().rstrip(";").strip()
-        head = s.split(None, 2)
-        verb = (head[0].upper() if head else "")
-        two = f"{verb} {head[1].upper()}" if len(head) > 1 else verb
+        # statement normalization + verb detection come from the
+        # lexer: leading/trailing comments and semicolons are
+        # stripped, the dispatch verbs are the first WORD tokens
+        # (inline comments and literals cannot fool them), and every
+        # arm's pattern sees comments as whitespace via the masked
+        # projection
+        s = sqllex.strip_statement(text)
+        head = sqllex.words(s)
+        verb = (head[0].text.upper() if head else "")
+        two = (f"{verb} {head[1].text.upper()}" if len(head) > 1
+               else verb)
         if two == "SHOW TABLES":
             return self._show_tables(s)
         if two == "SHOW DATABASES":
@@ -885,9 +892,9 @@ class LakehouseCatalog:
                 f"'{self._sq(loc)}' AS location, "
                 f"CAST({nt} AS BIGINT) AS tables, "
                 f"CAST({nv} AS BIGINT) AS views"])
-        if verb == "USE" and len(head) == 2 and sqllex.match(
-                rf"USE\s+{_IDENT}\s*$", s, re.IGNORECASE):
-            self.use(head[1])
+        if verb == "USE" and (m_u := sqllex.match(
+                rf"USE\s+({_IDENT})\s*$", s, re.IGNORECASE)):
+            self.use(m_u.group(1))
             return self._metrics("use", {"ok": 1})
         if two == "CREATE DATABASE":
             return self._create_database(s)
@@ -1084,8 +1091,10 @@ class LakehouseCatalog:
         structurally cannot (and must not) see. Argument shapes that
         don't fit a TVF's signature are left untouched (they fall to
         Catalyst, which errors on the unknown function — the old
-        regexes' no-match behavior)."""
-        toks = sqllex.lex(s)
+        regexes' no-match behavior). Comment tokens are skipped so
+        `table_changes/*c*/('t', 1)` still binds."""
+        toks = [t for t in sqllex.lex(s)
+                if t.kind != sqllex.COMMENT]
         n = len(toks)
         repls: list[tuple[int, int, str]] = []
         i = 0

@@ -64,6 +64,47 @@ def test_anomalies_fire_only_after_min_history(spark, tmp_path):
     assert rb.anomalies().collect()[0]["anomalous"] is True
 
 
+@pytest.fixture()
+def lake(spark, tmp_path):
+    from aws_payment_data_lake_spark.sources.txsql import (
+        LakehouseCatalog,
+    )
+    return LakehouseCatalog(spark, warehouse=str(tmp_path / "wh"))
+
+
+def test_sql_comments_are_whitespace_to_every_arm(lake):
+    """Round-13 addition the lexer made structural: `--` and nested
+    `/* */` comments anywhere in a statement are whitespace to the
+    verb arms (the old split-based dispatch and raw regexes choked on
+    a leading comment), while comment markers inside string literals
+    stay content."""
+    lake.sql("-- nightly DDL\n"
+             "CREATE TABLE c1 /* cols */ (id bigint, tag string) "
+             "USING txlog ; -- done")
+    lake.sql("/* load */ INSERT INTO c1 VALUES "
+             "(1, '-- not a comment'), (2, 'x')")
+    lake.sql("UPDATE /* hot path */ c1 SET tag = 'y' "
+             "WHERE id = 2 -- only the second")
+    rows = {r.id: r.tag for r in
+            lake.sql("SELECT id, tag FROM c1 -- read").collect()}
+    assert rows == {1: "-- not a comment", 2: "y"}
+    # dispatch verbs come from WORD tokens: a leading bracketed
+    # comment cannot hide the verb
+    got = lake.sql("/* drop it */ DROP TABLE c1")
+    assert got.where("metric = 'dropped'").first().value == 1
+
+
+def test_sql_comment_in_tvf_and_use(lake):
+    lake.sql("CREATE DATABASE eng")
+    lake.sql("USE eng -- switch")
+    lake.sql("CREATE TABLE t2 AS SELECT 7 AS v")       # lands in eng
+    assert lake.sql("SELECT v FROM eng.t2").first().v == 7
+    n = lake.sql("SELECT COUNT(*) FROM table_files/*c*/('t2')"
+                 ).first()[0]
+    assert n >= 1
+    lake.sql("USE default")
+
+
 def test_check_metric_exact_fractions(spark):
     """check() fractions are exact counts, not approximations —
     review sanity anchor for the single-pass compilation."""

@@ -75,38 +75,81 @@ def test_mask_is_length_preserving_and_idempotent_outside(s):
 # -------------------------------------------------- match/search/sub
 def test_group_extraction_reads_original_text():
     s = "UPDATE t SET tag = 'x = y' WHERE id = 3"
-    m = lx.match(s, r"UPDATE\s+(\w+)\s+SET\s+(.*)$")
+    m = lx.match(r"UPDATE\s+(\w+)\s+SET\s+(.*)$", s)
     assert m.group(1) == "t"
     assert m.group(2) == "tag = 'x = y' WHERE id = 3"
 
 
 def test_keyword_inside_literal_never_matches():
     s = "UPDATE t SET tag = 'paid where due' WHERE id = 1"
-    assert lx.find(s, r"\s+WHERE\s+", 2) == s.rindex(" WHERE")
-    assert len(list(lx.finditer(s, r"\s+WHERE\s+", 2))) == 1
+    assert lx.find(r"\s+WHERE\s+", s, 2) == s.rindex(" WHERE")
+    assert len(list(lx.finditer(r"\s+WHERE\s+", s, 2))) == 1
 
 
 def test_literal_content_patterns_still_capture():
     # the '([^']+)' idiom: masked interior matches, span reads source
     s = "COPY INTO t FROM '/tmp/a b' FILEFORMAT = PARQUET"
-    m = lx.search(s, r"FROM\s+'([^']+)'")
+    m = lx.search(r"FROM\s+'([^']+)'", s)
     assert m.group(1) == "/tmp/a b"
     # and escapes that the raw-text idiom could never handle
-    m2 = lx.search("PATTERN = 'a''b'", r"'([^']+)'")
+    m2 = lx.search(r"'([^']+)'", "PATTERN = 'a''b'")
     assert m2.group(1) == "a''b"
 
 
 def test_sub_replaces_structural_only():
     s = "SELECT * FROM fz WHERE tag = 'fz'"
-    out = lx.sub(s, r"\bfz\b", "__view")
+    out = lx.sub(r"\bfz\b", "__view", s)
     assert out == "SELECT * FROM __view WHERE tag = 'fz'"
 
 
 def test_sub_with_callable_gets_wrapped_match():
     s = "t VERSION AS OF 7"
-    out = lx.sub(s, r"\bt\s+VERSION\s+AS\s+OF\s+(\d+)",
-                 lambda m: f"snap_{m.group(1)}")
+    out = lx.sub(r"\bt\s+VERSION\s+AS\s+OF\s+(\d+)",
+                 lambda m: f"snap_{m.group(1)}", s)
     assert out == "snap_7"
+
+
+# ------------------------------------------------------------ comments
+def test_line_comment_lexes_and_masks_to_spaces():
+    s = "UPDATE t -- set the, (tag)\nSET tag = 'x'"
+    toks = lx.lex(s)
+    cm = [t for t in toks if t.kind == lx.COMMENT]
+    assert len(cm) == 1 and cm[0].text.startswith("--")
+    p = lx.mask(s)
+    assert len(p) == len(s)
+    assert "set the" not in p and "," not in p and "(" not in p
+    assert lx.match(r"UPDATE\s+t\s+SET\s+tag", p) is not None
+
+
+def test_bracketed_comment_nests_like_spark():
+    s = "SELECT /* outer /* inner */ still */ 1"
+    toks = lx.lex(s)
+    cm = [t for t in toks if t.kind == lx.COMMENT]
+    assert len(cm) == 1
+    assert cm[0].text == "/* outer /* inner */ still */"
+    assert lx.match(r"SELECT\s+1\s*$", lx.mask(s))
+
+
+def test_comment_markers_inside_literals_are_content():
+    s = "SELECT '-- not a comment /* either */' AS v"
+    assert not [t for t in lx.lex(s) if t.kind == lx.COMMENT]
+    m = lx.search(r"'([^']+)'", s)
+    assert m.group(1) == "-- not a comment /* either */"
+
+
+def test_strip_statement_comments_and_semicolons():
+    assert lx.strip_statement(
+        "-- audit\n  DROP TABLE t ; -- bye\n") == "DROP TABLE t"
+    assert lx.strip_statement("/*a*/ SELECT 1;;; /*b*/") == "SELECT 1"
+    assert lx.strip_statement("SELECT ';'") == "SELECT ';'"
+    assert lx.strip_statement("SELECT 1 -- trailing") == "SELECT 1"
+
+
+def test_words_skip_comments_and_literals():
+    s = "/*lead*/ CREATE /*mid*/ TABLE t AS SELECT 'DROP' AS x"
+    w = [t.text for t in lx.words(s)]
+    assert w[:3] == ["CREATE", "TABLE", "t"]
+    assert "DROP" not in w
 
 
 # -------------------------------------------------- structure helpers
