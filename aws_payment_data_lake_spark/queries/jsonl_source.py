@@ -224,9 +224,13 @@ def pysource_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         leg(n // 2)
         leg(n)
+        # one aggregation job for both proof counts (r13, guide §1.2:
+        # the old count() + distinct().count() paid two full scans +
+        # two action latencies for numbers one pass computes)
         got = spark.read.parquet(out)
-        rows = got.count()
-        uniq = got.select("txn_id").distinct().count()
+        r = got.agg(F.count(F.lit(1)).alias("rows"),
+                    F.count_distinct("txn_id").alias("uniq")).collect()[0]
+        rows, uniq = int(r["rows"]), int(r["uniq"])
         assert rows == n == uniq, (rows, uniq, n)
         return spark.createDataFrame(
             [("stream_resume_rows", rows), ("distinct_txn_ids", uniq)],

@@ -238,32 +238,47 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lifecycles reported as one bench number — BENCH_DETAIL's
     # phase_sec decomposes it. The variant COUNT is FROZEN at ten
     # (same verdict): new lakehouse surface gets its own entries.
-    from aws_payment_data_lake_spark.telemetry import PhaseTicker
-    marks = PhaseTicker("medallion_dedup_latest")
-    try:
-        marks.tick("txn_python")
-        t = TxnTable(spark, os.path.join(tmp, "t"))
-        t.create(ev.where(mod % 30 == 1).select(*cols))
-        b = ev.where(mod % 30 == 2).select(*cols)
-        t.append(b, txn_app="driver", txn_batch=1)
-        t.append(b, txn_app="driver", txn_batch=1)   # replay: no-op
-        src = (ev.where(mod % 50 == 0)
-               .select("event_id", "user_id", "event_type",
-                       (-F.col("value")).alias("value"), "ts"))
-        t.merge(src, on=["event_id"])
+    #
+    # r13 OPTIMIZATION (guide §2.6 — overlap independent jobs): the
+    # four lifecycles (python-API table, SQL-endpoint chain, CDC
+    # stream loop, native stream sink) touch DISJOINT state — separate
+    # table dirs, checkpoints and catalog names — and only the final
+    # union consumes their frames, so they run as concurrent driver
+    # threads and Spark's scheduler back-fills the cores one
+    # lifecycle's protocol latency (stream startup, commit fsyncs)
+    # leaves idle. Union content and ORDER are unchanged (driver hash
+    # pinned). Per-variant phase_sec is measured inside each thread:
+    # still each variant's own wall, but phases now overlap, so their
+    # sum exceeds the slot's wall clock.
+    from aws_payment_data_lake_spark.telemetry import PhaseTicker, timed_phase
 
-        def shape(df: DataFrame, tag: str) -> DataFrame:
-            return df.select(
-                F.lit(tag).alias("variant"), "user_id", "event_type",
-                F.col("event_id").alias("last_event_id"),
-                F.col("ts").alias("last_ts"),
-                F.col("value").alias("last_value"))
+    def shape(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.lit(tag).alias("variant"), "user_id", "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"))
 
+    def g_python():
+        with timed_phase("medallion_dedup_latest", "txn_python"):
+            t = TxnTable(spark, os.path.join(tmp, "t"))
+            t.create(ev.where(mod % 30 == 1).select(*cols))
+            b = ev.where(mod % 30 == 2).select(*cols)
+            t.append(b, txn_app="driver", txn_batch=1)
+            t.append(b, txn_app="driver", txn_batch=1)   # replay: no-op
+            src = (ev.where(mod % 50 == 0)
+                   .select("event_id", "user_id", "event_type",
+                           (-F.col("value")).alias("value"), "ts"))
+            t.merge(src, on=["event_id"])
+        return t
+
+    def g_sql():
         # --- the same lifecycle through the SQL endpoint -----------------
         from aws_payment_data_lake_spark.sources.txsql import (
             LakehouseCatalog,
         )
 
+        marks = PhaseTicker("medallion_dedup_latest")
         marks.tick("txn_sql")
         cat = LakehouseCatalog(spark)
         cat.register("txq", os.path.join(tmp, "t_sql"), delete_mode="dv")
@@ -342,7 +357,10 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         sql_clone = shape(cat.sql(
             "SELECT user_id, event_type, event_id, ts, value FROM txdev"),
             "txn_clone")
+        marks.done()
+        return [sql_merged, sql_dv, sql_restored, sql_scd, sql_clone]
 
+    def g_cdc():
         # --- streaming ingest -> ACID, end to end (r9) --------------------
         # Production is PARTITION-PARALLEL (r10, VERDICT r9 #6): the
         # CDC slice serializes to keyed JSON entirely JVM-side
@@ -360,6 +378,7 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             cdc_foreach_batch,
         )
 
+        marks = PhaseTicker("medallion_dedup_latest")
         marks.tick("txn_cdc")
 
         def _cdc_frame(pred, op, src=None):
@@ -426,7 +445,10 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("last_event_id"),
             F.timestamp_micros("ts_us").alias("last_ts"),
             F.col("value").alias("last_value"))
+        marks.done()
+        return cdc_out
 
+    def g_sink():
         # --- native writeStream.format("txlog") sink (r10, VERDICT
         # r9 #2): exactly-once ingest with the batch id as the log's
         # txn marker. The % 30 == 4 slice streams in through the
@@ -440,6 +462,7 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_stream_txlog,
         )
 
+        marks = PhaseTicker("medallion_dedup_latest")
         marks.tick("txn_stream")
         sink_in = os.path.join(tmp, "sink_in")
         (ev.where(mod % 30 == 4)
@@ -480,6 +503,22 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("last_event_id"),
             F.timestamp_micros("ts_us").alias("last_ts"),
             F.col("value").alias("last_value"))
+        marks.done()
+        return sink_out
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    try:
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            f_py = ex.submit(g_python)
+            f_sql = ex.submit(g_sql)
+            f_cdc = ex.submit(g_cdc)
+            f_sink = ex.submit(g_sink)
+            t = f_py.result()
+            sql_merged, sql_dv, sql_restored, sql_scd, sql_clone = \
+                f_sql.result()
+            cdc_out = f_cdc.result()
+            sink_out = f_sink.result()
 
         out = (win.unionByName(shape(t.snapshot(0), "txn_v0"))
                .unionByName(shape(t.snapshot(), "txn_merge"))
@@ -490,11 +529,10 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                .unionByName(sql_clone)
                .unionByName(cdc_out)
                .unionByName(sink_out))
-        marks.tick("union_materialize")
-        out = out.localCheckpoint(eager=True)
+        with timed_phase("medallion_dedup_latest", "union_materialize"):
+            out = out.localCheckpoint(eager=True)
         return out
     finally:
-        marks.done()
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -81,5 +81,9 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
                  .cast("long").alias("n_contaminated"),
                  F.round(F.avg("quality_score"), 4).alias("avg_quality"))
-            .join(majority, "source")
+            # explicit broadcast: both sides are per-source aggregates
+            # of a localCheckpoint (ExistingRDD — no stats), so the
+            # planner's fallback is a SortMergeJoin with two extra
+            # exchanges for a source-count-sized frame (guide §3.1)
+            .join(F.broadcast(majority), "source")
             .orderBy("source"))

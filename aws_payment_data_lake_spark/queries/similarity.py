@@ -544,39 +544,72 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("embedding").alias("qe")))
     results: list[tuple[str, str, float]] = []
 
-    def note(tier: str, setting: str, r: float) -> None:
-        record_stat(FAM, f"{tier}[{setting}]@{K}", r)
-        results.append((tier, setting, r))
+    # canonical (tier, setting) order of the report — the record_stat
+    # keys and the output frame's row order are frozen across rounds
+    plan = [("ivf", "n_probe=1"), ("ivf", "n_probe=4"),
+            ("ivf", "n_probe=8"), ("pq", "adc_only"),
+            ("pq", "rerank=8x"), ("ivfpq", "n_probe=4,rerank=8x"),
+            ("rp_lsh", "bands=4"), ("rp_lsh", "bands=8")]
+    labels = [f"{t}[{s}]" for t, s in plan]
 
     with timed_phase(FAM, "exact_baseline"):
         exact = S.brute_force_topk(emb, k=K, n_queries=NQ).persist()
         exact.count()
     try:
-        with timed_phase(FAM, "ivf"):
+        with timed_phase(FAM, "index_build"):
             cents, assigned = shared_ivf_index(spark, sf_dir)
-            for n_probe in (1, 4, 8):
-                note("ivf", f"n_probe={n_probe}", S.mean_recall(
-                    exact, S.ivf_probe_topk(cents, assigned, q, k=K,
-                                            n_probe=n_probe), k=K))
-        with timed_phase(FAM, "pq"):
             books = S.train_pq_codebooks(emb)
             codes = S.pq_encode(emb, books).persist()
-            note("pq", "adc_only", S.mean_recall(
-                exact, S.pq_topk(codes, q, books, k=K), k=K))
-            note("pq", "rerank=8x", S.mean_recall(
-                exact, S.pq_topk(codes, q, books, k=K, rerank=emb),
-                k=K))
-            note("ivfpq", "n_probe=4,rerank=8x", S.mean_recall(
-                exact, S.ivfpq_topk(cents, assigned, codes, q, books,
-                                    k=K, n_probe=4, rerank=emb), k=K))
+        # ONE evaluation action over the union of every tier's top-k
+        # (guide §1.2/§2.6): the r12 shape ran eight sequential
+        # mean_recall actions — eight full pipeline latencies back to
+        # back; the union's branches are independent subtrees the
+        # scheduler overlaps, the nested IVF probe settings share one
+        # candidate pass (ivf_probe_topk_multi) and both LSH band
+        # settings share one signature matmul (rp_lsh_topk_multi).
+        # Per-setting recall values are unchanged (operator-equality
+        # tests in tests/test_ann_recall.py).
+        with timed_phase(FAM, "evaluate"):
+            qrows = q.collect()   # one query-batch action for all tiers
+
+            def lab(df, label_col):
+                return df.select(
+                    label_col.alias("label"), "query_id",
+                    "neighbor_id", "rk")
+
+            frames = [
+                lab(S.ivf_probe_topk_multi(cents, assigned, q, k=K,
+                                           probes=(1, 4, 8)),
+                    F.concat(F.lit("ivf[n_probe="),
+                             F.col("setting").cast("string"),
+                             F.lit("]"))),
+                lab(S.pq_topk(codes, q, books, k=K, qrows=qrows),
+                    F.lit("pq[adc_only]")),
+                lab(S.pq_topk(codes, q, books, k=K, rerank=emb,
+                              qrows=qrows),
+                    F.lit("pq[rerank=8x]")),
+                lab(S.ivfpq_topk(cents, assigned, codes, q, books,
+                                 k=K, n_probe=4, rerank=emb,
+                                 qrows=qrows),
+                    F.lit("ivfpq[n_probe=4,rerank=8x]")),
+                lab(S.rp_lsh_topk_multi(emb, k=K, n_queries=NQ,
+                                        n_planes=16, bands=(4, 8)),
+                    F.concat(F.lit("rp_lsh[bands="),
+                             F.col("setting").cast("string"),
+                             F.lit("]"))),
+            ]
+            tagged = frames[0]
+            for fr in frames[1:]:
+                tagged = tagged.unionByName(fr)
+            rec = S.mean_recall_tagged(exact, tagged, labels, k=K)
             codes.unpersist()
-        with timed_phase(FAM, "rp_lsh"):
-            note("rp_lsh", "bands=4", S.mean_recall(
-                exact, S.rp_lsh_topk(emb, k=K, n_queries=NQ,
-                                     n_planes=16, n_bands=4), k=K))
-            note("rp_lsh", "bands=8", S.mean_recall(
-                exact, S.rp_lsh_topk(emb, k=K, n_queries=NQ,
-                                     n_planes=16, n_bands=8), k=K))
+            for (tier, setting), label in zip(plan, labels):
+                # 9-dp round: the one-action avg can differ from the
+                # sequential shape by 1 ulp (summation order); recalls
+                # are exact multiples of 1/(NQ*K) so 9 dp is lossless
+                r = round(rec[label], 9)
+                record_stat(FAM, f"{label}@{K}", r)
+                results.append((tier, setting, r))
     finally:
         exact.unpersist()
     sel = [f"SELECT '{t}' AS tier, '{s}' AS setting, "

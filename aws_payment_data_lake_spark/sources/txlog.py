@@ -75,6 +75,7 @@ replay only the JSON tail).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -3147,21 +3148,31 @@ class TxnTable:
                                  f"{bad}; table has {tcols}")
         source = source.localCheckpoint(eager=True)   # read 3x below
         keys = source.select(*on).distinct()
-        # duplicate-source guard over NON-NULL key rows only: a NULL
-        # key never equi-joins a target row, so several NULL-key
-        # source rows cannot make one target row match twice — Delta
-        # likewise raises only when a target row actually multi-
-        # matches (ADVICE r9)
-        nn = source.na.drop(subset=list(on))
-        if (matched or nmbs) and nn.count() != nn.select(*on
-                                                        ).distinct().count():
+        # ONE pre-flight aggregate (r13, guide §1.2): the duplicate
+        # guard's two counts and the key-range min/max used to be
+        # three separate actions per merge; they fold into a single
+        # job over the checkpointed source. Null semantics preserved:
+        # multi-arg count_distinct excludes any-null key tuples and
+        # the conditional count matches na.drop(subset=on) — the
+        # guard still sees NON-NULL key rows only (a NULL key never
+        # equi-joins a target row, so several NULL-key source rows
+        # cannot make one target row match twice — Delta likewise
+        # raises only when a target row actually multi-matches,
+        # ADVICE r9). min/max ignore nulls, unchanged.
+        kc = [F.col(c) for c in on]
+        aggs = [F.min(on[0]).alias("lo"), F.max(on[0]).alias("hi")]
+        if matched or nmbs:
+            nonnull = functools.reduce(
+                lambda a, c: a & c.isNotNull(), kc, F.lit(True))
+            aggs += [F.count(F.when(nonnull, F.lit(1))).alias("n_nn"),
+                     F.count_distinct(*kc).alias("nd")]
+        b = source.agg(*aggs).first()
+        if (matched or nmbs) and b["n_nn"] != b["nd"]:
             raise ValueError(
                 "MERGE source has duplicate key rows on "
                 f"{on} — a target row would match multiple source "
                 "rows (Delta raises the same); de-duplicate the "
                 "source first (e.g. max_by latest per key)")
-        b = source.agg(F.min(on[0]).alias("lo"),
-                       F.max(on[0]).alias("hi")).first()
         lo, hi = _json_safe(b["lo"]), _json_safe(b["hi"])
         if nmbs:
             cand = sorted(snap.live)        # every row is examined

@@ -121,6 +121,50 @@ def test_rp_lsh_band_dial(exact, emb):
     assert r8 > r4, (r4, r8)
 
 
+def test_multi_probe_matches_single(ivf_index, queries):
+    """r13 optimization: ivf_probe_topk_multi shares ONE candidate
+    pass across nested n_probe settings — every per-setting row must
+    be identical to the sequential single-setting operator."""
+    cents, assigned = ivf_index
+    multi = S.ivf_probe_topk_multi(cents, assigned, queries, k=K,
+                                   probes=(1, 4, 8)).collect()
+    for p in (1, 4, 8):
+        single = sorted(tuple(r) for r in S.ivf_probe_topk(
+            cents, assigned, queries, k=K, n_probe=p).collect())
+        got = sorted(tuple(r)[1:] for r in multi if r["setting"] == p)
+        assert got == single, f"n_probe={p}"
+
+
+def test_multi_band_matches_single(emb):
+    """r13 optimization: rp_lsh_topk_multi shares ONE signature matmul
+    across band settings — per-setting rows must match the
+    single-setting operator exactly."""
+    multi = S.rp_lsh_topk_multi(emb, k=K, n_queries=NQ, n_planes=16,
+                                bands=(4, 8)).collect()
+    for nb in (4, 8):
+        single = sorted(tuple(r) for r in S.rp_lsh_topk(
+            emb, k=K, n_queries=NQ, n_planes=16, n_bands=nb).collect())
+        got = sorted(tuple(r)[1:] for r in multi if r["setting"] == nb)
+        assert got == single, f"bands={nb}"
+
+
+def test_mean_recall_tagged_matches_sequential(exact, ivf_index,
+                                               queries):
+    """One-action tagged evaluation == per-frame mean_recall, including
+    the zero-row label contract."""
+    cents, assigned = ivf_index
+    f1 = S.ivf_probe_topk(cents, assigned, queries, k=K, n_probe=4)
+    olds = {"a": S.mean_recall(exact, f1, k=K), "empty": 0.0}
+    tagged = (f1.select(F.lit("a").alias("label"), "query_id",
+                        "neighbor_id", "rk")
+              .unionByName(f1.where(F.lit(False)).select(
+                  F.lit("empty").alias("label"), "query_id",
+                  "neighbor_id", "rk")))
+    rec = S.mean_recall_tagged(exact, tagged, ["a", "empty"], k=K)
+    assert rec["a"] == pytest.approx(olds["a"], abs=1e-12)
+    assert rec["empty"] == 0.0
+
+
 def test_report_slot_emits_stats(spark):
     """The bench slot returns one row per (tier, setting) and records
     the same numbers in the telemetry stats channel."""
