@@ -326,8 +326,10 @@ def lsh_candidate_pairs(sigs: DataFrame,
     if not hot_rows:
         return expand(banded).distinct()
 
-    hot = F.broadcast(sigs.sparkSession.createDataFrame(
-        hot_rows, "band_idx int, band_hash long, n long"))
+    from aws_payment_data_lake_spark.localframe import local_frame
+    hot = F.broadcast(local_frame(
+        sigs.sparkSession, [tuple(r) for r in hot_rows],
+        "band_idx int, band_hash long, n long"))
     cold = banded.join(hot.select("band_idx", "band_hash"),
                        ["band_idx", "band_hash"], "left_anti")
     big = banded.join(hot, ["band_idx", "band_hash"])
@@ -674,7 +676,8 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
         StructField("canonical_doc_id", id_type),
         StructField("group_size", LongType()),
     ])
-    return edges.sparkSession.createDataFrame(out, schema)
+    from aws_payment_data_lake_spark.localframe import local_frame
+    return local_frame(edges.sparkSession, out, schema)
 
 
 def simhash_pairs(docs: DataFrame | None,

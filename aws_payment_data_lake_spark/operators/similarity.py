@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from aws_payment_data_lake_spark.functions import cosine, unit
+from aws_payment_data_lake_spark.localframe import local_frame
 from aws_payment_data_lake_spark.operators.spread import spread_narrow_scan
 
 
@@ -261,8 +262,8 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
     spark = emb.sparkSession
 
     def cent_df_of(rows):
-        return spark.createDataFrame(
-            [(i, list(r["ue"])) for i, r in enumerate(rows)],
+        return local_frame(
+            spark, [(i, list(r["ue"])) for i, r in enumerate(rows)],
             "cent_id long, ce array<double>")
 
     if n_iter == 0:
@@ -280,8 +281,9 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
         for r in rows:
             v = np.asarray(r["embedding"], dtype=np.float64)
             cents.append((v / np.sqrt(v @ v)).tolist())
-        return spark.createDataFrame(
-            list(enumerate(cents)), "cent_id long, ce array<double>")
+        return local_frame(
+            spark, list(enumerate(cents)),
+            "cent_id long, ce array<double>")
 
     n = emb.count()
     stride = max(1, n // train_cap)
@@ -302,8 +304,8 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
         dim = len(cents[0])
 
         def cent_df(vals):
-            return spark.createDataFrame(
-                [(i, v) for i, v in enumerate(vals)],
+            return local_frame(
+                spark, [(i, v) for i, v in enumerate(vals)],
                 "cent_id long, ce array<double>")
 
         for _ in range(n_iter):
@@ -1037,8 +1039,8 @@ def _adc_rank(scored: DataFrame, qrows, k: int,
     cand = (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k * rerank_factor)
             .select("query_id", "neighbor_id"))
-    qdf = spark.createDataFrame(
-        [(int(r["query_id"]), list(r["qe"])) for r in qrows],
+    qdf = local_frame(
+        spark, [(int(r["query_id"]), list(r["qe"])) for r in qrows],
         "query_id long, qe array<double>")
     # cand is bounded (k*rerank_factor rows per query over a small
     # query batch) — broadcast it into the corpus-sized rerank join

@@ -232,7 +232,9 @@ def pysource_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count_distinct("txn_id").alias("uniq")).collect()[0]
         rows, uniq = int(r["rows"]), int(r["uniq"])
         assert rows == n == uniq, (rows, uniq, n)
-        return spark.createDataFrame(
+        from aws_payment_data_lake_spark.localframe import local_frame
+        return local_frame(
+            spark,
             [("stream_resume_rows", rows), ("distinct_txn_ids", uniq)],
             "metric string, value long").coalesce(1)
     finally:

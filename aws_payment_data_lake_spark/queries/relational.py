@@ -484,11 +484,13 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns it into a BroadcastNestedLoopJoin — each fact row tests 3 bands
     locally; no shuffle at any scale."""
     (orders,) = load(spark, sf_dir, "orders")
-    bands = orders.sparkSession.createDataFrame(
+    from aws_payment_data_lake_spark.localframe import local_frame
+    bands = local_frame(
+        orders.sparkSession,
         [("small", 0.0, 50_000.0),
          ("medium", 50_000.0, 150_000.0),
          ("large", 150_000.0, 1_000_000_000.0)],
-        ["band_name", "lo", "hi"])
+        "band_name string, lo double, hi double")
     return (
         orders.join(F.broadcast(bands),
                     (F.col("o_totalprice") >= F.col("lo"))

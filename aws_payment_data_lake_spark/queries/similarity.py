@@ -448,8 +448,9 @@ def durable_pq_index(spark: SparkSession, sf_dir: str, warehouse: str,
         codes = S.pq_encode(emb, books)
         rows = [(j, c, books[j][c])
                 for j in range(len(books)) for c in range(len(books[j]))]
-        bdf = spark.createDataFrame(
-            rows, "subspace int, code int, ce array<double>")
+        from aws_payment_data_lake_spark.localframe import local_frame
+        bdf = local_frame(
+            spark, rows, "subspace int, code int, ce array<double>")
         return {"codes": codes, "books": bdf}
 
     frames, built = load_or_build(spark, store_dir, fp,

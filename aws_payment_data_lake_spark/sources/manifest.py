@@ -75,7 +75,8 @@ def build_manifest(spark: SparkSession, path: str,
         raise ValueError("build_manifest needs at least one column")
     kinds = _column_kinds(spark, path, cols)
     files = spark.read.parquet(path).inputFiles()
-    paths_df = spark.createDataFrame([(f,) for f in files], "file string")
+    from aws_payment_data_lake_spark.localframe import local_frame
+    paths_df = local_frame(spark, [(f,) for f in files], "file string")
 
     def stats(batches):
         import pandas as pd

@@ -89,6 +89,8 @@ from urllib.parse import unquote, urlparse
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from aws_payment_data_lake_spark.localframe import local_frame
 from pyspark.sql.types import StructField, StructType
 
 _LOG_DIR = "_txlog"
@@ -2477,8 +2479,8 @@ class TxnTable:
         if any(os.path.isabs(r) for r in rels):
             fp = F.col("_metadata.file_path")
             pos = F.col("_metadata.row_index").alias("__pos")
-            umap = F.broadcast(self.spark.createDataFrame(
-                [(self._uri_of(r), r) for r in rels],
+            umap = F.broadcast(local_frame(
+                self.spark, [(self._uri_of(r), r) for r in rels],
                 "__uri string, __rel string"))
             if schema is None:
                 df = reader.parquet(*paths).select(
@@ -3533,16 +3535,20 @@ class TxnTable:
         snap = self._replay()
         self._assert_mutable(snap, op.upper())
         target = self._read_files_meta(snap, sorted(snap.live))
-        touched = sorted({r[0] for r in
-                          (target.where(hit).select("__rel")
-                           .distinct().collect())})
+        # ONE discovery pass (r13, guide §1.2): per-file hit counts
+        # give both the touched-file set and the match total — the
+        # match count was previously a dedicated second scan of the
+        # touched files (still NOT Observation: see merge_clauses for
+        # the Spark 4.1 ObservationManager serialization hazard)
+        per_file = {r["__rel"]: r["n"] for r in
+                    (target.where(hit).groupBy("__rel")
+                     .agg(F.count(F.lit(1)).alias("n")).collect())}
+        touched = sorted(per_file)
         if not touched:
             return {"version": snap.version, "files_rewritten": 0,
                     "rows_changed": 0}
         content = self._read_files(snap, touched)
-        # the match count is a dedicated pass over the touched files
-        # (see merge_clauses for why NOT Observation in Spark 4.1)
-        rows_changed = content.where(hit).count()
+        rows_changed = int(sum(per_file.values()))
         rewritten = rewrite(content)
         adds = self._stage(rewritten, snap.partition_by or None,
                            mapping=snap.column_mapping)
