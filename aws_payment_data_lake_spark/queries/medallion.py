@@ -508,8 +508,19 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # Scale-adaptive concurrency (measured both ways, same box, warm):
+    # at 32 cores the 4-way overlap wins (11.8 s vs 16.6 s sequential
+    # — protocol latency back-fills); at 8 cores it LOSES badly
+    # (30-33 s vs 15.5 s): four lifecycles' stages + two streaming
+    # schedulers queue behind each other and the CDC micro-batch
+    # latency explodes. The driver benches this suite at a lower core
+    # count precisely to see that scaling, so the worker count derives
+    # from the session's parallelism, not a constant.
+    cores = spark.sparkContext.defaultParallelism
+    workers = 4 if cores >= 24 else 1
+
     try:
-        with ThreadPoolExecutor(max_workers=4) as ex:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
             f_py = ex.submit(g_python)
             f_sql = ex.submit(g_sql)
             f_cdc = ex.submit(g_cdc)
