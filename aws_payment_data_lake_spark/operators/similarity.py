@@ -757,6 +757,14 @@ def rp_lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
     P = np.random.default_rng(seed).normal(size=(n_planes, dim))
     weights = (1 << np.arange(bits)).astype(np.int64)
 
+    # Shuffle IDS, move vectors once (guide §8, r13): the signature
+    # stage needs the vectors but emits only (id, band) rows, so the
+    # candidate join and the per-(query, neighbor) dedupe shuffle a
+    # few longs per row instead of two 64-double payloads (~1 KB/row
+    # — at bands=8 the pre-dedupe candidate table is ~n_bands·N/2^bits
+    # rows per query). The vectors re-attach AFTER the dedupe: the
+    # corpus side moves exactly once, keyed by neighbor_id, and the
+    # query batch re-attaches as a broadcast (|Q| rows).
     def banded(id_col: str, vec_col: str):
         def gen(batches):
             for pdf in batches:
@@ -771,30 +779,31 @@ def rp_lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
                 ])  # (n, n_bands), row-aligned
                 yield pd.DataFrame({
                     id_col: np.repeat(pdf[id_col].to_numpy(), n_bands),
-                    vec_col: pdf[vec_col].iloc[
-                        np.repeat(np.arange(n), n_bands)].to_numpy(),
                     "band_idx": np.tile(np.arange(n_bands), n),
                     "band_val": vals.ravel(),
                 })
         return gen
 
-    corpus = spread_narrow_scan(
-        emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("ne")))
-    corpus_sig = corpus.mapInPandas(
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("ne"))
+    corpus_sig = spread_narrow_scan(corpus).mapInPandas(
         banded("neighbor_id", "ne"),
-        "neighbor_id long, ne array<double>, band_idx int, band_val long")
+        "neighbor_id long, band_idx int, band_val long")
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     query_sig = queries.mapInPandas(
         banded("query_id", "qe"),
-        "query_id long, qe array<double>, band_idx int, band_val long")
+        "query_id long, band_idx int, band_val long")
 
-    cands = (
+    cand_ids = (
         query_sig.join(corpus_sig, ["band_idx", "band_val"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
     )
+    cands = (cand_ids.join(corpus, "neighbor_id")
+             .join(F.broadcast(queries), "query_id")
+             .select("query_id", "qe", "neighbor_id", "ne"))
 
     scored = cands.mapInPandas(
         _cosine_score_batches,
@@ -839,6 +848,8 @@ def rp_lsh_topk_multi(emb: DataFrame, k: int = 5, n_queries: int = 10,
         layouts.append((nb, bits, weights))
     rows_per_vec = sum(nb for nb, _, _ in layouts)
 
+    # ids-only candidate shuffle, vectors attached once after the
+    # dedupe — same §8 design as rp_lsh_topk (see its comment)
     def banded(id_col: str, vec_col: str):
         def gen(batches):
             for pdf in batches:
@@ -860,35 +871,32 @@ def rp_lsh_topk_multi(emb: DataFrame, k: int = 5, n_queries: int = 10,
                 yield pd.DataFrame({
                     id_col: np.repeat(pdf[id_col].to_numpy(),
                                       rows_per_vec),
-                    vec_col: pdf[vec_col].iloc[
-                        np.repeat(np.arange(n), rows_per_vec)
-                    ].to_numpy(),
                     "setting": np.tile(np.concatenate(setting_col), n),
                     "band_idx": np.tile(np.concatenate(idx_col), n),
                     "band_val": vals_all.ravel(),
                 })
         return gen
 
-    corpus = spread_narrow_scan(
-        emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("ne")))
-    corpus_sig = corpus.mapInPandas(
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("ne"))
+    corpus_sig = spread_narrow_scan(corpus).mapInPandas(
         banded("neighbor_id", "ne"),
-        "neighbor_id long, ne array<double>, setting long, "
-        "band_idx int, band_val long")
+        "neighbor_id long, setting long, band_idx int, band_val long")
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     query_sig = queries.mapInPandas(
         banded("query_id", "qe"),
-        "query_id long, qe array<double>, setting long, "
-        "band_idx int, band_val long")
+        "query_id long, setting long, band_idx int, band_val long")
 
-    cands = (
+    cand_ids = (
         query_sig.join(corpus_sig, ["setting", "band_idx", "band_val"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["setting", "query_id", "neighbor_id"])
-        .select("query_id", "qe", "neighbor_id", "ne", "setting")
+        .select("setting", "query_id", "neighbor_id")
     )
+    cands = (cand_ids.join(corpus, "neighbor_id")
+             .join(F.broadcast(queries), "query_id")
+             .select("query_id", "qe", "neighbor_id", "ne", "setting"))
     scored = cands.mapInPandas(
         _cosine_score_batches_keep("setting"),
         "query_id long, neighbor_id long, cos_sim double, setting long")
