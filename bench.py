@@ -277,7 +277,19 @@ def main() -> int:
 
     load_start = load_stamp()
     canary_start = canary()
-    for name in names:
+    # In-run drift series (VERDICT r13 #3): two endpoint canaries cannot
+    # explain a mid-suite host-capacity swing (r12/r13 cross-round
+    # comparisons were both confounded by one). Interleave the same q1
+    # canary every ~10 slots and emit the series in BENCH_DETAIL's env
+    # block so a reader can deseasonalize per-slot numbers. Additions
+    # only: no pre-existing entry's timing, ordering or materialization
+    # changes (the canary runs BETWEEN slots, after the previous slot's
+    # clearCache).
+    canary_series: list[dict] = []
+    for slot_i, name in enumerate(names):
+        if slot_i and slot_i % 10 == 0:
+            canary_series.append(
+                {"before_slot": name, "sec": canary()})
         # Per-query fault isolation: one throwing query must cost one row,
         # not the whole artifact (BENCH_r02 was nulled by a single
         # streaming AnalysisException reaching the top level).
@@ -319,6 +331,10 @@ def main() -> int:
         "canary_sec_start": canary_start,
         "canary_sec_end": canary_end,
     }
+    # The series goes to BENCH_DETAIL only: the compact stdout line must
+    # stay inside the driver's ~2000-char tail window.
+    env_detail = dict(env)
+    env_detail["canary_series"] = canary_series
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total_sec",
@@ -326,7 +342,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_from_dir(sf_dir),
-        "env": env,
+        "env": env_detail,
     }
     # Shared-store build costs land on whichever consumer ran FIRST
     # (BASELINE.md); emit them separately so per-query numbers stay
