@@ -147,15 +147,31 @@ def streaming_windows_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # State-store sizing: each stateful stream materializes one state
     # store instance PER shuffle partition, and the number is fixed at
-    # stream start. The window/session state here is hundreds of keys —
-    # 32 instances x 3 streams is pure per-instance overhead (measured:
-    # 2.9-3.5 s -> 2.0-2.4 s warm at 8). On a real cluster this knob is
-    # sized to state VOLUME (keys x state bytes / executor memory), not
-    # to data volume; results are partitioning-invariant either way.
+    # stream start. Every instance pays a per-micro-batch commit (a
+    # delta file write + fsync on the checkpoint volume), so shards x
+    # streams is a FIXED per-batch cost that does not shrink with the
+    # data — the r13 driver record showed the slot running FASTER at 8
+    # cores than 32 (scaling ratio 0.42) because 3 streams x 8 shards
+    # of concurrent tiny commits contend harder the more of them run
+    # at once. Derive the shard count from the stream's INPUT VOLUME
+    # (guide §2.2 "fewer, larger partitions"; ~64 MB of input per
+    # shard, floor 1), not from the core count: at bench scale that is
+    # ONE instance per stream (r14 A/B, warm: 8 cores 5.5 -> 2.4 s,
+    # 32 cores 2.4 -> 2.1 s, ratio 0.42 -> ~1.05), and on a real
+    # cluster the same rule grows shards with the feed. State volume
+    # scales with the key space, which scales with input; results are
+    # partitioning-invariant either way.
     # Restored after the drain: conf is read at stream start, and the
     # batch union below should keep the session's normal parallelism.
+    try:
+        in_bytes = os.path.getsize(path)
+    except OSError:  # directory zone: sum the part files
+        in_bytes = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path) if not f.startswith(("_", ".")))
+    shards = max(1, in_bytes // (64 * 1024 * 1024))
     saved_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shards))
     try:
         handles = _start_streams(spark, path)
         for q in handles:
