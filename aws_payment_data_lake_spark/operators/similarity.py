@@ -1067,22 +1067,17 @@ def _adc_rank(scored: DataFrame, qrows, k: int,
             .select("query_id", "neighbor_id", "cos_sim", "rk"))
 
 
-def pq_topk(codes: DataFrame, queries: DataFrame, codebooks,
-            k: int = 5, rerank: DataFrame | None = None,
-            rerank_factor: int = 8, qrows=None) -> DataFrame:
-    """ADC top-k: per (query, candidate) the approximate cosine is the
-    sum of m LUT entries <query_sub, codeword>. ``queries`` is
-    (query_id, qe). With ``rerank`` (the original embeddings), the ADC
-    top k*rerank_factor candidates are re-scored with exact cosine —
-    the standard PQ + re-rank pipeline; output matches the engine's
-    (query_id, neighbor_id, cos_sim, rk) ANN contract. ``qrows``
-    passes an already-collected ``queries.collect()`` so a caller
-    probing several tiers pays the query-batch action once (r13)."""
+def pq_adc_scores(codes: DataFrame, qrows, codebooks) -> DataFrame:
+    """The ADC scoring pass of `pq_topk`: every (query, corpus code)
+    scored as the sum of m LUT entries, one Arrow pass over the codes
+    table. Split out (r14) so a caller evaluating SEVERAL ranking
+    tails over the same codes (adc-only top-k AND exact-rerank top-k
+    in one report action) builds this corpus-sized subtree ONCE — the
+    two tails' identical window exchange over it is then planned as a
+    ReusedExchange instead of two full scoring passes (guide §2.4)."""
     import numpy as np
     import pandas as pd
 
-    if qrows is None:
-        qrows = queries.collect()  # ANN contract: small query batch
     qids = [int(r["query_id"]) for r in qrows]
     luts = _query_luts(qrows, codebooks)
     m = len(codebooks)
@@ -1104,9 +1099,29 @@ def pq_topk(codes: DataFrame, queries: DataFrame, codebooks,
                     "adc_sim": np.round(s, 6)}))
             yield pd.concat(out)
 
-    scored = (codes.mapInPandas(
+    return (codes.mapInPandas(
         adc, "query_id long, neighbor_id long, adc_sim double")
         .where(F.col("neighbor_id") != F.col("query_id")))
+
+
+def pq_topk(codes: DataFrame, queries: DataFrame, codebooks,
+            k: int = 5, rerank: DataFrame | None = None,
+            rerank_factor: int = 8, qrows=None,
+            scored: DataFrame | None = None) -> DataFrame:
+    """ADC top-k: per (query, candidate) the approximate cosine is the
+    sum of m LUT entries <query_sub, codeword>. ``queries`` is
+    (query_id, qe). With ``rerank`` (the original embeddings), the ADC
+    top k*rerank_factor candidates are re-scored with exact cosine —
+    the standard PQ + re-rank pipeline; output matches the engine's
+    (query_id, neighbor_id, cos_sim, rk) ANN contract. ``qrows``
+    passes an already-collected ``queries.collect()`` so a caller
+    probing several tiers pays the query-batch action once (r13);
+    ``scored`` passes an already-built `pq_adc_scores` frame so
+    several ranking tails share one scoring subtree (r14)."""
+    if qrows is None:
+        qrows = queries.collect()  # ANN contract: small query batch
+    if scored is None:
+        scored = pq_adc_scores(codes, qrows, codebooks)
     return _adc_rank(scored, qrows, k, rerank, rerank_factor)
 
 

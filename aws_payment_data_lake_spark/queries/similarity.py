@@ -578,16 +578,22 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     label_col.alias("label"), "query_id",
                     "neighbor_id", "rk")
 
+            # ONE ADC scoring pass for both PQ tails (r14): adc_only
+            # and rerank rank the SAME corpus-sized scored frame, so
+            # sharing the subtree lets the planner reuse the window
+            # exchange instead of running the Arrow scorer twice.
+            adc_scored = S.pq_adc_scores(codes, qrows, books)
             frames = [
                 lab(S.ivf_probe_topk_multi(cents, assigned, q, k=K,
                                            probes=(1, 4, 8)),
                     F.concat(F.lit("ivf[n_probe="),
                              F.col("setting").cast("string"),
                              F.lit("]"))),
-                lab(S.pq_topk(codes, q, books, k=K, qrows=qrows),
+                lab(S.pq_topk(codes, q, books, k=K, qrows=qrows,
+                              scored=adc_scored),
                     F.lit("pq[adc_only]")),
                 lab(S.pq_topk(codes, q, books, k=K, rerank=emb,
-                              qrows=qrows),
+                              qrows=qrows, scored=adc_scored),
                     F.lit("pq[rerank=8x]")),
                 lab(S.ivfpq_topk(cents, assigned, codes, q, books,
                                  k=K, n_probe=4, rerank=emb,
