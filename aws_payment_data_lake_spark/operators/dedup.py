@@ -657,7 +657,12 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for row in edges.toLocalIterator():
+    # collect(), not toLocalIterator(): the edge list is already known
+    # to be <= driver_threshold rows (a few MB), and toLocalIterator
+    # runs one fetch JOB PER PARTITION of the checkpointed shuffle
+    # output — ~30 sequential job round-trips for a graph that fits in
+    # one result message (r14; guide §1.2 action-count).
+    for row in edges.collect():
         ra, rb = find(row[0]), find(row[1])
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
