@@ -2895,7 +2895,6 @@ class TxnTable:
         if snap.generated:              # derive absent generated cols
             source = self._derive_generated(source, snap.generated)
         source = source.localCheckpoint(eager=True)  # pin: read twice
-        src_rows = source.count()
         eff_src = source.drop(*helper_cols) if helper_cols else source
         evolved = (self._check_schema(eff_src, snap, "merge")
                    if schema_mode == "merge" and snap.schema is not None
@@ -2921,8 +2920,14 @@ class TxnTable:
         # key-clustered table a narrow batch scans a handful of files
         # instead of the corpus; stats-less files are kept
         # conservatively, multi-column keys prune on the first only.
-        b = source.agg(F.min(on[0]).alias("lo"),
+        # ONE pre-flight aggregate (r14, guide §1.2): the row count for
+        # the result dict and the key-range min/max were two separate
+        # jobs over the checkpointed source; fold them into one (the
+        # merge_clauses pre-flight got the same treatment in r13).
+        b = source.agg(F.count(F.lit(1)).alias("n"),
+                       F.min(on[0]).alias("lo"),
                        F.max(on[0]).alias("hi")).first()
+        src_rows = int(b["n"])
         lo, hi = _json_safe(b["lo"]), _json_safe(b["hi"])
         if lo is None:                          # empty/all-null source
             cand = sorted(snap.live)
