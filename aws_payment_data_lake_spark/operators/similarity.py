@@ -25,20 +25,47 @@ from aws_payment_data_lake_spark.operators.spread import spread_narrow_scan
 
 
 def brute_force_topk(emb: DataFrame, k: int = 5,
-                     n_queries: int = 10) -> DataFrame:
+                     n_queries: int = 10,
+                     scorer: str = "jvm") -> DataFrame:
     """Exact top-k neighbors for query vectors (vec_id < n_queries).
 
     Ranking uses the ROUNDED cosine with vec_id tiebreak so the order is
-    total and engine-independent."""
+    total and engine-independent.
+
+    ``scorer="jvm"`` (default) scores with the SQL `cosine` fold — the
+    expression the DuckDB oracle replays term by term; the registered
+    `knn_brute_force` query stays on it. ``scorer="arrow"`` runs the
+    same arithmetic as one einsum per Arrow batch through the shared
+    `_cosine_score_batches` (r14, guide §4.2): the interpreted
+    higher-order fold costs ~3*dim expression evals per scored row and
+    the baseline scores |Q| x N rows — in the recall report that was
+    most of the exact phase. np.round and F.round agree everywhere
+    except exact half-way ties at the 6th decimal; row identity of the
+    two scorers is asserted at sf0.001/0.01/0.1
+    (tests/test_ann_recall.py), so the report's recall stats are
+    unchanged."""
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    c = (
-        emb.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_sim"))
-    )
+    if scorer == "arrow":
+        c = (
+            spread_narrow_scan(
+                emb.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").alias("ne")), "neighbor_id")
+            .crossJoin(F.broadcast(q))
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "qe", "neighbor_id", "ne")
+            .mapInPandas(_cosine_score_batches,
+                         "query_id long, neighbor_id long, cos_sim double")
+        )
+    else:
+        c = (
+            emb.crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round(cosine(F.col("qe"), F.col("embedding")), 6)
+                .alias("cos_sim"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -125,6 +152,14 @@ def mean_recall_tagged(exact: DataFrame, tagged: DataFrame,
             .collect())
     got = {r["label"]: (float(r["r"]) if r["r"] is not None else 0.0)
            for r in rows}
+    # label drift guard (ADVICE r13): a tagged frame carrying a label
+    # the caller did not declare means the label format diverged — the
+    # old silent-drop would record a plausible-looking 0.0 instead
+    unexpected = sorted(set(got) - set(labels))
+    if unexpected:
+        raise ValueError(
+            f"mean_recall_tagged: tagged frame carries labels not in "
+            f"the declared list: {unexpected} (declared {labels})")
     return {x: got.get(x, 0.0) for x in labels}
 
 
@@ -426,11 +461,13 @@ def _cosine_score_batches(batches):
 
 def ivf_probe_topk(cents: DataFrame, assigned: DataFrame,
                    queries: DataFrame, k: int = 5,
-                   n_probe: int = 4) -> DataFrame:
+                   n_probe: int = 4, qrows=None) -> DataFrame:
     """Probe an IVF index: each query row (query_id, qe) ranks its
     n_probe closest cells (tiny NxK window over the broadcast centroid
     table), joins only those cells' members, and ranks candidates
-    exactly within them."""
+    exactly within them. ``qrows`` passes an already-collected query
+    batch so the candidate rows carry only ids + the corpus vector
+    (guide §8 — see `_cosine_score_batches_qmap`)."""
 
     def scored_cells(df: DataFrame, id_out: str, vec_col: str) -> DataFrame:
         return df.crossJoin(F.broadcast(cents)).select(
@@ -443,12 +480,17 @@ def ivf_probe_topk(cents: DataFrame, assigned: DataFrame,
                 .withColumn("rk", F.row_number().over(w))
                 .where(F.col("rk") <= n).drop("rk", "c"))
 
-    probes = best_cells(queries, "query_id", "qe", n_probe)
+    if qrows is None:
+        qrows = queries.collect()  # ANN contract: small query batch
+    probes = best_cells(queries, "query_id", "qe", n_probe) \
+        .drop("qe")
 
     # Candidate scoring batches through Arrow as well (same rationale as
     # assign_cells_blas: a row-wise einsum replaces ~3x64 interpreted
     # expression evals per candidate; at sf1.0 the probe join emits ~50k
-    # candidate rows).
+    # candidate rows). Query vectors come from the qmap closure, so
+    # each candidate row is (query_id, neighbor_id, ne) — half the
+    # Arrow payload of the old qe-carrying shape.
     c = (
         # probes is bounded (n_queries x n_probe rows) — broadcast it
         # explicitly: stats on a window-over-crossJoin frame are
@@ -457,7 +499,8 @@ def ivf_probe_topk(cents: DataFrame, assigned: DataFrame,
         # keys (a skew disaster at scale)
         F.broadcast(probes).join(assigned, "cent_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .mapInPandas(_cosine_score_batches,
+        .select("query_id", "neighbor_id", "ne")
+        .mapInPandas(_cosine_score_batches_qmap(qrows),
                      "query_id long, neighbor_id long, cos_sim double")
         .distinct()
     )
@@ -470,33 +513,47 @@ def ivf_probe_topk(cents: DataFrame, assigned: DataFrame,
     )
 
 
-def _cosine_score_batches_keep(extra: str):
-    """`_cosine_score_batches` variant that carries one extra int
-    column through the Arrow scorer unchanged (the multi-setting
-    probes tag candidates with cell rank / band count; re-joining the
-    tag after scoring would cost a shuffle the passthrough avoids)."""
+def _cosine_score_batches_qmap(qrows, extra: str | None = None):
+    """Arrow candidate scorer that takes the QUERY vectors from a
+    driver-literal map instead of a per-row ``qe`` column (r14, guide
+    §4/§8): the query batch is bounded (|Q| rows, collected once by
+    the caller), so carrying 64 doubles of query payload on EVERY
+    candidate row through joins and the Arrow boundary doubles the
+    transfer for zero information. Input rows: (query_id, neighbor_id,
+    ne[, extra]); output and arithmetic identical to
+    `_cosine_score_batches` (same einsum, same norms, same 6-dp
+    round — row identity pinned in tests/test_ann_recall.py)."""
     import numpy as np
     import pandas as pd
+
+    qv = {int(r["query_id"]): np.asarray(r["qe"], dtype=np.float64)
+          for r in qrows}
+    qids = np.array(sorted(qv), dtype=np.int64)
+    Q = (np.stack([qv[i] for i in qids]) if len(qids)
+         else np.empty((0, 0)))
+    Qn = np.linalg.norm(Q, axis=1) if len(qids) else Q
 
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            Q = np.stack(pdf["qe"].to_numpy()).astype(np.float64)
+            idx = np.searchsorted(qids, pdf["query_id"].to_numpy())
             N = np.stack(pdf["ne"].to_numpy()).astype(np.float64)
-            cs = (np.einsum("ij,ij->i", Q, N)
-                  / (np.linalg.norm(Q, axis=1) * np.linalg.norm(N, axis=1)))
-            yield pd.DataFrame({"query_id": pdf["query_id"],
-                                "neighbor_id": pdf["neighbor_id"],
-                                "cos_sim": np.round(cs, 6),
-                                extra: pdf[extra]})
+            cs = (np.einsum("ij,ij->i", Q[idx], N)
+                  / (Qn[idx] * np.linalg.norm(N, axis=1)))
+            out = {"query_id": pdf["query_id"],
+                   "neighbor_id": pdf["neighbor_id"],
+                   "cos_sim": np.round(cs, 6)}
+            if extra is not None:
+                out[extra] = pdf[extra]
+            yield pd.DataFrame(out)
     return score
 
 
 def ivf_probe_topk_multi(cents: DataFrame, assigned: DataFrame,
                          queries: DataFrame, k: int = 5,
-                         probes: tuple[int, ...] = (1, 4, 8)
-                         ) -> DataFrame:
+                         probes: tuple[int, ...] = (1, 4, 8),
+                         qrows=None) -> DataFrame:
     """`ivf_probe_topk` for SEVERAL n_probe settings in ONE candidate
     pass (guide §1.2/§2.4: the settings' candidate sets are nested —
     the top-1 cells are a prefix of the top-max(probes) cells under the
@@ -508,20 +565,24 @@ def ivf_probe_topk_multi(cents: DataFrame, assigned: DataFrame,
     cos_sim, rk). Per-setting rows are IDENTICAL to
     ``ivf_probe_topk(..., n_probe=setting)`` (pinned by
     tests/test_ann_recall.py::test_multi_probe_matches_single)."""
+    if qrows is None:
+        qrows = queries.collect()  # ANN contract: small query batch
     max_p = max(probes)
     wcell = Window.partitionBy("query_id").orderBy(
         F.col("c").desc(), "cent_id")
     cells = (queries.crossJoin(F.broadcast(cents))
-             .select("query_id", "qe", "cent_id",
+             .select("query_id", "cent_id",
                      F.round(cosine(F.col("qe"), F.col("ce")), 6)
                      .alias("c"))
              .withColumn("cell_rk", F.row_number().over(wcell))
              .where(F.col("cell_rk") <= max_p).drop("c"))
+    # candidate rows carry ids + the corpus vector only; query vectors
+    # come from the qmap closure (guide §8 — see the single-probe path)
     scored = (
         F.broadcast(cells).join(assigned, "cent_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qe", "neighbor_id", "ne", "cell_rk")
-        .mapInPandas(_cosine_score_batches_keep("cell_rk"),
+        .select("query_id", "neighbor_id", "ne", "cell_rk")
+        .mapInPandas(_cosine_score_batches_qmap(qrows, "cell_rk"),
                      "query_id long, neighbor_id long, cos_sim double, "
                      "cell_rk int"))
     # a vector lives in exactly ONE cell (argmax assignment), so the
@@ -719,6 +780,28 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.4,
                            "dup_of long, cos_to_rep double"))
 
 
+def _banded_rows_driver(qrows, id_col: str, P, layouts,
+                        with_setting: bool = False) -> list[tuple]:
+    """Band signatures for a COLLECTED query batch, computed driver-side
+    with the same numpy ops as the executor `banded` stage (r14): the
+    batch is |Q| rows, so signing it in the driver and shipping a
+    LocalTableScan removes a per-action Python stage. ``layouts`` is
+    [(n_bands, bits, weights), ...]; rows are (id[, setting], band_idx,
+    band_val)."""
+    import numpy as np
+
+    rows: list[tuple] = []
+    for r in qrows:
+        v = np.asarray(r["qe"], dtype=np.float64)
+        B = (v @ P.T >= 0).astype(np.int64)  # (n_planes,)
+        for nb, bits, weights in layouts:
+            for b in range(nb):
+                val = int(B[b * bits:(b + 1) * bits] @ weights)
+                rows.append((int(r[id_col]), nb, b, val) if with_setting
+                            else (int(r[id_col]), b, val))
+    return rows
+
+
 def rp_lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
                 n_planes: int = 16, n_bands: int = 4,
                 seed: int = 7) -> DataFrame:
@@ -789,24 +872,30 @@ def rp_lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
     corpus_sig = spread_narrow_scan(corpus).mapInPandas(
         banded("neighbor_id", "ne"),
         "neighbor_id long, band_idx int, band_val long")
+    # The query batch is bounded and needed driver-side for the qmap
+    # scorer anyway (r14, guide §8), so its band signatures are
+    # computed HERE with the same numpy ops and shipped as a
+    # LocalTableScan — no 20-row Python stage per action, no broadcast
+    # join re-attaching query vectors to candidates.
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    query_sig = queries.mapInPandas(
-        banded("query_id", "qe"),
+    qrows = queries.collect()
+    query_sig = local_frame(
+        emb.sparkSession,
+        _banded_rows_driver(qrows, "query_id", P, [(n_bands, bits, weights)]),
         "query_id long, band_idx int, band_val long")
 
     cand_ids = (
-        query_sig.join(corpus_sig, ["band_idx", "band_val"])
+        F.broadcast(query_sig).join(corpus_sig, ["band_idx", "band_val"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id")
     )
     cands = (cand_ids.join(corpus, "neighbor_id")
-             .join(F.broadcast(queries), "query_id")
-             .select("query_id", "qe", "neighbor_id", "ne"))
+             .select("query_id", "neighbor_id", "ne"))
 
     scored = cands.mapInPandas(
-        _cosine_score_batches,
+        _cosine_score_batches_qmap(qrows),
         "query_id long, neighbor_id long, cos_sim double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -882,23 +971,27 @@ def rp_lsh_topk_multi(emb: DataFrame, k: int = 5, n_queries: int = 10,
     corpus_sig = spread_narrow_scan(corpus).mapInPandas(
         banded("neighbor_id", "ne"),
         "neighbor_id long, setting long, band_idx int, band_val long")
+    # driver-side query signatures + qmap scorer — see rp_lsh_topk
     queries = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    query_sig = queries.mapInPandas(
-        banded("query_id", "qe"),
+    qrows = queries.collect()
+    query_sig = local_frame(
+        emb.sparkSession,
+        _banded_rows_driver(qrows, "query_id", P, layouts,
+                            with_setting=True),
         "query_id long, setting long, band_idx int, band_val long")
 
     cand_ids = (
-        query_sig.join(corpus_sig, ["setting", "band_idx", "band_val"])
+        F.broadcast(query_sig)
+        .join(corpus_sig, ["setting", "band_idx", "band_val"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["setting", "query_id", "neighbor_id"])
         .select("setting", "query_id", "neighbor_id")
     )
     cands = (cand_ids.join(corpus, "neighbor_id")
-             .join(F.broadcast(queries), "query_id")
-             .select("query_id", "qe", "neighbor_id", "ne", "setting"))
+             .select("query_id", "neighbor_id", "ne", "setting"))
     scored = cands.mapInPandas(
-        _cosine_score_batches_keep("setting"),
+        _cosine_score_batches_qmap(qrows, "setting"),
         "query_id long, neighbor_id long, cos_sim double, setting long")
     w = Window.partitionBy("setting", "query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -1036,7 +1129,6 @@ def _adc_rank(scored: DataFrame, qrows, k: int,
     """Shared ADC ranking tail: top-k on adc_sim, or exact-cosine
     re-rank of the ADC top k*rerank_factor (one implementation so a
     tie-break or guard fix cannot diverge between the PQ tiers)."""
-    spark = scored.sparkSession
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("neighbor_id"))
     if rerank is None:
@@ -1047,18 +1139,18 @@ def _adc_rank(scored: DataFrame, qrows, k: int,
     cand = (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k * rerank_factor)
             .select("query_id", "neighbor_id"))
-    qdf = local_frame(
-        spark, [(int(r["query_id"]), list(r["qe"])) for r in qrows],
-        "query_id long, qe array<double>")
     # cand is bounded (k*rerank_factor rows per query over a small
     # query batch) — broadcast it into the corpus-sized rerank join
-    # rather than betting on stats the window output doesn't have
-    exact = (F.broadcast(cand.join(F.broadcast(qdf), "query_id"))
+    # rather than betting on stats the window output doesn't have.
+    # Query vectors come from the qmap closure (r14, guide §8), so the
+    # rerank join ships ids + one corpus vector per candidate instead
+    # of two vectors.
+    exact = (F.broadcast(cand)
              .join(rerank.select(F.col("vec_id").alias("neighbor_id"),
                                  F.col("embedding").alias("ne")),
                    "neighbor_id")
-             .select("query_id", "qe", "neighbor_id", "ne")
-             .mapInPandas(_cosine_score_batches,
+             .select("query_id", "neighbor_id", "ne")
+             .mapInPandas(_cosine_score_batches_qmap(qrows),
                           "query_id long, neighbor_id long, cos_sim double"))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))

@@ -554,7 +554,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = [f"{t}[{s}]" for t, s in plan]
 
     with timed_phase(FAM, "exact_baseline"):
-        exact = S.brute_force_topk(emb, k=K, n_queries=NQ).persist()
+        # Arrow scorer (r14, guide §4.2): same arithmetic as the JVM
+        # cosine fold via one einsum per batch; row identity vs the
+        # JVM scorer is pinned at 3 SFs in tests/test_ann_recall.py
+        # (the registered knn_brute_force stays on the JVM scorer the
+        # oracle replays). ~1.2 -> 0.75 s at sf0.1.
+        exact = S.brute_force_topk(emb, k=K, n_queries=NQ,
+                                   scorer="arrow").persist()
         exact.count()
     try:
         with timed_phase(FAM, "index_build"):

@@ -183,3 +183,24 @@ def test_report_slot_emits_stats(spark):
               for r in out}
     for key, val in fam.items():
         assert by_key[key] == pytest.approx(val, abs=1e-4)
+
+
+def test_arrow_exact_scorer_matches_jvm(spark):
+    """The report's Arrow-scored exact baseline is row-identical to the
+    JVM cosine fold (np.round vs F.round could only diverge on an exact
+    half-way tie at the 6th decimal — assert none exists at 3 SFs)."""
+    for sf in ("/root/testdata/sf0.001", SF001, "/root/testdata/sf0.1"):
+        (e,) = load(spark, sf, "embeddings")
+        a = S.brute_force_topk(e, k=K, n_queries=NQ, scorer="jvm")
+        b = S.brute_force_topk(e, k=K, n_queries=NQ, scorer="arrow")
+        assert sorted(map(tuple, a.collect())) \
+            == sorted(map(tuple, b.collect())), sf
+
+
+def test_assigned_cells_unique_per_vector(ivf_index):
+    """The multi-probe path's correctness leans on the
+    each-vector-in-exactly-one-cell invariant (it drops the single
+    path's defensive distinct); pin the invariant itself (ADVICE r13)."""
+    cents, assigned = ivf_index
+    n = assigned.count()
+    assert assigned.select("neighbor_id").distinct().count() == n
