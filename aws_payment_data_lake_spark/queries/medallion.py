@@ -516,8 +516,12 @@ def medallion_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # latency explodes. The driver benches this suite at a lower core
     # count precisely to see that scaling, so the worker count derives
     # from the session's parallelism, not a constant.
+    # Session-conf override (ADVICE r13: defaultParallelism can
+    # overstate usable cores on oversubscribed/shared hosts — let a
+    # mis-sized deployment dial the worker count without a code edit).
     cores = spark.sparkContext.defaultParallelism
-    workers = 4 if cores >= 24 else 1
+    workers = int(spark.conf.get("spark.lake.medallion.workers",
+                                 str(4 if cores >= 24 else 1)))
 
     try:
         with ThreadPoolExecutor(max_workers=workers) as ex:
