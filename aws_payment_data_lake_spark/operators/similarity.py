@@ -1024,14 +1024,17 @@ PQ_K = 32         # codewords per subspace (5-bit codes)
 
 
 def train_pq_codebooks(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
-                       train_cap: int = 4096, n_iter: int = 10):
+                       train_cap: int = 4096, n_iter: int = 10,
+                       n_rows: int | None = None):
     """Per-subspace k-means codebooks trained on a deterministic stride
     sample of UNIT vectors. Returns a python nested list
     [m][k][dim/m] (driver literal — broadcast by closure into the
-    Arrow encode/score stages, the kmeans_centroids pattern)."""
+    Arrow encode/score stages, the kmeans_centroids pattern).
+    ``n_rows`` passes an already-known corpus row count so the stride
+    computation skips its count job (r14, guide §1.2)."""
     import numpy as np
 
-    n = emb.count()
+    n = emb.count() if n_rows is None else int(n_rows)
     stride = max(1, n // train_cap)
     rows = (emb.where(F.pmod("vec_id", F.lit(stride)) == 0)
             .select(unit(F.col("embedding")).alias("ue"))

@@ -489,7 +489,9 @@ def ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.where(F.col("vec_id") < cut)
     delta = emb.where(F.col("vec_id") >= cut)
     cents, assigned = S.build_ivf_index(base)
-    books = S.train_pq_codebooks(base)
+    # vec_ids are dense 0..n-1 (the generator's contract), so the base
+    # split's row count is `cut` — no second count job (guide §1.2)
+    books = S.train_pq_codebooks(base, n_rows=cut)
     codes = S.pq_encode(base, books)
     grown_assigned = S.ivf_ingest(cents, assigned, delta)
     grown_codes = S.pq_ingest(codes, delta, books)
@@ -566,7 +568,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         with timed_phase(FAM, "index_build"):
             cents, assigned = shared_ivf_index(spark, sf_dir)
             books = S.train_pq_codebooks(emb)
+            # count = materialization barrier: the evaluate union's
+            # branches (ADC scoring AND the IVF-PQ candidate join) read
+            # this cache concurrently inside one action — without the
+            # barrier they race to populate it and each recomputes the
+            # encode pass (the shingle_sig_tables race, r1)
             codes = S.pq_encode(emb, books).persist()
+            codes.count()
         # ONE evaluation action over the union of every tier's top-k
         # (guide §1.2/§2.6): the r12 shape ran eight sequential
         # mean_recall actions — eight full pipeline latencies back to
